@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.gold.Kpi
+import org.apache.spark.sql.functions._
+
+/** Gold-layer aggregation queries (SURVEY §2.4 A2-A5, §2.3 joins). */
+object GoldQueries {
+
+  val q1Kpi: QueryDef = QueryDef(
+    "q1_kpi_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_rows,
+      |  sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS big_qty_rows,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  round(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS big_qty_rate
+      |FROM lineitem GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Kpi.dailyKpis(Tables.load(s, dir, "lineitem"))
+  }
+
+  /** Multi-way star join with broadcast dims: revenue per region and
+    * market segment. Dims (region/nation/customer) are broadcast —
+    * lineitem (the 100 TB fact) never shuffles for the dim joins; only
+    * the lineitem⋈orders join and the final group-by shuffle. */
+  val qStarJoin: QueryDef = QueryDef(
+    "q2_star_join",
+    """SELECT r.r_name AS region, c.c_mktsegment AS segment,
+      |  count(*) AS n_items,
+      |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name").as("region"), c("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q1Kpi, qStarJoin)
+}

@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Local dev-loop mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
+oracle SQL in DuckDB against the parquet tables in <sfDir>, loads the
+Spark result parquet from <verifyOutDir>/<name>/, and compares:
+  - schema: sorted column-name lists equal
+  - rows: row counts equal
+  - hash: values compared column-name-sorted, row-sorted, with float
+    normalization (round to 9 significant-ish digits) — strict enough
+    that passing here makes the driver's hash compare very likely to pass.
+Exit code = number of failing queries.
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
+
+
+def table(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+    fails = 0
+    names = sorted(
+        set(oracles) |
+        {p.rstrip("/").split("/")[-1] for p in glob.glob(f"{out_dir}/*/")})
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            fails += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchall()
+        gcols = [d[0] for d in con.description]
+        if name not in oracles:
+            print(f"ROWS {name}: {len(got)} rows (no oracle)")
+            continue
+        try:
+            exp = con.execute(oracles[name]).fetchall()
+            ecols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            fails += 1
+            continue
+        gc, gt = table(got, gcols)
+        ec, et = table(exp, ecols)
+        if gc != ec:
+            print(f"FAIL {name}: schema {gc} vs {ec}")
+            fails += 1
+        elif len(gt) != len(et):
+            print(f"FAIL {name}: rows {len(gt)} vs {len(et)}")
+            fails += 1
+        elif gt != et:
+            diff = next(i for i in range(len(gt)) if gt[i] != et[i])
+            print(f"FAIL {name}: values differ, first diff row {diff}:\n"
+                  f"  spark: {gt[diff]}\n  duck:  {et[diff]}")
+            fails += 1
+        else:
+            print(f"PASS {name}: {len(gt)} rows")
+    print(f"== {len(names) - fails}/{len(names)} pass")
+    sys.exit(min(fails, 120))
+
+
+if __name__ == "__main__":
+    main()
