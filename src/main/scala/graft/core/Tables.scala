@@ -15,8 +15,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects outright; read nanos as long and convert to a
+    // micros timestamp (floor division — matches DuckDB's ns→us
+    // truncation, so the oracle sees identical instants).
+    if (name == "events") {
+      // stays set for the session: only affects NANOS-typed columns,
+      // and must be live at physical-planning time, not just here.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        // integral `div` — double division would lose precision above
+        // 2^53 (epoch-nanos ≈ 1.7e18)
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register every table as a temp view so `spark.sql` works against the
     * same names the DuckDB oracle uses. */

@@ -1,0 +1,75 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage abstraction for the medallion tables.
+  *
+  * The reference writes Delta everywhere (S7-S9,S11-S13); the test
+  * harness has plain Spark+parquet. `TableIO` keeps the engine code
+  * format-agnostic: a parquet implementation for tests and any
+  * Delta/Iceberg implementation can sit behind the same trait
+  * (SURVEY §7 risk 3).
+  */
+trait TableIO {
+  def read(spark: SparkSession, table: String): DataFrame
+  def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit
+  def overwrite(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit
+  def exists(spark: SparkSession, table: String): Boolean
+
+  /** S9: keyed upsert (Delta MERGE whenMatched.updateAll /
+    * whenNotMatched.insertAll). Generic fallback: source wins on key
+    * match, target rows survive only if no source row shares the key —
+    * expressed as source ∪ (target left-anti source). The anti-join
+    * shuffles both sides on the key (or broadcasts a small source);
+    * at 100 TB with Delta present, prefer the transactional MERGE which
+    * rewrites only matched files. */
+  def merge(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    val survivors = target.join(source, keys, "left_anti")
+    source.unionByName(survivors)
+  }
+
+  def upsert(spark: SparkSession, source: DataFrame, table: String,
+      keys: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
+    if (!exists(spark, table)) overwrite(source, table, partitionBy)
+    else {
+      val merged = merge(read(spark, table), source, keys)
+      overwrite(merged, table, partitionBy)
+    }
+  }
+}
+
+/** Parquet-backed TableIO rooted at a directory; table name → subdir. */
+final class ParquetTableIO(root: String) extends TableIO {
+  private def path(table: String) = s"$root/$table"
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(path(table))
+
+  def append(df: DataFrame, table: String, partitionBy: Seq[String]): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path(table))
+  }
+
+  def overwrite(df: DataFrame, table: String, partitionBy: Seq[String]): Unit = {
+    // Parquet overwrite of a table we may also be reading in the same
+    // plan: materialize via a staging dir swap is overkill for tests —
+    // checkpoint to memory first.
+    val cached = df.persist()
+    cached.count()
+    val w = cached.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path(table))
+    cached.unpersist()
+  }
+
+  def exists(spark: SparkSession, table: String): Boolean =
+    new java.io.File(path(table)).exists()
+
+  /** Compaction (the BASELINE "read/write + compaction" op): rewrite a
+    * table to `numFiles` files — repartition(numFiles) rewrite, the
+    * parquet stand-in for Delta OPTIMIZE. */
+  def compact(spark: SparkSession, table: String, numFiles: Int): Unit =
+    overwrite(read(spark, table).repartition(numFiles), table)
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.functions.Sentiment
+import org.apache.spark.sql.functions._
+
+/** Scalar-function queries (SURVEY §2.8) + the sentiment UDF surface
+  * (§2.9) + the explode generator (A9/004_fact shape). */
+object FunctionQueries {
+
+  /** String functions: sha2 id-hashing (the article_id pattern,
+    * finance_bronze2_to_silver.py:91), concat_ws, substring, length,
+    * regexp_replace, like. */
+  val qStringFuncs: QueryDef = QueryDef(
+    "q24_string_funcs",
+    """SELECT c_custkey,
+      |  sha256(lower(c_name)) AS name_id,
+      |  concat_ws('|', c_name, c_mktsegment) AS joined,
+      |  substring(c_name, 1, 9) AS name_prefix,
+      |  length(c_name) AS name_len,
+      |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+      |  CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one,
+      |  trim(concat(' ', c_mktsegment, ' ')) AS seg_trim
+      |FROM customer""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        sha2(lower(col("c_name")), 256).as("name_id"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("joined"),
+        substring(col("c_name"), 1, 9).as("name_prefix"),
+        length(col("c_name")).as("name_len"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("name_masked"),
+        when(col("c_name").like("%1%"), 1).otherwise(0).as("has_one"),
+        trim(concat(lit(" "), col("c_mktsegment"), lit(" "))).as("seg_trim"))
+  }
+
+  /** Date/time functions: to_date, date_format, year/month, date
+    * arithmetic and day-diff — anchored on data (not wall-clock) for
+    * determinism. */
+  val qDateFuncs: QueryDef = QueryDef(
+    "q25_date_funcs",
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS od,
+      |  strftime(o_orderdate, '%Y-%m') AS ym,
+      |  date_part('year', o_orderdate) AS y,
+      |  date_part('month', o_orderdate) AS m,
+      |  CAST(o_orderdate AS DATE) + 30 AS od_plus30,
+      |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+      |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        date_add(to_date(col("o_orderdate")), 30).as("od_plus30"),
+        datediff(lit("1998-01-01").cast("date"), to_date(col("o_orderdate")))
+          .as("days_to_98"))
+  }
+
+  /** §2.9 sentiment — pure built-in (codegen'd) form. */
+  val qSentimentBuiltin: QueryDef = QueryDef(
+    "q26_sentiment_builtin",
+    sentimentOracle) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        Sentiment.posCount(col("text")).as("pos_hits"),
+        Sentiment.negCount(col("text")).as("neg_hits"),
+        Sentiment.scoreBuiltin(col("text")).as("score"),
+        Sentiment.label(Sentiment.scoreBuiltin(col("text"))).as("label"))
+  }
+
+  /** Same semantics through a Scala UDF (the reference's actual shape,
+    * news_article_sentiment.py:94-112) — same oracle, so the two forms
+    * are hash-compared against each other transitively. */
+  val qSentimentUdf: QueryDef = QueryDef(
+    "q27_sentiment_udf",
+    sentimentOracle) { (s, dir) =>
+    val scored = Tables.load(s, dir, "documents")
+      .withColumn("score", Sentiment.scoreUdf(col("text")))
+    scored.select(col("doc_id"),
+      Sentiment.posCount(col("text")).as("pos_hits"),
+      Sentiment.negCount(col("text")).as("neg_hits"),
+      col("score"),
+      Sentiment.label(col("score")).as("label"))
+  }
+
+  private lazy val sentimentOracle: String = {
+    val pos = Sentiment.positive.map(w => s"'$w'").mkString(", ")
+    val neg = Sentiment.negative.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |        x -> list_contains([$pos], x))) AS pos_hits,
+       |    len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |        x -> list_contains([$neg], x))) AS neg_hits
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, pos_hits, neg_hits,
+       |    CASE WHEN pos_hits + neg_hits = 0 THEN 0.0
+       |         ELSE round((pos_hits - neg_hits) * 1.0 / (pos_hits + neg_hits), 4)
+       |    END AS score
+       |  FROM t)
+       |SELECT doc_id, pos_hits, neg_hits, score,
+       |  CASE WHEN score > 0.1 THEN 'positive'
+       |       WHEN score < -0.1 THEN 'negative'
+       |       ELSE 'neutral' END AS label
+       |FROM sc""".stripMargin
+  }
+
+  /** Generator: explode tokens, global token frequencies (the
+    * explode_outer fact-builder shape, 004_fact_...py:116). */
+  val qExplodeTokens: QueryDef = QueryDef(
+    "q28_explode_tokens",
+    """SELECT token, count(*) AS n FROM (
+      |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      |  FROM documents)
+      |WHERE token <> '' GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qStringFuncs, qDateFuncs, qSentimentBuiltin,
+    qSentimentUdf, qExplodeTokens)
+}

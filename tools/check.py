@@ -25,7 +25,7 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return f"{v:.12g}"
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
