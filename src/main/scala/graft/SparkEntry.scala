@@ -13,7 +13,8 @@ object SparkEntry {
   /** All registered queries, grouped by area. */
   def registry: Seq[QueryDef] =
     GoldQueries.all ++ CleanQueries.all ++ JoinQueries.all ++
-      AggQueries.all ++ WindowQueries.all ++ FunctionQueries.all
+      AggQueries.all ++ WindowQueries.all ++ FunctionQueries.all ++
+      DqQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

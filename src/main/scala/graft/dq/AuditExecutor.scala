@@ -1,0 +1,132 @@
+package graft.dq
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Evaluates data-quality rules and produces audit-result rows.
+  *
+  * Two deliberate departures from the reference
+  * (002_bronze_dataaudit_result_*.py), both for 100 TB posture
+  * (SURVEY §4 anti-patterns 3-4):
+  *
+  *  - **One scan per table, not per rule.** The reference loops configs
+  *    on the driver and launches one full Spark job per rule. Here all
+  *    rules for a table are evaluated in a single aggregate pass via
+  *    conditional aggregation — rules × one scan instead of rules ×
+  *    scans.
+  *  - **Violation sample capped inside the pipeline.** The reference
+  *    `collect_list`s every violating PK and trims to 999 afterwards
+  *    (:161-165); we sort+slice within the aggregation so only
+  *    `sampleCap` keys survive per rule.
+  *
+  * Result envelope matches the reference's JSON-in-string columns
+  * (`ds_configuration` / `ds_checked_value`,
+  * 002_...completeness_mandatory.py:97-120) via `to_json(struct(...))`.
+  *
+  * `checkedAt` is injected (not `current_timestamp()`) so reruns are
+  * idempotent and testable; the result id is a deterministic
+  * sha2(dimension, configId, checkedAt) rather than `uuid()` — same
+  * uniqueness, replay-stable.
+  */
+object AuditExecutor {
+
+  val DefaultSampleCap = 999
+
+  /** Evaluate one rule: returns a 1-row DataFrame
+    * (cd_dataaudit_result, cd_configuration, ds_dimension,
+    * ds_configuration, ds_checked_value, nr_status). */
+  def runRule(df: DataFrame, cfg: RuleConfig, checkedAt: String,
+      sampleCap: Int = DefaultSampleCap): DataFrame =
+    runRules(df, Seq(cfg), checkedAt, sampleCap)
+
+  /** Evaluate all rules for one table in a single scan. */
+  def runRules(df: DataFrame, cfgs: Seq[RuleConfig], checkedAt: String,
+      sampleCap: Int = DefaultSampleCap): DataFrame = {
+    require(cfgs.nonEmpty, "no configs")
+    val active = cfgs.filter(_.active)
+
+    // per rule: count of violations + capped ordered pk sample, as one
+    // struct column each → single aggregate over one scan
+    val aggs: Seq[Column] = active.map { cfg =>
+      val viol = RuleCompiler.scopedViolation(cfg)
+      val pk = RuleCompiler.pkExpr(cfg)
+      struct(
+        count(when(viol, 1)).as("n_viol"),
+        slice(sort_array(collect_list(when(viol, pk))), 1, sampleCap)
+          .as("pk_sample"))
+        .as(s"r${cfg.configId}")
+    }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+
+    // fan the single aggregate row back out to one result row per rule
+    val resultCols = active.map { cfg =>
+      val r = col(s"r${cfg.configId}")
+      struct(
+        lit(cfg.configId).as("cd_configuration"),
+        lit(cfg.dimension).as("ds_dimension"),
+        to_json(struct(
+          lit(cfg.schemaName).as("schema_name"),
+          lit(cfg.tableName).as("table_name"),
+          lit(cfg.pkColumns.mkString(",")).as("pk_columns"),
+          lit(ruleText(cfg)).as("rule"))).as("ds_configuration"),
+        to_json(struct(
+          r.getField("n_viol").as("n_violations"),
+          r.getField("pk_sample").as("pk_sample"))).as("ds_checked_value"),
+        when(r.getField("n_viol") === 0, AuditStatus.Pass)
+          .otherwise(AuditStatus.Fail).as("nr_status"))
+    }
+    agged
+      .select(explode(array(resultCols: _*)).as("res"))
+      .select(
+        sha2(concat_ws("|",
+          col("res.ds_dimension"),
+          col("res.cd_configuration").cast("string"),
+          lit(checkedAt)), 256).as("cd_dataaudit_result"),
+        col("res.cd_configuration"),
+        col("res.ds_dimension"),
+        col("res.ds_configuration"),
+        col("res.ds_checked_value"),
+        col("res.nr_status"),
+        lit(checkedAt).cast("timestamp").as("dt_checked_at"))
+  }
+
+  /** ERROR path (nr_status = -1): a rule whose expression fails
+    * analysis produces an error row instead of killing the run
+    * (the reference's try/except, 002_...py:157-158). */
+  def runRulesSafe(df: DataFrame, cfgs: Seq[RuleConfig], checkedAt: String,
+      sampleCap: Int = DefaultSampleCap): DataFrame = {
+    val (ok, bad) = cfgs.filter(_.active).partition { cfg =>
+      try {
+        df.select(RuleCompiler.scopedViolation(cfg).cast("boolean")).schema
+        true
+      } catch { case _: Exception => false }
+    }
+    val spark = df.sparkSession
+    val errRows = bad.map { cfg =>
+      (sha2String(s"${cfg.dimension}|${cfg.configId}|$checkedAt"),
+        cfg.configId, cfg.dimension,
+        s"""{"schema_name":"${cfg.schemaName}","table_name":"${cfg.tableName}","pk_columns":"${cfg.pkColumns.mkString(",")}","rule":"${ruleText(cfg)}"}""",
+        """{"error":"rule failed analysis"}""", AuditStatus.Error)
+    }
+    import spark.implicits._
+    val errDf = errRows.toDF("cd_dataaudit_result", "cd_configuration",
+      "ds_dimension", "ds_configuration", "ds_checked_value", "nr_status")
+      .withColumn("dt_checked_at", lit(checkedAt).cast("timestamp"))
+    if (ok.isEmpty) errDf
+    else {
+      val okDf = runRules(df, ok, checkedAt, sampleCap)
+      if (bad.isEmpty) okDf else okDf.unionByName(errDf)
+    }
+  }
+
+  private def ruleText(cfg: RuleConfig): String = cfg match {
+    case m: MandatoryColumnConfig =>
+      s"mandatory:${m.mandatoryColumns.mkString(",")}"
+    case v: ValidityConfig => v.validationRule
+  }
+
+  private def sha2String(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.dq._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Data-quality framework queries (SURVEY §2.11): config-driven rule
+  * evaluation, JSON envelopes, fact explode. Dirty data is synthesized
+  * deterministically from orders so the oracle can reproduce it. */
+object DqQueries {
+
+  private val checkedAt = "2026-01-01 00:00:00"
+
+  /** The audited frame: orders with injected NULLs and blanks. */
+  private def dirtyOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders").select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 11 === 0, lit(null))
+        .when(col("o_orderkey") % 13 === 0, lit(" "))
+        .otherwise(col("o_orderpriority")).as("prio"),
+      when(col("o_orderkey") % 17 === 0, lit(null))
+        .otherwise(col("o_custkey")).as("cust"),
+      col("o_totalprice"), col("o_orderdate"))
+
+  private val oracleBase =
+    """base AS (SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+      |       WHEN o_orderkey % 13 = 0 THEN ' '
+      |       ELSE o_orderpriority END AS prio,
+      |  CASE WHEN o_orderkey % 17 = 0 THEN NULL ELSE o_custkey END AS cust,
+      |  o_totalprice, o_orderdate FROM orders)""".stripMargin
+
+  private val cfgs: Seq[RuleConfig] = Seq(
+    MandatoryColumnConfig(1, "silver", "orders_dirty",
+      mandatoryColumns = Seq("prio"), pkColumns = Seq("o_orderkey")),
+    MandatoryColumnConfig(2, "silver", "orders_dirty",
+      mandatoryColumns = Seq("prio", "cust"), pkColumns = Seq("o_orderkey")),
+    ValidityConfig(3, "silver", "orders_dirty",
+      validationRule = "o_totalprice > 350000", pkColumns = Seq("o_orderkey")),
+    ValidityConfig(4, "silver", "orders_dirty",
+      validationRule = "cust IS NOT NULL AND cust % 100 = 7",
+      pkColumns = Seq("o_orderkey"),
+      additionalFilter = Some("o_totalprice > 100000")))
+
+  /** Mixed completeness+validity audit, all four rules in ONE scan;
+    * envelopes round-tripped through to_json/from_json. */
+  val qDqAudit: QueryDef = QueryDef(
+    "q29_dq_audit",
+    s"""WITH $oracleBase,
+       |r1 AS (SELECT CAST(o_orderkey AS VARCHAR) pk FROM base
+       |       WHERE prio IS NULL OR trim(prio) = ''),
+       |r2 AS (SELECT CAST(o_orderkey AS VARCHAR) pk FROM base
+       |       WHERE prio IS NULL OR trim(prio) = ''
+       |          OR cust IS NULL OR trim(CAST(cust AS VARCHAR)) = ''),
+       |r3 AS (SELECT CAST(o_orderkey AS VARCHAR) pk FROM base
+       |       WHERE o_totalprice > 350000),
+       |r4 AS (SELECT CAST(o_orderkey AS VARCHAR) pk FROM base
+       |       WHERE o_totalprice > 100000 AND cust IS NOT NULL AND cust % 100 = 7),
+       |u AS (
+       |  SELECT 1 AS cd, 'completeness_mandatory' AS dim,
+       |    (SELECT count(*) FROM r1) n, (SELECT min(pk) FROM r1) pk1
+       |  UNION ALL SELECT 2, 'completeness_mandatory',
+       |    (SELECT count(*) FROM r2), (SELECT min(pk) FROM r2)
+       |  UNION ALL SELECT 3, 'validity',
+       |    (SELECT count(*) FROM r3), (SELECT min(pk) FROM r3)
+       |  UNION ALL SELECT 4, 'validity',
+       |    (SELECT count(*) FROM r4), (SELECT min(pk) FROM r4))
+       |SELECT CAST(cd AS BIGINT) AS cd_configuration, dim AS ds_dimension,
+       |  sha256(dim || '|' || CAST(cd AS VARCHAR) || '|' || '$checkedAt')
+       |    AS cd_dataaudit_result,
+       |  n AS n_violations,
+       |  CAST(least(n, 999) AS BIGINT) AS pk_n,
+       |  pk1 AS pk_first,
+       |  CASE WHEN n = 0 THEN 1 ELSE 0 END AS nr_status
+       |FROM u""".stripMargin) { (s, dir) =>
+    val results = AuditExecutor.runRules(dirtyOrders(s, dir), cfgs, checkedAt)
+    val chk = DataType.fromDDL(
+      "STRUCT<n_violations: BIGINT, pk_sample: ARRAY<STRING>>")
+    results
+      .withColumn("chk", from_json(col("ds_checked_value"), chk))
+      .select(
+        col("cd_configuration"),
+        col("ds_dimension"),
+        col("cd_dataaudit_result"),
+        col("chk.n_violations").as("n_violations"),
+        size(col("chk.pk_sample")).cast("bigint").as("pk_n"),
+        element_at(col("chk.pk_sample"), 1).as("pk_first"),
+        col("nr_status"))
+  }
+
+  /** Full DQ pipeline to the violation-grain fact table: rules (one with
+    * a broken expression → ERROR row) → envelopes → from_json +
+    * explode_outer → labeled fact rows. Sample cap 5 for a tidy fact. */
+  val qDqFact: QueryDef = QueryDef(
+    "q30_dq_fact",
+    s"""WITH $oracleBase,
+       |r1 AS (SELECT CAST(o_orderkey AS VARCHAR) pk FROM base
+       |       WHERE prio IS NULL OR trim(prio) = ''),
+       |r3 AS (SELECT CAST(o_orderkey AS VARCHAR) pk FROM base
+       |       WHERE o_totalprice > 350000),
+       |f1 AS (SELECT CAST(1 AS BIGINT) AS cd_configuration,
+       |         'completeness_mandatory' AS ds_dimension, 'FAIL' AS status_label,
+       |         (SELECT count(*) FROM r1) AS n_violations, pk AS violated_pk
+       |       FROM r1 ORDER BY pk LIMIT 5),
+       |f3 AS (SELECT CAST(3 AS BIGINT), 'validity', 'FAIL',
+       |         (SELECT count(*) FROM r3), pk
+       |       FROM r3 ORDER BY pk LIMIT 5)
+       |SELECT * FROM f1 UNION ALL SELECT * FROM f3
+       |UNION ALL SELECT CAST(5 AS BIGINT), 'validity', 'ERROR',
+       |  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)""".stripMargin) { (s, dir) =>
+    val withBad = Seq(cfgs.head, cfgs(2),
+      ValidityConfig(5, "silver", "orders_dirty",
+        validationRule = "no_such_column > 0", pkColumns = Seq("o_orderkey")))
+    val results = AuditExecutor.runRulesSafe(dirtyOrders(s, dir), withBad,
+      checkedAt, sampleCap = 5)
+    FactBuilder.violations(results)
+      .select("cd_configuration", "ds_dimension", "status_label",
+        "n_violations", "violated_pk")
+  }
+
+  val all: Seq[QueryDef] = Seq(qDqAudit, qDqFact)
+}
