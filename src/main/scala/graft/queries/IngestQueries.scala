@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.ingest.{IncrementalSource, Readers}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Source-format and incremental-ingest queries (SURVEY §2.1 S1-S4,
+  * S16; J1/J2/P5). Format round-trips write the parquet table out in
+  * the source format to a temp dir, read it back through the engine's
+  * reader, and oracle-check against the original table. */
+object IngestQueries {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** S1: header CSV with recursive lookup + schema inference. */
+  val qCsvRoundtrip: QueryDef = QueryDef(
+    "q31_csv_roundtrip",
+    "SELECT r_regionkey, r_name FROM region") { (s, dir) =>
+    val out = tmp("graft_csv")
+    Tables.load(s, dir, "region")
+      .write.mode("overwrite").option("header", "true").csv(out)
+    Readers.csv(s, out).select("r_regionkey", "r_name")
+  }
+
+  /** S2: JSON-lines with schema inference. */
+  val qJsonRoundtrip: QueryDef = QueryDef(
+    "q32_json_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
+    val out = tmp("graft_json")
+    Tables.load(s, dir, "nation").write.mode("overwrite").json(out)
+    Readers.jsonLines(s, out).select("n_nationkey", "n_name", "n_regionkey")
+  }
+
+  /** S3: whole-file JSON array read with multiLine. */
+  val qJsonMultiline: QueryDef = QueryDef(
+    "q33_json_multiline",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
+    val out = tmp("graft_mljson")
+    val rows = Tables.load(s, dir, "nation").toJSON.collect()
+    Files.writeString(java.nio.file.Paths.get(s"$out/nation.json"),
+      rows.mkString("[\n", ",\n", "\n]"))
+    Readers.jsonMultiLine(s, out)
+      .select("n_nationkey", "n_name", "n_regionkey")
+  }
+
+  /** S4 + S16: binaryFile listing source cross-checked against the raw
+    * Hadoop FS listing — counts and total bytes must agree. No SQL
+    * oracle (DuckDB can't list files) → rows-only. */
+  val qBinaryFiles: QueryDef = QueryDef.rowsOnly("q34_binary_files") { (s, dir) =>
+    val listed = IncrementalSource.listFiles(s, dir, suffix = ".parquet")
+    val viaSource = Readers.binaryFiles(s, dir, glob = "*.parquet")
+      .select(col("path"), col("length"))
+    import s.implicits._
+    val viaFs = listed.map { case (p, len, _) => (p, len) }
+      .toDF("path", "length")
+    // inner join on both columns: row count == both counts iff identical
+    viaSource.join(viaFs, Seq("path", "length"), "inner")
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+        col("length"))
+  }
+
+  /** J2/P5 via the library: per-key watermark incremental slice. */
+  val qIncremental: QueryDef = QueryDef(
+    "q35_incremental",
+    """WITH processed AS (
+      |  SELECT o_custkey, max(o_orderdate) AS max_ts FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1)
+      |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate FROM orders o
+      |LEFT JOIN processed p ON o.o_custkey = p.o_custkey
+      |WHERE p.max_ts IS NULL OR o.o_orderdate > p.max_ts""".stripMargin) { (s, dir) =>
+    val orders = Tables.load(s, dir, "orders")
+    val processed = orders
+      .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    IncrementalSource.pastKeyedWatermark(
+      orders, processed, "o_custkey", "o_orderdate")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+  }
+
+  val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonRoundtrip, qJsonMultiline,
+    qBinaryFiles, qIncremental)
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.ingest.ParquetTableIO
+import graft.stream.{StreamIngest, WindowedAggs}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Structured Streaming queries (SURVEY §2.10, S10/E3 + watermark
+  * window extensions). Tumbling/sliding run as REAL streaming queries
+  * (watermark + AvailableNow + memory sink); their oracles are the
+  * batch-equivalent SQL — Spark's batch/stream agreement is the
+  * property under test. */
+object StreamQueries {
+
+  private val seq = new AtomicInteger(0)
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Re-materialize events with micros timestamps for the streaming
+    * source (the raw file's TIMESTAMP(NANOS) is unreadable — Tables
+    * handles the conversion for batch; streaming needs a clean copy). */
+  private def eventsDir(s: org.apache.spark.sql.SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
+    val ev = Tables.load(s, dir, "events")
+    val out = tmp("graft_events")
+    ev.write.mode("overwrite").parquet(out)
+    (out, ev.schema)
+  }
+
+  val qTumbling: QueryDef = QueryDef(
+    "q36_stream_tumbling",
+    """SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600000000 AS BIGINT)) AS window_start,
+      |  make_timestamp(CAST((floor(epoch(ts) / 21600) + 1) * 21600000000 AS BIGINT)) AS window_end,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val (src, schema) = eventsDir(s, dir)
+    WindowedAggs.runStreaming(s, src, schema, "ts", "1 hour",
+      s"tumbling_${seq.incrementAndGet()}")(
+      WindowedAggs.tumbling(_, "6 hours"))
+  }
+
+  val qSliding: QueryDef = QueryDef(
+    "q37_stream_sliding",
+    """WITH shifted AS (
+      |  SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600000000 AS BIGINT)) AS w0, event_type FROM events
+      |  UNION ALL
+      |  SELECT make_timestamp(CAST((floor(epoch(ts) / 21600) - 1) * 21600000000 AS BIGINT)), event_type FROM events)
+      |SELECT w0 AS window_start,
+      |  w0 + INTERVAL 12 HOUR AS window_end,
+      |  event_type, count(*) AS n
+      |FROM shifted GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val (src, schema) = eventsDir(s, dir)
+    WindowedAggs.runStreaming(s, src, schema, "ts", "1 hour",
+      s"sliding_${seq.incrementAndGet()}")(
+      WindowedAggs.sliding(_, "12 hours", "6 hours"))
+  }
+
+  /** session_window (batch plan — identical expression powers the
+    * streaming mode); oracle = gaps-and-islands SQL. */
+  val qSession: QueryDef = QueryDef(
+    "q38_session_window",
+    """WITH l AS (
+      |  SELECT user_id, ts, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, ts, value,
+      |    sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= 7200
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts
+      |            ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM l)
+      |SELECT min(ts) AS session_start,
+      |  max(ts) + INTERVAL 2 HOUR AS session_end,
+      |  user_id, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM g GROUP BY user_id, grp""".stripMargin) { (s, dir) =>
+    WindowedAggs.session(Tables.load(s, dir, "events"), "2 hours")
+  }
+
+  /** S10/E3: end-to-end incremental CSV ingest — readStream +
+    * AvailableNow + checkpoint + foreachBatch assigning surrogate ids
+    * continuing from the target's max. Oracle: ids are deterministic
+    * (natural-key ordered), so the whole ingested table is checkable. */
+  val qStreamIngest: QueryDef = QueryDef(
+    "q39_stream_ingest",
+    """SELECT row_number() OVER (ORDER BY o_orderkey) AS cd_bronze_id,
+      |  o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin) { (s, dir) =>
+    val srcDir = tmp("graft_csv_src")
+    val ckDir = tmp("graft_ck")
+    val tblDir = tmp("graft_tbl")
+    val src = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 50 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    src.write.mode("overwrite").option("header", "true").csv(srcDir)
+    val io = new ParquetTableIO(tblDir)
+    StreamIngest.ingestCsv(s, srcDir, ckDir, io, "bronze_orders",
+      "cd_bronze_id", Seq("o_orderkey"), schema = Some(src.schema))
+    io.read(s, "bronze_orders")
+      .select("cd_bronze_id", "o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  val all: Seq[QueryDef] = Seq(qTumbling, qSliding, qSession, qStreamIngest)
+}

@@ -1,0 +1,56 @@
+package graft.stream
+
+import graft.ingest.{SurrogateId, TableIO}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Incremental file ingest as Structured Streaming (SURVEY §2.10, E3):
+  * `readStream` file source + `Trigger.AvailableNow` (drain the backlog,
+  * then stop) + file-source checkpoint for exactly-once file tracking +
+  * `foreachBatch` running the batch logic (count, surrogate ids, append)
+  * — the Scala re-expression of uber/csv_to_delta.py:104-149.
+  */
+object StreamIngest {
+
+  /** Stream-ingest a directory of header CSVs into `table`, assigning
+    * surrogate ids that continue from the table's current max
+    * (csv_to_delta.py:59-83). Blocks until the backlog is drained.
+    *
+    * `idOrderCols`: natural-key ordering for deterministic ids (the
+    * reference's monotonically_increasing_id ordering is nondeterministic
+    * AND single-partition — SURVEY §4 anti-pattern 1).
+    */
+  def ingestCsv(spark: SparkSession, sourceDir: String, checkpointDir: String,
+      io: TableIO, table: String, idCol: String,
+      idOrderCols: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    // explicit schema is the production path — streaming CSV inference
+    // lands every column as STRING (so e.g. key ordering turns
+    // lexicographic); inference stays available for exploration
+    spark.conf.set("spark.sql.streaming.schemaInference", "true")
+    val reader = spark.readStream
+      .option("header", "true")
+      .option("recursiveFileLookup", "true")
+    val stream = schema.fold(reader)(reader.schema).csv(sourceDir)
+
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val startAfter: Long =
+            if (io.exists(spark, table))
+              io.read(spark, table)
+                .agg(coalesce(max(col(idCol)), lit(0L))).first().getLong(0)
+            else 0L
+          val withIds = SurrogateId.attachOrdered(
+            batch, idCol, idOrderCols.map(col), startAfter)
+          io.append(graft.core.Cols.reorderFront(withIds, Seq(idCol)), table)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}
