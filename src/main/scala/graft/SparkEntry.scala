@@ -14,7 +14,8 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     GoldQueries.all ++ CleanQueries.all ++ JoinQueries.all ++
       AggQueries.all ++ WindowQueries.all ++ FunctionQueries.all ++
-      DqQueries.all ++ IngestQueries.all ++ StreamQueries.all
+      DqQueries.all ++ IngestQueries.all ++ StreamQueries.all ++
+      ScaleQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,225 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.scale.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline queries (BASELINE.json extensions): dedup,
+  * similarity search, text analysis, multimodal plumbing — over the
+  * documents/embeddings tables. */
+object ScaleQueries {
+
+  /** documents ∪ planted exact duplicates (doc_id+1_000_000, every 10th
+    * doc) — so exact dedup has real work to do and the oracle can
+    * reproduce the corpus. */
+  private def corpusWithDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+  }
+
+  private val oracleCorpus =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  val qDedupExact: QueryDef = QueryDef(
+    "q40_dedup_exact",
+    s"""WITH $oracleCorpus,
+       |fp AS (SELECT doc_id,
+       |         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+       |       FROM corpus)
+       |SELECT doc_id, fingerprint FROM fp
+       |WHERE doc_id = (SELECT min(f2.doc_id) FROM fp f2
+       |                WHERE f2.fingerprint = fp.fingerprint)""".stripMargin) { (s, dir) =>
+    Dedup.exactDedup(corpusWithDups(s, dir), "doc_id", "text")
+      .select("doc_id", "fingerprint")
+  }
+
+  /** Exact n-gram(1) set jaccard for a bounded pair set — the oracle
+    * for the similarity math that MinHash approximates. */
+  val qNgramJaccard: QueryDef = QueryDef(
+    "q41_ngram_jaccard",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                  x -> x <> '')) AS toks
+      |  FROM documents WHERE doc_id < 60)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+      |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+      |    AS jaccard
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+      |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+      |      >= 0.7""".stripMargin) { (s, dir) =>
+    val t = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"), Dedup.tokenSet(col("text")).as("toks"))
+    val a = t.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+    val b = t.select(col("doc_id").as("id_b"), col("toks").as("tb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(Dedup.jaccard(col("ta"), col("tb")), 4))
+      .filter(col("jaccard") >= 0.7)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash+LSH near-dup pipeline. Signature/banding hashes are
+    * Spark-internal (murmur3) → no SQL oracle; LSH recall vs the exact
+    * pair set is asserted in DedupSpec. */
+  val qMinhashLsh: QueryDef = QueryDef.rowsOnly("q42_minhash_lsh") { (s, dir) =>
+    Dedup.nearDuplicates(
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 200),
+      "doc_id", "text", minJaccard = 0.4,
+      Dedup.MinHashParams(k = 64, bands = 32, shingle = 2))
+  }
+
+  /** SimHash near-dup pairs (xxhash64-based → rows-only; verified in
+    * DedupSpec against brute-force hamming). */
+  val qSimhash: QueryDef = QueryDef.rowsOnly("q43_simhash") { (s, dir) =>
+    Dedup.simhashPairs(
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 200),
+      "doc_id", "text", maxHamming = 8)
+  }
+
+  val qAnnBrute: QueryDef = QueryDef(
+    "q44_ann_cosine",
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      |      FROM embeddings),
+      |sims AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(list_cosine_similarity(qv, cv), 6) AS sim
+      |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |  FROM sims)
+      |SELECT query_id, neighbor_id, sim, rank FROM ranked
+      |WHERE rank <= 10""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10)
+  }
+
+  /** LSH-bucketed ANN (scale path) — bucket assignment uses seeded
+    * Gaussian hyperplanes; recall vs brute-force asserted in
+    * SimilaritySpec. */
+  val qAnnLsh: QueryDef = QueryDef.rowsOnly("q45_ann_lsh") { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10, dim = 64, nPlanes = 4)
+  }
+
+  val qTokenStats: QueryDef = QueryDef(
+    "q46_token_stats",
+    s"""SELECT doc_id,
+       |  len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws_tokens,
+       |  len(regexp_extract_all(text, '${TextStats.BpeishPattern}')) AS n_bpeish_tokens,
+       |  length(text) AS n_chars
+       |FROM documents""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        TextStats.tokenCountWs(col("text")).as("n_ws_tokens"),
+        TextStats.tokenCountBpeish(col("text")).as("n_bpeish_tokens"),
+        TextStats.charCount(col("text")).as("n_chars"))
+  }
+
+  val qQuality: QueryDef = QueryDef(
+    "q47_quality_score",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks,
+       |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS nws,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS npunct,
+       |    length(text) AS nchars
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, nws,
+       |    round(npunct * 1.0 / greatest(nchars, 1), 6) AS punct_ratio,
+       |    round(len(list_filter(toks, x -> list_contains(
+       |      ['the','a','an','and','or','of','to','in','is','was'], x))) * 1.0
+       |      / greatest(len(toks), 1), 6) AS stop_ratio,
+       |    round(list_sum(list_transform(toks, x -> length(x))) * 1.0
+       |      / greatest(len(toks), 1), 6) AS mean_tok_len
+       |  FROM t)
+       |SELECT doc_id, punct_ratio, stop_ratio, mean_tok_len,
+       |  round(CAST((CASE WHEN nws >= 20 THEN 1.0 ELSE 0.0 END) * 0.3 +
+       |        (CASE WHEN mean_tok_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.2 +
+       |        (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END) * 0.2 +
+       |        (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.3 AS DOUBLE), 2)
+       |    AS quality
+       |FROM m""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        TextStats.punctRatio(col("text")).as("punct_ratio"),
+        TextStats.stopwordRatio(col("text")).as("stop_ratio"),
+        TextStats.meanTokenLen(col("text")).as("mean_tok_len"),
+        TextStats.qualityScore(col("text")).as("quality"))
+  }
+
+  val qLangId: QueryDef = QueryDef(
+    "q48_lang_id",
+    """WITH t AS (
+      |  SELECT doc_id, lang AS labeled_lang,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, labeled_lang,
+      |    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
+      |    len(list_filter(toks, x -> list_contains(['the','a','and','is','of','to'], x))) AS s_en,
+      |    len(list_filter(toks, x -> list_contains(['el','la','los','que','es','y'], x))) AS s_es,
+      |    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que'], x))) AS s_fr
+      |  FROM t)
+      |SELECT doc_id, labeled_lang,
+      |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+      |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+      |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+      |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+      |       ELSE 'fr' END AS predicted_lang
+      |FROM sc""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        TextStats.langId(col("text")).as("predicted_lang"))
+  }
+
+  val qFingerprint: QueryDef = QueryDef(
+    "q49_fingerprint",
+    """SELECT doc_id,
+      |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+      |  length(text) AS n_chars
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        Dedup.fingerprint(col("text")).as("fingerprint"),
+        length(col("text")).as("n_chars"))
+  }
+
+  /** Multimodal plumbing: text packed as binary media, partition-batched
+    * stub decode; every output feature is a pure function of the byte
+    * length + content so DuckDB can reproduce it (checksum = byte sum —
+    * ASCII text, so it equals the sum of UTF-8 code units, not
+    * expressible in DuckDB → derived via ord() over chars instead). */
+  val qMultimodal: QueryDef = QueryDef(
+    "q50_multimodal",
+    """SELECT doc_id AS media_id,
+      |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |  octet_length(CAST(text AS BLOB)) % 640 + 1 AS width,
+      |  octet_length(CAST(text AS BLOB)) % 480 + 1 AS height,
+      |  CAST(list_sum(list_transform(string_split(text, ''), x -> ord(x)))
+      |       AS BIGINT) AS checksum
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Multimodal.decodeFeatures(
+      Multimodal.packText(Tables.load(s, dir, "documents"), "doc_id", "text"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh,
+    qSimhash, qAnnBrute, qAnnLsh, qTokenStats, qQuality, qLangId,
+    qFingerprint, qMultimodal)
+}

@@ -1,0 +1,171 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-corpus pipelines (BASELINE.json
+  * extensions; not present in the reference — designed Spark-first for
+  * 100 TB).
+  *
+  * Shuffle budget per operator:
+  *  - exact: one shuffle on the 32-byte fingerprint (never on the text).
+  *  - MinHash/LSH: explode+agg (shuffle on doc id), band self-join
+  *    (shuffle on 8-byte band key), verification join back to token
+  *    sets. Candidate volume is controlled by (k, bands) — tune r =
+  *    k/bands up to push the collision threshold s ≈ (1/b)^(1/r) near
+  *    the target jaccard.
+  *  - SimHash: same shape with 16-bit chunk banding.
+  */
+object Dedup {
+
+  /** Whitespace-collapsed lowercase form — the dedup equivalence class. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** 256-bit content fingerprint of the normalized text. */
+  def fingerprint(text: Column): Column = sha2(normalize(text), 256)
+
+  /** Distinct lowercase word tokens. */
+  def tokenSet(text: Column): Column =
+    array_distinct(filter(split(lower(text), "[^a-z]+"), t => t =!= ""))
+
+  /** Distinct word n-gram shingles. */
+  def shingleSet(text: Column, n: Int): Column = {
+    val toks = filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+      s => s =!= ""))
+  }
+
+  /** Exact dedup: keep the smallest-id row per fingerprint. Grouping on
+    * the hash, not the document, keeps shuffle rows narrow. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp"))
+    df.withColumn("__fp", fingerprint(col(textCol)))
+      .withColumn("__keep", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__keep")
+      .withColumnRenamed("__fp", "fingerprint")
+  }
+
+  /** Exact jaccard between two pre-distinct token arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    (inter.cast("double") / (size(a) + size(b) - inter).cast("double"))
+  }
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  final case class MinHashParams(k: Int = 64, bands: Int = 16,
+      shingle: Int = 3, seed: Long = 42L) {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand: Int = k / bands
+  }
+
+  private val Prime = 2147483647L // 2^31 - 1
+
+  /** Deterministic (a, b) coefficient pairs for k universal-hash
+    * permutations h_i(x) = (a_i x + b_i) mod p. */
+  private def coeffs(p: MinHashParams): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(p.seed)
+    Seq.fill(p.k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Per-document MinHash signature: (idCol, sig array<long>).
+    * One explode + one groupBy(doc) — all k mins computed in a single
+    * aggregate pass, no per-permutation jobs. */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingleSet(col(textCol), p.shingle)).as("__sh"))
+      // murmur3 → non-negative long in [0, p)
+      .withColumn("__h", pmod(hash(col("__sh")).cast("long"), lit(Prime)))
+    val minCols = coeffs(p).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__h") * a + b, lit(Prime))).as(s"__m$i")
+    }
+    exploded.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol),
+        array((0 until p.k).map(i => col(s"__m$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs (idA < idB) from banded signatures. */
+  def candidatePairs(sigs: DataFrame, idCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(array((0 until p.bands).map { bIdx =>
+        hash(slice(col("sig"), bIdx * p.rowsPerBand + 1, p.rowsPerBand))
+      }: _*)).as(Seq("band", "bucket")))
+    val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** End-to-end near-dup detection: LSH candidates verified by exact
+    * shingle jaccard ≥ threshold. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val cands = candidatePairs(signatures(df, idCol, textCol, p), idCol, p)
+    val sets = df.select(col(idCol).as("__id"),
+      shingleSet(col(textCol), p.shingle).as("__set"))
+    cands
+      .join(sets.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__set", "set_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__set", "set_b"), Seq("id_b"))
+      .withColumn("jaccard", round(jaccard(col("set_a"), col("set_b")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** Per-document 64-bit SimHash over word tokens: (idCol, simhash). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode(tokenSet(col(textCol))).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    // one agg: per-bit signed vote; positive vote → bit set
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__v$j")
+    }
+    val bits = (0 until 64).map { j =>
+      when(col(s"__v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    exploded.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: 16-bit chunk banding (any identical chunk
+    * → candidate; a pair within hamming distance 3 must share one of
+    * the 4 chunks), verified by hamming ≤ maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(df, idCol, textCol)
+    val banded = sigs.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map { c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)
+      }: _*)).as(Seq("chunk", "val")))
+    val l = banded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
+      col("chunk"), col("val"))
+    val r = banded.select(col(idCol).as("id_b"), col("simhash").as("sig_b"),
+      col("chunk"), col("val"))
+    l.join(r, Seq("chunk", "val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (BASELINE.json extension).
+  *
+  * Baseline: brute-force cosine top-k — exact, O(|Q|·|C|); the query
+  * side broadcasts so the corpus never shuffles. Scale path: LSH
+  * (random-hyperplane sign buckets) — candidates only within a bucket,
+  * O(|C|) bucketing + small bucket-local joins; recall tunable via
+  * plane count (fewer planes → bigger buckets → higher recall/cost).
+  * An IVF variant is the same shape with learned centroids instead of
+  * random planes.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<double> columns (sequential
+    * fold — deterministic, engine-portable). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), _ + _))
+    dot / (na * nb)
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors for each query row. `queries` must be small
+    * (it is broadcast); self-matches (same id) are excluded. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Deterministic random hyperplanes (dim × nPlanes). */
+  private def planes(dim: Int, nPlanes: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bucket id for a vector: one bit per hyperplane. */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long): Column = {
+    val ps = planes(dim, nPlanes, seed)
+    ps.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(vec, typedLit(p), (x, w) => x * w), lit(0.0), _ + _)
+      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed ANN: candidates share the query's bucket; top-k by
+    * exact cosine within candidates. Returns the same shape as
+    * bruteForceTopK (rank gaps where the bucket has < k members). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, nPlanes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val bucket = (v: Column) => lshBucket(v, dim, nPlanes, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__bucket", bucket(col("__cv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__bucket", bucket(col("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("__bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+}

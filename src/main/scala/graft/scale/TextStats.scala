@@ -1,0 +1,78 @@
+package graft.scale
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation (BASELINE.json
+  * extension): token counting, quality scoring, language-ID heuristic.
+  * All pure Catalyst expressions — codegen'd, no UDFs in the hot path.
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * punctuation marks each count as one token. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  def punctRatio(text: Column): Column =
+    round(size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("double") / greatest(length(text), lit(1)).cast("double"), 6)
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "was")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+    round(size(filter(toks, t => t.isInCollection(Stopwords))).cast("double")
+      / greatest(size(toks), lit(1)).cast("double"), 6)
+  }
+
+  def meanTokenLen(text: Column): Column = {
+    val toks = filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+    round(aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
+      / greatest(size(toks), lit(1)).cast("double"), 6)
+  }
+
+  /** Composite quality score in [0,1]: rewards stopword presence and
+    * 3-8 char mean token length, penalizes punctuation noise and
+    * sub-20-token docs. Weights are illustrative — the *shape*
+    * (pure-expression scoring over 100 TB) is the point. */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(tokenCountWs(text) >= 20, 1.0).otherwise(0.0)
+    val meanOk = when(meanTokenLen(text).between(3.0, 8.0), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) <= 0.1, 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text) >= 0.05, 1.0).otherwise(0.0)
+    round(lenOk * 0.3 + meanOk * 0.2 + punctOk * 0.2 + stopOk * 0.3, 2)
+  }
+
+  /** Stopword-profile language ID. Real n-gram models plug in the same
+    * way (argmax over per-language scores); ties → lexicographically
+    * smallest code, "und" when nothing matches. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "and", "is", "of", "to"),
+    "es" -> Seq("el", "la", "los", "que", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+    LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isInCollection(markers)))
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}
