@@ -123,6 +123,24 @@ object FunctionQueries {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
   }
 
+  /** Custom Catalyst Expression (codegen'd rolling hash) cross-checked
+    * in-query against a Scala-UDF reference implementation — every row
+    * carries `matches=true`; no SQL oracle (64-bit overflow arithmetic
+    * is not expressible in DuckDB's checked BIGINT). */
+  val qRollingFingerprint: QueryDef =
+    QueryDef.rowsOnly("q51_rolling_fingerprint") { (s, dir) =>
+      import graft.functions.RollingHash
+      val ref = udf { (t: String) =>
+        RollingHash.hashBytes(
+          t.toLowerCase.replaceAll("\\s+", " ").trim.getBytes("UTF-8"))
+      }
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          RollingHash.fingerprint64(col("text")).as("fp64"),
+          ref(col("text")).as("fp64_ref"))
+        .withColumn("matches", col("fp64") === col("fp64_ref"))
+    }
+
   val all: Seq[QueryDef] = Seq(qStringFuncs, qDateFuncs, qSentimentBuiltin,
-    qSentimentUdf, qExplodeTokens)
+    qSentimentUdf, qExplodeTokens, qRollingFingerprint)
 }

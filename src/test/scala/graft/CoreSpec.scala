@@ -1,0 +1,83 @@
+package graft
+
+import graft.core.Cols
+import graft.clean.Cleaning
+import graft.ingest.SurrogateId
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import org.scalatest.funsuite.AnyFunSuite
+
+class CoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("sanitizeNames strips spaces, parens, dots") {
+    val df = Seq((1, 2, 3)).toDF("Booking ID", "Avg (VTAT)", "quote.usd")
+    assert(Cols.sanitizeNames(df).columns.toSeq ===
+      Seq("Booking_ID", "Avg_VTAT", "quote_usd"))
+  }
+
+  test("safeCol backticks dotted names; reorderFront keeps all columns") {
+    val df = Seq((1, 2.0, "x")).toDF("id", "quote.usd", "name")
+    assert(df.select(Cols.safeCol("quote.usd")).first().getDouble(0) === 2.0)
+    val re = Cols.reorderFront(df, Seq("name"))
+    assert(re.columns.toSeq === Seq("name", "id", "quote.usd"))
+  }
+
+  test("nullNormalizedCast: dirty markers → null, numbers survive (P4)") {
+    val dirty = Seq("null", "NULL ", " none", "NaN", "", "  ", "3.5", "0")
+      .toDF("v")
+    val out = dirty.select(
+      Cols.nullNormalizedCast(col("v"), DoubleType).as("d")).collect()
+    assert(out.take(6).forall(_.isNullAt(0)))
+    assert(out(6).getDouble(0) === 3.5 && out(7).getDouble(0) === 0.0)
+  }
+
+  test("nullNormalizedCast property: round-trips double renderings (seeded sample)") {
+    val rnd = new scala.util.Random(42)
+    val ds = Seq.fill(200)(rnd.nextDouble() * math.pow(10, rnd.nextInt(12) - 6))
+    val got = ds.map(_.toString).toDF("v")
+      .select(Cols.nullNormalizedCast(col("v"), DoubleType)).as[Double]
+      .collect()
+    assert(got.toSeq === ds)
+  }
+
+  test("dedupLatestWins keeps exactly the newest row per key (W2)") {
+    val df = Seq(
+      ("k1", 1, "old"), ("k1", 3, "new"), ("k1", 2, "mid"),
+      ("k2", 5, "only")).toDF("k", "ts", "tag")
+    val out = Cleaning.dedupLatestWins(df, Seq("k"), Seq(col("ts").desc))
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getString(2))).toSeq ===
+      Seq(("k1", "new"), ("k2", "only")))
+  }
+
+  test("imputeMean fills nulls with rounded mean; imputeMode with smallest modal value") {
+    val df = Seq[(java.lang.Double, String)](
+      (1.0, "a"), (3.0, null), (null, "b"), (null, "a"), (2.0, "b"))
+      .toDF("v", "c")
+    val m = Cleaning.imputeMean(df, "v")
+    assert(m.filter(col("v").isNull).count() === 0)
+    assert(m.agg(sum("v")).first().getDouble(0) === 1.0 + 3.0 + 2.0 + 2 * 2.0)
+    // modes: a=2, b=2 → tie → "a" (smallest)
+    val md = Cleaning.imputeMode(df, "c")
+    assert(md.filter(col("c") === "a").count() === 3)
+  }
+
+  test("surrogate ids: dense, unique, continue from max (W1)") {
+    val df = Seq("c", "a", "b").toDF("k")
+    val out = SurrogateId.attachOrdered(df, "id", Seq(col("k")), startAfter = 100L)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(101L, 102L, 103L))
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+  }
+
+  test("distributed surrogate ids: unique, dense, row count preserved") {
+    val df = spark.range(1000).toDF("x").repartition(7)
+    val out = SurrogateId.attachDistributed(df, "id", startAfter = 10L)
+    val ids = out.select("id").as[Long].collect().sorted
+    assert(ids.length === 1000)
+    assert(ids.head === 11L && ids.last === 1010L)
+    assert(ids.distinct.length === 1000)
+  }
+}

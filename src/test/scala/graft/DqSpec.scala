@@ -1,0 +1,104 @@
+package graft
+
+import graft.dq._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val at = "2026-01-01 00:00:00"
+
+  private def frame = Seq(
+    (1L, "ok", 10.0), (2L, null, -5.0), (3L, "  ", 20.0), (4L, "ok", -1.0))
+    .toDF("id", "name", "amount")
+
+  test("completeness: null + blank both violate; PASS when clean") {
+    val cfg = MandatoryColumnConfig(1, "s", "t", Seq("name"), Seq("id"))
+    val r = AuditExecutor.runRule(frame, cfg, at).first()
+    assert(r.getAs[Int]("nr_status") === AuditStatus.Fail)
+    assert(r.getAs[String]("ds_checked_value") ===
+      """{"n_violations":2,"pk_sample":["2","3"]}""")
+    val clean = AuditExecutor.runRule(
+      frame.filter(col("id").isin(1L, 4L)), cfg, at).first()
+    assert(clean.getAs[Int]("nr_status") === AuditStatus.Pass)
+  }
+
+  test("validity rule + additionalFilter scope") {
+    val cfg = ValidityConfig(2, "s", "t", "amount < 0", Seq("id"),
+      additionalFilter = Some("id > 2"))
+    val r = AuditExecutor.runRule(frame, cfg, at).first()
+    // id=2 violates the rule but is outside the filter scope
+    assert(r.getAs[String]("ds_checked_value") ===
+      """{"n_violations":1,"pk_sample":["4"]}""")
+  }
+
+  test("sample cap bounds the pk list, count stays exact") {
+    val big = spark.range(100).toDF("id").withColumn("name", lit(null: String))
+    val cfg = MandatoryColumnConfig(3, "s", "t", Seq("name"), Seq("id"))
+    val r = AuditExecutor.runRule(big, cfg, at, sampleCap = 7).first()
+    val parsed = spark.range(1).select(
+      from_json(lit(r.getAs[String]("ds_checked_value")),
+        org.apache.spark.sql.types.DataType.fromDDL(
+          "STRUCT<n_violations: BIGINT, pk_sample: ARRAY<STRING>>")).as("c"))
+      .select("c.n_violations", "c.pk_sample").first()
+    assert(parsed.getLong(0) === 100L)
+    assert(parsed.getSeq[String](1).size === 7)
+  }
+
+  test("broken rule → ERROR row, good rules still evaluated") {
+    val cfgs = Seq(
+      ValidityConfig(4, "s", "t", "amount < 0", Seq("id")),
+      ValidityConfig(5, "s", "t", "ghost_column = 1", Seq("id")))
+    val rows = AuditExecutor.runRulesSafe(frame, cfgs, at)
+      .orderBy("cd_configuration").collect()
+    assert(rows.map(_.getAs[Int]("nr_status")).toSeq ===
+      Seq(AuditStatus.Fail, AuditStatus.Error))
+  }
+
+  test("multi-rule single-scan agrees with per-rule runs") {
+    val cfgs = Seq(
+      MandatoryColumnConfig(1, "s", "t", Seq("name"), Seq("id")),
+      ValidityConfig(2, "s", "t", "amount < 0", Seq("id")))
+    val once = AuditExecutor.runRules(frame, cfgs, at)
+      .select("cd_configuration", "ds_checked_value", "nr_status")
+      .orderBy("cd_configuration").collect().toSeq
+    val separate = cfgs.map(c => AuditExecutor.runRule(frame, c, at)
+      .select("cd_configuration", "ds_checked_value", "nr_status").first())
+    assert(once === separate)
+  }
+
+  test("fact builder explodes pk samples, keeps PASS/ERROR rows with null pk") {
+    val cfgs = Seq(
+      MandatoryColumnConfig(1, "s", "t", Seq("name"), Seq("id")),
+      ValidityConfig(6, "s", "t", "amount > 100", Seq("id")))
+    val facts = FactBuilder.violations(AuditExecutor.runRules(frame, cfgs, at))
+    val byCfg = facts.groupBy("cd_configuration")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("violated_pk").isNull, 1).otherwise(0)).as("nulls"))
+      .orderBy("cd_configuration").collect()
+    assert(byCfg(0).getLong(1) === 2L && byCfg(0).getLong(2) === 0L) // 2 violations
+    assert(byCfg(1).getLong(1) === 1L && byCfg(1).getLong(2) === 1L) // PASS row
+    val labels = facts.select("status_label").distinct()
+      .as[String].collect().sorted
+    assert(labels.toSeq === Seq("FAIL", "PASS"))
+  }
+
+  test("alert renderer caps preview and emits failure rows only") {
+    val big = spark.range(20).toDF("id").withColumn("name", lit(null: String))
+    val cfgs = Seq(MandatoryColumnConfig(1, "s", "t", Seq("name"), Seq("id")))
+    val facts = FactBuilder.violations(AuditExecutor.runRules(big, cfgs, at))
+    val preview = AlertRenderer.failurePreview(facts, previewRows = 5)
+    assert(preview.count() === 5)
+    val html = AlertRenderer.renderHtml(preview)
+    assert(html.contains("<table") && html.contains("completeness_mandatory"))
+  }
+
+  test("result ids are deterministic across reruns") {
+    val cfg = MandatoryColumnConfig(1, "s", "t", Seq("name"), Seq("id"))
+    val a = AuditExecutor.runRule(frame, cfg, at).first().getString(0)
+    val b = AuditExecutor.runRule(frame, cfg, at).first().getString(0)
+    assert(a === b && a.length === 64)
+  }
+}

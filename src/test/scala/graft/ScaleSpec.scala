@@ -1,0 +1,141 @@
+package graft
+
+import graft.core.Tables
+import graft.functions.{RollingHash, Sentiment}
+import graft.scale.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+
+  test("exactDedup collapses whitespace/case variants to the smallest id") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "HELLO WORLD  "),
+      (4L, "different")).toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 4L))
+  }
+
+  test("minhash LSH finds planted near-duplicates with high estimated jaccard") {
+    // plant: doc 9001/9002 = doc 1/2 with one word changed
+    val base = docs.filter(col("doc_id") < 50)
+    val planted = base.filter(col("doc_id").isin(1L, 2L))
+      .withColumn("doc_id", col("doc_id") + 9000L)
+      .withColumn("text", concat(col("text"), lit(" extraword")))
+    val corpus = base.unionByName(planted)
+    val pairs = Dedup.nearDuplicates(corpus, "doc_id", "text",
+      minJaccard = 0.6, Dedup.MinHashParams(k = 64, bands = 32, shingle = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet // (id_a, id_b)
+    assert(pairs.contains((1L, 9001L)) && pairs.contains((2L, 9002L)))
+  }
+
+  test("LSH candidates do not miss high-jaccard pairs (recall vs exact, j>=0.8)") {
+    val sub = docs.filter(col("doc_id") < 100)
+    val sets = sub.select(col("doc_id"), Dedup.shingleSet(col("text"), 2).as("t"))
+    val a = sets.select(col("doc_id").as("id_a"), col("t").as("ta"))
+    val b = sets.select(col("doc_id").as("id_b"), col("t").as("tb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("j", Dedup.jaccard(col("ta"), col("tb")))
+      .filter(col("j") >= 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = Dedup.nearDuplicates(sub, "doc_id", "text", minJaccard = 0.8,
+      Dedup.MinHashParams(k = 64, bands = 32, shingle = 2))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // bands=32, r=2 → collision prob at j=0.8 is 1-(1-0.64)^32 ≈ 1-4e-15
+    assert(exact.nonEmpty || found.isEmpty) // sanity
+    assert((exact -- found).isEmpty,
+      s"LSH missed ${(exact -- found).size} of ${exact.size} exact pairs")
+  }
+
+  test("simhash: identical text → distance 0; near-dup pairs verified by hamming") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(sigs(0)._2 === sigs(1)._2)
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 0)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+  }
+
+  test("brute-force ANN: self-similarity 1, symmetric, rank ordering correct") {
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 20).collect()
+    val sims = top.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+    assert(sims.toSeq === sims.sorted.reverse.toSeq) // descending by rank
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("LSH ANN returns a subset of brute-force candidates with identical sims") {
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 1000)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", k = 10,
+      dim = 64, nPlanes = 4)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b, s) => assert(brute((a, b)) === s) }
+  }
+
+  test("sentiment builtin === udf on the corpus (occurrence semantics)") {
+    val both = docs.select(
+      Sentiment.scoreBuiltin(col("text")).as("b"),
+      Sentiment.scoreUdf(col("text")).as("u"))
+    assert(both.filter(col("b") =!= col("u")).count() === 0)
+    // occurrence counting, not distinct: "fast fast slow" → (2-1)/3
+    val s = Seq("fast fast slow").toDF("t")
+      .select(Sentiment.scoreBuiltin(col("t"))).first().getDouble(0)
+    assert(s === 0.3333)
+  }
+
+  test("rolling-hash expression matches reference impl and is codegen-stable") {
+    val mism = docs.select(
+      RollingHash.fingerprint64(col("text")).as("e"),
+      udf((t: String) => RollingHash.hashBytes(
+        t.toLowerCase.replaceAll("\\s+", " ").trim.getBytes("UTF-8")))
+        .apply(col("text")).as("r"))
+      .filter(col("e") =!= col("r")).count()
+    assert(mism === 0L)
+    assert(RollingHash.hashBytes("ab".getBytes) === 31L * 97 + 98)
+  }
+
+  test("multimodal decode: features derive from bytes deterministically") {
+    val media = Multimodal.packText(docs.limit(10), "doc_id", "text")
+    assert(media.schema.map(_.name) === Seq("media_id", "media_type", "media"))
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length === 10)
+    feats.foreach { r =>
+      val n = r.getAs[Int]("n_bytes")
+      assert(r.getAs[Int]("width") === n % 640 + 1)
+      assert(r.getAs[Int]("height") === n % 480 + 1)
+      assert(r.getAs[Long]("checksum") > 0)
+    }
+  }
+
+  test("lang-id picks the language with most marker hits; und when none") {
+    val df = Seq("der hund und die katze ist da",
+      "the cat and the dog is here", "xyzzy qwerty").toDF("t")
+    val got = df.select(TextStats.langId(col("t"))).as[String].collect()
+    assert(got.toSeq === Seq("de", "en", "und"))
+  }
+
+  test("token counts: BPE-ish splits punctuation, ws does not") {
+    val df = Seq("hello, world! it's 42").toDF("t")
+    val r = df.select(
+      TextStats.tokenCountWs(col("t")).as("ws"),
+      TextStats.tokenCountBpeish(col("t")).as("bpe")).first()
+    assert(r.getInt(0) === 4)
+    // hello , world ! it ' s 42 → 8
+    assert(r.getInt(1) === 8)
+  }
+}

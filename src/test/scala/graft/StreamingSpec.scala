@@ -1,0 +1,68 @@
+package graft
+
+import graft.core.Tables
+import graft.ingest.ParquetTableIO
+import graft.stream.{StreamIngest, WindowedAggs}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("streaming tumbling agg equals the batch plan on bounded input") {
+    val ev = Tables.load(spark, SparkTestSession.sfDir, "events")
+    val dir = tmp("ev")
+    ev.write.mode("overwrite").parquet(dir)
+    val streamed = WindowedAggs.runStreaming(spark, dir, ev.schema,
+      "ts", "1 hour", "spec_tumbling")(WindowedAggs.tumbling(_, "6 hours"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = WindowedAggs.tumbling(ev, "6 hours")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("session windows merge events within gap, split beyond it") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:30:00"),
+      (1L, "2024-01-01 03:00:00"), (2L, "2024-01-01 00:00:00"))
+      .toDF("user_id", "s")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"),
+        lit(1.0).as("value"))
+    val out = WindowedAggs.session(df, "2 hours")
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[Long]("n") === 2L) // first two merged
+  }
+
+  test("exactly-once ingest: second run with no new files is a no-op; new file appends once") {
+    val src = tmp("csv_src"); val ck = tmp("ck"); val tbl = tmp("tbl")
+    val io = new ParquetTableIO(tbl)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+
+    Files.writeString(java.nio.file.Paths.get(s"$src/f1.csv"), "k,v\n1,a\n2,b\n")
+    StreamIngest.ingestCsv(spark, src, ck, io, "t", "id", Seq("k"),
+      schema = Some(schema))
+    assert(io.read(spark, "t").count() === 2)
+
+    // rerun: checkpoint remembers f1 → no duplicates
+    StreamIngest.ingestCsv(spark, src, ck, io, "t", "id", Seq("k"),
+      schema = Some(schema))
+    assert(io.read(spark, "t").count() === 2)
+
+    // new file: only its rows appended, ids continue from max
+    Files.writeString(java.nio.file.Paths.get(s"$src/f2.csv"), "k,v\n3,c\n")
+    StreamIngest.ingestCsv(spark, src, ck, io, "t", "id", Seq("k"),
+      schema = Some(schema))
+    val got = io.read(spark, "t").orderBy("id")
+      .select("id", "k").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+}
