@@ -52,8 +52,10 @@ object AuditExecutor {
       val pk = RuleCompiler.pkExpr(cfg)
       struct(
         count(when(viol, 1)).as("n_viol"),
-        slice(sort_array(collect_list(when(viol, pk))), 1, sampleCap)
-          .as("pk_sample"))
+        // bounded-memory smallest-N aggregator (not collect_list+slice:
+        // that buffers every violating PK before capping)
+        graft.functions.CappedSample
+          .cappedSample(when(viol, pk), sampleCap).as("pk_sample"))
         .as(s"r${cfg.configId}")
     }
     val agged = df.agg(aggs.head, aggs.tail: _*)

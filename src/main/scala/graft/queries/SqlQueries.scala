@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.{Skew, Tables}
+import org.apache.spark.sql.functions._
+
+/** SQL-entry, lineage, approx-distinct and skew queries (S6/P8/A10,
+  * S15, §2.4 extension, §7 risk 6). */
+object SqlQueries {
+
+  /** P8/S6/A10: dynamic SQL through Catalyst's parser over registered
+    * table names — the audit executors' `spark.sql(...)` path — with a
+    * summary-agg body (COUNT/COUNT DISTINCT/SUM/MAX). */
+  val qSqlEntry: QueryDef = QueryDef(
+    "q52_sql_entry",
+    """SELECT o_orderstatus,
+      |  count(*) AS n,
+      |  count(DISTINCT o_custkey) AS n_cust,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  max(o_orderdate) AS max_od
+      |FROM orders WHERE o_totalprice > 1000 GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderstatus,
+        |  count(*) AS n,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  max(o_orderdate) AS max_od
+        |FROM orders WHERE o_totalprice > 1000 GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  /** S15: row lineage via the file-metadata column (Spark 4's
+    * `_metadata.file_path`, successor of input_file_name). */
+  val qFileLineage: QueryDef = QueryDef(
+    "q53_file_lineage",
+    // documents is a single parquet file, so the lineage column is the
+    // constant basename — expressible over the oracle's table view
+    "SELECT 'documents.parquet' AS source_file, count(*) AS n FROM documents") { (s, dir) =>
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1)
+        .as("source_file"))
+      .groupBy("source_file").agg(count(lit(1)).as("n"))
+  }
+
+  /** approx_count_distinct (HLL++) — approximate by nature, so the
+    * in-query contract is checked instead: the estimate must land
+    * within 5% of the exact distinct count (`within_5pct` is asserted
+    * true for every row in ContractSpec and visible to the driver's
+    * rows-only check). */
+  val qApproxDistinct: QueryDef =
+    QueryDef.rowsOnly("q54_approx_distinct") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx"))
+        .withColumn("within_5pct",
+          abs(col("approx") - col("exact")) <= col("exact") * 0.05)
+    }
+
+  /** Salted join: same result as the plain join (oracle proves it) with
+    * the hot-key shuffle spread over salt buckets. */
+  val qSaltedJoin: QueryDef = QueryDef(
+    "q55_salted_join",
+    """SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin) { (s, dir) =>
+    Skew.saltedJoin(
+      Tables.load(s, dir, "orders"),
+      Tables.load(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "o_custkey"),
+      keys = Seq("o_custkey"), buckets = 8)
+      .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qSqlEntry, qFileLineage, qApproxDistinct,
+    qSaltedJoin)
+}
