@@ -43,8 +43,11 @@ trait TableIO {
 final class ParquetTableIO(root: String) extends TableIO {
   private def path(table: String) = s"$root/$table"
 
+  /** mergeSchema=true: parquet's read-side union of file schemas — the
+    * stand-in for Delta's write-side `mergeSchema` evolution (S7);
+    * files written before a column existed surface it as null. */
   def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(path(table))
+    spark.read.option("mergeSchema", "true").parquet(path(table))
 
   def append(df: DataFrame, table: String, partitionBy: Seq[String]): Unit = {
     val w = df.write.mode(SaveMode.Append)

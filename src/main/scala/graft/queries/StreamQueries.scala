@@ -21,13 +21,17 @@ object StreamQueries {
 
   /** Re-materialize events with micros timestamps for the streaming
     * source (the raw file's TIMESTAMP(NANOS) is unreadable — Tables
-    * handles the conversion for batch; streaming needs a clean copy). */
-  private def eventsDir(s: org.apache.spark.sql.SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) = {
-    val ev = Tables.load(s, dir, "events")
-    val out = tmp("graft_events")
-    ev.write.mode("overwrite").parquet(out)
-    (out, ev.schema)
-  }
+    * handles the conversion for batch; streaming needs a clean copy).
+    * Cached per sfDir so the tumbling/sliding queries share one copy. */
+  private val eventsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
+  private def eventsDir(s: org.apache.spark.sql.SparkSession, dir: String): (String, org.apache.spark.sql.types.StructType) =
+    eventsCache.computeIfAbsent(dir, { d =>
+      val ev = Tables.load(s, d, "events")
+      val out = tmp("graft_events")
+      ev.write.mode("overwrite").parquet(out)
+      (out, ev.schema)
+    })
 
   val qTumbling: QueryDef = QueryDef(
     "q36_stream_tumbling",
