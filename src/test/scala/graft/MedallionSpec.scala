@@ -38,36 +38,27 @@ class MedallionSpec extends AnyFunSuite {
     StructField("Ride Distance", StringType)))
 
   private def runPipeline(src: String, ck: String, io: ParquetTableIO): DataFrame = {
-    // bronze1 → bronze2: streamed CSV, exactly-once, surrogate ids
-    StreamIngest.ingestCsv(spark, src, ck, io, "bronze2_uber",
-      "cd_bronze_id", Seq("Booking ID"), schema = Some(schema))
-
-    // bronze2 → silver: sanitize names, dirty-null cast, dedup, impute
-    val bronze = io.read(spark, "bronze2_uber")
-    val sane = Cols.sanitizeNames(bronze)
-    val cast = sane
-      .withColumn("Booking_Value",
-        Cols.nullNormalizedCast(col("Booking_Value"), DoubleType))
-      .withColumn("Ride_Distance",
-        Cols.nullNormalizedCast(col("Ride_Distance"), DoubleType))
-    val deduped = Cleaning.dedupLatestWins(cast, Seq("Booking_ID"),
-      Seq(col("cd_bronze_id").desc))
-    val silver = Cleaning.imputeMean(deduped, "Booking_Value")
-    io.overwrite(silver, "silver_uber")
-
-    // silver → gold: daily KPI with conditional aggregation
-    val gold = io.read(spark, "silver_uber")
-      .groupBy(col("Date"), col("Vehicle_Type"))
-      .agg(
-        count(lit(1)).as("total_bookings"),
-        Kpi.countIf(col("Booking_Status") === "Completed").as("completed"),
-        round(sum(col("Booking_Value")), 2).as("total_value"),
-        round(sum(col("Booking_Value")) / sum(col("Ride_Distance")), 4)
-          .as("value_per_km"))
+    val pipeline = new graft.pipeline.Medallion(spark, io,
+      graft.pipeline.MedallionConfig(
+        domain = "uber",
+        sourceDir = src,
+        checkpointDir = ck,
+        schema = Some(schema),
+        naturalKey = Seq("Booking ID"),
+        casts = Map(
+          "Booking_Value" -> DoubleType,
+          "Ride_Distance" -> DoubleType),
+        imputeMeanCols = Seq("Booking_Value"),
+        goldKeys = Seq("Date", "Vehicle_Type"),
+        goldMeasures = Seq(
+          count(lit(1)).as("total_bookings"),
+          Kpi.countIf(col("Booking_Status") === "Completed").as("completed"),
+          round(sum(col("Booking_Value")), 2).as("total_value"),
+          round(sum(col("Booking_Value")) / sum(col("Ride_Distance")), 4)
+            .as("value_per_km"))))
+    pipeline.run()
       .withColumn("completion_rate",
         round(col("completed") * 100.0 / col("total_bookings"), 2))
-    io.overwrite(gold, "gold_uber_kpi")
-    io.read(spark, "gold_uber_kpi")
   }
 
   test("bronze1→bronze2→silver→gold end-to-end, re-run is a no-op, late day is incremental") {
