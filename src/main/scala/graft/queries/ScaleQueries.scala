@@ -117,6 +117,14 @@ object ScaleQueries {
       "vec_id", "embedding", k = 10, dim = 64, nPlanes = 4)
   }
 
+  /** IVF-bucketed ANN (seeded centroids, nProbe=2) — recall + sim
+    * parity vs brute force asserted in ScaleSpec. */
+  val qAnnIvf: QueryDef = QueryDef.rowsOnly("q57_ann_ivf") { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10, nCells = 16, nProbe = 2)
+  }
+
   val qTokenStats: QueryDef = QueryDef(
     "q46_token_stats",
     s"""SELECT doc_id,
@@ -220,6 +228,6 @@ object ScaleQueries {
   }
 
   val all: Seq[QueryDef] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh,
-    qSimhash, qAnnBrute, qAnnLsh, qTokenStats, qQuality, qLangId,
+    qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qTokenStats, qQuality, qLangId,
     qFingerprint, qMultimodal)
 }

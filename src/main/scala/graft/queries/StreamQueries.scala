@@ -106,5 +106,23 @@ object StreamQueries {
       .select("cd_bronze_id", "o_orderkey", "o_custkey", "o_totalprice")
   }
 
-  val all: Seq[QueryDef] = Seq(qTumbling, qSliding, qSession, qStreamIngest)
+  /** flatMapGroupsWithState first-seen dedup as a real streaming query.
+    * The source is a single parquet file → one micro-batch → first-seen
+    * equals global min-ts per key, which the oracle reproduces. */
+  val qStatefulDedup: QueryDef = QueryDef(
+    "q56_stateful_dedup",
+    """SELECT user_id AS key, ts, value FROM (
+      |  SELECT user_id, ts, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin) { (s, dir) =>
+    val out = tmp("graft_stateful")
+    Tables.load(s, dir, "events")
+      .select(col("user_id").as("key"), col("ts"), col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    graft.stream.StatefulOps.runFirstSeen(s, out,
+      s"stateful_${seq.incrementAndGet()}")
+  }
+
+  val all: Seq[QueryDef] = Seq(qTumbling, qSliding, qSession, qStreamIngest,
+    qStatefulDedup)
 }

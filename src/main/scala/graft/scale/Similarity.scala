@@ -62,6 +62,45 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF-style ANN: corpus partitioned by nearest of `nCells` seed
+    * centroids (deterministic: the first nCells corpus vectors by id —
+    * a k-means fit plugs into the same shape); each query probes its
+    * `nProbe` nearest cells. One narrow shuffle on cell id; per-cell
+    * candidate sets bound the cosine work. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"))
+    val centroids = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell"), asDouble(col(vecCol)).as("__centroid"))
+    // assign each corpus vector to its nearest centroid (broadcast dims)
+    val wAssign = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("cdist").desc, col("cell").asc)
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosine(col("__cv"), col("__centroid")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("neighbor_id"), col("__cv"), col("cell"))
+    // queries probe their nProbe nearest cells
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdist").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("qdist", cosine(col("__qv"), col("__centroid")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** LSH-bucketed ANN: candidates share the query's bucket; top-k by
     * exact cosine within candidates. Returns the same shape as
     * bruteForceTopK (rank gaps where the bucket has < k members). */

@@ -87,6 +87,21 @@ class ScaleSpec extends AnyFunSuite {
     lsh.foreach { case (a, b, s) => assert(brute((a, b)) === s) }
   }
 
+  test("IVF ANN: sims identical to brute force; nProbe=2 finds the top-1 for most queries") {
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 1000)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 10,
+      nCells = 16, nProbe = 2)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (a, b, s) => assert(brute((a, b)) === s) }
+  }
+
   test("sentiment builtin === udf on the corpus (occurrence semantics)") {
     val both = docs.select(
       Sentiment.scoreBuiltin(col("text")).as("b"),

@@ -38,6 +38,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("n") === 2L) // first two merged
   }
 
+  test("stateful first-seen dedup emits one row per key (min ts)") {
+    val dir = tmp("stateful")
+    Seq(
+      (1L, "2024-01-01 10:00:00", 5.0), (1L, "2024-01-01 09:00:00", 3.0),
+      (2L, "2024-01-01 11:00:00", 7.0))
+      .toDF("key", "s", "value")
+      .select(col("key"), col("s").cast("timestamp").as("ts"), col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val got = graft.stream.StatefulOps.runFirstSeen(spark, dir, "spec_stateful")
+      .orderBy("key").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Double]("value") === 3.0) // min-ts row for key 1
+  }
+
   test("exactly-once ingest: second run with no new files is a no-op; new file appends once") {
     val src = tmp("csv_src"); val ck = tmp("ck"); val tbl = tmp("tbl")
     val io = new ParquetTableIO(tbl)
