@@ -1,0 +1,88 @@
+package graft
+
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the 100 TB posture claims (pushdown,
+  * pruning, broadcast, bucketed co-location) checked against the real
+  * plans, not prose. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("filters and projection push into the parquet scan") {
+    val df = Tables.load(spark, SparkTestSession.sfDir, "orders")
+      .filter(col("o_totalprice") > 100000 && col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_totalprice")
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThan(o_totalprice,100000.0)"),
+      s"pushdown missing:\n$plan")
+    // pruned read schema: only the referenced columns
+    assert(plan.contains(
+      "struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"),
+      s"column pruning missing:\n$plan")
+  }
+
+  test("star join broadcasts every dimension (fact side never shuffles)") {
+    val plan = planOf(SparkEntry.queries("q2_star_join")(
+      spark, SparkTestSession.sfDir))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(SparkEntry.queries("q22_topk")(
+      spark, SparkTestSession.sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("aggregations are partial+final (map-side combine before shuffle)") {
+    val plan = formatted(SparkEntry.queries("q1_kpi_agg")(
+      spark, SparkTestSession.sfDir))
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bkt")
+    try {
+      val o = Tables.load(spark, SparkTestSession.sfDir, "orders")
+      val c = Tables.load(spark, SparkTestSession.sfDir, "customer")
+      o.write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$wh/orders_b").saveAsTable("graft_bkt.orders_b")
+      c.withColumnRenamed("c_custkey", "o_custkey")
+        .write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$wh/customer_b").saveAsTable("graft_bkt.customer_b")
+      val joined = spark.table("graft_bkt.orders_b")
+        .join(spark.table("graft_bkt.customer_b"), "o_custkey")
+      val plan = planOf(joined)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bkt.orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt.customer_b")
+      spark.sql("DROP DATABASE IF EXISTS graft_bkt")
+    }
+  }
+
+  test("whole-stage codegen covers the flagship aggregation") {
+    val df = SparkEntry.queries("q1_kpi_agg")(spark, SparkTestSession.sfDir)
+    df.collect() // AQE shows codegen spans only in the finalized plan
+    val plan = planOf(df)
+    assert(plan.contains("isFinalPlan=true") && plan.contains("*("),
+      s"no WholeStageCodegen spans:\n$plan")
+  }
+}
