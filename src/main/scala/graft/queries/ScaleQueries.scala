@@ -125,6 +125,20 @@ object ScaleQueries {
       "vec_id", "embedding", k = 10, nCells = 16, nProbe = 2)
   }
 
+  /** Embedding-cosine near-dup pairs (exact, bounded slice). */
+  val qDedupEmbedding: QueryDef = QueryDef(
+    "q58_dedup_embedding",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |           FROM embeddings WHERE vec_id < 300)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.35""".stripMargin) { (s, dir) =>
+    Dedup.embeddingNearDups(
+      Tables.load(s, dir, "embeddings").filter(col("vec_id") < 300),
+      "vec_id", "embedding", minCosine = 0.35)
+  }
+
   val qTokenStats: QueryDef = QueryDef(
     "q46_token_stats",
     s"""SELECT doc_id,
@@ -228,6 +242,6 @@ object ScaleQueries {
   }
 
   val all: Seq[QueryDef] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh,
-    qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qTokenStats, qQuality, qLangId,
+    qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qDedupEmbedding, qTokenStats, qQuality, qLangId,
     qFingerprint, qMultimodal)
 }

@@ -72,6 +72,44 @@ object SqlQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("c_mktsegment"))
   }
 
+  /** Compaction maintenance op (BASELINE "read/write + compaction"):
+    * many small files → few large ones, content bit-identical (the
+    * oracle proves content; the file count is embedded as a column). */
+  val qCompaction: QueryDef = QueryDef(
+    "q59_compaction",
+    """SELECT o_orderkey, o_custkey, o_totalprice, 4 AS n_files
+      |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin) { (s, dir) =>
+    val io = new graft.ingest.ParquetTableIO(
+      java.nio.file.Files.createTempDirectory("graft_compact").toString)
+    io.overwrite(Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 5 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartition(32), "t")
+    io.compact(s, "t", numFiles = 4)
+    io.read(s, "t").withColumn("n_files", lit(io.read(s, "t").inputFiles.length))
+  }
+
+  /** As-of join: each purchase enriched with the user's most recent
+    * click at-or-before it — DuckDB's native ASOF JOIN is the oracle
+    * for the composed union+window implementation. */
+  val qAsOfJoin: QueryDef = QueryDef(
+    "q60_asof_join",
+    """SELECT l.event_id, l.user_id, l.ts, l.value,
+      |  r.ts AS asof_ts, r.value AS asof_value
+      |FROM (SELECT event_id, user_id, ts, value FROM events
+      |      WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+      |                WHERE event_type = 'click') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    graft.operators.AsOf.join(
+      ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value"),
+      ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value"),
+      keyCol = "user_id", tsCol = "ts")
+  }
+
   val all: Seq[QueryDef] = Seq(qSqlEntry, qFileLineage, qApproxDistinct,
-    qSaltedJoin)
+    qSaltedJoin, qCompaction, qAsOfJoin)
 }

@@ -125,6 +125,24 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Embedding-cosine near-dup pairs over a bounded corpus slice:
+    * exact pairwise cosine ≥ threshold (broadcast one side). At corpus
+    * scale, pre-bucket with [[Similarity.lshBucket]] or IVF cells and
+    * verify only within buckets — same verify expression, bounded
+    * candidate sets. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    val v = df.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val a = v.select(col("__id").as("id_a"), col("__v").as("va"))
+    val b = v.select(col("__id").as("id_b"), col("__v").as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(Similarity.cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** Per-document 64-bit SimHash over word tokens: (idCol, simhash). */

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("as-of join: latest right at-or-before, nulls before first, per-key isolation") {
+    val left = Seq(
+      (1L, "2024-01-01 10:00:00", "p1"), // after c1, c2 → c2
+      (1L, "2024-01-01 08:30:00", "p2"), // after c1 only → c1
+      (1L, "2024-01-01 07:00:00", "p3"), // before any click → null
+      (2L, "2024-01-01 10:00:00", "p4")) // key 2 has no clicks → null
+      .toDF("user_id", "s", "name")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"), col("name"))
+    val right = Seq(
+      (1L, "2024-01-01 08:00:00", 1.0),
+      (1L, "2024-01-01 09:00:00", 2.0))
+      .toDF("user_id", "s", "click")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"), col("click"))
+
+    val got = AsOf.join(left, right, "user_id", "ts")
+      .orderBy("name")
+      .select("name", "asof_click")
+      .collect()
+      .map(r => (r.getString(0), Option(r.get(1))))
+    assert(got.toSeq === Seq(
+      ("p1", Some(2.0)), ("p2", Some(1.0)), ("p3", None), ("p4", None)))
+  }
+
+  test("as-of join: right row at the exact left timestamp is included (<= semantics)") {
+    val left = Seq((1L, "2024-01-01 09:00:00"))
+      .toDF("user_id", "s")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val right = Seq((1L, "2024-01-01 09:00:00", 7.0))
+      .toDF("user_id", "s", "v")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"), col("v"))
+    val got = AsOf.join(left, right, "user_id", "ts").first()
+    assert(got.getAs[Double]("asof_v") === 7.0)
+  }
+
+  test("as-of join plans one shuffle (single Exchange on the key)") {
+    val ev = graft.core.Tables.load(spark, SparkTestSession.sfDir, "events")
+    val df = AsOf.join(
+      ev.filter(col("event_type") === "purchase").select("user_id", "ts", "value"),
+      ev.filter(col("event_type") === "click").select("user_id", "ts", "value"),
+      "user_id", "ts")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(exchanges === 1, df.queryExecution.executedPlan.toString)
+  }
+}
