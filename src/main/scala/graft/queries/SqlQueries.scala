@@ -110,6 +110,34 @@ object SqlQueries {
       keyCol = "user_id", tsCol = "ts")
   }
 
+  /** Bucketed range join: events × 36-hour maintenance-style windows
+    * (one per day) — equi-join on time bucket + residual BETWEEN, not a
+    * nested-loop theta join. Oracle = the naive theta join (exact). */
+  val qRangeJoin: QueryDef = QueryDef(
+    "q61_range_join",
+    """WITH intervals AS (
+      |  SELECT i AS interval_id,
+      |    TIMESTAMP '2024-01-01' + (INTERVAL 1 DAY) * i AS start_ts,
+      |    TIMESTAMP '2024-01-01' + (INTERVAL 1 DAY) * i + INTERVAL 36 HOUR AS end_ts
+      |  FROM generate_series(0, 29) t(i))
+      |SELECT i.interval_id, count(*) AS n_events,
+      |  round(sum(e.value), 2) AS total_value
+      |FROM events e JOIN intervals i
+      |  ON e.ts >= i.start_ts AND e.ts < i.end_ts
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val intervals = s.range(0, 30).select(
+      col("id").as("interval_id"),
+      expr("timestampadd(DAY, CAST(id AS INT), TIMESTAMP '2024-01-01 00:00:00')")
+        .as("start_ts"))
+      .withColumn("end_ts", expr("timestampadd(HOUR, 36, start_ts)"))
+    graft.operators.RangeJoin.pointInInterval(
+      Tables.load(s, dir, "events"), intervals,
+      ptCol = "ts", startCol = "start_ts", endCol = "end_ts",
+      bucketWidth = 86400L)
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+  }
+
   val all: Seq[QueryDef] = Seq(qSqlEntry, qFileLineage, qApproxDistinct,
-    qSaltedJoin, qCompaction, qAsOfJoin)
+    qSaltedJoin, qCompaction, qAsOfJoin, qRangeJoin)
 }
