@@ -121,5 +121,42 @@ object DqQueries {
         "n_violations", "violated_pk")
   }
 
-  val all: Seq[QueryDef] = Seq(qDqAudit, qDqFact)
+  /** Multi-table audit run: rules over orders + lineitem + events,
+    * grouped to one scan per table, results unioned (the full
+    * framework shape of 001→002→004). */
+  val qDqMultiTable: QueryDef = QueryDef(
+    "q62_dq_multi_table",
+    """WITH c AS (
+      |  SELECT CAST(10 AS BIGINT) AS cd_configuration, 'validity' AS ds_dimension,
+      |    (SELECT count(*) FROM orders WHERE o_totalprice <= 0 OR o_totalprice IS NULL) AS n_violations
+      |  UNION ALL SELECT 11, 'completeness_mandatory',
+      |    (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL
+      |       OR trim(o_orderpriority) = '')
+      |  UNION ALL SELECT 12, 'validity',
+      |    (SELECT count(*) FROM lineitem
+      |     WHERE NOT (l_discount BETWEEN 0 AND 0.1) OR l_quantity <= 0)
+      |  UNION ALL SELECT 13, 'validity',
+      |    (SELECT count(*) FROM events WHERE value < 0 OR user_id < 0))
+      |SELECT cd_configuration, ds_dimension, n_violations,
+      |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS nr_status
+      |FROM c""".stripMargin) { (s, dir) =>
+    val cfgs: Seq[RuleConfig] = Seq(
+      ValidityConfig(10, "silver", "orders",
+        "o_totalprice <= 0 OR o_totalprice IS NULL", Seq("o_orderkey")),
+      MandatoryColumnConfig(11, "silver", "orders",
+        Seq("o_orderpriority"), Seq("o_orderkey")),
+      ValidityConfig(12, "silver", "lineitem",
+        "NOT (l_discount BETWEEN 0 AND 0.1) OR l_quantity <= 0",
+        Seq("l_orderkey", "l_linenumber")),
+      ValidityConfig(13, "silver", "events",
+        "value < 0 OR user_id < 0", Seq("event_id")))
+    val chk = DataType.fromDDL(
+      "STRUCT<n_violations: BIGINT, pk_sample: ARRAY<STRING>>")
+    AuditRunner.runAll((_, table) => Tables.load(s, dir, table), cfgs, checkedAt)
+      .withColumn("chk", from_json(col("ds_checked_value"), chk))
+      .select(col("cd_configuration"), col("ds_dimension"),
+        col("chk.n_violations").as("n_violations"), col("nr_status"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qDqAudit, qDqFact, qDqMultiTable)
 }
