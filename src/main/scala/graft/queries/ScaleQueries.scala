@@ -241,7 +241,48 @@ object ScaleQueries {
       Multimodal.packText(Tables.load(s, dir, "documents"), "doc_id", "text"))
   }
 
+  /** TF-IDF top-3 terms per doc (bounded slice; ln parity holds to the
+    * 6-decimal rounding). */
+  val qTfidf: QueryDef = QueryDef(
+    "q70_tfidf",
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |    round(tf.tf * ln((SELECT n_docs FROM n) * 1.0 / dfreq.df), 6) AS tfidf
+      |  FROM tf JOIN dfreq USING (term)),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, term ASC) AS rank
+      |  FROM scored)
+      |SELECT doc_id, term, tf, df, tfidf, rank FROM ranked
+      |WHERE rank <= 3 AND doc_id < 100""".stripMargin) { (s, dir) =>
+    TextStats.tfidfTopTerms(Tables.load(s, dir, "documents"),
+      "doc_id", "text", topK = 3)
+      .filter(col("doc_id") < 100)
+  }
+
+  /** approx_percentile sketch — rows-only with an in-query contract:
+    * the estimate must land within the exact p25..p75 span. */
+  val qApproxPercentile: QueryDef =
+    QueryDef.rowsOnly("q71_approx_percentile") { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("exact_median"),
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_median"),
+          expr("percentile(o_totalprice, 0.25)").as("p25"),
+          expr("percentile(o_totalprice, 0.75)").as("p75"))
+        .withColumn("within_band",
+          col("approx_median").between(col("p25"), col("p75")))
+    }
+
   val all: Seq[QueryDef] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh,
     qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qDedupEmbedding, qTokenStats, qQuality, qLangId,
-    qFingerprint, qMultimodal)
+    qFingerprint, qMultimodal, qTfidf, qApproxPercentile)
 }

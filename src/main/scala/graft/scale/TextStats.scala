@@ -52,6 +52,32 @@ object TextStats {
     round(lenOk * 0.3 + meanOk * 0.2 + punctOk * 0.2 + stopOk * 0.3, 2)
   }
 
+  /** TF-IDF top terms per document: one explode, two aggregations
+    * (term-frequency per doc, document-frequency per term), idf join
+    * broadcast (vocabulary ≪ corpus), windowed top-k. All shuffles are
+    * on (doc,term)/term keys — corpus text never moves twice. */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.count()
+    val terms = df.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= ""))
+        .as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = terms.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+
   /** Stopword-profile language ID. Real n-gram models plug in the same
     * way (argmax over per-language scores); ties → lexicographically
     * smallest code, "und" when nothing matches. */
