@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two array<double> columns (sequential
-    * fold — deterministic, engine-portable). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two array<double> columns — the native
+    * codegen expression (one fused pass, no HOF interpreter). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorMath.cosineCol(a, b)
+
+  /** The same semantics composed from built-in higher-order functions —
+    * kept as the cross-check (bit-identical, asserted in ScaleSpec) and
+    * as the form available without the graft expression library. */
+  def cosineComposed(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), _ + _))

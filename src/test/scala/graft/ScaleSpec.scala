@@ -102,6 +102,21 @@ class ScaleSpec extends AnyFunSuite {
     ivf.foreach { case (a, b, s) => assert(brute((a, b)) === s) }
   }
 
+  test("native cosine expression is bit-identical to the composed HOF form") {
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val self = emb.select(col("v").as("a"), col("v").as("b"))
+      .limit(0) // schema only
+    val pairs = emb.limit(100).crossJoin(
+      emb.limit(100).select(col("v").as("w")))
+    val mism = pairs.select(
+      Similarity.cosine(col("v"), col("w")).as("native"),
+      Similarity.cosineComposed(col("v"), col("w")).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(mism === 0L)
+    assert(self.columns.length === 2)
+  }
+
   test("sentiment builtin === udf on the corpus (occurrence semantics)") {
     val both = docs.select(
       Sentiment.scoreBuiltin(col("text")).as("b"),
