@@ -282,7 +282,41 @@ object ScaleQueries {
           col("approx_median").between(col("p25"), col("p75")))
     }
 
+  /** Content-hash train/val/test split — reproducible across engines,
+    * so the whole assignment is oracle-checked. */
+  val qSplit: QueryDef = QueryDef(
+    "q72_deterministic_split",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    substr(sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2) AS hx
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 +
+      |    (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket
+      |  FROM h)
+      |SELECT doc_id,
+      |  CASE WHEN bucket < 204 THEN 'train'
+      |       WHEN bucket < 230 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b""".stripMargin) { (s, dir) =>
+    graft.scale.Sampling.deterministicSplit(
+      Tables.load(s, dir, "documents"), "text")
+      .select("doc_id", "split")
+  }
+
+  /** Stratified mixing-ratio sample (seeded Bernoulli per stratum) —
+    * engine randomness → rows-only; the sampled-fraction contract is
+    * asserted in ScaleSpec. */
+  val qStratified: QueryDef =
+    QueryDef.rowsOnly("q73_stratified_sample") { (s, dir) =>
+      graft.scale.Sampling.stratifiedSample(
+        Tables.load(s, dir, "documents"), "lang",
+        Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.1, "zh" -> 0.25, "fr" -> 0.0))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    }
+
   val all: Seq[QueryDef] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh,
     qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qDedupEmbedding, qTokenStats, qQuality, qLangId,
-    qFingerprint, qMultimodal, qTfidf, qApproxPercentile)
+    qFingerprint, qMultimodal, qTfidf, qApproxPercentile, qSplit, qStratified)
 }

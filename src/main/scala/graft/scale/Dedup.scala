@@ -112,9 +112,21 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double,
       p: MinHashParams = MinHashParams()): DataFrame = {
-    val cands = candidatePairs(signatures(df, idCol, textCol, p), idCol, p)
+    // tokenize once: the cached set frame feeds both the signature
+    // explode and the verification joins (3 regex passes -> 1)
     val sets = df.select(col(idCol).as("__id"),
-      shingleSet(col(textCol), p.shingle).as("__set"))
+      shingleSet(col(textCol), p.shingle).as("__set")).persist()
+    val fromSets = sets.select(col("__id").as(idCol),
+      explode(col("__set")).as("__sh"))
+      .withColumn("__h", pmod(hash(col("__sh")).cast("long"), lit(Prime)))
+    val minCols = coeffs(p).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("__h") * a + b, lit(Prime))).as(s"__m$i")
+    }
+    val sigs = fromSets.groupBy(col(idCol))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col(idCol),
+        array((0 until p.k).map(i => col(s"__m$i")): _*).as("sig"))
+    val cands = candidatePairs(sigs, idCol, p)
     cands
       .join(sets.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__set", "set_a"), Seq("id_a"))

@@ -152,6 +152,32 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministic split: stable across runs, duplicate content lands together, ~80/10/10") {
+    val s1 = graft.scale.Sampling.deterministicSplit(docs, "text")
+    val s2 = graft.scale.Sampling.deterministicSplit(docs, "text")
+    assert(s1.select("doc_id", "split").except(
+      s2.select("doc_id", "split")).count() === 0)
+    // duplicated content gets the same split regardless of id
+    val dup = docs.limit(20).withColumn("doc_id", col("doc_id") + 5000L)
+    val joined = graft.scale.Sampling.deterministicSplit(
+      docs.limit(20).unionByName(dup), "text")
+      .groupBy("text").agg(countDistinct(col("split")).as("n"))
+    assert(joined.filter(col("n") > 1).count() === 0)
+    val frac = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = frac.values.sum.toDouble
+    assert(frac("train") / n > 0.7 && frac("train") / n < 0.9)
+  }
+
+  test("stratified sample respects per-stratum fractions (0 → empty, 1 → all)") {
+    val sampled = graft.scale.Sampling.stratifiedSample(docs, "lang",
+      Map("en" -> 0.0, "de" -> 1.0))
+    val en = sampled.filter(col("lang") === "en").count()
+    val de = sampled.filter(col("lang") === "de").count()
+    assert(en === 0L)
+    assert(de === docs.filter(col("lang") === "de").count())
+  }
+
   test("lang-id picks the language with most marker hits; und when none") {
     val df = Seq("der hund und die katze ist da",
       "the cat and the dog is here", "xyzzy qwerty").toDF("t")
