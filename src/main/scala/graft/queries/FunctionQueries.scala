@@ -141,6 +141,22 @@ object FunctionQueries {
         .withColumn("matches", col("fp64") === col("fp64_ref"))
     }
 
+  /** JSON-in-string column parse on real data (the events.props
+    * envelope — same from_json shape as the DQ result envelopes). */
+  val qPropsJson: QueryDef = QueryDef(
+    "q74_props_json",
+    """SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+      |  count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("STRUCT<k: INT>"))
+          .getField("k"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
   val all: Seq[QueryDef] = Seq(qStringFuncs, qDateFuncs, qSentimentBuiltin,
-    qSentimentUdf, qExplodeTokens, qRollingFingerprint)
+    qSentimentUdf, qExplodeTokens, qRollingFingerprint, qPropsJson)
 }
