@@ -157,6 +157,22 @@ object FunctionQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** Third sentiment form: native codegen expression (fused byte-walk,
+    * no HOF arrays, no UDF serialization) — same oracle as q26/q27. */
+  val qSentimentNative: QueryDef = QueryDef(
+    "q75_sentiment_native",
+    sentimentOracle) { (s, dir) =>
+    import graft.functions.SentimentScore
+    val scored = Tables.load(s, dir, "documents")
+      .withColumn("score", SentimentScore.scoreCol(col("text")))
+    scored.select(col("doc_id"),
+      Sentiment.posCount(col("text")).as("pos_hits"),
+      Sentiment.negCount(col("text")).as("neg_hits"),
+      col("score"),
+      Sentiment.label(col("score")).as("label"))
+  }
+
   val all: Seq[QueryDef] = Seq(qStringFuncs, qDateFuncs, qSentimentBuiltin,
-    qSentimentUdf, qExplodeTokens, qRollingFingerprint, qPropsJson)
+    qSentimentUdf, qExplodeTokens, qRollingFingerprint, qPropsJson,
+    qSentimentNative)
 }
