@@ -31,6 +31,22 @@ object Cleaning {
       .drop("__rn")
   }
 
+  /** Agg-based deterministic dedup: keep the row whose `orderCols`
+    * tuple is smallest per key, via `min(struct(orderCols ++ rest))` —
+    * a hash aggregation instead of [[dedupLatestWins]]'s sort+window.
+    * Faster when groups are small/near-unique (no per-partition sort,
+    * map-side partial combine); same totality requirement on the
+    * ordering. Column order in the output follows `orderCols ++ rest`.
+    */
+  def dedupFirstByKey(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val rest = df.columns.filterNot(c => keys.contains(c) || orderCols.contains(c))
+    val packed = struct((orderCols ++ rest).map(col).toIndexedSeq: _*)
+    df.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(min(packed).as("__pick"))
+      .select(keys.map(col) ++ (orderCols ++ rest).map(c => col(s"__pick.$c")): _*)
+  }
+
   /** A6: fill nulls in `colName` with round(avg, scale) of the non-null
     * values. One scalar aggregate job, then a map-side fill. */
   def imputeMean(df: DataFrame, colName: String, scale: Int = 2): DataFrame = {

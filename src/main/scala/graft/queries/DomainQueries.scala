@@ -104,8 +104,10 @@ object DomainQueries {
       col("low_p") <= col("open_p"), col("open_p") <= col("high_p"),
       col("low_p") <= col("close_p"), col("close_p") <= col("high_p"),
       col("low_p") <= col("high_p")))
-    Cleaning.dedupLatestWins(valid, Seq("symbol", "ts"),
-      Seq(col("l_orderkey").asc, col("l_linenumber").asc))
+    // (symbol, ts) is near-unique → agg-based dedup (hash agg, no
+    // sort-window) picks the same min-(orderkey, linenumber) row
+    Cleaning.dedupFirstByKey(valid, Seq("symbol", "ts"),
+      Seq("l_orderkey", "l_linenumber"))
       .select(col("symbol"), col("ts"), col("open_p"), col("high_p"),
         col("low_p"), col("close_p"), col("volume"),
         to_date(col("ts")).as("trade_date"),

@@ -52,6 +52,18 @@ class CoreSpec extends AnyFunSuite {
       Seq(("k1", "new"), ("k2", "only")))
   }
 
+  test("dedupFirstByKey (agg-based) picks the same rows as the window form") {
+    val li = graft.core.Tables.load(spark, SparkTestSession.sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    val win = Cleaning.dedupLatestWins(li, Seq("l_orderkey"),
+      Seq(col("l_linenumber").asc, col("l_shipdate").asc, col("l_quantity").asc))
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    val agg = Cleaning.dedupFirstByKey(li, Seq("l_orderkey"),
+      Seq("l_linenumber", "l_shipdate", "l_quantity"))
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    assert(win.except(agg).count() === 0 && agg.except(win).count() === 0)
+  }
+
   test("imputeMean fills nulls with rounded mean; imputeMode with smallest modal value") {
     val df = Seq[(java.lang.Double, String)](
       (1.0, "a"), (3.0, null), (null, "b"), (null, "a"), (2.0, "b"))
