@@ -79,7 +79,11 @@ object DomainQueries {
       |dedup AS (
       |  SELECT * FROM (
       |    SELECT *, row_number() OVER (PARTITION BY symbol, ts
-      |      ORDER BY l_orderkey, l_linenumber) rn FROM valid) WHERE rn = 1)
+      |      -- total order: duplicate (orderkey, linenumber) pairs exist,
+      |      -- so the measure columns join the ordering (same tuple the
+      |      -- engine's min-struct compares)
+      |      ORDER BY l_orderkey, l_linenumber, open_p, high_p, low_p,
+      |               close_p, volume) rn FROM valid) WHERE rn = 1)
       |SELECT symbol, ts, open_p, high_p, low_p, close_p, volume,
       |  CAST(ts AS DATE) AS trade_date,
       |  date_part('hour', ts) AS trade_hour,
