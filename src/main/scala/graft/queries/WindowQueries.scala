@@ -57,10 +57,14 @@ object WindowQueries {
       |    lead(l_quantity) OVER w AS next_qty
       |  FROM lineitem
       |  WINDOW w AS (PARTITION BY l_suppkey
-      |               ORDER BY l_shipdate DESC, l_orderkey, l_linenumber)
+      |               ORDER BY l_shipdate DESC, l_orderkey, l_linenumber,
+      |                        l_quantity)
       |) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    // l_quantity completes the ordering: duplicate (orderkey, linenumber)
+    // pairs exist in the synthetic data, and rn/lag/lead leak the pick
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
     Tables.load(s, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"),
