@@ -75,4 +75,19 @@ final class ParquetTableIO(root: String) extends TableIO {
     * parquet stand-in for Delta OPTIMIZE. */
   def compact(spark: SparkSession, table: String, numFiles: Int): Unit =
     overwrite(read(spark, table).repartition(numFiles), table)
+
+  /** Clustered compaction — the OPTIMIZE ZORDER analog: range-partition
+    * + sort on `clusterCols` so each output file covers a narrow value
+    * range; parquet row-group min/max stats then let filtered scans
+    * skip whole files (data skipping without an index). */
+  def compactClustered(spark: SparkSession, table: String, numFiles: Int,
+      clusterCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cols = clusterCols.map(col)
+    overwrite(
+      read(spark, table)
+        .repartitionByRange(numFiles, cols: _*)
+        .sortWithinPartitions(cols: _*),
+      table)
+  }
 }

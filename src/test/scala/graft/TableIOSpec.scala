@@ -52,6 +52,24 @@ class TableIOSpec extends AnyFunSuite {
     assert(io.read(spark, "t").agg(sum("x")).first().getLong(0) === 4950L)
   }
 
+  test("clustered compaction: disjoint value ranges per file, content preserved") {
+    val io = newIO()
+    io.overwrite(spark.range(1000).toDF("x").repartition(8), "t")
+    io.compactClustered(spark, "t", numFiles = 4, clusterCols = Seq("x"))
+    val t = io.read(spark, "t")
+    assert(t.agg(sum("x")).first().getLong(0) === 499500L)
+    // per-file min/max ranges must not overlap (that's what enables
+    // stats-based skipping)
+    val ranges = t.groupBy(input_file_name().as("f"))
+      .agg(min("x").as("lo"), max("x").as("hi"))
+      .orderBy("lo").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranges.length === 4)
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 < lo2)
+    }
+  }
+
   test("partitioned append writes hive-style dirs") {
     val io = newIO()
     io.append(Seq((1, "x"), (2, "y")).toDF("k", "part"), "t",
