@@ -50,19 +50,22 @@ object Cleaning {
   /** A6: fill nulls in `colName` with round(avg, scale) of the non-null
     * values. One scalar aggregate job, then a map-side fill. */
   def imputeMean(df: DataFrame, colName: String, scale: Int = 2): DataFrame = {
-    val mean = df.agg(round(avg(col(colName)), scale)).first().getDouble(0)
-    df.na.fill(mean, Seq(colName))
+    val row = df.agg(round(avg(col(colName)), scale)).first()
+    // all-null column / empty frame → no mean exists; leave unfilled
+    if (row.isNullAt(0)) df
+    else df.na.fill(row.getDouble(0), Seq(colName))
   }
 
   /** A7: fill nulls in `colName` with the modal value; ties broken by
     * smallest value for determinism (the reference's `.first()` after
     * orderBy(count desc) is tie-unstable — documented divergence). */
   def imputeMode(df: DataFrame, colName: String): DataFrame = {
-    val mode = df.filter(col(colName).isNotNull)
+    val top = df.filter(col(colName).isNotNull)
       .groupBy(col(colName)).count()
       .orderBy(col("count").desc, col(colName).asc)
-      .first().get(0).toString
-    df.na.fill(mode, Seq(colName))
+      .limit(1).collect()
+    // all-null column / empty frame → no mode exists; leave unfilled
+    top.headOption.fold(df)(r => df.na.fill(r.get(0).toString, Seq(colName)))
   }
 
   /** P6: conjunction of sanity predicates (the OHLC-filter shape). */

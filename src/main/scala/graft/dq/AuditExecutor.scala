@@ -42,8 +42,8 @@ object AuditExecutor {
   /** Evaluate all rules for one table in a single scan. */
   def runRules(df: DataFrame, cfgs: Seq[RuleConfig], checkedAt: String,
       sampleCap: Int = DefaultSampleCap): DataFrame = {
-    require(cfgs.nonEmpty, "no configs")
     val active = cfgs.filter(_.active)
+    require(active.nonEmpty, "no active configs")
 
     // per rule: count of violations + capped ordered pk sample, as one
     // struct column each → single aggregate over one scan

@@ -76,6 +76,16 @@ class CoreSpec extends AnyFunSuite {
     assert(md.filter(col("c") === "a").count() === 3)
   }
 
+  test("imputation edge cases: all-null / empty frames are left unfilled, not crashed") {
+    val allNull = Seq[(Int, java.lang.Double, String)]((1, null, null))
+      .toDF("k", "v", "c")
+    assert(Cleaning.imputeMean(allNull, "v").filter(col("v").isNull).count() === 1)
+    assert(Cleaning.imputeMode(allNull, "c").filter(col("c").isNull).count() === 1)
+    val empty = allNull.limit(0)
+    assert(Cleaning.imputeMean(empty, "v").count() === 0)
+    assert(Cleaning.imputeMode(empty, "c").count() === 0)
+  }
+
   test("surrogate ids: dense, unique, continue from max (W1)") {
     val df = Seq("c", "a", "b").toDF("k")
     val out = SurrogateId.attachOrdered(df, "id", Seq(col("k")), startAfter = 100L)
