@@ -24,19 +24,25 @@ object AlertRenderer {
       .drop("rn")
   }
 
+  /** Entity-escape — rule texts like "high < low" and arbitrary PK
+    * values would otherwise inject markup into the alert email. */
+  private def esc(s: String): String =
+    if (s == null) "—"
+    else s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
   def renderHtml(preview: DataFrame): String = {
     val rows = preview
       .orderBy(col("ds_dimension"), col("cd_configuration"),
         col("violated_pk").asc_nulls_last)
       .collect()
     val body = rows.map { r: Row =>
-      val pk = Option(r.getAs[String]("violated_pk")).getOrElse("—")
-      s"<tr><td>${r.getAs[String]("ds_dimension")}</td>" +
+      s"<tr><td>${esc(r.getAs[String]("ds_dimension"))}</td>" +
         s"<td>${r.getAs[Long]("cd_configuration")}</td>" +
-        s"<td>${r.getAs[String]("table_name")}</td>" +
-        s"<td>${r.getAs[String]("rule")}</td>" +
+        s"<td>${esc(r.getAs[String]("table_name"))}</td>" +
+        s"<td>${esc(r.getAs[String]("rule"))}</td>" +
         s"<td>${r.getAs[Long]("n_violations")}</td>" +
-        s"<td>$pk</td></tr>"
+        s"<td>${esc(r.getAs[String]("violated_pk"))}</td></tr>"
     }.mkString("\n")
     s"""<html><body><h2>Data audit failures</h2>
        |<table border="1">

@@ -46,8 +46,10 @@ object AuditExecutor {
     require(active.nonEmpty, "no active configs")
 
     // per rule: count of violations + capped ordered pk sample, as one
-    // struct column each → single aggregate over one scan
-    val aggs: Seq[Column] = active.map { cfg =>
+    // struct column each → single aggregate over one scan. Aliased by
+    // position — config ids may legitimately collide across dimensions
+    // (the reference keeps them in separate tables).
+    val aggs: Seq[Column] = active.zipWithIndex.map { case (cfg, i) =>
       val viol = RuleCompiler.scopedViolation(cfg)
       val pk = RuleCompiler.pkExpr(cfg)
       struct(
@@ -56,13 +58,13 @@ object AuditExecutor {
         // that buffers every violating PK before capping)
         graft.functions.CappedSample
           .cappedSample(when(viol, pk), sampleCap).as("pk_sample"))
-        .as(s"r${cfg.configId}")
+        .as(s"r$i")
     }
     val agged = df.agg(aggs.head, aggs.tail: _*)
 
     // fan the single aggregate row back out to one result row per rule
-    val resultCols = active.map { cfg =>
-      val r = col(s"r${cfg.configId}")
+    val resultCols = active.zipWithIndex.map { case (cfg, i) =>
+      val r = col(s"r$i")
       struct(
         lit(cfg.configId).as("cd_configuration"),
         lit(cfg.dimension).as("ds_dimension"),

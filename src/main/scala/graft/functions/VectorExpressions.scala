@@ -22,7 +22,7 @@ object VectorMath {
   /** dot/(√‖a‖²·√‖b‖²) with the same per-component order as the
     * composed form, so results are bit-identical. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -47,13 +47,25 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorMath.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // dimension mismatch → NULL, matching the composed HOF form (zip_with
+  // null-pads, which propagates to a null sum) — a truncated embedding
+  // must not silently rank as a prefix-cosine neighbor
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else VectorMath.cosine(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorMath.cosine($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VectorMath.cosine($a, $b);
+      }""")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarityExpr =

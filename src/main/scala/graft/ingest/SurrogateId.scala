@@ -32,7 +32,10 @@ object SurrogateId {
       startAfter: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     val schema = df.schema
-    val rdd = df.rdd
+    // persist before the two passes (count + assign): without it the
+    // upstream plan runs twice, and a nondeterministic upstream could
+    // yield different partition sizes between passes → broken offsets
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
       Iterator((i, it.size.toLong))
     }.collect().sortBy(_._1)

@@ -23,10 +23,14 @@ object RangeJoin {
       ptCol: String, startCol: String, endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0)
-    val ptBucket = floor(unix_timestamp(col(ptCol)) / bucketWidth)
-    val startBucket = floor(unix_timestamp(col(startCol)) / bucketWidth)
+    // micros precision: unix_timestamp() truncates to seconds, which
+    // under-covers intervals with fractional-second ends (the -1
+    // adjustment would drop valid matches past the last whole second)
+    val w = bucketWidth * 1000000L
+    val ptBucket = floor(unix_micros(col(ptCol)) / w)
+    val startBucket = floor(unix_micros(col(startCol)) / w)
     // end is exclusive; an interval touching a bucket's start occupies it
-    val endBucket = floor((unix_timestamp(col(endCol)) - 1) / bucketWidth)
+    val endBucket = floor((unix_micros(col(endCol)) - 1) / w)
 
     val p = points.withColumn("__bucket", ptBucket)
     val i = intervals.withColumn("__bucket",

@@ -44,21 +44,25 @@ object AggQueries {
     * runs first so only violating keys reach the aggregation). */
   val qCollectCapped: QueryDef = QueryDef(
     "q14_collect_capped",
-    """WITH v AS (SELECT l_returnflag, l_orderkey FROM lineitem WHERE l_tax > 0.05),
-      |r AS (SELECT l_returnflag, l_orderkey,
-      |        row_number() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey) AS rn
+    """WITH v AS (SELECT l_returnflag, CAST(l_orderkey AS VARCHAR) AS pk
+      |           FROM lineitem WHERE l_tax > 0.05),
+      |r AS (SELECT l_returnflag, pk,
+      |        row_number() OVER (PARTITION BY l_returnflag ORDER BY pk) AS rn
       |      FROM v)
       |SELECT l_returnflag, count(*) AS n_viol,
-      |  string_agg(CASE WHEN rn <= 999 THEN CAST(l_orderkey AS VARCHAR) END,
-      |             ',' ORDER BY l_orderkey) AS pk_sample
+      |  string_agg(CASE WHEN rn <= 999 THEN pk END,
+      |             ',' ORDER BY pk) AS pk_sample
       |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "lineitem")
       .filter(col("l_tax") > 0.05)
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n_viol"),
+        // bounded CappedSortedSample, not collect_list+slice — the
+        // latter buffers every key per group before trimming
         concat_ws(",",
-          slice(sort_array(collect_list(col("l_orderkey"))), 1, 999))
+          graft.functions.CappedSample.cappedSample(
+            col("l_orderkey").cast("string"), 999))
           .as("pk_sample"))
   }
 

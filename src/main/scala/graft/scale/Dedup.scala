@@ -78,9 +78,18 @@ object Dedup {
     * One explode + one groupBy(doc) — all k mins computed in a single
     * aggregate pass, no per-permutation jobs. */
   def signatures(df: DataFrame, idCol: String, textCol: String,
-      p: MinHashParams = MinHashParams()): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(shingleSet(col(textCol), p.shingle)).as("__sh"))
+      p: MinHashParams = MinHashParams()): DataFrame =
+    signaturesFromSets(
+      df.select(col(idCol), shingleSet(col(textCol), p.shingle).as("__set")),
+      idCol, p)
+
+  /** Signature computation over pre-tokenized shingle sets (column
+    * `__set`) — shared by [[signatures]] and [[nearDuplicates]] so the
+    * hash math exists once. */
+  def signaturesFromSets(sets: DataFrame, idCol: String,
+      p: MinHashParams): DataFrame = {
+    val exploded = sets
+      .select(col(idCol), explode(col("__set")).as("__sh"))
       // murmur3 → non-negative long in [0, p)
       .withColumn("__h", pmod(hash(col("__sh")).cast("long"), lit(Prime)))
     val minCols = coeffs(p).zipWithIndex.map { case ((a, b), i) =>
@@ -113,19 +122,14 @@ object Dedup {
       minJaccard: Double,
       p: MinHashParams = MinHashParams()): DataFrame = {
     // tokenize once: the cached set frame feeds both the signature
-    // explode and the verification joins (3 regex passes -> 1)
+    // explode and the verification joins (3 regex passes -> 1). The
+    // persist backs the returned (lazy) frame — callers running many
+    // nearDuplicates passes in one session should checkpoint/unpersist
+    // results between passes.
     val sets = df.select(col(idCol).as("__id"),
       shingleSet(col(textCol), p.shingle).as("__set")).persist()
-    val fromSets = sets.select(col("__id").as(idCol),
-      explode(col("__set")).as("__sh"))
-      .withColumn("__h", pmod(hash(col("__sh")).cast("long"), lit(Prime)))
-    val minCols = coeffs(p).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("__h") * a + b, lit(Prime))).as(s"__m$i")
-    }
-    val sigs = fromSets.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol),
-        array((0 until p.k).map(i => col(s"__m$i")): _*).as("sig"))
+    val sigs = signaturesFromSets(
+      sets.select(col("__id").as(idCol), col("__set")), idCol, p)
     val cands = candidatePairs(sigs, idCol, p)
     cands
       .join(sets.withColumnRenamed("__id", "id_a")
@@ -177,15 +181,23 @@ object Dedup {
 
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: 16-bit chunk banding (any identical chunk
-    * → candidate; a pair within hamming distance 3 must share one of
-    * the 4 chunks), verified by hamming ≤ maxHamming. */
+  /** SimHash near-dup pairs: chunk banding with maxHamming+1 chunks —
+    * by pigeonhole, a pair within hamming distance maxHamming must
+    * share at least one unchanged chunk, so candidate recall is exact
+    * for the requested radius (a fixed 4-chunk split would silently
+    * miss pairs beyond distance 3). Verified by hamming ≤ maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      "chunk banding needs 64/(maxHamming+1) >= 2 bits per chunk")
+    val nChunks = maxHamming + 1
+    val width = (64 + nChunks - 1) / nChunks // ceil; last chunk smaller
     val sigs = simhash(df, idCol, textCol)
     val banded = sigs.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map { c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)
+      posexplode(array((0 until nChunks).map { c =>
+        val bits = math.min(width, 64 - c * width)
+        val mask = if (bits >= 64) -1L else (1L << bits) - 1L
+        shiftright(col("simhash"), c * width).bitwiseAND(mask)
       }: _*)).as(Seq("chunk", "val")))
     val l = banded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
       col("chunk"), col("val"))
