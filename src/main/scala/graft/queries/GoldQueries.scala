@@ -14,7 +14,7 @@ object GoldQueries {
       |  sum(l_quantity) AS sum_qty,
       |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
       |  count(*) AS n_rows,
-      |  sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS big_qty_rows,
+      |  CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty_rows,
       |  round(avg(l_discount), 4) AS avg_disc,
       |  round(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS big_qty_rate
       |FROM lineitem GROUP BY 1, 2""".stripMargin) { (s, dir) =>

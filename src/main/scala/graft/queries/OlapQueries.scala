@@ -15,7 +15,7 @@ object OlapQueries {
     """SELECT coalesce(l_returnflag, 'ALL') AS rf,
       |  coalesce(l_linestatus, 'ALL') AS ls,
       |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
-      |  count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS qty
+      |  count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "lineitem")
@@ -37,9 +37,9 @@ object OlapQueries {
   val qPivot: QueryDef = QueryDef(
     "q67_pivot",
     """SELECT l_linestatus,
-      |  sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END) AS A,
-      |  sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) END) AS N,
-      |  sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS R
+      |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS A,
+      |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS N,
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS R
       |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "lineitem")
       .groupBy(col("l_linestatus"))

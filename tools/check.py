@@ -25,12 +25,22 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.12g}"
+        # Bit-exact: the driver's compare has no float tolerance, so two
+        # doubles must be identical down to the last bit to hash-match.
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
+
+
+# DuckDB result types that the driver's pandas conversion renders
+# differently from Spark's parquet output (HUGEINT -> float64 with a
+# trailing .0; DECIMAL -> decimal.Decimal with fixed scale). An oracle
+# must never produce these: wrap integer sums in CAST(... AS BIGINT)
+# and decimal arithmetic in CAST(... AS DOUBLE).
+BAD_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
 
 def table(rows, cols):
@@ -65,10 +75,19 @@ def main():
             print(f"ROWS {name}: {len(got)} rows (no oracle)")
             continue
         try:
-            exp = con.execute(oracles[name]).fetchall()
-            ecols = [d[0] for d in con.description]
+            rel = con.sql(oracles[name])
+            etypes = [str(t) for t in rel.types]
+            ecols = list(rel.columns)
+            exp = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            fails += 1
+            continue
+        bad = [f"{c}:{t}" for c, t in zip(ecols, etypes)
+               if any(b in t for b in BAD_ORACLE_TYPES)]
+        if bad:
+            print(f"FAIL {name}: oracle column type(s) the driver "
+                  f"renders differently from Spark: {bad}")
             fails += 1
             continue
         gc, gt = table(got, gcols)
