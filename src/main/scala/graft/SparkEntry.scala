@@ -15,7 +15,8 @@ object SparkEntry {
     GoldQueries.all ++ CleanQueries.all ++ JoinQueries.all ++
       AggQueries.all ++ WindowQueries.all ++ FunctionQueries.all ++
       DqQueries.all ++ IngestQueries.all ++ StreamQueries.all ++
-      ScaleQueries.all ++ SqlQueries.all ++ DomainQueries.all ++ OlapQueries.all
+      ScaleQueries.all ++ SqlQueries.all ++ DomainQueries.all ++
+      OlapQueries.all ++ CorpusQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

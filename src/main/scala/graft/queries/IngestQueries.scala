@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.ingest.{IncrementalSource, Readers}
+import graft.ingest.{IncrementalSource, Readers, Scd2}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -79,6 +79,27 @@ object IngestQueries {
       .select("o_orderkey", "o_custkey", "o_orderdate")
   }
 
+  /** SCD2 dimension build: order-status history per customer collapsed
+    * to [valid_from, valid_to) intervals (ingest.Scd2). */
+  val qScd2: QueryDef = QueryDef(
+    "q85_scd2",
+    """WITH ch AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |    lag(o_orderstatus) OVER
+      |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |chg AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> o_orderstatus)
+      |SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+      |  lead(o_orderdate) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+      |  lead(o_orderdate) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+      |    AS is_current
+      |FROM chg""".stripMargin) { (s, dir) =>
+    Scd2.build(Tables.load(s, dir, "orders"),
+      "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+  }
+
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonRoundtrip, qJsonMultiline,
-    qBinaryFiles, qIncremental)
+    qBinaryFiles, qIncremental, qScd2)
 }

@@ -79,5 +79,142 @@ object OlapQueries {
         |                          WHERE i.o_orderstatus = o.o_orderstatus), 2)""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(qRollup, qPivot, qPercentiles, qCorrelated)
+  /** CUBE — all 4 grouping combinations in one pass (partial aggs are
+    * shared across grouping sets by Catalyst's Expand). */
+  val qCube: QueryDef = QueryDef(
+    "q76_cube",
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+      |  count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("bigint")).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("g_rf"), col("g_ls"), col("n"), col("qty"))
+  }
+
+  /** Explicit GROUPING SETS — only the requested combinations (here:
+    * by flag, by status, grand total; no (flag,status) set). */
+  val qGroupingSets: QueryDef = QueryDef(
+    "q77_grouping_sets",
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS n,
+      |  round(sum(l_extendedprice), 2) AS total_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
+  /** FULL OUTER join — nation spine vs per-nation customer counts;
+    * unmatched sides surface as NULLs on both wings. */
+  val qFullOuter: QueryDef = QueryDef(
+    "q78_full_outer",
+    """WITH agg AS (
+      |  SELECT c_nationkey, count(*) AS n_cust
+      |  FROM customer WHERE c_acctbal > 9000 GROUP BY 1)
+      |SELECT n.n_name, agg.c_nationkey, agg.n_cust
+      |FROM nation n FULL OUTER JOIN agg ON n.n_nationkey = agg.c_nationkey""".stripMargin) { (s, dir) =>
+    val n = Tables.load(s, dir, "nation")
+    val agg = Tables.load(s, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    n.join(agg, n("n_nationkey") === agg("c_nationkey"), "full_outer")
+      .select(n("n_name"), agg("c_nationkey"), agg("n_cust"))
+  }
+
+  /** NOT EXISTS + IN subqueries — Catalyst rewrites them to anti/semi
+    * joins (no per-row subquery execution). */
+  val qExistsIn: QueryDef = QueryDef(
+    "q79_exists_in",
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+      |  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)""".stripMargin)
+  }
+
+  /** Distribution window functions: ntile / percent_rank / cume_dist /
+    * first & last value. ORDER BY carries a unique tiebreak
+    * (o_orderkey) so every function is total-order deterministic. */
+  val qWindowExtras: QueryDef = QueryDef(
+    "q80_window_extras",
+    """SELECT o_orderkey, o_orderstatus,
+      |  ntile(4) OVER w AS price_quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  first_value(o_orderkey) OVER w AS cheapest_key,
+      |  last_value(o_orderkey) OVER
+      |    (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key
+      |FROM orders WHERE o_orderkey < 3000
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") < 3000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("price_quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first(col("o_orderkey")).over(w).as("cheapest_key"),
+        last(col("o_orderkey")).over(wFull).as("priciest_key"))
+  }
+
+  /** Higher-order array functions (codegen lambda land, no UDFs):
+    * transform / filter / aggregate / exists — the array toolkit the
+    * similarity operators build on. */
+  val qHof: QueryDef = QueryDef(
+    "q81_hof",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT doc_id,
+      |  len(toks) AS n_toks,
+      |  len(list_filter(toks, x -> length(x) >= 6)) AS n_long,
+      |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_len,
+      |  CAST(list_sum(list_transform(toks, x -> length(x) * length(x))) AS BIGINT) AS sumsq_len,
+      |  len(list_filter(toks, x -> x LIKE 's%')) > 0 AS has_s_word
+      |FROM t""".stripMargin) { (s, dir) =>
+    val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        size(filter(col("toks"), t => length(t) >= 6)).as("n_long"),
+        aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x))
+          .as("total_len"),
+        aggregate(col("toks"), lit(0L),
+          (acc, x) => acc + length(x).cast("long") * length(x))
+          .as("sumsq_len"),
+        exists(col("toks"), t => t.startsWith("s")).as("has_s_word"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qRollup, qPivot, qPercentiles, qCorrelated,
+    qCube, qGroupingSets, qFullOuter, qExistsIn, qWindowExtras, qHof)
 }

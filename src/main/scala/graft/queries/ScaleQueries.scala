@@ -316,7 +316,43 @@ object ScaleQueries {
         .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
     }
 
+  /** int8-quantized vs exact cosine over a bounded pair set — the
+    * quantized dot products are integer-exact, so both engines agree
+    * bit-for-bit on the approximation error. */
+  val qVectorQuantize: QueryDef = QueryDef(
+    "q87_vector_quantize",
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+      |  FROM embeddings WHERE vec_id < 30),
+      |q AS (
+      |  SELECT vec_id, e,
+      |    list_transform(e, x -> round(x * 127.0 / mx)) AS qe
+      |  FROM v WHERE mx > 0)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.e, b.e), 6) AS exact_cos,
+      |  round(list_cosine_similarity(a.qe, b.qe), 6) AS approx_cos,
+      |  round(abs(round(list_cosine_similarity(a.e, b.e), 6) -
+      |            round(list_cosine_similarity(a.qe, b.qe), 6)), 6) AS abs_err
+      |FROM q a JOIN q b ON a.vec_id < b.vec_id""".stripMargin) { (s, dir) =>
+    val v = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") < 30)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("mx", array_max(transform(col("e"), x => abs(x))))
+      .filter(col("mx") > 0)
+      .withColumn("qe", Similarity.quantizeInt8(col("e")))
+    val a = v.select(col("vec_id").as("id_a"), col("e").as("ea"), col("qe").as("qa"))
+    val b = v.select(col("vec_id").as("id_b"), col("e").as("eb"), col("qe").as("qb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("ea"), col("eb")), 6).as("exact_cos"),
+        round(Similarity.cosine(col("qa"), col("qb")), 6).as("approx_cos"),
+        round(abs(round(Similarity.cosine(col("ea"), col("eb")), 6) -
+          round(Similarity.cosine(col("qa"), col("qb")), 6)), 6).as("abs_err"))
+  }
+
   val all: Seq[QueryDef] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh,
     qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qDedupEmbedding, qTokenStats, qQuality, qLangId,
-    qFingerprint, qMultimodal, qTfidf, qApproxPercentile, qSplit, qStratified)
+    qFingerprint, qMultimodal, qTfidf, qApproxPercentile, qSplit, qStratified,
+    qVectorQuantize)
 }

