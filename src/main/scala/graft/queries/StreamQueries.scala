@@ -33,6 +33,30 @@ object StreamQueries {
       (out, ev.schema)
     })
 
+  /** Single-file copy (one micro-batch under AvailableNow) for queries
+    * whose oracle needs single-batch semantics; cached per sfDir. */
+  private val singleFileCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
+  private def singleFileEventsDir(s: org.apache.spark.sql.SparkSession,
+      dir: String, cols: Seq[String]): (String, org.apache.spark.sql.types.StructType) =
+    singleFileCache.computeIfAbsent(dir + "#" + cols.mkString(","), { _ =>
+      val ev = Tables.load(s, dir, "events").select(cols.map(col): _*)
+      val out = tmp("graft_events1")
+      ev.coalesce(1).write.mode("overwrite").parquet(out)
+      (out, ev.schema)
+    })
+
+  /** q56's (key, ts, value) single-file projection; cached per sfDir. */
+  private def singleFileKeyedEventsDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, org.apache.spark.sql.types.StructType) =
+    singleFileCache.computeIfAbsent(dir + "#keyed", { _ =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id").as("key"), col("ts"), col("value"))
+      val out = tmp("graft_events1")
+      ev.coalesce(1).write.mode("overwrite").parquet(out)
+      (out, ev.schema)
+    })
+
   val qTumbling: QueryDef = QueryDef(
     "q36_stream_tumbling",
     """SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600000000 AS BIGINT)) AS window_start,
@@ -115,10 +139,7 @@ object StreamQueries {
       |  SELECT user_id, ts, value,
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
       |  FROM events) WHERE rn = 1""".stripMargin) { (s, dir) =>
-    val out = tmp("graft_stateful")
-    Tables.load(s, dir, "events")
-      .select(col("user_id").as("key"), col("ts"), col("value"))
-      .coalesce(1).write.mode("overwrite").parquet(out)
+    val (out, _) = singleFileKeyedEventsDir(s, dir)
     graft.stream.StatefulOps.runFirstSeen(s, out,
       s"stateful_${seq.incrementAndGet()}")
   }
@@ -133,12 +154,10 @@ object StreamQueries {
       |FROM events v JOIN events p ON v.user_id = p.user_id
       |  AND v.event_type = 'view' AND p.event_type = 'purchase'
       |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE""".stripMargin) { (s, dir) =>
-    val out = tmp("graft_ssj")
-    val ev = Tables.load(s, dir, "events")
-      .select("event_id", "ts", "user_id", "event_type")
-    ev.coalesce(1).write.mode("overwrite").parquet(out)
-    StreamJoins.runViewPurchase(s, out, ev.schema,
-      s"ssj_${seq.incrementAndGet()}")
+    val (out, schema) = singleFileEventsDir(s, dir,
+      Seq("event_id", "ts", "user_id", "event_type"))
+    StreamJoins.runViewPurchase(s, out, schema,
+      s"ssj_${seq.incrementAndGet()}", statePartitions = Some(4))
   }
 
   val all: Seq[QueryDef] = Seq(qTumbling, qSliding, qSession, qStreamIngest,

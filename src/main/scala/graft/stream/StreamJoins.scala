@@ -18,7 +18,23 @@ object StreamJoins {
     * range join in SQL. */
   def runViewPurchase(spark: SparkSession, sourceDir: String,
       schema: StructType, queryName: String,
-      watermarkDelay: String = "1 hour"): DataFrame = {
+      watermarkDelay: String = "1 hour",
+      statePartitions: Option[Int] = None): DataFrame = {
+    // State-store instances = shuffle partitions at query start (×4 for
+    // a join: two sides × key-to-numValues/keyWithIndex stores), each
+    // with its own checkpoint dir + maintenance thread. For bounded
+    // local runs a handful is plenty; on a cluster leave the default.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n))
+    try runViewPurchaseInner(spark, sourceDir, schema, queryName,
+      watermarkDelay)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def runViewPurchaseInner(spark: SparkSession, sourceDir: String,
+      schema: StructType, queryName: String,
+      watermarkDelay: String): DataFrame = {
     def src = spark.readStream.schema(schema).parquet(sourceDir)
     val views = src.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"),
