@@ -123,23 +123,36 @@ object FunctionQueries {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
   }
 
-  /** Custom Catalyst Expression (codegen'd rolling hash) cross-checked
-    * in-query against a Scala-UDF reference implementation — every row
-    * carries `matches=true`; no SQL oracle (64-bit overflow arithmetic
-    * is not expressible in DuckDB's checked BIGINT). */
-  val qRollingFingerprint: QueryDef =
-    QueryDef.rowsOnly("q51_rolling_fingerprint") { (s, dir) =>
-      import graft.functions.RollingHash
-      val ref = udf { (t: String) =>
-        RollingHash.hashBytes(
-          t.toLowerCase.replaceAll("\\s+", " ").trim.getBytes("UTF-8"))
-      }
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          RollingHash.fingerprint64(col("text")).as("fp64"),
-          ref(col("text")).as("fp64_ref"))
-        .withColumn("matches", col("fp64") === col("fp64_ref"))
-    }
+  /** Custom Catalyst Expression (codegen'd rolling hash). The oracle
+    * replays the mod-2^64 polynomial in DuckDB via HUGEINT list_reduce
+    * over ord() of the normalized chars (== UTF-8 bytes for this ASCII
+    * corpus), then maps the unsigned result back to the signed long the
+    * expression emits. UDF-reference parity is asserted in ScaleSpec. */
+  val qRollingFingerprint: QueryDef = QueryDef(
+    "q51_rolling_fingerprint",
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    CASE WHEN t = '' THEN CAST(0 AS HUGEINT)
+      |    ELSE list_reduce(
+      |      list_prepend(CAST(0 AS HUGEINT),
+      |        list_transform(string_split(t, ''), c -> CAST(ord(c) AS HUGEINT))),
+      |      (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT))
+      |    END AS uh
+      |  FROM n)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN uh >= CAST('9223372036854775808' AS HUGEINT)
+      |       THEN uh - CAST('18446744073709551616' AS HUGEINT)
+      |       ELSE uh END AS BIGINT) AS fp64
+      |FROM h""".stripMargin) { (s, dir) =>
+    import graft.functions.RollingHash
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        RollingHash.fingerprint64(col("text")).as("fp64"))
+  }
 
   /** JSON-in-string column parse on real data (the events.props
     * envelope — same from_json shape as the DQ result envelopes). */

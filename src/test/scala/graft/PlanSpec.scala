@@ -85,4 +85,36 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("isFinalPlan=true") && plan.contains("*("),
       s"no WholeStageCodegen spans:\n$plan")
   }
+
+  test("SCD2 build shares one exchange+sort across both window passes") {
+    val plan = planOf(SparkEntry.queries("q85_scd2")(
+      spark, SparkTestSession.sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val sorts = "\\bSort \\[".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(sorts == 1, s"expected 1 sort, got $sorts:\n$plan")
+  }
+
+  test("NOT EXISTS / IN plan as anti + semi joins, not subquery loops") {
+    val plan = planOf(SparkEntry.queries("q79_exists_in")(
+      spark, SparkTestSession.sfDir))
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+  }
+
+  test("CUBE grouping sets expand once and aggregate partial+final") {
+    val plan = formatted(SparkEntry.queries("q76_cube")(
+      spark, SparkTestSession.sfDir))
+    assert(plan.contains("Expand"), s"no Expand:\n$plan")
+    assert(plan.contains("partial_"), s"no partial agg:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"cube shuffles more than once:\n$plan")
+  }
+
+  test("window-extras query uses a single exchange for all five functions") {
+    val plan = planOf(SparkEntry.queries("q80_window_extras")(
+      spark, SparkTestSession.sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
 }
