@@ -41,6 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     val (id, info, builder) = GraftExtensions.rollingHashFn
     e.injectFunction((id, info, builder))
+    // custom whole-operator path: AsOfJoin logical node → AsOfJoinExec
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -48,4 +48,32 @@ object AsOf {
       .map(c => col(s"__match.$c").as(s"$rightPrefix$c"))
     matched.select((leftCols ++ rightCols).toIndexedSeq: _*)
   }
+
+  /** The same semantics as [[join]] through the native operator
+    * (graft.plans.AsOfJoin — custom LogicalPlan + Strategy + SparkPlan):
+    * one shuffle per side, single-pass sorted merge, no union row
+    * inflation. Registered on the session's extraStrategies on first
+    * use (idempotent). */
+  def joinNative(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightPrefix: String = "asof_"): DataFrame = {
+    import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+    import org.apache.spark.sql.graft.PlanBridge
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val rPref = right.columns.foldLeft(right)(
+      (df, c) => df.withColumnRenamed(c, s"$rightPrefix$c"))
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rPref.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    PlanBridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
+      Seq(attr(lPlan, keyCol)), Seq(attr(rPlan, s"$rightPrefix$keyCol")),
+      attr(lPlan, tsCol), attr(rPlan, s"$rightPrefix$tsCol")))
+      .drop(s"$rightPrefix$keyCol")
+  }
 }

@@ -110,6 +110,29 @@ object SqlQueries {
       keyCol = "user_id", tsCol = "ts")
   }
 
+  /** The SAME as-of semantics through the native custom operator
+    * (graft.plans.AsOfJoin: LogicalPlan + Strategy + sort-merge
+    * SparkPlan) — identical oracle as q60; AsOfSpec asserts the two
+    * implementations agree row-for-row and the plan contains
+    * AsOfJoinExec with one exchange per side. */
+  val qAsOfNative: QueryDef = QueryDef(
+    "q88_asof_native",
+    """SELECT l.event_id, l.user_id, l.ts, l.value,
+      |  r.ts AS asof_ts, r.value AS asof_value
+      |FROM (SELECT event_id, user_id, ts, value FROM events
+      |      WHERE event_type = 'purchase') l
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+      |                WHERE event_type = 'click') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    graft.operators.AsOf.joinNative(
+      ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value"),
+      ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value"),
+      keyCol = "user_id", tsCol = "ts")
+  }
+
   /** Bucketed range join: events × 36-hour maintenance-style windows
     * (one per day) — equi-join on time bucket + residual BETWEEN, not a
     * nested-loop theta join. Oracle = the naive theta join (exact). */
@@ -139,5 +162,5 @@ object SqlQueries {
   }
 
   val all: Seq[QueryDef] = Seq(qSqlEntry, qFileLineage, qApproxDistinct,
-    qSaltedJoin, qCompaction, qAsOfJoin, qRangeJoin)
+    qSaltedJoin, qCompaction, qAsOfJoin, qAsOfNative, qRangeJoin)
 }

@@ -54,4 +54,46 @@ class AsOfSpec extends AnyFunSuite {
       .findAllIn(df.queryExecution.executedPlan.toString).length
     assert(exchanges === 1, df.queryExecution.executedPlan.toString)
   }
+
+  test("native as-of operator handles edge semantics like the composed form") {
+    val left = Seq(
+      (1L, "2024-01-01 10:00:00", "p1"), (1L, "2024-01-01 08:30:00", "p2"),
+      (1L, "2024-01-01 07:00:00", "p3"), (2L, "2024-01-01 10:00:00", "p4"))
+      .toDF("user_id", "s", "name")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"), col("name"))
+    val right = Seq(
+      (1L, "2024-01-01 08:00:00", 1.0), (1L, "2024-01-01 09:00:00", 2.0),
+      (3L, "2024-01-01 01:00:00", 9.0)) // right-only key never surfaces
+      .toDF("user_id", "s", "click")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"), col("click"))
+    val got = AsOf.joinNative(left, right, "user_id", "ts")
+      .orderBy("name").select("name", "asof_click")
+      .collect().map(r => (r.getString(0), Option(r.get(1))))
+    assert(got.toSeq === Seq(
+      ("p1", Some(2.0)), ("p2", Some(1.0)), ("p3", None), ("p4", None)))
+  }
+
+  test("native as-of operator agrees with the composed form on real data") {
+    val ev = graft.core.Tables.load(spark, SparkTestSession.sfDir, "events")
+    def l = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    def r = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    val composed = AsOf.join(l, r, "user_id", "ts").collect().toSet
+    val native = AsOf.joinNative(l, r, "user_id", "ts").collect().toSet
+    assert(native === composed)
+    assert(native.nonEmpty)
+  }
+
+  test("native as-of plans as AsOfJoinExec with one exchange per side") {
+    val ev = graft.core.Tables.load(spark, SparkTestSession.sfDir, "events")
+    val df = AsOf.joinNative(
+      ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts", "value"),
+      ev.filter(col("event_type") === "click").select("user_id", "ts", "value"),
+      "user_id", "ts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom operator missing:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 2, s"expected 2 exchanges (one per side):\n$plan")
+  }
 }
