@@ -52,5 +52,40 @@ object GoldQueries {
           .as("revenue"))
   }
 
-  val all: Seq[QueryDef] = Seq(q1Kpi, qStarJoin)
+  /** Funnel conversion: users who purchased after their first view,
+    * within the whole event horizon — one grouped pass over events
+    * (min view ts, any purchase after it), then a global rollup. */
+  val qFunnel: QueryDef = QueryDef(
+    "q92_funnel",
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+      |    max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+      |  FROM events GROUP BY 1)
+      |SELECT count(*) AS n_users,
+      |  CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+      |  CAST(sum(CASE WHEN first_view IS NOT NULL AND last_purchase > first_view
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+      |  round(CAST(sum(CASE WHEN first_view IS NOT NULL AND last_purchase > first_view
+      |             THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
+      |        / greatest(CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 1), 2)
+      |    AS conversion_pct
+      |FROM per_user""".stripMargin) { (s, dir) =>
+    val perUser = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("first_view").isNotNull, 1).otherwise(0)).as("n_viewed"),
+      sum(when(col("first_view").isNotNull &&
+        col("last_purchase") > col("first_view"), 1).otherwise(0))
+        .as("n_converted"))
+      .withColumn("conversion_pct",
+        round(col("n_converted").cast("double") * 100.0 /
+          greatest(col("n_viewed"), lit(1L)), 2))
+  }
+
+  val all: Seq[QueryDef] = Seq(q1Kpi, qStarJoin, qFunnel)
 }

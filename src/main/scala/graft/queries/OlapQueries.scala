@@ -215,6 +215,58 @@ object OlapQueries {
         exists(col("toks"), t => t.startsWith("s")).as("has_s_word"))
   }
 
+  /** Fixed-origin histogram binning — bins are data-independent
+    * (floor(x / width)), so the layout survives any scale-up without a
+    * min/max pre-pass. */
+  val qHistogram: QueryDef = QueryDef(
+    "q89_histogram",
+    """SELECT o_orderstatus,
+      |  CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+      |  count(*) AS n,
+      |  round(min(o_totalprice), 2) AS bin_min,
+      |  round(max(o_totalprice), 2) AS bin_max
+      |FROM orders GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderstatus"),
+        floor(col("o_totalprice") / 25000.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("bin_min"),
+        round(max(col("o_totalprice")), 2).as("bin_max"))
+  }
+
+  /** Per-group z-score feature scaling with HAND-ROLLED moments
+    * (integer-exact sum/sumsq, then one broadcast join back) — the
+    * two-pass normalize that engine stddev aggregates (Welford order-
+    * dependent) cannot reproduce bit-identically across engines. */
+  val qZscore: QueryDef = QueryDef(
+    "q90_zscore",
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+      |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+      |  round((l.l_quantity - CAST(m.s AS DOUBLE) / m.n) /
+      |    sqrt((CAST(m.s2 AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n) / (m.n - 1)), 6)
+      |    AS z
+      |FROM lineitem l JOIN m USING (l_returnflag)
+      |WHERE l.l_orderkey < 500""".stripMargin) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val q = col("l_quantity").cast("bigint")
+    val m = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(q).as("s"), sum(q * q).as("s2"))
+    val mean = col("s").cast("double") / col("n")
+    val variance = (col("s2").cast("double") - col("s").cast("double") * col("s") / col("n")) /
+      (col("n") - 1)
+    li.filter(col("l_orderkey") < 500)
+      .join(broadcast(m), Seq("l_returnflag"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"),
+        round((col("l_quantity") - mean) / sqrt(variance), 6).as("z"))
+  }
+
   val all: Seq[QueryDef] = Seq(qRollup, qPivot, qPercentiles, qCorrelated,
-    qCube, qGroupingSets, qFullOuter, qExistsIn, qWindowExtras, qHof)
+    qCube, qGroupingSets, qFullOuter, qExistsIn, qWindowExtras, qHof,
+    qHistogram, qZscore)
 }

@@ -351,8 +351,46 @@ object ScaleQueries {
           round(Similarity.cosine(col("qa"), col("qb")), 6)), 6).as("abs_err"))
   }
 
+  /** Frame sampling over binary media (video-frame / audio-chunk
+    * shape): first 4 × 256-byte windows per blob with checksums; the
+    * ASCII corpus makes the byte math reproducible via ord() in SQL. */
+  val qFrameSample: QueryDef = QueryDef(
+    "q91_frame_sample",
+    """WITH f AS (
+      |  SELECT doc_id AS media_id, i AS frame_no,
+      |    substring(text, i * 256 + 1, 256) AS frame
+      |  FROM documents, generate_series(0, 3) t(i)
+      |  WHERE length(text) > i * 256)
+      |SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+      |  length(frame) AS frame_bytes,
+      |  CAST(list_sum(list_transform(string_split(frame, ''), c -> ord(c)))
+      |       AS BIGINT) AS frame_checksum
+      |FROM f""".stripMargin) { (s, dir) =>
+    Multimodal.frameSample(
+      Multimodal.packText(Tables.load(s, dir, "documents"), "doc_id", "text"),
+      frameSize = 256, maxFrames = 4)
+  }
+
+  /** Unigram-LM mean surprisal per doc — the cheap language-model
+    * quality signal (ln parity with DuckDB holds at 6 decimals). */
+  val qSurprisal: QueryDef = QueryDef(
+    "q93_lm_surprisal",
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |cnt AS (SELECT term, count(*) AS c FROM terms GROUP BY 1),
+      |tot AS (SELECT count(*) AS t FROM terms)
+      |SELECT terms.doc_id, count(*) AS n_toks,
+      |  round(-avg(ln(cnt.c * 1.0 / (SELECT t FROM tot))), 6) AS mean_surprisal
+      |FROM terms JOIN cnt USING (term)
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    TextStats.unigramSurprisal(
+      Tables.load(s, dir, "documents"), "doc_id", "text")
+  }
+
   val all: Seq[QueryDef] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh,
     qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qDedupEmbedding, qTokenStats, qQuality, qLangId,
     qFingerprint, qMultimodal, qTfidf, qApproxPercentile, qSplit, qStratified,
-    qVectorQuantize)
+    qVectorQuantize, qFrameSample, qSurprisal)
 }

@@ -160,6 +160,23 @@ object StreamQueries {
       s"ssj_${seq.incrementAndGet()}", statePartitions = Some(4))
   }
 
+  /** Built-in streaming dedup with bounded state:
+    * dropDuplicatesWithinWatermark over (user_id, day) — dedup key is
+    * the full projected row, so the kept row is value-identical however
+    * batches split; state evicts as the watermark passes each day. */
+  val qStreamDedup: QueryDef = QueryDef(
+    "q94_stream_dedup",
+    """SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      |FROM events""".stripMargin) { (s, dir) =>
+    val (out, schema) = singleFileEventsDir(s, dir,
+      Seq("event_id", "ts", "user_id", "event_type"))
+    graft.stream.StatefulOps.runDedupWithinWatermark(s, out, schema,
+      s"sdedup_${seq.incrementAndGet()}") { df =>
+      df.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .withWatermark("day", "1 day")
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(qTumbling, qSliding, qSession, qStreamIngest,
-    qStatefulDedup, qStreamStreamJoin)
+    qStatefulDedup, qStreamStreamJoin, qStreamDedup)
 }

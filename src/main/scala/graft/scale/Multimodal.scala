@@ -44,6 +44,37 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling: the first `maxFrames` fixed-size byte windows per
+    * blob (the video-frame / audio-chunk extraction shape), with
+    * per-frame checksums. Same partition-batched decoder contract as
+    * [[decodeFeatures]]; output is one row per (media, frame) — emitted
+    * lazily, so a 100 TB corpus streams frame rows without ever holding
+    * a whole blob set in memory. */
+  def frameSample(media: DataFrame, frameSize: Int, maxFrames: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame_bytes", IntegerType, nullable = false),
+      StructField("frame_checksum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select("media_id", "media").mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("media")
+        val n = if (bytes == null) 0 else bytes.length
+        val frames = math.min(maxFrames, (n + frameSize - 1) / frameSize)
+        (0 until frames).iterator.map { f =>
+          val start = f * frameSize
+          val end = math.min(start + frameSize, n)
+          var checksum = 0L
+          var i = start
+          while (i < end) { checksum += bytes(i) & 0xff; i += 1 }
+          Row(r.getAs[Long]("media_id"), f, end - start, checksum)
+        }
+      }
+    }(enc)
+  }
+
   /** Partition-batched "decode": binary blobs → feature columns.
     * mapPartitions keeps one codec per partition (real codecs are
     * expensive to construct) and never materializes more than an

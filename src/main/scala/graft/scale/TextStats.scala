@@ -102,6 +102,27 @@ object TextStats {
     }
   }
 
+  // ---- Unigram LM surprisal ----------------------------------------------
+
+  /** Mean per-token surprisal −mean(ln p(tok)) under the corpus unigram
+    * model — the cheap LM-quality signal (low = stereotypical text,
+    * high = rare vocabulary). Corpus counts: one explode + one agg;
+    * vocabulary broadcasts back to the token stream (vocab ≪ corpus). */
+  def unigramSurprisal(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val terms = df.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= ""))
+        .as("term"))
+    val counts = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = terms.count()
+    terms.join(broadcast(counts), Seq("term"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        round(-avg(log(col("cnt").cast("double") / total.toDouble)), 6)
+          .as("mean_surprisal"))
+  }
+
   // ---- PII redaction ------------------------------------------------------
 
   /** Patterns restricted to syntax shared by Java regex and RE2 (no

@@ -51,4 +51,26 @@ object StatefulOps {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** Built-in streaming dedup: dropDuplicatesWithinWatermark — state
+    * per distinct row, evicted once the watermark passes (the unbounded
+    * `dropDuplicates` state problem, solved). The dedup key here is the
+    * FULL projected row, so which duplicate is kept is immaterial and
+    * the result is deterministic. */
+  def runDedupWithinWatermark(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, queryName: String)(
+      project: DataFrame => DataFrame): DataFrame = {
+    // `project` must end with withWatermark on an event-time column it
+    // keeps — the dedup state is evicted once the watermark passes it.
+    val src = project(spark.readStream.schema(schema).parquet(sourceDir))
+      .dropDuplicatesWithinWatermark()
+    val q = src.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }

@@ -95,4 +95,24 @@ class Round2OpsSpec extends AnyFunSuite {
     val (e, a) = pair.as[(Double, Double)].collect().head
     assert(math.abs(e - a) < 0.01)
   }
+
+  test("frameSample emits capped frames with exact byte accounting") {
+    import graft.scale.Multimodal
+    val media = Seq(
+      (1L, "a" * 600),   // 3 frames: 256 + 256 + 88
+      (2L, "xy"),        // 1 short frame
+      (3L, ""),          // empty: no frames
+      (4L, "b" * 2000))  // capped at 4 frames
+      .toDF("doc_id", "text")
+    val got = Multimodal.frameSample(
+      Multimodal.packText(media, "doc_id", "text"), 256, 4)
+      .select("media_id", "frame_no", "frame_bytes", "frame_checksum")
+      .as[(Long, Int, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(got(1L).map(_._3).toSeq === Seq(256, 256, 88))
+    assert(got(1L).head._4 === 256L * 'a')
+    assert(got(2L).toSeq === Seq((2L, 0, 2, 2L * 'x' + 1)))
+    assert(!got.contains(3L))
+    assert(got(4L).length === 4 && got(4L).map(_._3).sum === 1024)
+  }
 }
