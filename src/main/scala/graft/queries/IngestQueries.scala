@@ -100,6 +100,31 @@ object IngestQueries {
       "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
   }
 
+  /** ORC source/sink roundtrip (the second columnar format Spark ships
+    * natively) — content proved identical via the table oracle. */
+  val qOrcRoundtrip: QueryDef = QueryDef(
+    "q95_orc_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
+    val out = tmp("graft_orc")
+    Tables.load(s, dir, "nation").write.mode("overwrite").orc(out)
+    s.read.orc(out).select("n_nationkey", "n_name", "n_regionkey")
+  }
+
+  /** Line-oriented text source: write "key|name" lines, read back with
+    * spark.read.text + split — the raw-log ingestion shape. */
+  val qTextSource: QueryDef = QueryDef(
+    "q96_text_source",
+    "SELECT r_regionkey, r_name FROM region") { (s, dir) =>
+    val out = tmp("graft_txt")
+    Tables.load(s, dir, "region")
+      .select(concat_ws("|", col("r_regionkey"), col("r_name")))
+      .write.mode("overwrite").text(out)
+    s.read.text(out)
+      .select(
+        split(col("value"), "\\|").getItem(0).cast("bigint").as("r_regionkey"),
+        split(col("value"), "\\|").getItem(1).as("r_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonRoundtrip, qJsonMultiline,
-    qBinaryFiles, qIncremental, qScd2)
+    qBinaryFiles, qIncremental, qScd2, qOrcRoundtrip, qTextSource)
 }

@@ -78,12 +78,43 @@ object ScaleQueries {
       Dedup.MinHashParams(k = 64, bands = 32, shingle = 2))
   }
 
-  /** SimHash near-dup pairs (xxhash64-based → rows-only; verified in
-    * DedupSpec against brute-force hamming). */
-  val qSimhash: QueryDef = QueryDef.rowsOnly("q43_simhash") { (s, dir) =>
+  /** SimHash near-dup pairs with the md5-derived 60-bit token hash —
+    * fully oracle-checked: DuckDB recomputes every signature (hex→int
+    * via list_reduce, per-bit votes) and brute-forces the hamming
+    * pairs, so the chunk-banding recall bound is verified by the gate
+    * itself, not just a spec. The xxhash64 fast path keeps its
+    * brute-force-equivalence test in DedupSpec. */
+  val qSimhash: QueryDef = QueryDef(
+    "q43_simhash",
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS toks
+      |  FROM documents WHERE doc_id < 200),
+      |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+      |h AS (
+      |  SELECT doc_id, list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(substring(md5(tk), 1, 15), ''),
+      |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+      |    (a, d) -> a * 16 + d) AS hv
+      |  FROM tok),
+      |votes AS (
+      |  SELECT doc_id, j,
+      |    sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM h, generate_series(0, 59) s(j) GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+      |         AS BIGINT) AS sh
+      |  FROM votes GROUP BY 1)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  bit_count(xor(a.sh, b.sh)) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 8""".stripMargin) { (s, dir) =>
     Dedup.simhashPairs(
       Tables.load(s, dir, "documents").filter(col("doc_id") < 200),
-      "doc_id", "text", maxHamming = 8)
+      "doc_id", "text", maxHamming = 8,
+      hasher = Dedup.md5Hash60, nBits = 60)
   }
 
   val qAnnBrute: QueryDef = QueryDef(

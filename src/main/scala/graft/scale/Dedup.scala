@@ -161,17 +161,25 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** Per-document 64-bit SimHash over word tokens: (idCol, simhash). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** First 60 bits of md5 as a signed long — slower than xxhash64 but
+    * reproducible in any engine with md5 (the oracle path). */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Per-document SimHash over word tokens: (idCol, simhash).
+    * `hasher`/`nBits` select the token hash: xxhash64/64 (fast default)
+    * or [[md5Hash60]]/60 (cross-engine reproducible). */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      hasher: Column => Column = xxhash64(_), nBits: Int = 64): DataFrame = {
     val exploded = df.select(col(idCol),
       explode(tokenSet(col(textCol))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
+      .withColumn("__h", hasher(col("__t")))
     // one agg: per-bit signed vote; positive vote → bit set
-    val votes = (0 until 64).map { j =>
+    val votes = (0 until nBits).map { j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"__v$j")
     }
-    val bits = (0 until 64).map { j =>
+    val bits = (0 until nBits).map { j =>
       when(col(s"__v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     exploded.groupBy(col(idCol))
@@ -187,17 +195,23 @@ object Dedup {
     * for the requested radius (a fixed 4-chunk split would silently
     * miss pairs beyond distance 3). Verified by hamming ≤ maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32,
-      "chunk banding needs 64/(maxHamming+1) >= 2 bits per chunk")
+      maxHamming: Int = 3,
+      hasher: Column => Column = xxhash64(_), nBits: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nBits / 2,
+      "chunk banding needs nBits/(maxHamming+1) >= 2 bits per chunk")
     val nChunks = maxHamming + 1
-    val width = (64 + nChunks - 1) / nChunks // ceil; last chunk smaller
-    val sigs = simhash(df, idCol, textCol)
+    // balanced widths (nBits/nChunks, +1 for the first nBits%nChunks) —
+    // a ceil split can leave a ZERO-width trailing chunk, which would
+    // bucket every doc together and break the pigeonhole recall bound
+    val widths = (0 until nChunks).map(c =>
+      nBits / nChunks + (if (c < nBits % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val sigs = simhash(df, idCol, textCol, hasher, nBits)
     val banded = sigs.select(col(idCol), col("simhash"),
       posexplode(array((0 until nChunks).map { c =>
-        val bits = math.min(width, 64 - c * width)
+        val bits = widths(c)
         val mask = if (bits >= 64) -1L else (1L << bits) - 1L
-        shiftright(col("simhash"), c * width).bitwiseAND(mask)
+        shiftright(col("simhash"), offsets(c)).bitwiseAND(mask)
       }: _*)).as(Seq("chunk", "val")))
     val l = banded.select(col(idCol).as("id_a"), col("simhash").as("sig_a"),
       col("chunk"), col("val"))
