@@ -68,14 +68,68 @@ object ScaleQueries {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash+LSH near-dup pipeline. Signature/banding hashes are
-    * Spark-internal (murmur3) → no SQL oracle; LSH recall vs the exact
-    * pair set is asserted in DedupSpec. */
-  val qMinhashLsh: QueryDef = QueryDef.rowsOnly("q42_minhash_lsh") { (s, dir) =>
+  /** MinHash+LSH near-dup pipeline in reproducible-hash mode — the
+    * oracle replays the ENTIRE pipeline in SQL: md5-60 shingle hashes,
+    * the same 64 inlined (a,b) permutation coefficients, md5 band
+    * buckets, and the exact-jaccard verification. The LSH candidate
+    * set (including its misses) is therefore gate-checked, not just
+    * spec-sampled. */
+  private val mhParams =
+    Dedup.MinHashParams(k = 64, bands = 32, shingle = 2, reproducible = true)
+
+  private def minhashOracleSql(p: Dedup.MinHashParams, minJaccard: Double,
+      docLimit: Int): String = {
+    val mins = Dedup.coeffs(p).zipWithIndex.map { case ((a, b), i) =>
+      s"min((h.x * $a + $b) % ${Dedup.Prime}) AS m$i"
+    }.mkString(",\n      ")
+    val sigList = (0 until p.k).map(i => s"m$i").mkString("[", ", ", "]")
+    val r = p.rowsPerBand
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+       |  FROM documents WHERE doc_id < $docLimit),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_filter(
+       |    list_transform(range(0, greatest(len(toks) - ${p.shingle}, 0) + 1),
+       |      i -> array_to_string(toks[i + 1 : i + ${p.shingle}], ' ')),
+       |    x -> x <> '')) AS shingles
+       |  FROM t),
+       |hx AS (
+       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(substring(md5(s.s), 1, 15), ''),
+       |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+       |    (a, d) -> a * 16 + d) % ${Dedup.Prime} AS x
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) s),
+       |mh AS (SELECT doc_id,
+       |      $mins
+       |  FROM hx h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigList AS sig FROM mh),
+       |bands AS (
+       |  SELECT doc_id, g.b AS band,
+       |    md5(array_to_string(sig[g.b * $r + 1 : g.b * $r + $r], ',')) AS bucket
+       |  FROM sig, generate_series(0, ${p.bands - 1}) g(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT id_a, id_b,
+       |    round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+       |      (len(sa.shingles) + len(sb.shingles)
+       |       - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+       |  FROM cand
+       |  JOIN sh sa ON cand.id_a = sa.doc_id
+       |  JOIN sh sb ON cand.id_b = sb.doc_id)
+       |SELECT id_a, id_b, jaccard FROM verified
+       |WHERE jaccard >= $minJaccard""".stripMargin
+  }
+
+  val qMinhashLsh: QueryDef = QueryDef(
+    "q42_minhash_lsh",
+    minhashOracleSql(mhParams, minJaccard = 0.4, docLimit = 200)) { (s, dir) =>
     Dedup.nearDuplicates(
       Tables.load(s, dir, "documents").filter(col("doc_id") < 200),
-      "doc_id", "text", minJaccard = 0.4,
-      Dedup.MinHashParams(k = 64, bands = 32, shingle = 2))
+      "doc_id", "text", minJaccard = 0.4, mhParams)
   }
 
   /** SimHash near-dup pairs with the md5-derived 60-bit token hash —
@@ -139,18 +193,83 @@ object ScaleQueries {
       "vec_id", "embedding", k = 10)
   }
 
-  /** LSH-bucketed ANN (scale path) — bucket assignment uses seeded
-    * Gaussian hyperplanes; recall vs brute-force asserted in
-    * SimilaritySpec. */
-  val qAnnLsh: QueryDef = QueryDef.rowsOnly("q45_ann_lsh") { (s, dir) =>
+  /** LSH-bucketed ANN — the seeded Gaussian hyperplanes are
+    * deterministic, so they are INLINED into the oracle as double
+    * literals and DuckDB replays the whole bucket→candidate→top-k
+    * pipeline (sign flips would need |dot| < 1e-15 — never observed). */
+  private def annLshOracleSql(dim: Int, nPlanes: Int, seed: Long,
+      k: Int): String = {
+    val ps = Similarity.planes(dim, nPlanes, seed)
+    val planeLits = ps.map(_.mkString("[", ", ", "]"))
+    val bucketExpr = planeLits.zipWithIndex.map { case (lit, i) =>
+      s"(CASE WHEN list_dot_product(v, CAST($lit AS DOUBLE[])) >= 0 " +
+        s"THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+       |      WHERE vec_id < 5),
+       |sims AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(q.qv, c.v), 6) AS sim
+       |  FROM b c JOIN q ON c.bucket = q.bucket
+       |  WHERE c.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM sims)
+       |SELECT query_id, neighbor_id, sim, rank FROM ranked
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  val qAnnLsh: QueryDef = QueryDef(
+    "q45_ann_lsh",
+    annLshOracleSql(dim = 64, nPlanes = 4, seed = 42L, k = 10)) { (s, dir) =>
     val emb = Tables.load(s, dir, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
       "vec_id", "embedding", k = 10, dim = 64, nPlanes = 4)
   }
 
-  /** IVF-bucketed ANN (seeded centroids, nProbe=2) — recall + sim
-    * parity vs brute force asserted in ScaleSpec. */
-  val qAnnIvf: QueryDef = QueryDef.rowsOnly("q57_ann_ivf") { (s, dir) =>
+  /** IVF-bucketed ANN — centroids (first 16 vectors by id), cell
+    * assignment (round-9 cosine ranking, so both engines make the same
+    * cell decisions), probes and the final top-k are all replayed by
+    * the oracle. */
+  val qAnnIvf: QueryDef = QueryDef(
+    "q57_ann_ivf",
+    """WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id < 5),
+      |cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce
+      |         FROM embeddings ORDER BY vec_id LIMIT 16),
+      |assigned AS (
+      |  SELECT neighbor_id, cv, cell FROM (
+      |    SELECT c.neighbor_id, c.cv, cent.cell,
+      |      row_number() OVER (PARTITION BY c.neighbor_id
+      |        ORDER BY round(list_cosine_similarity(c.cv, cent.ce), 9) DESC,
+      |                 cent.cell ASC) AS rn
+      |    FROM c CROSS JOIN cent) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, qv, cell FROM (
+      |    SELECT q.query_id, q.qv, cent.cell,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY round(list_cosine_similarity(q.qv, cent.ce), 9) DESC,
+      |                 cent.cell ASC) AS rn
+      |    FROM q CROSS JOIN cent) WHERE rn <= 2),
+      |sims AS (
+      |  SELECT p.query_id, a.neighbor_id,
+      |    round(list_cosine_similarity(p.qv, a.cv), 6) AS sim
+      |  FROM assigned a JOIN probes p ON a.cell = p.cell
+      |  WHERE a.neighbor_id <> p.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |  FROM sims)
+      |SELECT query_id, neighbor_id, sim, rank FROM ranked
+      |WHERE rank <= 10""".stripMargin) { (s, dir) =>
     val emb = Tables.load(s, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
       "vec_id", "embedding", k = 10, nCells = 16, nProbe = 2)

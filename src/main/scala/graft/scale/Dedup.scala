@@ -58,17 +58,21 @@ object Dedup {
 
   // ---- MinHash + LSH ----------------------------------------------------
 
+  /** @param reproducible use cross-engine-reproducible hashes (md5-60
+    *        for shingles, md5 strings for band buckets) instead of
+    *        Spark-internal murmur3/xxhash — slightly slower, but a SQL
+    *        oracle can replay the whole pipeline bit-for-bit. */
   final case class MinHashParams(k: Int = 64, bands: Int = 16,
-      shingle: Int = 3, seed: Long = 42L) {
+      shingle: Int = 3, seed: Long = 42L, reproducible: Boolean = false) {
     require(k % bands == 0, "bands must divide k")
     val rowsPerBand: Int = k / bands
   }
 
-  private val Prime = 2147483647L // 2^31 - 1
+  private[graft] val Prime = 2147483647L // 2^31 - 1
 
   /** Deterministic (a, b) coefficient pairs for k universal-hash
     * permutations h_i(x) = (a_i x + b_i) mod p. */
-  private def coeffs(p: MinHashParams): Seq[(Long, Long)] = {
+  private[graft] def coeffs(p: MinHashParams): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(p.seed)
     Seq.fill(p.k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
       rnd.nextInt(Int.MaxValue).toLong))
@@ -90,8 +94,10 @@ object Dedup {
       p: MinHashParams): DataFrame = {
     val exploded = sets
       .select(col(idCol), explode(col("__set")).as("__sh"))
-      // murmur3 → non-negative long in [0, p)
-      .withColumn("__h", pmod(hash(col("__sh")).cast("long"), lit(Prime)))
+      // → non-negative long in [0, p)
+      .withColumn("__h", pmod(
+        if (p.reproducible) md5Hash60(col("__sh"))
+        else hash(col("__sh")).cast("long"), lit(Prime)))
     val minCols = coeffs(p).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("__h") * a + b, lit(Prime))).as(s"__m$i")
     }
@@ -107,7 +113,10 @@ object Dedup {
     val banded = sigs.select(
       col(idCol),
       posexplode(array((0 until p.bands).map { bIdx =>
-        hash(slice(col("sig"), bIdx * p.rowsPerBand + 1, p.rowsPerBand))
+        val sliced = slice(col("sig"), bIdx * p.rowsPerBand + 1, p.rowsPerBand)
+        if (p.reproducible)
+          md5(concat_ws(",", transform(sliced, _.cast("string"))))
+        else hash(sliced).cast("string")
       }: _*)).as(Seq("band", "bucket")))
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))

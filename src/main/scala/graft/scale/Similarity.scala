@@ -64,7 +64,7 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes (dim × nPlanes). */
-  private def planes(dim: Int, nPlanes: Int, seed: Long): Seq[Seq[Double]] = {
+  private[graft] def planes(dim: Int, nPlanes: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
@@ -94,7 +94,7 @@ object Similarity {
     val wAssign = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("cdist").desc, col("cell").asc)
     val assigned = c.crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosine(col("__cv"), col("__centroid")))
+      .withColumn("cdist", round(cosine(col("__cv"), col("__centroid")), 9))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("neighbor_id"), col("__cv"), col("cell"))
@@ -104,7 +104,7 @@ object Similarity {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("qdist").desc, col("cell").asc)
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("qdist", cosine(col("__qv"), col("__centroid")))
+      .withColumn("qdist", round(cosine(col("__qv"), col("__centroid")), 9))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("__qv"), col("cell"))
