@@ -161,6 +161,50 @@ object SqlQueries {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** Typed Aggregator UDAF (geometric mean) registered for SQL — the
+    * custom-aggregate path whose log-domain partials merge
+    * associatively on any partitioning. Oracle = exp(avg(ln x)). */
+  val qUdafGeomean: QueryDef = QueryDef(
+    "q97_udaf_geomean",
+    """SELECT o_orderstatus, count(*) AS n,
+      |  round(exp(avg(ln(o_totalprice))), 2) AS geo_mean
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.udf.register("geo_mean",
+      org.apache.spark.sql.functions.udaf(graft.functions.GeoMean))
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(geo_mean(o_totalprice), 2) AS geo_mean
+        |FROM orders GROUP BY 1""".stripMargin)
+  }
+
+  /** Partition-pruned scan: write partitioned by status, read one
+    * partition — the scan lists only that directory (PlanSpec asserts
+    * PartitionFilters; at 100 TB this is the difference between
+    * scanning a shard and scanning the lake). */
+  val qPartitionPrune: QueryDef = QueryDef(
+    "q98_partition_prune",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_orderstatus = 'F' AND o_totalprice > 400000""".stripMargin) { (s, dir) =>
+    partitionedOrdersDf(s, dir)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_totalprice")
+  }
+
+  /** Partitioned copy of orders, cached per sfDir. */
+  private val partCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def partitionedOrdersDf(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val out = partCache.computeIfAbsent(dir, { d =>
+      val o = java.nio.file.Files.createTempDirectory("graft_part").toString
+      Tables.load(s, d, "orders").write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(o)
+      o
+    })
+    s.read.parquet(out)
+  }
+
   val all: Seq[QueryDef] = Seq(qSqlEntry, qFileLineage, qApproxDistinct,
-    qSaltedJoin, qCompaction, qAsOfJoin, qAsOfNative, qRangeJoin)
+    qSaltedJoin, qCompaction, qAsOfJoin, qAsOfNative, qRangeJoin,
+    qUdafGeomean, qPartitionPrune)
 }

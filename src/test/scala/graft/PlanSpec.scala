@@ -111,6 +111,16 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"cube shuffles more than once:\n$plan")
   }
 
+  test("partitioned read prunes to the filtered partition directory") {
+    val plan = formatted(SparkEntry.queries("q98_partition_prune")(
+      spark, SparkTestSession.sfDir))
+    assert(plan.contains("PartitionFilters:") &&
+      plan.contains("o_orderstatus"), s"no partition pruning:\n$plan")
+    // the residual predicate still pushes to parquet
+    assert(plan.contains("GreaterThan(o_totalprice,400000.0)"),
+      s"residual pushdown missing:\n$plan")
+  }
+
   test("window-extras query uses a single exchange for all five functions") {
     val plan = planOf(SparkEntry.queries("q80_window_extras")(
       spark, SparkTestSession.sfDir))

@@ -96,6 +96,17 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(math.abs(e - a) < 0.01)
   }
 
+  test("GeoMean aggregator is partitioning-invariant (1 vs 8 partitions)") {
+    val vals = (1 to 1000).map(_.toDouble * 1.5)
+    val udafCol = org.apache.spark.sql.functions.udaf(graft.functions.GeoMean)
+    def run(parts: Int): Double =
+      vals.toDF("x").repartition(parts)
+        .agg(udafCol(col("x"))).as[Double].collect().head
+    val expected = math.exp(vals.map(math.log).sum / vals.size)
+    assert(math.abs(run(1) - expected) < 1e-9)
+    assert(math.abs(run(8) - expected) < 1e-9)
+  }
+
   test("frameSample emits capped frames with exact byte accounting") {
     import graft.scale.Multimodal
     val media = Seq(
