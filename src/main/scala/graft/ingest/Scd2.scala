@@ -26,8 +26,10 @@ object Scd2 {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     changes
       .withColumn("__prev", lag(col(attrCol), 1).over(w))
-      // keep only rows where the attribute actually changed
-      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      // keep only rows where the attribute actually changed; null-safe
+      // so a transition to/from a NULL attribute is a real change (a
+      // plain =!= returns NULL there and silently drops the row)
+      .filter(!(col("__prev") <=> col(attrCol)))
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)

@@ -71,9 +71,17 @@ object AsOf {
         name: String) =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
-    PlanBridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
-      Seq(attr(lPlan, keyCol)), Seq(attr(rPlan, s"$rightPrefix$keyCol")),
-      attr(lPlan, tsCol), attr(rPlan, s"$rightPrefix$tsCol")))
+    val (lk, rk) = (attr(lPlan, keyCol), attr(rPlan, s"$rightPrefix$keyCol"))
+    val (lt, rt) = (attr(lPlan, tsCol), attr(rPlan, s"$rightPrefix$tsCol"))
+    // the hand-built plan bypasses analyzer type coercion: mismatched
+    // types would compare raw row bytes with the LEFT side's ordering
+    // and silently mis-join
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"as-of time types differ: ${lt.dataType} vs ${rt.dataType}")
+    PlanBridge.ofRows(spark,
+      AsOfJoin(lPlan, rPlan, Seq(lk), Seq(rk), lt, rt))
       .drop(s"$rightPrefix$keyCol")
   }
 }

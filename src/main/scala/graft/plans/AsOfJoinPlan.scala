@@ -58,6 +58,12 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  // both children are hash-clustered on the keys — report it so a
+  // downstream groupBy/join on the same keys does not re-shuffle
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    org.apache.spark.sql.catalyst.plans.physical.PartitioningCollection(
+      Seq(left.outputPartitioning, right.outputPartitioning))
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
     (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
@@ -101,25 +107,30 @@ case class AsOfJoinExec(
       lIter.map { l =>
         val lKey = lKeyProj(l)
         val lTs = lTimeProj(l).copy()
+        // SQL semantics: NULL keys/timestamps never match (natural-
+        // ordering comparison alone would treat NULL as smallest value
+        // and happily join it)
+        val lNull = lKey.anyNull || lTs.isNullAt(0)
         // a buffered match from a previous (smaller) key is stale
         if (lastR != null && keyOrdering.compare(lastRKey, lKey) != 0) {
           lastR = null; lastRKey = null
         }
-        var advance = true
+        var advance = !lNull
         while (advance && rBuf.hasNext) {
           val rKey = rKeyProj(rBuf.head)
+          val rTime = rTimeProj(rBuf.head)
           val c = keyOrdering.compare(rKey, lKey)
-          if (c < 0) {
-            rBuf.next() // right key will never match again: discard
-          } else if (c == 0 &&
-              timeOrdering.compare(rTimeProj(rBuf.head), lTs) <= 0) {
+          if (c < 0 || rKey.anyNull || rTime.isNullAt(0)) {
+            rBuf.next() // dead right row (smaller key, or NULLs): discard
+          } else if (c == 0 && timeOrdering.compare(rTime, lTs) <= 0) {
             lastR = rBuf.next().copy()
             lastRKey = lKeyProj(l).copy()
           } else {
             advance = false // right is ahead: stop for this left row
           }
         }
-        resultProj(joined(l, if (lastR != null) lastR else nullRight))
+        resultProj(joined(l,
+          if (lastR != null && !lNull) lastR else nullRight))
       }
     }
   }

@@ -248,7 +248,9 @@ object OlapQueries {
       |  FROM lineitem GROUP BY 1)
       |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
       |  round((l.l_quantity - CAST(m.s AS DOUBLE) / m.n) /
-      |    sqrt((CAST(m.s2 AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n) / (m.n - 1)), 6)
+      |    sqrt(greatest(
+      |      (CAST(m.s2 AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n)
+      |        / greatest(m.n - 1, 1), 1e-300)), 6)
       |    AS z
       |FROM lineitem l JOIN m USING (l_returnflag)
       |WHERE l.l_orderkey < 500""".stripMargin) { (s, dir) =>
@@ -256,9 +258,14 @@ object OlapQueries {
     val q = col("l_quantity").cast("bigint")
     val m = li.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sum(q).as("s"), sum(q * q).as("s2"))
+    // degenerate-group guards mirror the oracle exactly: n=1 → divide
+    // by 1 not 0 (DuckDB NULLs, Spark Infs); variance floored at a
+    // positive epsilon (DuckDB sqrt(negative) hard-errors on float
+    // cancellation, Spark returns NaN)
     val mean = col("s").cast("double") / col("n")
-    val variance = (col("s2").cast("double") - col("s").cast("double") * col("s") / col("n")) /
-      (col("n") - 1)
+    val variance = greatest(
+      (col("s2").cast("double") - col("s").cast("double") * col("s") / col("n")) /
+        greatest(col("n") - 1, lit(1L)), lit(1e-300))
     li.filter(col("l_orderkey") < 500)
       .join(broadcast(m), Seq("l_returnflag"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),

@@ -44,17 +44,23 @@ object Clusters {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("label"))
-      val updated = labels.unionByName(neighborLabels)
-        .groupBy("node").agg(min("label").as("label"))
+      // fused convergence check: the self row carries the previous
+      // label through the same groupBy (no second join per round)
+      val updated = labels.withColumn("__self", lit(true))
+        .unionByName(neighborLabels.withColumn("__self", lit(false)))
+        .groupBy("node")
+        .agg(min("label").as("label"),
+          min(when(col("__self"), col("label"))).as("__prev"))
         .localCheckpoint()
-      val changed = updated
-        .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
-        .filter(col("label") =!= col("prev"))
-      converged = changed.isEmpty
-      labels = updated
+      converged = updated.filter(col("label") =!= col("__prev")).isEmpty
+      labels = updated.drop("__prev")
       iter += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "a component's diameter exceeds maxIter; raise it (labels would " +
+        "be silently wrong otherwise)")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

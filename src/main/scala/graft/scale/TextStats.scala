@@ -114,12 +114,17 @@ object TextStats {
       explode(filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= ""))
         .as("term"))
     val counts = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
-    val total = terms.count()
+    // corpus total derived from the (small) vocabulary frame and
+    // broadcast as a 1-row cross join — the whole plan stays lazy and
+    // tokenizes the corpus once (an eager terms.count() here would
+    // run a full extra pass over the corpus per invocation)
+    val total = counts.agg(sum("cnt").as("__total"))
     terms.join(broadcast(counts), Seq("term"))
+      .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_toks"),
-        round(-avg(log(col("cnt").cast("double") / total.toDouble)), 6)
+        round(-avg(log(col("cnt").cast("double") / col("__total"))), 6)
           .as("mean_surprisal"))
   }
 

@@ -85,6 +85,36 @@ class AsOfSpec extends AnyFunSuite {
     assert(native.nonEmpty)
   }
 
+  test("native as-of: NULL keys and timestamps never match (SQL semantics)") {
+    val left = Seq(
+      (Some(1L), Some("2024-01-01 10:00:00"), "ok"),
+      (None, Some("2024-01-01 10:00:00"), "nullkey"),
+      (Some(1L), None, "nullts"))
+      .toDF("user_id", "s", "name")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"), col("name"))
+    val right = Seq(
+      (Some(1L), Some("2024-01-01 08:00:00"), 1.0),
+      (None, Some("2024-01-01 07:00:00"), 8.0), // null right key: dead
+      (Some(1L), None, 9.0))                    // null right ts: dead
+      .toDF("user_id", "s", "click")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"), col("click"))
+    val got = AsOf.joinNative(left, right, "user_id", "ts")
+      .select("name", "asof_click")
+      .collect().map(r => (r.getString(0), Option(r.get(1)))).toMap
+    assert(got === Map("ok" -> Some(1.0), "nullkey" -> None, "nullts" -> None))
+  }
+
+  test("native as-of rejects mismatched key/time types instead of mis-joining") {
+    val l = Seq((1, "2024-01-01 10:00:00")).toDF("user_id", "s")
+      .select(col("user_id").cast("int").as("user_id"),
+        col("s").cast("timestamp").as("ts"))
+    val r = Seq((1L, "2024-01-01 08:00:00", 1.0)).toDF("user_id", "s", "v")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"), col("v"))
+    intercept[IllegalArgumentException] {
+      AsOf.joinNative(l, r, "user_id", "ts")
+    }
+  }
+
   test("native as-of plans as AsOfJoinExec with one exchange per side") {
     val ev = graft.core.Tables.load(spark, SparkTestSession.sfDir, "events")
     val df = AsOf.joinNative(

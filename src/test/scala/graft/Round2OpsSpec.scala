@@ -46,6 +46,30 @@ class Round2OpsSpec extends AnyFunSuite {
       (2L, "X", "2024-01-02 00:00:00", null, true)))
   }
 
+  test("Scd2.build treats a NULL attribute period as a real change") {
+    val ch = Seq(
+      (1L, Some("A"), "2024-01-01", 1L),
+      (1L, None, "2024-01-05", 2L),
+      (1L, Some("A"), "2024-01-10", 3L))
+      .toDF("k", "attr", "d", "tie")
+      .withColumn("d", col("d").cast("timestamp"))
+    val got = Scd2.build(ch, "k", "attr", "d", "tie")
+      .select(col("attr"), col("valid_from").cast("string"))
+      .as[(Option[String], String)].collect().toSet
+    assert(got === Set(
+      (Some("A"), "2024-01-01 00:00:00"),
+      (None, "2024-01-05 00:00:00"),
+      (Some("A"), "2024-01-10 00:00:00")))
+  }
+
+  test("connectedComponents throws instead of returning wrong labels at maxIter") {
+    // chain 0-1-2-...-9 has diameter 9; 2 rounds cannot converge
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Clusters.connectedComponents(pairs, "id_a", "id_b", maxIter = 2)
+    }
+  }
+
   test("bigrams: empty and single-token docs yield empty arrays") {
     val df = Seq("", "word", "two words here").toDF("text")
       .select(TextStats.bigrams(col("text")).as("b"))

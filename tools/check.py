@@ -8,9 +8,10 @@ oracle SQL in DuckDB against the parquet tables in <sfDir>, loads the
 Spark result parquet from <verifyOutDir>/<name>/, and compares:
   - schema: sorted column-name lists equal
   - rows: row counts equal
-  - hash: values compared column-name-sorted, row-sorted, with float
-    normalization (round to 9 significant-ish digits) — strict enough
-    that passing here makes the driver's hash compare very likely to pass.
+  - hash: values compared column-name-sorted, row-sorted; floats are
+    BIT-EXACT (repr) — the driver's compare has no float tolerance.
+Oracles must avoid result types the driver renders differently from
+Spark (HUGEINT/DECIMAL — see BAD_ORACLE_TYPES); violations fail here.
 Exit code = number of failing queries.
 """
 import glob
