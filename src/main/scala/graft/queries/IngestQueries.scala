@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.ingest.{IncrementalSource, Readers, Scd2}
+import graft.ingest.{Cdc, IncrementalSource, Readers, Scd2}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -125,6 +125,53 @@ object IngestQueries {
         split(col("value"), "\\|").getItem(1).as("r_name"))
   }
 
+  /** CDC apply: I/U/D change stream reconciled into the base snapshot;
+    * latest change per key wins (%10==1 keys get two updates — seq 2
+    * must override seq 1), deletes drop keys, inserts add new ones. */
+  val qCdcApply: QueryDef = QueryDef(
+    "q99_cdc_apply",
+    """WITH ch AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, 'D' AS op, 1 AS seq
+      |  FROM orders WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, round(o_totalprice + 1000, 2), 'U', 1
+      |  FROM orders WHERE o_orderkey % 5 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, round(o_totalprice + 2000, 2), 'U', 2
+      |  FROM orders WHERE o_orderkey % 10 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, 'I', 1
+      |  FROM orders WHERE o_orderkey % 5 = 2),
+      |latest AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |                                 ORDER BY seq DESC, op ASC) AS rn
+      |    FROM ch) WHERE rn = 1)
+      |SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS price
+      |FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = o.o_orderkey)
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, round(o_totalprice, 2)
+      |FROM latest WHERE op <> 'D'""".stripMargin) { (s, dir) =>
+    val base = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    def slice(m: Int, r: Int) = base.filter(col("o_orderkey") % m === r)
+    val changes =
+      slice(5, 0).withColumn("op", lit("D")).withColumn("seq", lit(1))
+        .unionByName(slice(5, 1)
+          .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
+          .withColumn("op", lit("U")).withColumn("seq", lit(1)))
+        .unionByName(slice(10, 1)
+          .withColumn("o_totalprice", round(col("o_totalprice") + 2000, 2))
+          .withColumn("op", lit("U")).withColumn("seq", lit(2)))
+        .unionByName(slice(5, 2)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("op", lit("I")).withColumn("seq", lit(1)))
+    Cdc.apply(base, changes, Seq("o_orderkey"), "op", "seq")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+  }
+
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonRoundtrip, qJsonMultiline,
-    qBinaryFiles, qIncremental, qScd2, qOrcRoundtrip, qTextSource)
+    qBinaryFiles, qIncremental, qScd2, qOrcRoundtrip, qTextSource, qCdcApply)
 }

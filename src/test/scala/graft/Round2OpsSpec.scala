@@ -46,6 +46,19 @@ class Round2OpsSpec extends AnyFunSuite {
       (2L, "X", "2024-01-02 00:00:00", null, true)))
   }
 
+  test("Cdc.apply: latest change wins, deletes drop, inserts add, rest pass") {
+    import graft.ingest.Cdc
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "x", "U", 1), (1L, "y", "U", 2), // two updates: seq 2 wins
+      (2L, "b", "D", 1),                    // delete key 2
+      (9L, "new", "I", 1))                  // insert key 9
+      .toDF("k", "v", "op", "seq")
+    val got = Cdc.apply(base, changes, Seq("k"), "op", "seq")
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "y"), (3L, "c"), (9L, "new")))
+  }
+
   test("Scd2.build treats a NULL attribute period as a real change") {
     val ch = Seq(
       (1L, Some("A"), "2024-01-01", 1L),
