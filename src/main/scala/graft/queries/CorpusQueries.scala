@@ -118,5 +118,113 @@ object CorpusQueries {
       .select("doc_id", "cluster_id", "cluster_size")
   }
 
-  val all: Seq[QueryDef] = Seq(qPiiRedact, qDocRepetition, qDedupClusters)
+  /** The composed corpus-curation pipeline (scale.Curation): quality
+    * filter → exact dedup → MinHash near-dup pairs → connected
+    * components → representative per cluster → content-hash split.
+    * The oracle replays every stage in one SQL statement — the point
+    * is that the individual operators COMPOSE and stay deterministic
+    * end-to-end. */
+  private val curationParams =
+    Dedup.MinHashParams(k = 64, bands = 32, shingle = 2, reproducible = true)
+
+  private def curationOracleSql(p: Dedup.MinHashParams,
+      minJaccard: Double): String = {
+    val mins = Dedup.coeffs(p).zipWithIndex.map { case ((a, b), i) =>
+      s"min((h.x * $a + $b) % ${Dedup.Prime}) AS m$i"
+    }.mkString(",\n      ")
+    val sigList = (0 until p.k).map(i => s"m$i").mkString("[", ", ", "]")
+    val r = p.rowsPerBand
+    val norm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+    s"""WITH RECURSIVE qm AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks,
+       |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS nws,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS npunct,
+       |    length(text) AS nchars
+       |  FROM documents),
+       |qs AS (
+       |  SELECT doc_id, text, toks, nws,
+       |    round(npunct * 1.0 / greatest(nchars, 1), 6) AS punct_ratio,
+       |    round(len(list_filter(toks, x -> list_contains(
+       |      ['the','a','an','and','or','of','to','in','is','was'], x))) * 1.0
+       |      / greatest(len(toks), 1), 6) AS stop_ratio,
+       |    round(list_sum(list_transform(toks, x -> length(x))) * 1.0
+       |      / greatest(len(toks), 1), 6) AS mean_tok_len
+       |  FROM qm),
+       |q AS (
+       |  SELECT doc_id, text, toks FROM qs
+       |  WHERE round(CAST((CASE WHEN nws >= 20 THEN 1.0 ELSE 0.0 END) * 0.3 +
+       |    (CASE WHEN mean_tok_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.2 +
+       |    (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END) * 0.2 +
+       |    (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.3
+       |    AS DOUBLE), 2) >= 0.5),
+       |fp AS (SELECT doc_id, text, toks, sha256($norm) AS f FROM q),
+       |ex AS (SELECT doc_id, text, toks FROM fp
+       |       WHERE doc_id = (SELECT min(f2.doc_id) FROM fp f2 WHERE f2.f = fp.f)),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_filter(
+       |    list_transform(range(0, greatest(len(toks) - ${p.shingle}, 0) + 1),
+       |      i -> array_to_string(toks[i + 1 : i + ${p.shingle}], ' ')),
+       |    x -> x <> '')) AS shingles
+       |  FROM ex),
+       |hx AS (
+       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(substring(md5(s.s), 1, 15), ''),
+       |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+       |    (a, d) -> a * 16 + d) % ${Dedup.Prime} AS x
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) s),
+       |mh AS (SELECT doc_id,
+       |      $mins
+       |  FROM hx h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigList AS sig FROM mh),
+       |bands AS (
+       |  SELECT doc_id, g.b AS band,
+       |    md5(array_to_string(sig[g.b * $r + 1 : g.b * $r + $r], ',')) AS bucket
+       |  FROM sig, generate_series(0, ${p.bands - 1}) g(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN sh sa ON cand.id_a = sa.doc_id
+       |  JOIN sh sb ON cand.id_b = sb.doc_id
+       |  WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+       |    (len(sa.shingles) + len(sb.shingles)
+       |     - len(list_intersect(sa.shingles, sb.shingles))), 4) >= $minJaccard),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM verified
+       |  UNION SELECT id_b, id_a FROM verified),
+       |reach(node, lab) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+       |comp AS (SELECT node, min(lab) AS cid FROM reach GROUP BY node),
+       |assigned AS (
+       |  SELECT ex.doc_id, coalesce(comp.cid, ex.doc_id) AS cluster_id, ex.text
+       |  FROM ex LEFT JOIN comp ON ex.doc_id = comp.node),
+       |reps AS (SELECT doc_id, cluster_id, text FROM assigned
+       |         WHERE doc_id = cluster_id),
+       |bkt AS (
+       |  SELECT doc_id, cluster_id,
+       |    (strpos('0123456789abcdef', substr(sha256($norm), 1, 1)) - 1) * 16 +
+       |    (strpos('0123456789abcdef', substr(sha256($norm), 2, 1)) - 1) AS bucket
+       |  FROM reps)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN bucket < 204 THEN 'train'
+       |       WHEN bucket < 230 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM bkt""".stripMargin
+  }
+
+  val qCuration: QueryDef = QueryDef(
+    "q100_curation_pipeline",
+    curationOracleSql(curationParams, minJaccard = 0.7)) { (s, dir) =>
+    graft.scale.Curation.curate(
+      Tables.load(s, dir, "documents"), "doc_id", "text",
+      minQuality = 0.5, minJaccard = 0.7, curationParams)
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(qPiiRedact, qDocRepetition, qDedupClusters, qCuration)
 }
