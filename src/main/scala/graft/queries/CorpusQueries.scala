@@ -124,8 +124,11 @@ object CorpusQueries {
     * The oracle replays every stage in one SQL statement — the point
     * is that the individual operators COMPOSE and stay deterministic
     * end-to-end. */
+  // bands=16 (r=4) puts the LSH collision threshold at (1/16)^(1/4) = 0.5
+  // for the 0.7 target: ~99% recall at j=0.7 while cutting low-jaccard
+  // candidates ~30x vs r=2 (the verification join is the scale cost)
   private val curationParams =
-    Dedup.MinHashParams(k = 64, bands = 32, shingle = 2, reproducible = true)
+    Dedup.MinHashParams(k = 64, bands = 16, shingle = 2, reproducible = true)
 
   private def curationOracleSql(p: Dedup.MinHashParams,
       minJaccard: Double): String = {

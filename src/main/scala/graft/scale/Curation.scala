@@ -21,8 +21,12 @@ object Curation {
       p: Dedup.MinHashParams): DataFrame = {
     val quality = docs
       .filter(TextStats.qualityScore(col(textCol)) >= minQuality)
+    // persist: the quality regex battery + dedup window feed THREE
+    // consumers (signature explode, cluster assignment, split) — without
+    // this the whole upstream recomputes per consumer
     val exact = Dedup.exactDedup(quality, idCol, textCol)
       .drop("fingerprint")
+      .persist()
     val pairs = Dedup
       .nearDuplicates(exact, idCol, textCol, minJaccard, p)
       .select("id_a", "id_b")
