@@ -161,5 +161,66 @@ object DomainQueries {
       .select("article_id", "url", "content", "source_name")
   }
 
-  val all: Seq[QueryDef] = Seq(qCoinSilver, qStocksSilver, qNewsSilver)
+  /** uber bronze2_to_silver.py shape: spaced raw headers sanitized
+    * (P1), validity conjunction (P6), latest-wins dedup per trip (W2),
+    * derived value_per_km + trip_minutes (the reference's signature
+    * features). Completes the four-domain set (coin/stocks/news/uber)
+    * as named oracle-checked queries.
+    *
+    * value_per_km rounds at 8: fare sits on a 4-decimal lattice and
+    * distances are integers ≤10, so quotients live on a ≤7-decimal
+    * lattice (÷8 = ×0.125) — rounding AT or BELOW the lattice digits
+    * is a Spark-vs-DuckDB coin flip (found empirically at 4 and 6). */
+  val qUberSilver: QueryDef = QueryDef(
+    "q101_uber_silver",
+    """WITH bronze AS (
+      |  SELECT l_orderkey * 10 + l_linenumber AS trip_id,
+      |    l_shipdate AS pickup_datetime,
+      |    l_shipdate + INTERVAL 1 MINUTE * CAST(l_quantity AS INT) AS dropoff_datetime,
+      |    round(l_discount * 100, 2) AS trip_distance,
+      |    l_extendedprice / 100 AS fare_amount,
+      |    l_suppkey % 5 AS batch
+      |  FROM lineitem),
+      |valid AS (
+      |  SELECT * FROM bronze
+      |  WHERE trip_distance > 0 AND fare_amount > 0
+      |    AND dropoff_datetime > pickup_datetime),
+      |dedup AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY trip_id
+      |      ORDER BY batch DESC, fare_amount DESC, trip_distance DESC,
+      |               pickup_datetime DESC) rn
+      |    FROM valid) WHERE rn = 1)
+      |SELECT trip_id, pickup_datetime, dropoff_datetime, trip_distance,
+      |  fare_amount,
+      |  round(fare_amount / trip_distance, 8) AS value_per_km,
+      |  CAST((epoch(dropoff_datetime) - epoch(pickup_datetime)) / 60 AS BIGINT)
+      |    AS trip_minutes
+      |FROM dedup""".stripMargin) { (s, dir) =>
+    val raw = Tables.load(s, dir, "lineitem").select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("trip id"),
+      col("l_shipdate").as("pickup datetime"),
+      expr("timestampadd(MINUTE, CAST(l_quantity AS INT), l_shipdate)")
+        .as("dropoff datetime"),
+      round(col("l_discount") * 100, 2).as("trip distance"),
+      (col("l_extendedprice") / 100).as("fare amount"),
+      (col("l_suppkey") % 5).as("batch"))
+    val sane = Cols.sanitizeNames(raw)
+    val valid = Cleaning.validityFilter(sane, Seq(
+      col("trip_distance") > 0, col("fare_amount") > 0,
+      col("dropoff_datetime") > col("pickup_datetime")))
+    val deduped = Cleaning.dedupLatestWins(valid, Seq("trip_id"), Seq(
+      col("batch").desc, col("fare_amount").desc,
+      col("trip_distance").desc, col("pickup_datetime").desc))
+    deduped
+      .withColumn("value_per_km",
+        round(col("fare_amount") / col("trip_distance"), 8))
+      .withColumn("trip_minutes",
+        ((unix_timestamp(col("dropoff_datetime")) -
+          unix_timestamp(col("pickup_datetime"))) / 60).cast("bigint"))
+      .drop("batch")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(qCoinSilver, qStocksSilver, qNewsSilver, qUberSilver)
 }
