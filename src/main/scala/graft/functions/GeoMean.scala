@@ -11,18 +11,15 @@ import org.apache.spark.sql.expressions.Aggregator
 final case class GeoMeanBuf(var logSum: Double, var n: Long)
 
 object GeoMean extends Aggregator[Double, GeoMeanBuf, Double] {
-  type Buf = GeoMeanBuf
-  private def Buf(l: Double, n: Long) = GeoMeanBuf(l, n)
-
-  override def zero: Buf = Buf(0.0, 0L)
-  override def reduce(b: Buf, x: Double): Buf = {
+  override def zero: GeoMeanBuf = GeoMeanBuf(0.0, 0L)
+  override def reduce(b: GeoMeanBuf, x: Double): GeoMeanBuf = {
     b.logSum += math.log(x); b.n += 1; b
   }
-  override def merge(a: Buf, b: Buf): Buf = {
+  override def merge(a: GeoMeanBuf, b: GeoMeanBuf): GeoMeanBuf = {
     a.logSum += b.logSum; a.n += b.n; a
   }
-  override def finish(b: Buf): Double =
+  override def finish(b: GeoMeanBuf): Double =
     if (b.n == 0) Double.NaN else math.exp(b.logSum / b.n)
-  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  override def bufferEncoder: Encoder[GeoMeanBuf] = Encoders.product[GeoMeanBuf]
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }

@@ -124,7 +124,7 @@ case class AsOfJoinExec(
             rBuf.next() // dead right row (smaller key, or NULLs): discard
           } else if (c == 0 && timeOrdering.compare(rTime, lTs) <= 0) {
             lastR = rBuf.next().copy()
-            lastRKey = lKeyProj(l).copy()
+            lastRKey = lKey.copy()
           } else {
             advance = false // right is ahead: stop for this left row
           }

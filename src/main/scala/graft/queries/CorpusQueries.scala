@@ -107,12 +107,7 @@ object CorpusQueries {
       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       |FROM assigned""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 60)
-    val sets = docs.select(col("doc_id"), Dedup.tokenSet(col("text")).as("toks"))
-    val a = sets.select(col("doc_id").as("id_a"), col("toks").as("ta"))
-    val b = sets.select(col("doc_id").as("id_b"), col("toks").as("tb"))
-    val pairs = a.join(b, col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(Dedup.jaccard(col("ta"), col("tb")), 4))
-      .filter(col("jaccard") >= 0.7)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.7)
       .select("id_a", "id_b")
     Clusters.dedupClusters(docs.select("doc_id"), pairs, "doc_id")
       .select("doc_id", "cluster_id", "cluster_size")
@@ -132,11 +127,6 @@ object CorpusQueries {
 
   private def curationOracleSql(p: Dedup.MinHashParams,
       minJaccard: Double): String = {
-    val mins = Dedup.coeffs(p).zipWithIndex.map { case ((a, b), i) =>
-      s"min((h.x * $a + $b) % ${Dedup.Prime}) AS m$i"
-    }.mkString(",\n      ")
-    val sigList = (0 until p.k).map(i => s"m$i").mkString("[", ", ", "]")
-    val r = p.rowsPerBand
     val norm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
     s"""WITH RECURSIVE qm AS (
        |  SELECT doc_id, text,
@@ -164,40 +154,10 @@ object CorpusQueries {
        |fp AS (SELECT doc_id, text, toks, sha256($norm) AS f FROM q),
        |ex AS (SELECT doc_id, text, toks FROM fp
        |       WHERE doc_id = (SELECT min(f2.doc_id) FROM fp f2 WHERE f2.f = fp.f)),
-       |sh AS (
-       |  SELECT doc_id, list_distinct(list_filter(
-       |    list_transform(range(0, greatest(len(toks) - ${p.shingle}, 0) + 1),
-       |      i -> array_to_string(toks[i + 1 : i + ${p.shingle}], ' ')),
-       |    x -> x <> '')) AS shingles
-       |  FROM ex),
-       |hx AS (
-       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(string_split(substring(md5(s.s), 1, 15), ''),
-       |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
-       |    (a, d) -> a * 16 + d) % ${Dedup.Prime} AS x
-       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) s),
-       |mh AS (SELECT doc_id,
-       |      $mins
-       |  FROM hx h GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $sigList AS sig FROM mh),
-       |bands AS (
-       |  SELECT doc_id, g.b AS band,
-       |    md5(array_to_string(sig[g.b * $r + 1 : g.b * $r + $r], ',')) AS bucket
-       |  FROM sig, generate_series(0, ${p.bands - 1}) g(b)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |verified AS (
-       |  SELECT id_a, id_b FROM cand
-       |  JOIN sh sa ON cand.id_a = sa.doc_id
-       |  JOIN sh sb ON cand.id_b = sb.doc_id
-       |  WHERE round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
-       |    (len(sa.shingles) + len(sb.shingles)
-       |     - len(list_intersect(sa.shingles, sb.shingles))), 4) >= $minJaccard),
+       |${MinhashOracle.cteChain("ex", p, minJaccard)},
        |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM verified
-       |  UNION SELECT id_b, id_a FROM verified),
+       |  SELECT id_a AS src, id_b AS dst FROM verified_min
+       |  UNION SELECT id_b, id_a FROM verified_min),
        |reach(node, lab) AS (
        |  SELECT DISTINCT src, src FROM edges
        |  UNION

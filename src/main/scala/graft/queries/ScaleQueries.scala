@@ -57,15 +57,9 @@ object ScaleQueries {
       |WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0 /
       |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
       |      >= 0.7""".stripMargin) { (s, dir) =>
-    val t = Tables.load(s, dir, "documents")
-      .filter(col("doc_id") < 60)
-      .select(col("doc_id"), Dedup.tokenSet(col("text")).as("toks"))
-    val a = t.select(col("doc_id").as("id_a"), col("toks").as("ta"))
-    val b = t.select(col("doc_id").as("id_b"), col("toks").as("tb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(Dedup.jaccard(col("ta"), col("tb")), 4))
-      .filter(col("jaccard") >= 0.7)
-      .select("id_a", "id_b", "jaccard")
+    Dedup.jaccardPairs(
+      Tables.load(s, dir, "documents").filter(col("doc_id") < 60),
+      "doc_id", "text", minJaccard = 0.7)
   }
 
   /** MinHash+LSH near-dup pipeline in reproducible-hash mode — the
@@ -78,51 +72,13 @@ object ScaleQueries {
     Dedup.MinHashParams(k = 64, bands = 32, shingle = 2, reproducible = true)
 
   private def minhashOracleSql(p: Dedup.MinHashParams, minJaccard: Double,
-      docLimit: Int): String = {
-    val mins = Dedup.coeffs(p).zipWithIndex.map { case ((a, b), i) =>
-      s"min((h.x * $a + $b) % ${Dedup.Prime}) AS m$i"
-    }.mkString(",\n      ")
-    val sigList = (0 until p.k).map(i => s"m$i").mkString("[", ", ", "]")
-    val r = p.rowsPerBand
+      docLimit: Int): String =
     s"""WITH t AS (
        |  SELECT doc_id, list_filter(
        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
        |  FROM documents WHERE doc_id < $docLimit),
-       |sh AS (
-       |  SELECT doc_id, list_distinct(list_filter(
-       |    list_transform(range(0, greatest(len(toks) - ${p.shingle}, 0) + 1),
-       |      i -> array_to_string(toks[i + 1 : i + ${p.shingle}], ' ')),
-       |    x -> x <> '')) AS shingles
-       |  FROM t),
-       |hx AS (
-       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(string_split(substring(md5(s.s), 1, 15), ''),
-       |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
-       |    (a, d) -> a * 16 + d) % ${Dedup.Prime} AS x
-       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) s),
-       |mh AS (SELECT doc_id,
-       |      $mins
-       |  FROM hx h GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $sigList AS sig FROM mh),
-       |bands AS (
-       |  SELECT doc_id, g.b AS band,
-       |    md5(array_to_string(sig[g.b * $r + 1 : g.b * $r + $r], ',')) AS bucket
-       |  FROM sig, generate_series(0, ${p.bands - 1}) g(b)),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |verified AS (
-       |  SELECT id_a, id_b,
-       |    round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
-       |      (len(sa.shingles) + len(sb.shingles)
-       |       - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
-       |  FROM cand
-       |  JOIN sh sa ON cand.id_a = sa.doc_id
-       |  JOIN sh sb ON cand.id_b = sb.doc_id)
-       |SELECT id_a, id_b, jaccard FROM verified
-       |WHERE jaccard >= $minJaccard""".stripMargin
-  }
+       |${MinhashOracle.cteChain("t", p, minJaccard)}
+       |SELECT id_a, id_b, jaccard FROM verified_min""".stripMargin
 
   val qMinhashLsh: QueryDef = QueryDef(
     "q42_minhash_lsh",

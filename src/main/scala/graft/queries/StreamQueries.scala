@@ -33,25 +33,17 @@ object StreamQueries {
       (out, ev.schema)
     })
 
-  /** Single-file copy (one micro-batch under AvailableNow) for queries
-    * whose oracle needs single-batch semantics; cached per sfDir. */
+  /** Single-file projected copy of events (one micro-batch under
+    * AvailableNow — for queries whose oracle needs single-batch
+    * semantics); cached per (sfDir, projection tag). */
   private val singleFileCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.types.StructType)]()
-  private def singleFileEventsDir(s: org.apache.spark.sql.SparkSession,
-      dir: String, cols: Seq[String]): (String, org.apache.spark.sql.types.StructType) =
-    singleFileCache.computeIfAbsent(dir + "#" + cols.mkString(","), { _ =>
-      val ev = Tables.load(s, dir, "events").select(cols.map(col): _*)
-      val out = tmp("graft_events1")
-      ev.coalesce(1).write.mode("overwrite").parquet(out)
-      (out, ev.schema)
-    })
-
-  /** q56's (key, ts, value) single-file projection; cached per sfDir. */
-  private def singleFileKeyedEventsDir(s: org.apache.spark.sql.SparkSession,
-      dir: String): (String, org.apache.spark.sql.types.StructType) =
-    singleFileCache.computeIfAbsent(dir + "#keyed", { _ =>
-      val ev = Tables.load(s, dir, "events")
-        .select(col("user_id").as("key"), col("ts"), col("value"))
+  private def singleFileEvents(s: org.apache.spark.sql.SparkSession,
+      dir: String, tag: String)(
+      project: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (String, org.apache.spark.sql.types.StructType) =
+    singleFileCache.computeIfAbsent(dir + "#" + tag, { _ =>
+      val ev = project(Tables.load(s, dir, "events"))
       val out = tmp("graft_events1")
       ev.coalesce(1).write.mode("overwrite").parquet(out)
       (out, ev.schema)
@@ -139,7 +131,8 @@ object StreamQueries {
       |  SELECT user_id, ts, value,
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
       |  FROM events) WHERE rn = 1""".stripMargin) { (s, dir) =>
-    val (out, _) = singleFileKeyedEventsDir(s, dir)
+    val (out, _) = singleFileEvents(s, dir, "keyed")(
+      _.select(col("user_id").as("key"), col("ts"), col("value")))
     graft.stream.StatefulOps.runFirstSeen(s, out,
       s"stateful_${seq.incrementAndGet()}")
   }
@@ -154,8 +147,8 @@ object StreamQueries {
       |FROM events v JOIN events p ON v.user_id = p.user_id
       |  AND v.event_type = 'view' AND p.event_type = 'purchase'
       |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE""".stripMargin) { (s, dir) =>
-    val (out, schema) = singleFileEventsDir(s, dir,
-      Seq("event_id", "ts", "user_id", "event_type"))
+    val (out, schema) = singleFileEvents(s, dir, "typed")(
+      _.select("event_id", "ts", "user_id", "event_type"))
     StreamJoins.runViewPurchase(s, out, schema,
       s"ssj_${seq.incrementAndGet()}", statePartitions = Some(4))
   }
@@ -168,8 +161,8 @@ object StreamQueries {
     "q94_stream_dedup",
     """SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
       |FROM events""".stripMargin) { (s, dir) =>
-    val (out, schema) = singleFileEventsDir(s, dir,
-      Seq("event_id", "ts", "user_id", "event_type"))
+    val (out, schema) = singleFileEvents(s, dir, "typed")(
+      _.select("event_id", "ts", "user_id", "event_type"))
     graft.stream.StatefulOps.runDedupWithinWatermark(s, out, schema,
       s"sdedup_${seq.incrementAndGet()}") { df =>
       df.select(col("user_id"), date_trunc("day", col("ts")).as("day"))

@@ -56,6 +56,20 @@ object Dedup {
     (inter.cast("double") / (size(a) + size(b) - inter).cast("double"))
   }
 
+  /** All pairs (id_a < id_b) with token-set jaccard ≥ threshold —
+    * exact O(n²) verification for bounded slices (the oracle-side
+    * ground truth the LSH operators approximate). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double): DataFrame = {
+    val sets = df.select(col(idCol), tokenSet(col(textCol)).as("toks"))
+    val a = sets.select(col(idCol).as("id_a"), col("toks").as("ta"))
+    val b = sets.select(col(idCol).as("id_b"), col("toks").as("tb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(jaccard(col("ta"), col("tb")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** @param reproducible use cross-engine-reproducible hashes (md5-60

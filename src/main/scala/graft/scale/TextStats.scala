@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  /** The lowercase word-token stream (non-distinct) every text metric
+    * is built on — one definition instead of six inline copies. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
     size(filter(split(text, "\\s+"), t => t =!= ""))
@@ -29,13 +34,13 @@ object TextStats {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "was")
 
   def stopwordRatio(text: Column): Column = {
-    val toks = filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+    val toks = tokens(text)
     round(size(filter(toks, t => t.isInCollection(Stopwords))).cast("double")
       / greatest(size(toks), lit(1)).cast("double"), 6)
   }
 
   def meanTokenLen(text: Column): Column = {
-    val toks = filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+    val toks = tokens(text)
     round(aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
       / greatest(size(toks), lit(1)).cast("double"), 6)
   }
@@ -61,8 +66,7 @@ object TextStats {
     import org.apache.spark.sql.expressions.Window
     val n = df.count()
     val terms = df.select(col(idCol),
-      explode(filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= ""))
-        .as("term"))
+      explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = terms.select(col(idCol), col("term")).distinct()
@@ -88,7 +92,7 @@ object TextStats {
     "fr" -> Seq("le", "la", "les", "et", "est", "que"))
 
   def langScores(text: Column): Seq[(String, Column)] = {
-    val toks = filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+    val toks = tokens(text)
     LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       lang -> size(filter(toks, t => t.isInCollection(markers)))
     }
@@ -111,8 +115,7 @@ object TextStats {
   def unigramSurprisal(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val terms = df.select(col(idCol),
-      explode(filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= ""))
-        .as("term"))
+      explode(tokens(col(textCol))).as("term"))
     val counts = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
     // corpus total derived from the (small) vocabulary frame and
     // broadcast as a 1-row cross join — the whole plan stays lazy and
@@ -151,12 +154,12 @@ object TextStats {
   /** Word bigrams ("a b") from the lowercase token stream. The <2-token
     * guard matters: sequence(1, 0) in Spark is DESCENDING [1, 0], not
     * empty. */
-  def bigrams(text: Column): Column = {
-    val toks = filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+  def bigrams(text: Column): Column = bigramsFromTokens(tokens(text))
+
+  def bigramsFromTokens(toks: Column): Column =
     when(size(toks) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-  }
 
   /** Per-document repetition metrics (Gopher-style duplicate-content
     * rules): duplicate-token ratio, top-token share, duplicate-bigram
@@ -164,9 +167,8 @@ object TextStats {
     * text column itself is never shuffled. */
   def repetitionMetrics(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= "")
-    val base = df.select(col(idCol), toks.as("__toks"),
-      bigrams(col(textCol)).as("__bi"))
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__bi", bigramsFromTokens(col("__toks")))
     val tokCounts = base
       .select(col(idCol), explode(col("__toks")).as("__t"))
       .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__n"))
