@@ -170,6 +170,39 @@ object StreamQueries {
     }
   }
 
+  /** Streaming CDC apply (the streaming MERGE-with-deletes): base table
+    * seeded, then a single-file change stream reconciled via
+    * foreachBatch + Cdc.apply — one micro-batch, so the result equals
+    * the batch CDC semantics and SHARES q99's oracle. */
+  val qStreamCdc: QueryDef = QueryDef(
+    "q102_stream_cdc",
+    IngestQueries.qCdcApply.oracle.get) { (s, dir) =>
+    import graft.ingest.ParquetTableIO
+    val base = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    def slice(m: Int, r: Int) = base.filter(col("o_orderkey") % m === r)
+    val changes =
+      slice(5, 0).withColumn("op", lit("D")).withColumn("seq", lit(1))
+        .unionByName(slice(5, 1)
+          .withColumn("o_totalprice", round(col("o_totalprice") + 1000, 2))
+          .withColumn("op", lit("U")).withColumn("seq", lit(1)))
+        .unionByName(slice(10, 1)
+          .withColumn("o_totalprice", round(col("o_totalprice") + 2000, 2))
+          .withColumn("op", lit("U")).withColumn("seq", lit(2)))
+        .unionByName(slice(5, 2)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("op", lit("I")).withColumn("seq", lit(1)))
+    val srcDir = tmp("graft_cdc_src")
+    changes.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val io = new ParquetTableIO(tmp("graft_cdc_tbl"))
+    io.overwrite(base, "t")
+    graft.stream.StreamIngest.ingestCdc(s, srcDir, tmp("graft_cdc_ck"),
+      io, "t", Seq("o_orderkey"), "op", "seq", changes.schema)
+    io.read(s, "t")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+  }
+
   val all: Seq[QueryDef] = Seq(qTumbling, qSliding, qSession, qStreamIngest,
-    qStatefulDedup, qStreamStreamJoin, qStreamDedup)
+    qStatefulDedup, qStreamStreamJoin, qStreamDedup, qStreamCdc)
 }

@@ -53,4 +53,33 @@ object StreamIngest {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming CDC apply — the MERGE-with-deletes sink: each
+    * micro-batch of I/U/D change rows is reconciled into the target
+    * table via [[graft.ingest.Cdc]] (latest change per key wins,
+    * deletes drop keys). Exactly-once per file via the source
+    * checkpoint; batches apply in arrival order, so per-key ordering
+    * across batches follows the stream order (within a batch, seqCol
+    * decides). */
+  def ingestCdc(spark: SparkSession, sourceDir: String, checkpointDir: String,
+      io: TableIO, table: String, keys: Seq[String], opCol: String,
+      seqCol: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val base =
+            if (io.exists(spark, table)) io.read(spark, table)
+            else batch.filter(lit(false)).drop(opCol, seqCol)
+          io.overwrite(
+            graft.ingest.Cdc.apply(base, batch, keys, opCol, seqCol), table)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -79,4 +79,35 @@ class StreamingSpec extends AnyFunSuite {
       .select("id", "k").as[(Long, Long)].collect().toSeq
     assert(got === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
+
+  test("streaming CDC apply: later batch overrides earlier; deletes drop keys; restart is a no-op") {
+    val src = tmp("cdc_src"); val ck = tmp("cdc_ck"); val tbl = tmp("cdc_tbl")
+    val io = new ParquetTableIO(tbl)
+    val mk = (rows: Seq[(Long, String, String, Int)]) =>
+      rows.toDF("k", "v", "op", "seq")
+    io.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), "t")
+    val schema = mk(Seq((0L, "", "", 0))).schema
+
+    // batch 1: update k=1 (two changes, seq decides), delete k=2
+    mk(Seq((1L, "a1", "U", 1), (1L, "a2", "U", 2), (2L, "b", "D", 1)))
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    StreamIngest.ingestCdc(spark, src, ck, io, "t",
+      Seq("k"), "op", "seq", schema)
+    assert(io.read(spark, "t").orderBy("k").as[(Long, String)]
+      .collect().toSeq === Seq((1L, "a2"), (3L, "c")))
+
+    // restart with no new files: checkpoint makes it a no-op
+    StreamIngest.ingestCdc(spark, src, ck, io, "t",
+      Seq("k"), "op", "seq", schema)
+    assert(io.read(spark, "t").count() === 2)
+
+    // batch 2 (new file): insert k=4, re-insert previously deleted k=2
+    mk(Seq((4L, "d", "I", 1), (2L, "b2", "I", 1)))
+      .coalesce(1).write.mode("append").parquet(src)
+    StreamIngest.ingestCdc(spark, src, ck, io, "t",
+      Seq("k"), "op", "seq", schema)
+    assert(io.read(spark, "t").orderBy("k").as[(Long, String)]
+      .collect().toSeq ===
+      Seq((1L, "a2"), (2L, "b2"), (3L, "c"), (4L, "d")))
+  }
 }
