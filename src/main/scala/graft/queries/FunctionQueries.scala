@@ -170,6 +170,46 @@ object FunctionQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** VARIANT semi-structured path (Spark 4): heterogeneous JSON parsed
+    * ONCE into the binary variant encoding, fields extracted by path
+    * with `variant_get` — the scale answer when payload shapes differ
+    * per row (a single `from_json` schema can't cover them and
+    * re-parsing per field re-reads the string). Payload built from
+    * integer fields so both engines render identical JSON. */
+  val qVariant: QueryDef = QueryDef(
+    "q103_variant",
+    """WITH p AS (
+      |  SELECT CASE WHEN event_type = 'click'
+      |    THEN '{"kind":"click","pos":{"x":' || CAST(user_id % 100 AS VARCHAR)
+      |      || ',"y":' || CAST(event_id % 50 AS VARCHAR) || '}}'
+      |    ELSE '{"kind":"' || event_type || '","vals":['
+      |      || CAST(event_id % 7 AS VARCHAR) || ','
+      |      || CAST(user_id % 13 AS VARCHAR) || ']}'
+      |  END AS payload FROM events)
+      |SELECT json_extract_string(payload, '$.kind') AS kind,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(coalesce(CAST(json_extract(payload, '$.pos.x') AS BIGINT),
+      |                    CAST(json_extract(payload, '$.vals[0]') AS BIGINT))) AS BIGINT) AS sum_first,
+      |  CAST(sum(coalesce(CAST(json_extract(payload, '$.pos.y') AS BIGINT),
+      |                    CAST(json_extract(payload, '$.vals[1]') AS BIGINT))) AS BIGINT) AS sum_second
+      |FROM p GROUP BY 1""".stripMargin) { (s, dir) =>
+    val payload = when(col("event_type") === "click",
+      concat(lit("""{"kind":"click","pos":{"x":"""),
+        (col("user_id") % 100).cast("string"),
+        lit(""","y":"""), (col("event_id") % 50).cast("string"), lit("}}")))
+      .otherwise(concat(lit("""{"kind":""""), col("event_type"),
+        lit("""","vals":["""), (col("event_id") % 7).cast("string"),
+        lit(","), (col("user_id") % 13).cast("string"), lit("]}")))
+    Tables.load(s, dir, "events")
+      .withColumn("v", parse_json(payload))
+      .groupBy(variant_get(col("v"), "$.kind", "string").as("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(variant_get(col("v"), "$.pos.x", "bigint"),
+          variant_get(col("v"), "$.vals[0]", "bigint"))).as("sum_first"),
+        sum(coalesce(variant_get(col("v"), "$.pos.y", "bigint"),
+          variant_get(col("v"), "$.vals[1]", "bigint"))).as("sum_second"))
+  }
+
   /** Third sentiment form: native codegen expression (fused byte-walk,
     * no HOF arrays, no UDF serialization) — same oracle as q26/q27. */
   val qSentimentNative: QueryDef = QueryDef(
@@ -187,5 +227,5 @@ object FunctionQueries {
 
   val all: Seq[QueryDef] = Seq(qStringFuncs, qDateFuncs, qSentimentBuiltin,
     qSentimentUdf, qExplodeTokens, qRollingFingerprint, qPropsJson,
-    qSentimentNative)
+    qSentimentNative, qVariant)
 }

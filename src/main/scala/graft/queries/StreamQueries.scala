@@ -203,6 +203,30 @@ object StreamQueries {
         round(col("o_totalprice"), 2).as("price"))
   }
 
+  /** Streaming incremental gold maintenance: per-batch partial KPIs
+    * merged into the stored table by re-aggregation
+    * ([[graft.stream.IncrementalGold]]). Count/sum are decomposable, so
+    * the maintained table equals the batch aggregate however the
+    * backlog was chunked — which is exactly what the batch-SQL oracle
+    * checks. */
+  val qStreamGold: QueryDef = QueryDef(
+    "q104_stream_gold",
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val (src, schema) = eventsDir(s, dir)
+    val io = new ParquetTableIO(tmp("graft_gold_tbl"))
+    graft.stream.IncrementalGold.run(s, src, schema, tmp("graft_gold_ck"),
+      io, "gold", Seq("event_type", "day")) { batch =>
+      batch.groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("raw_total"))
+    }
+    io.read(s, "gold")
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("raw_total"), 2).as("total_value"))
+  }
+
   val all: Seq[QueryDef] = Seq(qTumbling, qSliding, qSession, qStreamIngest,
-    qStatefulDedup, qStreamStreamJoin, qStreamDedup, qStreamCdc)
+    qStatefulDedup, qStreamStreamJoin, qStreamDedup, qStreamCdc, qStreamGold)
 }

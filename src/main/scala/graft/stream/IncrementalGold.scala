@@ -1,0 +1,57 @@
+package graft.stream
+
+import graft.ingest.TableIO
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Incremental gold-aggregate maintenance: the streaming form of a
+  * materialized view over decomposable aggregates (counts and sums).
+  *
+  * Each micro-batch is reduced to a PARTIAL aggregate per key by the
+  * caller-supplied `partial`, then merged into the stored table by
+  * union + re-aggregation — the same partial/final split Spark's own
+  * HashAggregate performs across a shuffle, lifted across micro-batches.
+  * Because count and sum are associative+commutative, the maintained
+  * table equals the batch aggregate over all data seen so far,
+  * regardless of how the backlog was chunked into batches.
+  *
+  * At 100 TB this is the pattern that replaces "re-aggregate the whole
+  * fact table nightly": per-batch work is O(batch), the merge is
+  * O(|gold|) — keyed by low-cardinality dims, so |gold| stays tiny.
+  * (Re-expresses the reference's gold KPI jobs — e.g.
+  * spark/jobs/uber/gold.py — as a streaming-maintained table.)
+  */
+object IncrementalGold {
+
+  /** Drain `sourceDir` (AvailableNow + checkpoint = each file exactly
+    * once) maintaining `table`. `partial` must map a batch to one row
+    * per key: `keys ++ decomposable partial-agg columns` (all numeric,
+    * sum-mergeable). Blocks until the backlog is drained.
+    */
+  def run(spark: SparkSession, sourceDir: String, schema: StructType,
+      checkpointDir: String, io: TableIO, table: String,
+      keys: Seq[String])(partial: DataFrame => DataFrame): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val p = partial(batch)
+          val merged =
+            if (io.exists(spark, table)) io.read(spark, table).unionByName(p)
+            else p
+          val aggCols = p.columns.filterNot(keys.contains)
+            .map(c => sum(col(c)).as(c))
+          io.overwrite(
+            merged.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*),
+            table)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

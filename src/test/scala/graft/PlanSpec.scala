@@ -127,4 +127,33 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
+
+  test("runtime bloom filter from the selective dim side prunes the fact scan") {
+    // At 100 TB the selective side of a shuffle join should seed a
+    // runtime bloom filter that drops fact rows BEFORE the exchange.
+    // Thresholds are sized for real tables, so shrink them to prove the
+    // optimizer path fires on our plan shape.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = Tables.load(spark, SparkTestSession.sfDir, "orders")
+        .filter(col("o_orderstatus") === "P") // selective build side
+      val l = Tables.load(spark, SparkTestSession.sfDir, "lineitem")
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderstatus").agg(sum("l_quantity").as("qty"))
+      val plan = planOf(joined)
+      assert(plan.contains("might_contain") &&
+        plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

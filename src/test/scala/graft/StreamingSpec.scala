@@ -110,4 +110,27 @@ class StreamingSpec extends AnyFunSuite {
       .collect().toSeq ===
       Seq((1L, "a2"), (2L, "b2"), (3L, "c"), (4L, "d")))
   }
+
+  test("incremental gold: partial-merge over two batches equals the batch aggregate") {
+    val src = tmp("gold_src"); val ck = tmp("gold_ck")
+    val io = new ParquetTableIO(tmp("gold_tbl"))
+    val mk = (rows: Seq[(String, Double)]) => rows.toDF("k", "v")
+    val schema = mk(Seq(("", 0.0))).schema
+    def drain(): Unit =
+      graft.stream.IncrementalGold.run(spark, src, schema, ck, io, "g",
+        Seq("k")) { b =>
+        b.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("total"))
+      }
+
+    mk(Seq(("a", 1.0), ("a", 2.0), ("b", 10.0)))
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    drain()
+    // second batch touches an existing key and adds a new one
+    mk(Seq(("a", 4.0), ("c", 7.0)))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    val got = io.read(spark, "g").orderBy("k")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === Seq(("a", 3L, 7.0), ("b", 1L, 10.0), ("c", 1L, 7.0)))
+  }
 }
