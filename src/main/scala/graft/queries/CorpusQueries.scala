@@ -188,6 +188,61 @@ object CorpusQueries {
       minQuality = 0.5, minJaccard = 0.7, curationParams)
   }
 
+  /** Benchmark decontamination: every 50th doc plays the benchmark
+    * set; corpus docs are flagged by distinct 5-gram overlap against
+    * the benchmark grams (broadcast). n=5 is sized to the synthetic
+    * vocabulary; production decontamination uses ~13-grams — same
+    * plan, longer shingles. */
+  val qDecontaminate: QueryDef = QueryDef(
+    "q110_decontaminate",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_filter(
+      |    list_transform(range(0, greatest(len(toks) - 5, 0) + 1),
+      |      i -> array_to_string(toks[i + 1 : i + 5], ' ')),
+      |    x -> x <> '')) AS shingles
+      |  FROM t),
+      |bench AS (SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id % 50 = 0),
+      |corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+      |hits AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS overlap
+      |  FROM (SELECT doc_id, unnest(shingles) AS g FROM corpus) c
+      |  JOIN bench USING (g) GROUP BY doc_id)
+      |SELECT c.doc_id, CAST(len(c.shingles) AS BIGINT) AS n_grams,
+      |  coalesce(h.overlap, 0) AS overlap,
+      |  CAST(coalesce(h.overlap, 0) > 0 AS INT) AS contaminated
+      |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    graft.scale.Decontaminate.overlap(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", n = 5)
+  }
+
+  /** Deterministic seeded shuffle + shard assignment (the training-data
+    * global shuffle; scale.Sampling.seededShards). The oracle replays
+    * the md5-60 hash with the list_reduce hex fold. */
+  val qShardAssign: QueryDef = QueryDef(
+    "q111_shard_assign",
+    """WITH h AS (
+      |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(substring(md5(doc_id || ':42'), 1, 15), ''),
+      |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+      |    (a, d) -> a * 16 + d) AS hv
+      |  FROM documents)
+      |SELECT doc_id, CAST(hv % 16 AS INT) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) AS BIGINT)
+      |    AS shard_pos
+      |FROM h""".stripMargin) { (s, dir) =>
+    graft.scale.Sampling.seededShards(
+      Tables.load(s, dir, "documents").select("doc_id"),
+      "doc_id", shards = 16, seed = 42L)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(qPiiRedact, qDocRepetition, qDedupClusters, qCuration)
+    Seq(qPiiRedact, qDocRepetition, qDedupClusters, qCuration,
+      qDecontaminate, qShardAssign)
 }

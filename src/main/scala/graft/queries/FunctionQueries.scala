@@ -210,6 +210,35 @@ object FunctionQueries {
           variant_get(col("v"), "$.vals[1]", "bigint"))).as("sum_second"))
   }
 
+  /** ANSI-safe `try_*` family: Spark 4 runs ANSI mode, so bad casts /
+    * overflow THROW by default — try_divide/try_cast/try_add are the
+    * null-on-failure escape hatches a dirty-data pipeline needs.
+    * Divisors are powers of two (exact IEEE scaling → no rounding
+    * lattice risk); overflow rows add Long.MaxValue to a positive key. */
+  val qTryFuncs: QueryDef = QueryDef(
+    "q112_try_funcs",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_custkey % 7 = 0 THEN NULL
+      |       ELSE o_totalprice / (2 ** (o_custkey % 3)) END AS safe_div,
+      |  TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'x' || o_orderkey
+      |                ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS parsed,
+      |  CASE WHEN o_orderkey % 7 = 3 THEN NULL
+      |       ELSE o_orderkey + 1 END AS bumped
+      |FROM orders""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        try_divide(col("o_totalprice"),
+          when(col("o_custkey") % 7 === 0, lit(0.0))
+            .otherwise(pow(lit(2), col("o_custkey") % 3))).as("safe_div"),
+        when(col("o_orderkey") % 3 === 0,
+          concat(lit("x"), col("o_orderkey").cast("string")))
+          .otherwise(col("o_orderkey").cast("string"))
+          .try_cast("bigint").as("parsed"),
+        try_add(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 3, lit(Long.MaxValue))
+            .otherwise(lit(1L))).as("bumped"))
+  }
+
   /** Third sentiment form: native codegen expression (fused byte-walk,
     * no HOF arrays, no UDF serialization) — same oracle as q26/q27. */
   val qSentimentNative: QueryDef = QueryDef(
@@ -227,5 +256,5 @@ object FunctionQueries {
 
   val all: Seq[QueryDef] = Seq(qStringFuncs, qDateFuncs, qSentimentBuiltin,
     qSentimentUdf, qExplodeTokens, qRollingFingerprint, qPropsJson,
-    qSentimentNative, qVariant)
+    qSentimentNative, qVariant, qTryFuncs)
 }

@@ -36,4 +36,23 @@ object Sampling {
   def stratifiedSample(df: DataFrame, stratumCol: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Deterministic seeded shuffle + shard assignment — the global
+    * training-data shuffle as a pure function of (id, seed): shard by
+    * a 60-bit md5 hash, position within the shard by the same hash.
+    * Reproducible across runs/engines and stable under repartitioning
+    * (unlike `rand()` or `orderBy(rand())`); one hash-partitioned
+    * window per shard, never a global sort. */
+  def seededShards(df: DataFrame, idCol: String, shards: Int,
+      seed: Long = 42L): DataFrame = {
+    val h = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(s":$seed"))), 1, 15),
+      16, 10).cast("bigint")
+    df.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % shards).cast("int"))
+      .withColumn("shard_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))))
+      .drop("__h")
+  }
 }

@@ -182,6 +182,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.toSeq === Seq("de", "en", "und"))
   }
 
+  test("seeded shards: full coverage, contiguous positions, repartition-stable, seed-sensitive") {
+    val ids = docs.select("doc_id")
+    val sh = graft.scale.Sampling.seededShards(ids, "doc_id", 16)
+    val byShard = sh.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("shard_pos").as("mx"),
+        min("shard_pos").as("mn")).collect()
+    assert(byShard.length === 16) // every shard populated at 500 docs
+    byShard.foreach { r => // positions are 1..n, no gaps
+      assert(r.getAs[Long]("mn") === 1L)
+      assert(r.getAs[Long]("mx") === r.getAs[Long]("n"))
+    }
+    // pure function of (id, seed): unchanged by physical layout
+    val re = graft.scale.Sampling.seededShards(ids.repartition(7), "doc_id", 16)
+    assert(sh.except(re).count() === 0)
+    // a different seed actually reshuffles
+    val other = graft.scale.Sampling.seededShards(ids, "doc_id", 16, seed = 7L)
+    assert(sh.join(other, "doc_id")
+      .filter(sh("shard") === other("shard")).count() < 450)
+  }
+
+  test("decontaminate: a doc sharing a benchmark n-gram is flagged; disjoint docs are not") {
+    val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "xx alpha beta gamma yy"),   // shares the 3-gram "alpha beta gamma"
+      (11L, "one two three four five"))  // disjoint
+      .toDF("doc_id", "text")
+    val out = graft.scale.Decontaminate
+      .overlap(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("overlap") === 1L)
+    assert(out(0).getAs[Int]("contaminated") === 1)
+    assert(out(1).getAs[Long]("overlap") === 0L)
+    assert(out(1).getAs[Int]("contaminated") === 0)
+  }
+
   test("token counts: BPE-ish splits punctuation, ws does not") {
     val df = Seq("hello, world! it's 42").toDF("t")
     val r = df.select(
