@@ -42,6 +42,11 @@ class Medallion(spark: SparkSession, io: TableIO, cfg: MedallionConfig) {
   private val silverTable = s"silver_${cfg.domain}"
   private val goldTable = s"gold_${cfg.domain}"
 
+  /** Metrics of the latest silver run (row count before write),
+    * observed on the write job itself — no audit re-scan
+    * (core.Metrics). */
+  @volatile var lastSilverMetrics: Map[String, Any] = Map.empty
+
   def runBronze(): DataFrame = {
     StreamIngest.ingestCsv(spark, cfg.sourceDir, cfg.checkpointDir, io,
       bronzeTable, "cd_bronze_id", cfg.naturalKey, cfg.schema)
@@ -64,7 +69,11 @@ class Medallion(spark: SparkSession, io: TableIO, cfg: MedallionConfig) {
     val silver = Cols.reorderFront(
       withDerived.withColumn("dt_record_to_silver", current_timestamp()),
       Seq("cd_bronze_id"))
-    io.overwrite(silver, silverTable)
+    val (observed, obs) = graft.core.Metrics.observed(silver,
+      s"silver_${cfg.domain}_${System.nanoTime()}",
+      "rows" -> count(lit(1)))
+    io.overwrite(observed, silverTable)
+    lastSilverMetrics = obs.get
     io.read(spark, silverTable)
   }
 

@@ -172,6 +172,34 @@ object IngestQueries {
         round(col("o_totalprice"), 2).as("price"))
   }
 
+  /** Corrupt-record quarantine: every 10th props envelope is truncated
+    * into invalid JSON; Quarantine.parseJson routes rows by
+    * parse-success in one projection. Output is the per-status audit
+    * (counts + sum of the parsed field over good rows). */
+  val qQuarantine: QueryDef = QueryDef(
+    "q113_quarantine",
+    """WITH raw AS (
+      |  SELECT CASE WHEN event_id % 10 = 7
+      |    THEN substring(props, 1, length(props) - 1)
+      |    ELSE props END AS s
+      |  FROM events)
+      |SELECT CASE WHEN json_valid(s) THEN 'ok' ELSE 'quarantined' END AS status,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(coalesce(sum(CASE WHEN json_valid(s)
+      |    THEN CAST(json_extract(s, '$.k') AS INT) END), 0) AS BIGINT) AS sum_k
+      |FROM raw GROUP BY 1""".stripMargin) { (s, dir) =>
+    val raw = Tables.load(s, dir, "events")
+      .withColumn("s", when(col("event_id") % 10 === 7,
+        expr("substring(props, 1, length(props) - 1)"))
+        .otherwise(col("props")))
+    graft.ingest.Quarantine.parseJson(raw, col("s"),
+      org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("parsed.k")), lit(0L)).as("sum_k"))
+  }
+
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonRoundtrip, qJsonMultiline,
-    qBinaryFiles, qIncremental, qScd2, qOrcRoundtrip, qTextSource, qCdcApply)
+    qBinaryFiles, qIncremental, qScd2, qOrcRoundtrip, qTextSource, qCdcApply,
+    qQuarantine)
 }

@@ -94,6 +94,22 @@ class CoreSpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).toSeq === Seq("a", "b", "c"))
   }
 
+  test("observe metrics ride the job: counts/nulls surfaced without a second scan") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("a", Some(1.0)), ("b", None), ("c", Some(3.0)))
+      .toDF("k", "v")
+    val (observed, obs) = graft.core.Metrics.observed(df, "stage",
+      "rows" -> count(lit(1)),
+      "null_v" -> sum(when(col("v").isNull, 1L).otherwise(0L)),
+      "max_v" -> max(col("v")))
+    // the action that was going to run anyway
+    assert(observed.filter(col("v").isNotNull).count() === 2)
+    val m = obs.get
+    assert(m("rows") === 3L)
+    assert(m("null_v") === 1L)
+    assert(m("max_v") === 3.0)
+  }
+
   test("distributed surrogate ids: unique, dense, row count preserved") {
     val df = spark.range(1000).toDF("x").repartition(7)
     val out = SurrogateId.attachDistributed(df, "id", startAfter = 10L)

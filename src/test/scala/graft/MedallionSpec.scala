@@ -37,6 +37,8 @@ class MedallionSpec extends AnyFunSuite {
     StructField("Booking Value", StringType),
     StructField("Ride Distance", StringType)))
 
+  private var lastPipeline: graft.pipeline.Medallion = _
+
   private def runPipeline(src: String, ck: String, io: ParquetTableIO): DataFrame = {
     val pipeline = new graft.pipeline.Medallion(spark, io,
       graft.pipeline.MedallionConfig(
@@ -56,6 +58,7 @@ class MedallionSpec extends AnyFunSuite {
           round(sum(col("Booking_Value")), 2).as("total_value"),
           round(sum(col("Booking_Value")) / sum(col("Ride_Distance")), 4)
             .as("value_per_km"))))
+    lastPipeline = pipeline
     pipeline.run()
       .withColumn("completion_rate",
         round(col("completed") * 100.0 / col("total_bookings"), 2))
@@ -76,6 +79,8 @@ class MedallionSpec extends AnyFunSuite {
     // silver: 3 unique bookings, nulls imputed with mean(150,300)=225
     val silver = io.read(spark, "silver_uber")
     assert(silver.count() === 3)
+    // observe metrics rode the silver write job (no audit re-scan)
+    assert(lastPipeline.lastSilverMetrics("rows") === 3L)
     assert(silver.filter(col("Booking_ID") === "GEN-002")
       .first().getAs[Double]("Booking_Value") === 225.0)
 
