@@ -15,11 +15,12 @@ object Metrics {
 
   /** Attach named aggregate metrics to `df`. The returned
     * [[Observation]]'s `get` blocks until the next action on the
-    * returned frame and yields the metric map. */
-  def observed(df: DataFrame, name: String, metrics: (String, Column)*)
-      : (DataFrame, Observation) = {
+    * returned frame and yields the metric map. At least one metric is
+    * required (enforced by the signature). */
+  def observed(df: DataFrame, name: String, first: (String, Column),
+      rest: (String, Column)*): (DataFrame, Observation) = {
     val obs = Observation(name)
-    val cols = metrics.map { case (n, c) => c.as(n) }
+    val cols = (first +: rest).map { case (n, c) => c.as(n) }
     (df.observe(obs, cols.head, cols.tail: _*), obs)
   }
 }

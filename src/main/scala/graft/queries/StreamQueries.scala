@@ -222,7 +222,7 @@ object StreamQueries {
       batch.groupBy(col("event_type"), col("ts").cast("date").as("day"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("raw_total"))
     }
-    io.read(s, "gold")
+    graft.stream.IncrementalGold.read(s, io, "gold")
       .select(col("event_type"), col("day"), col("n"),
         round(col("raw_total"), 2).as("total_value"))
   }

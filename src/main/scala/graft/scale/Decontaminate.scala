@@ -18,20 +18,21 @@ object Decontaminate {
 
   /** Per-document overlap report: `idCol, n_grams, overlap,
     * contaminated` (overlap = how many of the doc's distinct n-grams
-    * appear anywhere in `bench`). */
+    * appear anywhere in `bench`). Single corpus pass: shingles are
+    * computed and exploded once (explode_outer keeps gram-less docs),
+    * left-joined against the broadcast bench grams, and both counts
+    * come out of one aggregation. */
   def overlap(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    val grams = corpus.select(col(idCol),
-      explode(Dedup.shingleSet(col(textCol), n)).as("g"))
     val benchGrams = bench
       .select(explode(Dedup.shingleSet(col(textCol), n)).as("g")).distinct()
-    // grams are distinct within a doc, so count(*) is the distinct-hit count
-    val hits = grams.join(broadcast(benchGrams), "g")
-      .groupBy(idCol).agg(count(lit(1)).as("overlap"))
+      .withColumn("__hit", lit(1))
+    // grams are distinct within a doc, so count = distinct-gram count
     corpus.select(col(idCol),
-        size(Dedup.shingleSet(col(textCol), n)).as("n_grams"))
-      .join(hits, Seq(idCol), "left")
-      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+        explode_outer(Dedup.shingleSet(col(textCol), n)).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy(idCol)
+      .agg(count(col("g")).as("n_grams"), count(col("__hit")).as("overlap"))
       .withColumn("contaminated", (col("overlap") > 0).cast("int"))
   }
 }

@@ -45,9 +45,8 @@ object Sampling {
     * window per shard, never a global sort. */
   def seededShards(df: DataFrame, idCol: String, shards: Int,
       seed: Long = 42L): DataFrame = {
-    val h = conv(substring(
-      md5(concat(col(idCol).cast("string"), lit(s":$seed"))), 1, 15),
-      16, 10).cast("bigint")
+    val h = Dedup.md5Hash60(
+      concat(col(idCol).cast("string"), lit(s":$seed")))
     df.withColumn("__h", h)
       .withColumn("shard", (col("__h") % shards).cast("int"))
       .withColumn("shard_pos", row_number().over(

@@ -29,22 +29,43 @@ object IncrementalGold {
     * once) maintaining `table`. `partial` must map a batch to one row
     * per key: `keys ++ decomposable partial-agg columns` (all numeric,
     * sum-mergeable). Blocks until the backlog is drained.
+    *
+    * Replay-safe: foreachBatch side effects are at-least-once (a crash
+    * between the table write and the checkpoint commit replays the
+    * batch), so the applied batch id rides the gold write itself as a
+    * constant column — guard and merge are one atomic write, and a
+    * replayed batch is skipped instead of double-counted.
     */
+  private val BatchCol = "__applied_batch"
+
+  /** Read the maintained gold table without the internal batch-id
+    * bookkeeping column. */
+  def read(spark: SparkSession, io: TableIO, table: String): DataFrame =
+    io.read(spark, table).drop(BatchCol)
+
   def run(spark: SparkSession, sourceDir: String, schema: StructType,
       checkpointDir: String, io: TableIO, table: String,
       keys: Seq[String])(partial: DataFrame => DataFrame): Unit = {
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val existing =
+          if (io.exists(spark, table)) Some(io.read(spark, table)) else None
+        val applied = existing
+          .map(_.select(max(col(BatchCol))).first().getLong(0))
+          .getOrElse(-1L)
+        if (batchId > applied && !batch.isEmpty) {
           val p = partial(batch)
-          val merged =
-            if (io.exists(spark, table)) io.read(spark, table).unionByName(p)
-            else p
+          val merged = existing match {
+            case Some(g) => g.drop(BatchCol).unionByName(p)
+            case None => p
+          }
           val aggCols = p.columns.filterNot(keys.contains)
             .map(c => sum(col(c)).as(c))
           io.overwrite(
-            merged.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*),
+            merged.groupBy(keys.map(col): _*)
+              .agg(aggCols.head, aggCols.tail: _*)
+              .withColumn(BatchCol, lit(batchId)),
             table)
         }
         ()

@@ -58,9 +58,15 @@ object StreamIngest {
     * micro-batch of I/U/D change rows is reconciled into the target
     * table via [[graft.ingest.Cdc]] (latest change per key wins,
     * deletes drop keys). Exactly-once per file via the source
-    * checkpoint; batches apply in arrival order, so per-key ordering
-    * across batches follows the stream order (within a batch, seqCol
-    * decides). */
+    * checkpoint.
+    *
+    * PRECONDITION: `seqCol` must be globally monotonic per key across
+    * files (an LSN/commit sequence — what real CDC feeds provide).
+    * Per-key order is then batching-independent. Equal-seq changes to
+    * one key from DIFFERENT files have no defined relative order: how
+    * AvailableNow chunks files into batches would decide, so don't
+    * rely on it (within one file/batch, Cdc's deterministic tiebreak
+    * applies). */
   def ingestCdc(spark: SparkSession, sourceDir: String, checkpointDir: String,
       io: TableIO, table: String, keys: Seq[String], opCol: String,
       seqCol: String,

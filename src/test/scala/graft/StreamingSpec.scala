@@ -101,8 +101,10 @@ class StreamingSpec extends AnyFunSuite {
       Seq("k"), "op", "seq", schema)
     assert(io.read(spark, "t").count() === 2)
 
-    // batch 2 (new file): insert k=4, re-insert previously deleted k=2
-    mk(Seq((4L, "d", "I", 1), (2L, "b2", "I", 1)))
+    // batch 2 (new file): insert k=4, re-insert previously deleted k=2.
+    // seq continues past batch 1's values — the documented global-seq
+    // precondition (equal seqs across files have no defined order)
+    mk(Seq((4L, "d", "I", 3), (2L, "b2", "I", 3)))
       .coalesce(1).write.mode("append").parquet(src)
     StreamIngest.ingestCdc(spark, src, ck, io, "t",
       Seq("k"), "op", "seq", schema)
@@ -129,8 +131,19 @@ class StreamingSpec extends AnyFunSuite {
     mk(Seq(("a", 4.0), ("c", 7.0)))
       .coalesce(1).write.mode("append").parquet(src)
     drain()
-    val got = io.read(spark, "g").orderBy("k")
+    val got = graft.stream.IncrementalGold.read(spark, io, "g").orderBy("k")
       .as[(String, Long, Double)].collect().toSeq
     assert(got === Seq(("a", 3L, 7.0), ("b", 1L, 10.0), ("c", 1L, 7.0)))
+
+    // at-least-once replay guard: lose the checkpoint but keep the
+    // table — the re-drain replays old batch ids, which the applied-id
+    // column (written atomically with the merge) skips, so nothing
+    // double-counts
+    graft.stream.IncrementalGold.run(spark, src, schema, tmp("gold_ck2"),
+      io, "g", Seq("k")) { b =>
+      b.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("total"))
+    }
+    assert(graft.stream.IncrementalGold.read(spark, io, "g").orderBy("k")
+      .as[(String, Long, Double)].collect().toSeq === got)
   }
 }
