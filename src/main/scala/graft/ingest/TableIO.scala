@@ -70,6 +70,23 @@ final class ParquetTableIO(root: String) extends TableIO {
   def exists(spark: SparkSession, table: String): Boolean =
     new java.io.File(path(table)).exists()
 
+  /** Dynamic partition overwrite: replace ONLY the partitions present
+    * in `df`, leaving the rest of the table untouched — the backfill
+    * primitive (re-run one day without rewriting a year). Static mode
+    * would truncate the whole table first; the write option scopes the
+    * dynamic behavior to this write, not the session. */
+  def overwritePartitions(df: DataFrame, table: String,
+      partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
+    val cached = df.persist()
+    cached.count()
+    cached.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
+      .parquet(path(table))
+    cached.unpersist()
+  }
+
   /** Compaction (the BASELINE "read/write + compaction" op): rewrite a
     * table to `numFiles` files — repartition(numFiles) rewrite, the
     * parquet stand-in for Delta OPTIMIZE. */

@@ -199,7 +199,31 @@ object IngestQueries {
         coalesce(sum(col("parsed.k")), lit(0L)).as("sum_k"))
   }
 
+  /** Dynamic partition overwrite — the backfill primitive: rewrite
+    * ONE partition's rows (status 'F', prices bumped) while the other
+    * partitions' files are left physically untouched. The oracle is
+    * the logical equivalent over the source table. */
+  val qPartitionOverwrite: QueryDef = QueryDef(
+    "q114_partition_overwrite",
+    """SELECT o_orderkey, o_orderstatus AS status,
+      |  round(CASE WHEN o_orderstatus = 'F'
+      |        THEN o_totalprice + 1000 ELSE o_totalprice END, 2) AS price
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val io = new graft.ingest.ParquetTableIO(
+      java.nio.file.Files.createTempDirectory("graft_dyn").toString)
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus").as("status"))
+    io.overwrite(orders, "t", partitionBy = Seq("status"))
+    io.overwritePartitions(
+      orders.filter(col("status") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") + 1000),
+      "t", partitionBy = Seq("status"))
+    io.read(s, "t").select(col("o_orderkey"), col("status"),
+      round(col("o_totalprice"), 2).as("price"))
+  }
+
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonRoundtrip, qJsonMultiline,
     qBinaryFiles, qIncremental, qScd2, qOrcRoundtrip, qTextSource, qCdcApply,
-    qQuarantine)
+    qQuarantine, qPartitionOverwrite)
 }

@@ -45,8 +45,15 @@ object IncrementalGold {
 
   def run(spark: SparkSession, sourceDir: String, schema: StructType,
       checkpointDir: String, io: TableIO, table: String,
-      keys: Seq[String])(partial: DataFrame => DataFrame): Unit = {
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+      keys: Seq[String], maxFilesPerTrigger: Option[Int] = None)(
+      partial: DataFrame => DataFrame): Unit = {
+    // maxFilesPerTrigger bounds per-batch work (AvailableNow chunks the
+    // backlog instead of draining it in one giant batch) — the knob
+    // that keeps a month-long backfill from needing a month of memory
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toLong))
+      .parquet(sourceDir)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val existing =

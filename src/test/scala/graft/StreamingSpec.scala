@@ -146,4 +146,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.stream.IncrementalGold.read(spark, io, "g").orderBy("k")
       .as[(String, Long, Double)].collect().toSeq === got)
   }
+
+  test("incremental gold: maxFilesPerTrigger chunks one drain into many batches, same result") {
+    val src = tmp("gold_mft_src")
+    val io = new ParquetTableIO(tmp("gold_mft_tbl"))
+    val mk = (rows: Seq[(String, Double)]) => rows.toDF("k", "v")
+    val schema = mk(Seq(("", 0.0))).schema
+    mk(Seq(("a", 1.0), ("b", 2.0))).coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    mk(Seq(("a", 4.0), ("c", 8.0))).coalesce(1)
+      .write.mode("append").parquet(src)
+    // one drain, forced into one-file micro-batches
+    graft.stream.IncrementalGold.run(spark, src, schema, tmp("gold_mft_ck"),
+      io, "g", Seq("k"), maxFilesPerTrigger = Some(1)) { b =>
+      b.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("total"))
+    }
+    assert(graft.stream.IncrementalGold.read(spark, io, "g").orderBy("k")
+      .as[(String, Long, Double)].collect().toSeq ===
+      Seq(("a", 2L, 5.0), ("b", 1L, 2.0), ("c", 1L, 8.0)))
+  }
 }

@@ -83,4 +83,22 @@ class TableIOSpec extends AnyFunSuite {
     assert(dirs.toSeq === Seq("part=x", "part=y"))
     assert(got.filter(col("part") === "x").count() === 1)
   }
+
+  test("dynamic partition overwrite replaces only the written partitions") {
+    val io = newIO()
+    io.overwrite(Seq((1, "a", "x"), (2, "b", "x"), (3, "c", "y"))
+      .toDF("k", "v", "part"), "t", partitionBy = Seq("part"))
+    val root = new java.io.File(new java.net.URI(
+      io.read(spark, "t").inputFiles.head)).getParentFile.getParentFile
+    def xFiles = new java.io.File(root, "part=x")
+      .listFiles().map(f => f.getName -> f.lastModified()).toSet
+    val xBefore = xFiles
+    // rewrite partition y only; x must be physically untouched
+    io.overwritePartitions(Seq((30, "c2", "y")).toDF("k", "v", "part"),
+      "t", partitionBy = Seq("part"))
+    val got = io.read(spark, "t")
+    assert(got.orderBy("k").as[(Int, String, String)].collect().toSeq ===
+      Seq((1, "a", "x"), (2, "b", "x"), (30, "c2", "y")))
+    assert(xFiles === xBefore)
+  }
 }
