@@ -24,12 +24,17 @@ object Decontaminate {
     * come out of one aggregation. */
   def overlap(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    val benchGrams = bench
-      .select(explode(Dedup.shingleSet(col(textCol), n)).as("g")).distinct()
+    // hashed grams: the join carries/broadcasts longs, not gram strings.
+    // Tokenize in a separate projection so the HOF lambda reads an
+    // attribute instead of re-running the regex split per gram.
+    def grams(df: DataFrame) = df
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode_outer(Dedup.hashedShinglesFromTokens(col("__toks"), n)).as("g"))
+    val benchGrams = grams(bench).select("g").distinct()
       .withColumn("__hit", lit(1))
     // grams are distinct within a doc, so count = distinct-gram count
-    corpus.select(col(idCol),
-        explode_outer(Dedup.shingleSet(col(textCol), n)).as("g"))
+    grams(corpus)
       .join(broadcast(benchGrams), Seq("g"), "left")
       .groupBy(idCol)
       .agg(count(col("g")).as("n_grams"), count(col("__hit")).as("overlap"))

@@ -30,14 +30,41 @@ object Dedup {
   def tokenSet(text: Column): Column =
     array_distinct(filter(split(lower(text), "[^a-z]+"), t => t =!= ""))
 
+  /** Distinct word n-gram shingles as 64-bit hashes — `xxhash64`
+    * applied structurally to each token slice, so no gram STRING is
+    * ever materialized (at corpus scale the concat alone is a
+    * measurable fraction of the job). Same gram inventory as
+    * [[shingleSet]] modulo 2^-64 collisions; empty docs yield an empty
+    * set (matching shingleSet's empty-gram filter). */
+  def hashedShingleSet(text: Column, n: Int): Column =
+    hashedShinglesFromTokens(
+      filter(split(lower(text), "[^a-z]+"), t => t =!= ""), n)
+
+  /** Hashed shingles over an already-tokenized array column. Pass an
+    * ATTRIBUTE (a materialized column), not the tokenization expression
+    * itself: HOF lambdas are interpreted, so an inlined expression is
+    * re-evaluated once per gram — O(tokens × grams) regex work. */
+  def hashedShinglesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) === 0, array().cast("array<bigint>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => xxhash64(slice(toks, i + 1, lit(n))))))
+
   /** Distinct word n-gram shingles. */
-  def shingleSet(text: Column, n: Int): Column = {
-    val toks = filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+  def shingleSet(text: Column, n: Int): Column =
+    shinglesFromTokens(
+      filter(split(lower(text), "[^a-z]+"), t => t =!= ""), n)
+
+  /** String shingles over an already-tokenized array column. Prefer
+    * passing an ATTRIBUTE over the raw tokenization expression: HOF
+    * lambdas are interpreted, so an inlined expression re-runs the
+    * regex split once per gram (O(tokens × grams) — measured 4× on the
+    * decontamination pass). */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(filter(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
       s => s =!= ""))
-  }
 
   /** Exact dedup: keep the smallest-id row per fingerprint. Grouping on
     * the hash, not the document, keeps shuffle rows narrow. */
@@ -98,7 +125,9 @@ object Dedup {
   def signatures(df: DataFrame, idCol: String, textCol: String,
       p: MinHashParams = MinHashParams()): DataFrame =
     signaturesFromSets(
-      df.select(col(idCol), shingleSet(col(textCol), p.shingle).as("__set")),
+      df.select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+        .select(col(idCol),
+          shinglesFromTokens(col("__toks"), p.shingle).as("__set")),
       idCol, p)
 
   /** Signature computation over pre-tokenized shingle sets (column
@@ -149,8 +178,10 @@ object Dedup {
     // persist backs the returned (lazy) frame — callers running many
     // nearDuplicates passes in one session should checkpoint/unpersist
     // results between passes.
-    val sets = df.select(col(idCol).as("__id"),
-      shingleSet(col(textCol), p.shingle).as("__set")).persist()
+    val sets = df
+      .select(col(idCol).as("__id"), TextStats.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"),
+        shinglesFromTokens(col("__toks"), p.shingle).as("__set")).persist()
     val sigs = signaturesFromSets(
       sets.select(col("__id").as(idCol), col("__set")), idCol, p)
     val cands = candidatePairs(sigs, idCol, p)

@@ -128,6 +128,13 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("lateral top-k decorrelates to WindowGroupLimit (no per-row subquery loop)") {
+    val plan = planOf(SparkEntry.queries("q106_lateral")(
+      spark, SparkTestSession.sfDir))
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("CartesianProduct"), s"lateral fell back:\n$plan")
+  }
+
   test("runtime bloom filter from the selective dim side prunes the fact scan") {
     // At 100 TB the selective side of a shuffle join should seed a
     // runtime bloom filter that drops fact rows BEFORE the exchange.
