@@ -38,7 +38,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Headline keys LAST: the artifact capture keeps the tail of the
+    // line, so the total/count must survive even if the per-query map
+    // is truncated at the front.
+    println(s"""{"queries":$qs,"n_queries":${results.size},"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

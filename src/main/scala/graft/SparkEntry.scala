@@ -16,7 +16,8 @@ object SparkEntry {
       AggQueries.all ++ WindowQueries.all ++ FunctionQueries.all ++
       DqQueries.all ++ IngestQueries.all ++ StreamQueries.all ++
       ScaleQueries.all ++ SqlQueries.all ++ DomainQueries.all ++
-      OlapQueries.all ++ CorpusQueries.all ++ SqlSurfaceQueries.all
+      OlapQueries.all ++ CorpusQueries.all ++ SqlSurfaceQueries.all ++
+      VersionedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

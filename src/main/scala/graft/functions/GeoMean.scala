@@ -10,10 +10,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * via spark.udf.register (see SqlQueries.q97). */
 final case class GeoMeanBuf(var logSum: Double, var n: Long)
 
-object GeoMean extends Aggregator[Double, GeoMeanBuf, Double] {
+object GeoMean extends Aggregator[java.lang.Double, GeoMeanBuf, Double] {
   override def zero: GeoMeanBuf = GeoMeanBuf(0.0, 0L)
-  override def reduce(b: GeoMeanBuf, x: Double): GeoMeanBuf = {
-    b.logSum += math.log(x); b.n += 1; b
+  // Boxed input so SQL NULLs arrive as null (the primitive encoder
+  // would coerce them to 0.0); NULL and non-positive values are skipped
+  // like built-in aggregates ignore NULL — log of them would silently
+  // poison the whole group to -Inf/NaN.
+  override def reduce(b: GeoMeanBuf, x: java.lang.Double): GeoMeanBuf = {
+    if (x != null && x > 0.0) { b.logSum += math.log(x); b.n += 1 }
+    b
   }
   override def merge(a: GeoMeanBuf, b: GeoMeanBuf): GeoMeanBuf = {
     a.logSum += b.logSum; a.n += b.n; a

@@ -39,6 +39,14 @@ trait TableIO {
   }
 }
 
+private[ingest] object FsOps {
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRecursively)
+    f.delete(); ()
+  }
+}
+
 /** Parquet-backed TableIO rooted at a directory; table name → subdir. */
 final class ParquetTableIO(root: String) extends TableIO {
   private def path(table: String) = s"$root/$table"
@@ -56,15 +64,32 @@ final class ParquetTableIO(root: String) extends TableIO {
   }
 
   def overwrite(df: DataFrame, table: String, partitionBy: Seq[String]): Unit = {
-    // Parquet overwrite of a table we may also be reading in the same
-    // plan: materialize via a staging dir swap is overkill for tests —
-    // checkpoint to memory first.
-    val cached = df.persist()
-    cached.count()
-    val w = cached.write.mode(SaveMode.Overwrite)
+    // Durable self-overwrite: the input plan may read the very path we
+    // are replacing, so first materialize the result into a staging
+    // directory (source files untouched), then swap directories. Unlike
+    // persist()+count(), this survives cache eviction / executor loss
+    // mid-write — recomputation re-reads the intact source.
+    val dest = path(table)
+    val staging = s"$dest.__staging_${System.nanoTime()}"
+    val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(path(table))
-    cached.unpersist()
+      .parquet(staging)
+    swapInto(staging, dest)
+  }
+
+  /** Replace `dest` with `staging` via two renames — the closest a
+    * filesystem gets to atomic; on an object store the versioned
+    * [[graft.ingest.VersionedTableIO]] manifest commit replaces this. */
+  private def swapInto(staging: String, dest: String): Unit = {
+    val destF = new java.io.File(dest)
+    val old = new java.io.File(s"$dest.__old_${System.nanoTime()}")
+    if (destF.exists() && !destF.renameTo(old))
+      throw new java.io.IOException(s"cannot move aside $dest")
+    if (!new java.io.File(staging).renameTo(destF)) {
+      old.renameTo(destF) // roll back
+      throw new java.io.IOException(s"cannot promote $staging to $dest")
+    }
+    FsOps.deleteRecursively(old)
   }
 
   def exists(spark: SparkSession, table: String): Boolean =
@@ -78,13 +103,20 @@ final class ParquetTableIO(root: String) extends TableIO {
   def overwritePartitions(df: DataFrame, table: String,
       partitionBy: Seq[String]): Unit = {
     require(partitionBy.nonEmpty, "overwritePartitions needs partition columns")
-    val cached = df.persist()
-    cached.count()
-    cached.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionBy: _*)
-      .parquet(path(table))
-    cached.unpersist()
+    // A dynamic overwrite deletes the partitions it replaces, so a plan
+    // reading the same table must be durably materialized first — stage
+    // to disk (not the block cache: eviction mid-write would recompute
+    // from partially-deleted source files and lose data).
+    val staging = s"${path(table)}.__staging_${System.nanoTime()}"
+    df.write.parquet(staging)
+    val spark = df.sparkSession
+    try {
+      spark.read.parquet(staging)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionBy: _*)
+        .parquet(path(table))
+    } finally FsOps.deleteRecursively(new java.io.File(staging))
   }
 
   /** Compaction (the BASELINE "read/write + compaction" op): rewrite a

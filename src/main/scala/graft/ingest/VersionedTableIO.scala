@@ -1,0 +1,269 @@
+package graft.ingest
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One committed snapshot of a versioned table: the ordered list of
+  * immutable data directories that make it up, plus carried-forward
+  * table properties. The version number is both in the file name (zero-
+  * padded, so lexicographic listing = version order) and in the body. */
+final case class Manifest(
+    version: Long, ts: Long, op: String,
+    dataDirs: Seq[String], properties: Map[String, String])
+
+/** Versioned-table format over plain parquet — the engine's stand-in
+  * for Delta Lake's transaction log (the reference writes Delta
+  * everywhere: spark/jobs/alphavantage/bronze2_to_silver.py:142-152,
+  * uber/drop_dup.py:97, coin_to_delta_w_cp.py:124; the harness
+  * classpath has no delta jars, so the log is reimplemented from first
+  * principles on public Spark + filesystem APIs).
+  *
+  * Layout per table:
+  * {{{
+  *   <root>/<table>/_graft_log/00000000000000000001.json   commit files
+  *   <root>/<table>/data/<uuid>/part-*.parquet             immutable
+  * }}}
+  *
+  * Protocol:
+  *  - every write lands in a FRESH data directory; existing files are
+  *    never modified — a snapshot is just a manifest listing dirs;
+  *  - a commit is one atomic rename of a temp file into the next
+  *    version slot. Rename-without-replace fails if the slot is taken,
+  *    so two concurrent writers cannot both claim a version — the loser
+  *    re-reads the log and retries on top of the winner (optimistic
+  *    concurrency, same shape as Delta's put-if-absent commit);
+  *  - readers resolve the latest (or a requested) manifest and scan
+  *    exactly its dirs: a crashed write that left a data dir but no
+  *    manifest is simply invisible — the old snapshot stays readable
+  *    (crash consistency, asserted in VersionedTableSpec);
+  *  - self-referential rewrites (MERGE/compaction read the table they
+  *    replace) are safe WITHOUT staging tricks: the new snapshot's data
+  *    dir is fully written from the still-immutable old dirs before the
+  *    commit flips visibility;
+  *  - VACUUM deletes data dirs unreferenced by the retained manifests
+  *    (and crash orphans past a grace period) — time travel works as
+  *    far back as retention, exactly Delta's contract.
+  *
+  * At 100 TB the same protocol holds on an object store: data files are
+  * written once, the only mutation point is the tiny commit object, and
+  * conditional-put (S3 if-none-match) replaces the local rename.
+  */
+final class VersionedTableIO(root: String) extends TableIO {
+  import VersionedTableIO._
+
+  private def tableDir(table: String) = s"$root/$table"
+  private def logDir(table: String) = s"${tableDir(table)}/_graft_log"
+  private def dataRoot(table: String) = s"${tableDir(table)}/data"
+  private def manifestFile(table: String, v: Long) =
+    new File(logDir(table), f"$v%020d.json")
+
+  // ---- log access ------------------------------------------------------
+
+  def versions(table: String): Seq[Long] = {
+    val d = new File(logDir(table))
+    if (!d.exists()) Nil
+    else d.listFiles((_, n) => n.endsWith(".json")).toSeq
+      .map(_.getName.stripSuffix(".json").toLong).sorted
+  }
+
+  def latestVersion(table: String): Long = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"versioned table '$table' has no commits")
+    vs.last
+  }
+
+  def manifest(table: String, version: Long): Manifest = {
+    val f = manifestFile(table, version)
+    require(f.exists(),
+      s"version $version of '$table' does not exist (or was vacuumed); " +
+        s"available: ${versions(table).mkString(", ")}")
+    mapper.readValue(f, classOf[Manifest])
+  }
+
+  private def latestManifest(table: String): Option[Manifest] =
+    versions(table).lastOption.map(manifest(table, _))
+
+  /** Atomically claim `version`: true on success, false if a concurrent
+    * writer took the slot first. */
+  private def tryCommit(table: String, m: Manifest): Boolean = {
+    val dir = new File(logDir(table))
+    dir.mkdirs()
+    val tmp = File.createTempFile(".commit", ".tmp", dir)
+    mapper.writerWithDefaultPrettyPrinter().writeValue(tmp, m)
+    try {
+      // no REPLACE_EXISTING: move fails if the slot is taken — this is
+      // the entire concurrency-control mechanism
+      Files.move(tmp.toPath, manifestFile(table, m.version).toPath)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        tmp.delete(); false
+    }
+  }
+
+  /** Read-modify-write retry loop: build the next manifest from the
+    * current snapshot, race for the slot, re-read and rebuild on loss. */
+  private def commitLoop(table: String, op: String)(
+      build: Option[Manifest] => Seq[String]): Manifest = {
+    var attempts = 0
+    while (true) {
+      // next version comes from the log LISTING, not a manifest body —
+      // the file name is the committed truth a concurrent writer races on
+      val vs = versions(table)
+      val base = vs.lastOption.map(manifest(table, _))
+      val m = Manifest(
+        version = vs.lastOption.map(_ + 1).getOrElse(1L),
+        ts = System.currentTimeMillis(), op = op,
+        dataDirs = build(base),
+        properties = base.map(_.properties).getOrElse(Map.empty))
+      if (tryCommit(table, m)) return m
+      attempts += 1
+      if (attempts > 100) throw new IllegalStateException(
+        s"could not commit to '$table' after $attempts attempts")
+    }
+    sys.error("unreachable")
+  }
+
+  // ---- reads -----------------------------------------------------------
+
+  private def scan(spark: SparkSession, table: String, m: Manifest): DataFrame = {
+    require(m.dataDirs.nonEmpty, s"version ${m.version} of '$table' is empty")
+    // mergeSchema across commit dirs = write-side schema evolution:
+    // columns added in later commits surface as null in earlier files
+    spark.read.option("mergeSchema", "true")
+      .parquet(m.dataDirs.map(d => s"${tableDir(table)}/$d"): _*)
+  }
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    scan(spark, table, manifest(table, latestVersion(table)))
+
+  /** Time travel by version number (Delta `VERSION AS OF`). */
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
+    scan(spark, table, manifest(table, version))
+
+  /** Time travel by timestamp (Delta `TIMESTAMP AS OF`): the latest
+    * snapshot committed at or before `tsMillis`. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame = {
+    val vs = versions(table).map(manifest(table, _))
+      .filter(_.ts <= tsMillis)
+    require(vs.nonEmpty,
+      s"no commit of '$table' at or before $tsMillis")
+    scan(spark, table, vs.maxBy(_.version))
+  }
+
+  def exists(spark: SparkSession, table: String): Boolean =
+    versions(table).nonEmpty
+
+  // ---- writes ----------------------------------------------------------
+
+  /** Write `df` into a fresh immutable data dir; no manifest yet — the
+    * data is invisible until a commit references it. Partition columns
+    * stay regular columns (pruning at this layer comes from parquet
+    * row-group stats; hive-style dirs would collide across commits). */
+  private def writeDataDir(df: DataFrame, table: String): String = {
+    val rel = s"data/${java.util.UUID.randomUUID()}"
+    df.write.parquet(s"${tableDir(table)}/$rel")
+    rel
+  }
+
+  private def requireWritable(table: String): Unit =
+    if (latestManifest(table).exists(_.properties.get(PropAppendOnly).contains("true")))
+      throw new UnsupportedOperationException(
+        s"table '$table' is $PropAppendOnly=true: overwrite/merge are " +
+          "forbidden (delta.appendOnly enforcement)")
+
+  def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
+    val rel = writeDataDir(df, table)
+    commitLoop(table, "append")(base =>
+      base.map(_.dataDirs).getOrElse(Nil) :+ rel)
+    ()
+  }
+
+  def overwrite(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
+    requireWritable(table)
+    val rel = writeDataDir(df, table)
+    commitLoop(table, "overwrite")(_ => Seq(rel))
+    ()
+  }
+
+  /** S9 as a snapshot rewrite: read current, merge (source wins on key),
+    * commit the merged result as the next version. Reading the table
+    * being replaced is safe — old data dirs are immutable until VACUUM. */
+  override def upsert(spark: SparkSession, source: DataFrame, table: String,
+      keys: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
+    requireWritable(table)
+    if (!exists(spark, table)) { overwrite(source, table, partitionBy); return }
+    val rel = writeDataDir(merge(read(spark, table), source, keys), table)
+    commitLoop(table, "merge")(_ => Seq(rel))
+    ()
+  }
+
+  /** OPTIMIZE analog: rewrite the current snapshot to `numFiles` files
+    * as a new version — readers of old versions are unaffected. */
+  def compact(spark: SparkSession, table: String, numFiles: Int): Unit = {
+    val rel = writeDataDir(read(spark, table).repartition(numFiles), table)
+    commitLoop(table, "compact")(_ => Seq(rel))
+    ()
+  }
+
+  // ---- properties ------------------------------------------------------
+
+  def setProperty(table: String, key: String, value: String): Unit = {
+    var attempts = 0
+    while (attempts < 100) {
+      val base = latestManifest(table).getOrElse(
+        throw new IllegalArgumentException(s"no such table '$table'"))
+      val m = base.copy(version = base.version + 1,
+        ts = System.currentTimeMillis(), op = "setProperty",
+        properties = base.properties + (key -> value))
+      if (tryCommit(table, m)) return
+      attempts += 1
+    }
+    throw new IllegalStateException(s"could not set property on '$table'")
+  }
+
+  def properties(table: String): Map[String, String] =
+    latestManifest(table).map(_.properties).getOrElse(Map.empty)
+
+  // ---- vacuum ----------------------------------------------------------
+
+  /** Delete manifests older than the last `retainLast` versions and
+    * every data dir no retained manifest references — including crash
+    * orphans (dirs written by a failed commit), guarded by
+    * `orphanGraceMs` so an in-flight writer's dir is not swept before
+    * its commit lands. Returns the number of data dirs removed. */
+  def vacuum(table: String, retainLast: Int,
+      orphanGraceMs: Long = 24L * 3600 * 1000): Int = {
+    require(retainLast >= 1, "must retain at least the current version")
+    val vs = versions(table)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainLast))
+    val keepDirs = keep.flatMap(manifest(table, _).dataDirs).toSet
+    drop.foreach(v => manifestFile(table, v).delete())
+    val dataDir = new File(dataRoot(table))
+    val candidates = Option(dataDir.listFiles()).getOrElse(Array.empty)
+    val now = System.currentTimeMillis()
+    val doomed = candidates.filter { d =>
+      !keepDirs.contains(s"data/${d.getName}") &&
+        (now - d.lastModified()) >= orphanGraceMs
+    }
+    doomed.foreach(FsOps.deleteRecursively)
+    doomed.length
+  }
+
+  /** Commit history, newest first — the DESCRIBE HISTORY analog. */
+  def history(table: String): Seq[Manifest] =
+    versions(table).reverse.map(manifest(table, _))
+}
+
+object VersionedTableIO {
+  val PropAppendOnly = "appendOnly"
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m
+  }
+}

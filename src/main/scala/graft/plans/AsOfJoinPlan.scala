@@ -58,11 +58,12 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  // both children are hash-clustered on the keys — report it so a
-  // downstream groupBy/join on the same keys does not re-shuffle
+  // Left side only (mirrors SortMergeJoinExec's LeftOuter case): the
+  // join is left-outer, so unmatched left rows carry null-extended right
+  // columns that do NOT satisfy the right side's HashPartitioning — a
+  // downstream operator clustering on right-side keys must re-exchange.
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
-    org.apache.spark.sql.catalyst.plans.physical.PartitioningCollection(
-      Seq(left.outputPartitioning, right.outputPartitioning))
+    left.outputPartitioning
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),

@@ -171,7 +171,8 @@ object SqlQueries {
       |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
     Tables.registerAll(s, dir)
     s.udf.register("geo_mean",
-      org.apache.spark.sql.functions.udaf(graft.functions.GeoMean))
+      org.apache.spark.sql.functions.udaf(
+        graft.functions.GeoMean, org.apache.spark.sql.Encoders.DOUBLE))
     s.sql(
       """SELECT o_orderstatus, count(*) AS n,
         |  round(geo_mean(o_totalprice), 2) AS geo_mean

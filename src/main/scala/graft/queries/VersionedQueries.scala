@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.core.Tables
+import graft.ingest.VersionedTableIO
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Versioned-table (manifest-log) queries — the Delta-transaction-log
+  * capability class the reference relies on everywhere (time travel,
+  * ACID upsert, VACUUM: alphavantage/bronze2_to_silver.py:142-152,
+  * uber/drop_dup.py:97), re-expressed over [[VersionedTableIO]].
+  *
+  * Both queries BUILD a versioned table from `orders` with a fixed
+  * commit sequence (overwrite → append → merge-upsert), so every
+  * snapshot is a deterministic function of the source table and the
+  * whole version history is DuckDB-oracle-checkable. */
+object VersionedQueries {
+
+  /** Per-sfDir built-once root: commit sequence
+    *   v1 overwrite  keys ≡ 0 (mod 3)
+    *   v2 append     keys ≡ 1 (mod 3)
+    *   v3 merge      all keys ≤ 1 (mod 3), price + 1000 (source wins)
+    * plus a second table that additionally gets v4 compact + VACUUM
+    * retaining 2 versions (so q116 proves retention GC keeps the
+    * retained snapshots bit-identical). */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def builtRoot(s: SparkSession, dir: String): String =
+    cache.computeIfAbsent(dir, { d =>
+      val root = java.nio.file.Files.createTempDirectory("graft_versioned").toString
+      val io = new VersionedTableIO(root)
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+      def build(table: String): Unit = {
+        io.overwrite(orders.filter(col("o_orderkey") % 3 === 0), table)
+        io.append(orders.filter(col("o_orderkey") % 3 === 1), table)
+        io.upsert(s,
+          orders.filter(col("o_orderkey") % 3 <= 1)
+            .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+          table, keys = Seq("o_orderkey"))
+      }
+      build("tt")
+      build("vac")
+      io.compact(s, "vac", numFiles = 4)
+      io.vacuum("vac", retainLast = 2, orphanGraceMs = 0L)
+      root
+    })
+
+  /** Time travel: read versions 1..3 of the same table and aggregate
+    * each — the oracle replays the commit sequence declaratively. A
+    * crashed/partial write can never corrupt this: only committed
+    * manifests are visible (VersionedTableSpec proves the crash path). */
+  val qTimeTravel: QueryDef = QueryDef(
+    "q115_time_travel",
+    """SELECT CAST(1 AS BIGINT) AS version, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*), round(sum(o_totalprice), 2)
+      |FROM orders WHERE o_orderkey % 3 <= 1
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), count(*), round(sum(o_totalprice + 1000.0), 2)
+      |FROM orders WHERE o_orderkey % 3 <= 1""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    (1L to 3L).map { v =>
+      io.readVersion(s, "tt", v)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .select(lit(v).as("version"), col("n"), col("total"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** VACUUM + retention: after compact(v4) and vacuum(retain 2), the
+    * latest snapshot is row-identical to the pre-vacuum state (content
+    * oracle) and exactly 2 versions remain readable (`n_versions` comes
+    * from the live log, not a constant). */
+  val qVersionedVacuum: QueryDef = QueryDef(
+    "q116_versioned_vacuum",
+    """SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+      |  CAST(2 AS BIGINT) AS n_versions
+      |FROM orders WHERE o_orderkey % 3 <= 1""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    io.read(s, "vac")
+      .withColumn("n_versions", lit(io.versions("vac").size.toLong))
+  }
+
+  val all: Seq[QueryDef] = Seq(qTimeTravel, qVersionedVacuum)
+}

@@ -34,7 +34,14 @@ object Curation {
     // cluster_id is the component's min id, so the representative is
     // the row whose own id equals it (singletons represent themselves)
     val reps = clustered.filter(col(idCol) === col("cluster_id"))
-    Sampling.deterministicSplit(reps, textCol)
+    val out = Sampling.deterministicSplit(reps, textCol)
       .select(col(idCol), col("cluster_id"), col("split"))
+      // eager localCheckpoint: materializes the (per-representative,
+      // i.e. small) result and truncates its lineage off `exact`, so the
+      // cache can be released HERE — repeated curate() calls in one
+      // session no longer accumulate cached shingle/dedup data
+      .localCheckpoint(true)
+    exact.unpersist()
+    out
   }
 }

@@ -37,11 +37,12 @@ object IncrementalGold {
     * replayed batch is skipped instead of double-counted.
     */
   private val BatchCol = "__applied_batch"
+  private val RunCol = "__run_id"
 
-  /** Read the maintained gold table without the internal batch-id
-    * bookkeeping column. */
+  /** Read the maintained gold table without the internal bookkeeping
+    * columns. */
   def read(spark: SparkSession, io: TableIO, table: String): DataFrame =
-    io.read(spark, table).drop(BatchCol)
+    io.read(spark, table).drop(BatchCol, RunCol)
 
   def run(spark: SparkSession, sourceDir: String, schema: StructType,
       checkpointDir: String, io: TableIO, table: String,
@@ -54,17 +55,30 @@ object IncrementalGold {
     val stream = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toLong))
       .parquet(sourceDir)
+    // Run identity = the checkpoint location. Batch ids are only
+    // monotonic WITHIN one checkpoint lineage; if the checkpoint dir is
+    // deleted/changed while the gold table is kept, ids restart at 0 and
+    // the naive `batchId <= applied` guard would silently drop every new
+    // batch forever. Detect the mismatch and fail loudly instead.
+    val runId = new java.io.File(checkpointDir).getAbsolutePath
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val existing =
           if (io.exists(spark, table)) Some(io.read(spark, table)) else None
-        val applied = existing
-          .map(_.select(max(col(BatchCol))).first().getLong(0))
-          .getOrElse(-1L)
+        val state = existing
+          .map(_.select(max(col(BatchCol)), max(col(RunCol))).first())
+        val applied = state.map(_.getLong(0)).getOrElse(-1L)
+        val storedRun = state.map(_.getString(1))
+        if (storedRun.exists(_ != runId))
+          throw new IllegalStateException(
+            s"gold table '$table' was built by checkpoint '${storedRun.get}' " +
+              s"but this stream runs from '$runId' — batch ids are not " +
+              "comparable across checkpoint lineages; rebuild the table or " +
+              "restore the original checkpoint")
         if (batchId > applied && !batch.isEmpty) {
           val p = partial(batch)
           val merged = existing match {
-            case Some(g) => g.drop(BatchCol).unionByName(p)
+            case Some(g) => g.drop(BatchCol, RunCol).unionByName(p)
             case None => p
           }
           val aggCols = p.columns.filterNot(keys.contains)
@@ -72,7 +86,8 @@ object IncrementalGold {
           io.overwrite(
             merged.groupBy(keys.map(col): _*)
               .agg(aggCols.head, aggCols.tail: _*)
-              .withColumn(BatchCol, lit(batchId)),
+              .withColumn(BatchCol, lit(batchId))
+              .withColumn(RunCol, lit(runId)),
             table)
         }
         ()

@@ -135,7 +135,8 @@ class Round2OpsSpec extends AnyFunSuite {
 
   test("GeoMean aggregator is partitioning-invariant (1 vs 8 partitions)") {
     val vals = (1 to 1000).map(_.toDouble * 1.5)
-    val udafCol = org.apache.spark.sql.functions.udaf(graft.functions.GeoMean)
+    val udafCol = org.apache.spark.sql.functions.udaf(
+      graft.functions.GeoMean, org.apache.spark.sql.Encoders.DOUBLE)
     def run(parts: Int): Double =
       vals.toDF("x").repartition(parts)
         .agg(udafCol(col("x"))).as[Double].collect().head

@@ -135,14 +135,23 @@ class StreamingSpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().toSeq
     assert(got === Seq(("a", 3L, 7.0), ("b", 1L, 10.0), ("c", 1L, 7.0)))
 
-    // at-least-once replay guard: lose the checkpoint but keep the
-    // table — the re-drain replays old batch ids, which the applied-id
-    // column (written atomically with the merge) skips, so nothing
-    // double-counts
-    graft.stream.IncrementalGold.run(spark, src, schema, tmp("gold_ck2"),
-      io, "g", Seq("k")) { b =>
-      b.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("total"))
+    // at-least-once replay guard: re-running from the SAME checkpoint
+    // replays nothing new and the table is unchanged
+    drain()
+    assert(graft.stream.IncrementalGold.read(spark, io, "g").orderBy("k")
+      .as[(String, Long, Double)].collect().toSeq === got)
+
+    // checkpoint-reset guard: losing the checkpoint but keeping the
+    // table restarts batch ids at 0 — silently skipping them would
+    // leave the table permanently stale, so the run must fail fast
+    // (and leave the table intact)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.stream.IncrementalGold.run(spark, src, schema, tmp("gold_ck2"),
+        io, "g", Seq("k")) { b =>
+        b.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("total"))
+      }
     }
+    assert(ex.getMessage.contains("not comparable across checkpoint lineages"))
     assert(graft.stream.IncrementalGold.read(spark, io, "g").orderBy("k")
       .as[(String, Long, Double)].collect().toSeq === got)
   }

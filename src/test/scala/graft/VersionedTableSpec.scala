@@ -1,0 +1,137 @@
+package graft
+
+import java.io.File
+
+import graft.ingest.VersionedTableIO
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Protocol tests for the manifest-log versioned-table format:
+  * snapshot isolation, time travel, crash consistency (a partial write
+  * leaves the old snapshot readable), optimistic-concurrency commit,
+  * VACUUM retention GC, and appendOnly enforcement. */
+class VersionedTableSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshIo(): (VersionedTableIO, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_vspec").toString
+    (new VersionedTableIO(root), root)
+  }
+
+  test("append/overwrite produce monotonically versioned snapshots") {
+    val (io, _) = freshIo()
+    io.overwrite(Seq((1, "a"), (2, "b")).toDF("k", "v"), "t")
+    io.append(Seq((3, "c")).toDF("k", "v"), "t")
+    io.overwrite(Seq((9, "z")).toDF("k", "v"), "t")
+    assert(io.versions("t") == Seq(1L, 2L, 3L))
+    assert(io.readVersion(spark, "t", 1).count() == 2)
+    assert(io.readVersion(spark, "t", 2).count() == 3)
+    assert(io.read(spark, "t").as[(Int, String)].collect().toSet == Set((9, "z")))
+    assert(io.history("t").map(_.op) == Seq("overwrite", "append", "overwrite"))
+  }
+
+  test("crash consistency: a data dir without a manifest is invisible") {
+    val (io, root) = freshIo()
+    io.overwrite(Seq((1, "a")).toDF("k", "v"), "t")
+    // simulate a writer that died after writing data, before committing
+    Seq((666, "junk")).toDF("k", "v")
+      .write.parquet(s"$root/t/data/${java.util.UUID.randomUUID()}")
+    assert(io.latestVersion("t") == 1L)
+    assert(io.read(spark, "t").as[(Int, String)].collect().toSet == Set((1, "a")))
+    // vacuum with zero grace sweeps the orphan; the snapshot is intact
+    val removed = io.vacuum("t", retainLast = 1, orphanGraceMs = 0L)
+    assert(removed == 1)
+    assert(io.read(spark, "t").as[(Int, String)].collect().toSet == Set((1, "a")))
+  }
+
+  test("orphan grace period protects an in-flight writer's data dir") {
+    val (io, root) = freshIo()
+    io.overwrite(Seq((1, "a")).toDF("k", "v"), "t")
+    Seq((2, "b")).toDF("k", "v")
+      .write.parquet(s"$root/t/data/${java.util.UUID.randomUUID()}")
+    // default-ish grace: the just-written orphan is younger than 1h
+    assert(io.vacuum("t", retainLast = 1, orphanGraceMs = 3600L * 1000) == 0)
+  }
+
+  test("concurrent commit: slot collision is detected and retried") {
+    val (io, root) = freshIo()
+    io.overwrite(Seq((1, "a")).toDF("k", "v"), "t")
+    // another writer claims version 2 out from under us
+    val logDir = new File(s"$root/t/_graft_log")
+    val stolen = new File(logDir, f"${2L}%020d.json")
+    val m1 = new File(logDir, f"${1L}%020d.json")
+    java.nio.file.Files.copy(m1.toPath, stolen.toPath)
+    // our append must land at version 3, on top of the winner
+    io.append(Seq((2, "b")).toDF("k", "v"), "t")
+    assert(io.latestVersion("t") == 3L)
+    assert(io.readVersion(spark, "t", 3).count() == 2)
+  }
+
+  test("upsert rewrites as a new snapshot; old versions unchanged") {
+    val (io, _) = freshIo()
+    io.overwrite(Seq((1, 10.0), (2, 20.0)).toDF("k", "x"), "t")
+    io.upsert(spark, Seq((2, 99.0), (3, 30.0)).toDF("k", "x"), "t", keys = Seq("k"))
+    assert(io.read(spark, "t").as[(Int, Double)].collect().toSet ==
+      Set((1, 10.0), (2, 99.0), (3, 30.0)))
+    // time travel still sees the pre-merge state
+    assert(io.readVersion(spark, "t", 1).as[(Int, Double)].collect().toSet ==
+      Set((1, 10.0), (2, 20.0)))
+  }
+
+  test("readAsOf resolves the latest commit at-or-before the timestamp") {
+    val (io, _) = freshIo()
+    io.overwrite(Seq((1, "a")).toDF("k", "v"), "t")
+    val t1 = io.manifest("t", 1).ts
+    io.append(Seq((2, "b")).toDF("k", "v"), "t")
+    assert(io.readAsOf(spark, "t", t1).count() == 1)
+    assert(io.readAsOf(spark, "t", System.currentTimeMillis() + 1000).count() == 2)
+    intercept[IllegalArgumentException](io.readAsOf(spark, "t", t1 - 1000))
+  }
+
+  test("vacuum drops unreferenced dirs, keeps retained versions readable") {
+    val (io, root) = freshIo()
+    io.overwrite(Seq((1, "a")).toDF("k", "v"), "t") // v1 — dir becomes garbage
+    io.overwrite(Seq((2, "b")).toDF("k", "v"), "t") // v2 — retained
+    io.append(Seq((3, "c")).toDF("k", "v"), "t")    // v3 — retained (refs v2's dir)
+    val removed = io.vacuum("t", retainLast = 2, orphanGraceMs = 0L)
+    assert(removed == 1) // only v1's dir: v2's is still referenced by v3
+    assert(io.versions("t") == Seq(2L, 3L))
+    assert(io.readVersion(spark, "t", 2).count() == 1)
+    assert(io.read(spark, "t").count() == 2)
+    intercept[IllegalArgumentException](io.readVersion(spark, "t", 1))
+    // exactly the retained data remains on disk
+    assert(new File(s"$root/t/data").listFiles().length == 2)
+  }
+
+  test("appendOnly property blocks overwrite and merge, allows append") {
+    val (io, _) = freshIo()
+    io.overwrite(Seq((1, "a")).toDF("k", "v"), "t")
+    io.setProperty("t", VersionedTableIO.PropAppendOnly, "true")
+    intercept[UnsupportedOperationException](
+      io.overwrite(Seq((2, "b")).toDF("k", "v"), "t"))
+    intercept[UnsupportedOperationException](
+      io.upsert(spark, Seq((1, "x")).toDF("k", "v"), "t", keys = Seq("k")))
+    io.append(Seq((2, "b")).toDF("k", "v"), "t")
+    assert(io.read(spark, "t").count() == 2)
+    assert(io.properties("t") == Map(VersionedTableIO.PropAppendOnly -> "true"))
+  }
+
+  test("schema evolution: columns added in later commits read as null") {
+    val (io, _) = freshIo()
+    io.overwrite(Seq((1, "a")).toDF("k", "v"), "t")
+    io.append(Seq((2, "b", 9.9)).toDF("k", "v", "extra"), "t")
+    val rows = io.read(spark, "t")
+      .select("k", "extra").as[(Int, Option[Double])].collect().toMap
+    assert(rows == Map(1 -> None, 2 -> Some(9.9)))
+  }
+
+  test("compact rewrites files, preserves content, keeps history") {
+    val (io, _) = freshIo()
+    io.overwrite(spark.range(1000).toDF("id").repartition(16), "t")
+    io.compact(spark, "t", numFiles = 2)
+    assert(io.read(spark, "t").inputFiles.length == 2)
+    assert(io.read(spark, "t").agg(sum($"id")).as[Long].head() == 499500L)
+    assert(io.readVersion(spark, "t", 1).count() == 1000)
+  }
+}
