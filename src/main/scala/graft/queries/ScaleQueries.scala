@@ -231,7 +231,10 @@ object ScaleQueries {
       "vec_id", "embedding", k = 10, nCells = 16, nProbe = 2)
   }
 
-  /** Embedding-cosine near-dup pairs (exact, bounded slice). */
+  /** Embedding-cosine near-dup pairs — exact all-pairs over a BOUNDED
+    * slice: the ground-truth form recall is measured against (q41's
+    * role for MinHash); the corpus-scale path is q117's bucketed
+    * pipeline. */
   val qDedupEmbedding: QueryDef = QueryDef(
     "q58_dedup_embedding",
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -243,6 +246,56 @@ object ScaleQueries {
     Dedup.embeddingNearDups(
       Tables.load(s, dir, "embeddings").filter(col("vec_id") < 300),
       "vec_id", "embedding", minCosine = 0.35)
+  }
+
+  /** Bucketed embedding near-dup over the FULL corpus — the 100 TB
+    * shape: banded sign-LSH shuffle + within-bucket exact verify, no
+    * broadcast of either side (ScaleSpec asserts the plan).
+    *
+    * The synthetic embeddings are near-orthogonal (no pairs above 0.5
+    * cosine), so the corpus is augmented with deterministically
+    * perturbed copies (v → 0.95·v + 0.01, id + 100000) — planted
+    * near-dups at ~0.99 cosine, the regime production dedup actually
+    * runs in (≥0.9 threshold, where LSH prunes 2^planes× per band).
+    * Planes AND perturbation are replayed by the oracle, so the full
+    * pipeline INCLUDING candidate misses is hash-checked. */
+  private def dedupEmbeddingLshOracleSql(dim: Int, nPlanes: Int,
+      bands: Int, seed: Long, minCosine: Double): String = {
+    val bandSelects = (0 until bands).map { bnd =>
+      val ps = Similarity.planes(dim, nPlanes, seed + bnd)
+      val bucketExpr = ps.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, CAST(${p.mkString("[", ", ", "]")} " +
+          s"AS DOUBLE[])) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, v, $bnd AS band, $bucketExpr AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |              FROM embeddings),
+       |e AS (SELECT vec_id, v FROM base
+       |      UNION ALL
+       |      SELECT vec_id + 100000,
+       |        list_transform(v, x -> x * 0.95 + 0.01) FROM base),
+       |b AS ($bandSelects)
+       |SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+       |  round(list_cosine_similarity(a.v, c.v), 6) AS cosine
+       |FROM b a JOIN b c
+       |  ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |WHERE round(list_cosine_similarity(a.v, c.v), 6) >= $minCosine""".stripMargin
+  }
+
+  val qDedupEmbeddingLsh: QueryDef = QueryDef(
+    "q117_dedup_embedding_lsh",
+    dedupEmbeddingLshOracleSql(dim = 64, nPlanes = 8, bands = 2,
+      seed = 42L, minCosine = 0.9)) { (s, dir) =>
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val perturbed = base.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x * 0.95 + 0.01).as("embedding"))
+    Dedup.embeddingNearDupsBucketed(
+      base.unionByName(perturbed),
+      "vec_id", "embedding", minCosine = 0.9, dim = 64, nPlanes = 8,
+      bands = 2)
   }
 
   val qTokenStats: QueryDef = QueryDef(
@@ -496,7 +549,8 @@ object ScaleQueries {
   }
 
   val all: Seq[QueryDef] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh,
-    qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qDedupEmbedding, qTokenStats, qQuality, qLangId,
+    qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qDedupEmbedding,
+    qDedupEmbeddingLsh, qTokenStats, qQuality, qLangId,
     qFingerprint, qMultimodal, qTfidf, qApproxPercentile, qSplit, qStratified,
     qVectorQuantize, qFrameSample, qSurprisal)
 }

@@ -226,4 +226,33 @@ class ScaleSpec extends AnyFunSuite {
     // hello , world ! it ' s 42 → 8
     assert(r.getInt(1) === 8)
   }
+
+  test("bucketed embedding dedup: subset of exact pairs, identical " +
+    "cosines, and a broadcast-free plan") {
+    // planted near-dups: perturbed copies at ~0.99 cosine — the regime
+    // production embedding dedup runs in (the raw synthetic vectors are
+    // near-orthogonal, where no LSH can prune)
+    val base = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val emb = base.unionByName(base.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x * 0.95 + 0.01).as("embedding")))
+    def pairs(rows: Array[(Long, Long, Double)]): Map[(Long, Long), Double] =
+      rows.map { case (a, b, c) => (a, b) -> c }.toMap
+    val exact = pairs(graft.scale.Dedup
+      .embeddingNearDups(emb, "vec_id", "embedding", minCosine = 0.9)
+      .as[(Long, Long, Double)].collect())
+    val bucketed = graft.scale.Dedup.embeddingNearDupsBucketed(
+      emb, "vec_id", "embedding", minCosine = 0.9, dim = 64, nPlanes = 8,
+      bands = 2)
+    val got = pairs(bucketed.as[(Long, Long, Double)].collect())
+    // every bucketed pair is a true near-dup with the exact same score
+    got.foreach { case (k, c) => assert(exact.get(k).contains(c), k) }
+    // 8 planes × 2 bands at ~0.99 cosine → expect ≳95% recall
+    assert(exact.nonEmpty && got.size >= exact.size * 8 / 10,
+      s"recall collapsed: ${got.size}/${exact.size}")
+    // the 100 TB shape: the pair join must NOT broadcast either side
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), plan.linesIterator.take(20).mkString("\n"))
+  }
 }
