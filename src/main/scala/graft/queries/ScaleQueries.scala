@@ -548,9 +548,39 @@ object ScaleQueries {
       Tables.load(s, dir, "documents"), "doc_id", "text")
   }
 
+  /** Interpolated bigram surprisal (λ·bigram + (1−λ)·unigram backoff) —
+    * the LM-quality upgrade over q93; adjacent-token pairs come from
+    * zipping the token list with its own tail in BOTH engines, so the
+    * full model (3 count tables + interpolation) is oracle-replayed. */
+  val qBigramSurprisal: QueryDef = QueryDef(
+    "q118_bigram_surprisal",
+    """WITH lists AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+      |  FROM documents),
+      |uni AS (SELECT unnest(l) AS term FROM lists),
+      |cu AS (SELECT term, count(*) AS cu FROM uni GROUP BY 1),
+      |tot AS (SELECT count(*) AS t FROM uni),
+      |bi AS (
+      |  SELECT doc_id, z[1] AS prev, z[2] AS cur
+      |  FROM (SELECT doc_id, unnest(list_zip(l[:-2], l[2:])) AS z
+      |        FROM lists WHERE len(l) >= 2)),
+      |cb AS (SELECT prev, cur, count(*) AS cb FROM bi GROUP BY 1, 2),
+      |cp AS (SELECT prev, count(*) AS cp FROM bi GROUP BY 1)
+      |SELECT bi.doc_id, count(*) AS n_bigrams,
+      |  round(-avg(ln(0.75 * (CAST(cb.cb AS DOUBLE) / cp.cp) +
+      |                0.25 * (CAST(cu.cu AS DOUBLE) / (SELECT t FROM tot)))), 6)
+      |    AS mean_surprisal
+      |FROM bi JOIN cb USING (prev, cur) JOIN cp USING (prev)
+      |  JOIN cu ON cu.term = bi.cur
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    TextStats.bigramSurprisal(
+      Tables.load(s, dir, "documents"), "doc_id", "text", lambda = 0.75)
+  }
+
   val all: Seq[QueryDef] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh,
     qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qDedupEmbedding,
     qDedupEmbeddingLsh, qTokenStats, qQuality, qLangId,
     qFingerprint, qMultimodal, qTfidf, qApproxPercentile, qSplit, qStratified,
-    qVectorQuantize, qFrameSample, qSurprisal)
+    qVectorQuantize, qFrameSample, qSurprisal, qBigramSurprisal)
 }

@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   * the plan does not grow with iterations, and the convergence check
   * rides the same pass (isEmpty on changed labels) instead of a second
   * join.
+  *
+  * Skew: a supernode of degree d puts d edge rows in one partition of
+  * the edges⋈labels equi-join — but the labels side is one row per
+  * node, so the join output is bounded by degree (no cross-product),
+  * AQE's skew-join split rebalances the oversized partition, and the
+  * following groupBy(src) re-keys the d rows across d DISTINCT spokes
+  * with map-side partial min. A star graph also has diameter 2, so
+  * rounds stay bounded — hub-heavy near-dup graphs converge FASTER,
+  * not slower (Round2OpsSpec proves 10k-degree convergence in 3
+  * rounds).
   */
 object Clusters {
 

@@ -131,6 +131,45 @@ object TextStats {
           .as("mean_surprisal"))
   }
 
+  /** Interpolated (Jelinek-Mercer) bigram surprisal — the standard
+    * upgrade over [[unigramSurprisal]] for corpus quality filtering:
+    *   p(w | prev) = λ·c(prev,w)/c(prev,·) + (1−λ)·c(w)/T
+    * per-doc −mean(ln p) over adjacent-token pairs. The backoff to the
+    * unigram distribution keeps unseen-in-context words finite, so λ<1
+    * needs no extra smoothing.
+    *
+    * Scale shape: tokenize once into a list column, derive bigrams by
+    * zipping the list with its own tail (no self-join on positions),
+    * aggregate the three count tables corpus-wide, join them back on
+    * (prev,cur)/(prev)/(cur). The count tables are vocabulary-sized —
+    * AQE broadcasts them when small, shuffles when not; the token
+    * stream itself is never joined to itself. Docs with < 2 tokens
+    * have no bigrams and drop out. */
+  def bigramSurprisal(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, lambda: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val lists = df.select(col(idCol), tokens(col(textCol)).as("__l"))
+    val uni = lists.select(explode(col("__l")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum("cu").as("__total"))
+    val bi = lists.filter(size(col("__l")) >= 2)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("__l"), lit(1), size(col("__l")) - 1),
+        slice(col("__l"), lit(2), size(col("__l")) - 1))).as("__z"))
+      .select(col(idCol), col("__z").getField("0").as("prev"),
+        col("__z").getField("1").as("cur"))
+    val bigCounts = bi.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    val prevCounts = bi.groupBy("prev").agg(count(lit(1)).as("cp"))
+    val p = lit(lambda) * (col("cb").cast("double") / col("cp")) +
+      lit(1.0 - lambda) * (col("cu").cast("double") / col("__total"))
+    bi.join(bigCounts, Seq("prev", "cur"))
+      .join(prevCounts, Seq("prev"))
+      .join(uni.withColumnRenamed("term", "cur"), Seq("cur"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log(p)), 6).as("mean_surprisal"))
+  }
+
   // ---- PII redaction ------------------------------------------------------
 
   /** Patterns restricted to syntax shared by Java regex and RE2 (no

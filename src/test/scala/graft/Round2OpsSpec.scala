@@ -164,4 +164,35 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(!got.contains(3L))
     assert(got(4L).length === 4 && got(4L).map(_._3).sum === 1024)
   }
+
+  test("GeoMean ignores NULL and non-positive inputs like built-in aggs") {
+    val udafCol = org.apache.spark.sql.functions.udaf(
+      graft.functions.GeoMean, org.apache.spark.sql.Encoders.DOUBLE)
+    val got = Seq[(Int, Option[Double])](
+      (1, Some(2.0)), (1, Some(8.0)), (1, None), (1, Some(0.0)), (1, Some(-3.0)),
+      (2, None), (2, Some(-1.0)))
+      .toDF("k", "x").groupBy("k").agg(udafCol(col("x")).as("g"))
+      .as[(Int, Double)].collect().toMap
+    assert(math.abs(got(1) - 4.0) < 1e-12) // geomean(2, 8), junk skipped
+    assert(got(2).isNaN)                   // no valid inputs
+  }
+
+  test("connectedComponents: 10k-degree supernode converges in bounded rounds") {
+    // star: hub 0 with 10k spokes (degree-skew worst case) + a disjoint
+    // chain, + a spoke-to-spoke edge creating a triangle through the hub
+    val star = spark.range(1, 10001)
+      .select(lit(0L).as("id_a"), col("id").as("id_b"))
+    val chain = Seq((20001L, 20002L), (20002L, 20003L)).toDF("id_a", "id_b")
+    val tri = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val pairs = star.unionByName(chain).unionByName(tri)
+    // diameter 2 ⇒ must converge well inside 4 rounds — a skew-induced
+    // stall (or silent wrong labels) would throw here
+    val labels = graft.scale.Clusters
+      .connectedComponents(pairs, "id_a", "id_b", maxIter = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size === 10004)
+    assert(labels(10000L) === 0L && labels(1L) === 0L && labels(2L) === 0L)
+    assert(labels(20003L) === 20001L)
+    assert(labels.values.toSet === Set(0L, 20001L))
+  }
 }
