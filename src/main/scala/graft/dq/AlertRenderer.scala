@@ -31,6 +31,99 @@ object AlertRenderer {
     else s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
+  /** A fully rendered alert: email body (summary + capped per-config
+    * preview) plus the standalone full-report attachment — the
+    * reference's email_html_generator.py:4-314 capability as pure
+    * values, with delivery behind [[AlertSink]]. */
+  final case class AlertReport(
+      subject: String, body: String,
+      attachmentName: String, attachment: String,
+      totalViolations: Long, configCount: Long, dimensionCount: Long)
+
+  /** One config's grouped failure block. */
+  private final case class Section(
+      dimension: String, config: Long, schemaName: String,
+      tableName: String, rule: String, total: Long, pks: Seq[String])
+
+  private def sectionHtml(s: Section, cap: Int): String = {
+    val shown = s.pks.take(cap)
+    val note = if (s.total > shown.size) s" (showing first ${shown.size})" else ""
+    val rows = shown.map(pk => s"<tr><td>${esc(pk)}</td></tr>").mkString("\n")
+    s"""<div class="config-section">
+       |<h3>Dimension: ${esc(s.dimension)}</h3>
+       |<div class="config-info">Configuration #${s.config}<br>
+       |Table: ${esc(s.schemaName)}.${esc(s.tableName)}<br>
+       |Rule: ${esc(s.rule)}<br>
+       |Total Violations: <span class="violation-count">${s.total}</span>$note</div>
+       |<table class="audit-table"><tr><th>violated pk</th></tr>
+       |$rows
+       |</table></div>""".stripMargin
+  }
+
+  /** Build the full alert (email body + attachment) from the violation
+    * fact frame in ONE pass over the data: a single grouped collect
+    * (bounded by `maxAttachmentRows` pk samples per config — the fact
+    * rows are already a capped SAMPLE of each config's violations, so
+    * the driver-side materialization is bounded by config count, not
+    * table size). `generatedAt` is caller-supplied so rendering is
+    * deterministic/testable — stamping wall-clock time inside would
+    * make the report unreproducible. */
+  def renderReport(violations: DataFrame, previewRows: Int = 5,
+      maxAttachmentRows: Int = 10000,
+      generatedAt: String = ""): AlertReport = {
+    val grouped = violations
+      .filter(col("nr_status") =!= AuditStatus.Pass)
+      .groupBy(col("ds_dimension"), col("cd_configuration"),
+        col("schema_name"), col("table_name"), col("rule"),
+        col("n_violations"))
+      .agg(sort_array(collect_list(col("violated_pk"))).as("pks"))
+      .orderBy(col("ds_dimension"), col("cd_configuration"))
+      .collect()
+    var budget = maxAttachmentRows
+    val sections = grouped.toSeq.map { r =>
+      val pks = r.getSeq[String](r.fieldIndex("pks")).toList
+      val kept = pks.take(math.max(0, budget))
+      budget -= kept.size
+      Section(r.getAs[String]("ds_dimension"),
+        r.getAs[Long]("cd_configuration"), r.getAs[String]("schema_name"),
+        r.getAs[String]("table_name"), r.getAs[String]("rule"),
+        r.getAs[Long]("n_violations"), kept)
+    }
+    val totalViolations = sections.map(_.total).sum
+    val configCount = sections.size.toLong
+    val dimensionCount = sections.map(_.dimension).distinct.size.toLong
+    val attachmentName = "data_audit_report.html"
+    val summary =
+      s"""<div class="summary"><strong>Summary:</strong><ul>
+         |<li>Total Failed Audits: $totalViolations</li>
+         |<li>Configurations with Issues: $configCount</li>
+         |<li>Dimensions Affected: $dimensionCount</li>
+         |<li>Alert Time: ${esc(generatedAt)}</li></ul></div>""".stripMargin
+    val body =
+      s"""<html><body><h2>Data Quality Alert</h2>
+         |$summary
+         |<h3>Failed Audits by Configuration (Preview - Max $previewRows per config):</h3>
+         |${sections.map(sectionHtml(_, previewRows)).mkString("\n")}
+         |<div class="notice">Showing maximum $previewRows violations per
+         |configuration. Open the attached $attachmentName for the full report.</div>
+         |</body></html>""".stripMargin
+    val attachment =
+      s"""<!DOCTYPE html><html><head><meta charset="UTF-8">
+         |<title>Data Quality Audit Report</title></head><body>
+         |<h1>Data Quality Audit Report</h1>
+         |<div class="info"><ul><li>Total Failed Audits: $totalViolations</li>
+         |<li>Configurations with Issues: $configCount</li>
+         |<li>Generated: ${esc(generatedAt)}</li></ul></div>
+         |${sections.map(sectionHtml(_, Int.MaxValue)).mkString("\n")}
+         |</body></html>""".stripMargin
+    AlertReport(
+      subject = s"[Data Quality] $totalViolations failed audits across " +
+        s"$configCount configurations",
+      body = body, attachmentName = attachmentName, attachment = attachment,
+      totalViolations = totalViolations, configCount = configCount,
+      dimensionCount = dimensionCount)
+  }
+
   def renderHtml(preview: DataFrame): String = {
     val rows = preview
       .orderBy(col("ds_dimension"), col("cd_configuration"),

@@ -55,6 +55,39 @@ class CatalogSpec extends AnyFunSuite {
     val r = df.agg(countDistinct(col("u")), countDistinct(col("m"))).first()
     assert(r.getLong(0) === 500L && r.getLong(1) === 500L)
   }
+
+  test("external-reader contract: a second session reads a written table " +
+    "by catalog name with partition pruning") {
+    // the reference's Trino-over-metastore contract
+    // (trino/etc/catalog/delta.properties analog): engine A writes
+    // hive-style partitioned files + registers ONLY the catalog entry;
+    // reader B is a fresh session (no temp views, no DataFrame handles)
+    // resolving by name through the shared catalog
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ext").toString
+    Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("id", "part_key", "x")
+      .write.mode("overwrite").partitionBy("part_key").parquet(dir)
+    spark.sql(s"CREATE TABLE ext_orders USING parquet LOCATION '$dir'")
+    try {
+      val reader = spark.newSession()
+      // fresh session state: parent temp views are invisible…
+      spark.range(1).createOrReplaceTempView("only_in_parent")
+      assert(!reader.catalog.tableExists("only_in_parent"))
+      // …but the catalog table resolves; Hive-style partition recovery
+      // (MSCK REPAIR) registers the on-disk partition directories
+      reader.sql("MSCK REPAIR TABLE ext_orders")
+      val got = reader.sql(
+        "SELECT id, x FROM ext_orders WHERE part_key = 'a' ORDER BY id")
+        .as[(Long, Double)](reader.implicits.newProductEncoder).collect().toSeq
+      assert(got === Seq((1L, 10.0), (2L, 20.0)))
+      // the partition filter must prune at scan time, not post-filter
+      val plan = reader.sql(
+        "SELECT id FROM ext_orders WHERE part_key = 'a'")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(part_key"), plan)
+    } finally spark.sql("DROP TABLE ext_orders")
+  }
 }
 
 case class ConfigRow(id: Long, name: String, active: Boolean)

@@ -95,6 +95,51 @@ class DqSpec extends AnyFunSuite {
     assert(html.contains("<table") && html.contains("completeness_mandatory"))
   }
 
+  test("full report: multi-dimension sections, caps, escaping, sinks") {
+    // two dimensions, three configs; config 1 has 20 violations (preview
+    // must cap at 5, attachment must carry all sampled pks); rule text
+    // carries markup that must be escaped
+    val big = spark.range(20).toDF("id").withColumn("name", lit(null: String))
+      .withColumn("amount", lit(-1.0))
+    val cfgs = Seq(
+      MandatoryColumnConfig(1, "s", "t_users", Seq("name"), Seq("id")),
+      ValidityConfig(2, "s", "t_users", "amount < 0 OR name = '<x>'", Seq("id")),
+      ValidityConfig(3, "s", "t_orders", "amount < 0", Seq("id")))
+    val facts = FactBuilder.violations(AuditExecutor.runRules(big, cfgs, at))
+    val report = AlertRenderer.renderReport(facts, previewRows = 5,
+      generatedAt = "2026-01-01 00:00:00")
+
+    assert(report.totalViolations === 60L) // 3 configs × 20 rows
+    assert(report.configCount === 3L)
+    assert(report.dimensionCount === 2L) // completeness + validity
+    assert(report.subject.contains("60 failed audits across 3 configurations"))
+    // preview: capped with note; attachment: all sampled pks, no note
+    assert(report.body.contains("showing first 5"))
+    assert(!report.attachment.contains("showing first"))
+    // one <tr><td> per sampled pk (headers use <th>): 3 configs × 20
+    assert(report.attachment.split("<tr><td>", -1).length - 1 === 3 * 20)
+    // escaping: the rule's markup must not survive as tags
+    assert(!report.body.contains("<x>") && report.body.contains("&lt;x&gt;"))
+    assert(report.body.contains("s.t_users") && report.body.contains("s.t_orders"))
+
+    val mem = new InMemoryAlertSink
+    mem.send(report)
+    assert(mem.sent === Seq(report))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_alert").toString
+    new FileAlertSink(dir).send(report)
+    val attached = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, report.attachmentName)), "UTF-8")
+    assert(attached === report.attachment)
+
+    var mail: String = null
+    new SmtpAlertSink("dq@example.com", Seq("team@example.com"),
+      transport = m => mail = m).send(report)
+    assert(mail.contains("Subject: " + report.subject))
+    assert(mail.contains("Content-Disposition: attachment"))
+    assert(mail.contains(report.attachmentName))
+  }
+
   test("result ids are deterministic across reruns") {
     val cfg = MandatoryColumnConfig(1, "s", "t", Seq("name"), Seq("id"))
     val a = AuditExecutor.runRule(frame, cfg, at).first().getString(0)
