@@ -257,6 +257,45 @@ final class VersionedTableIO(root: String) extends TableIO {
   /** Commit history, newest first — the DESCRIBE HISTORY analog. */
   def history(table: String): Seq[Manifest] =
     versions(table).reverse.map(manifest(table, _))
+
+  /** Change Data Feed analog: row-level changes between two committed
+    * versions, derived as a keyed snapshot diff —
+    * `_change_type` ∈ insert | delete | update_preimage |
+    * update_postimage (Delta CDF's vocabulary). Derived-not-stored:
+    * nothing extra is written at commit time; any pair of retained
+    * versions can be diffed after the fact. Cost: one full-outer join
+    * of the two snapshots hashed on `keys` — both sides shuffle once
+    * on the key, which is the floor for a keyed diff without stored
+    * change files. */
+  def readChanges(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromVersion < toVersion,
+      s"fromVersion $fromVersion must precede toVersion $toVersion")
+    val before = readVersion(spark, table, fromVersion)
+    val after = readVersion(spark, table, toVersion)
+    val valueCols = before.columns.filterNot(keys.contains)
+    require(valueCols.sameElements(after.columns.filterNot(keys.contains)),
+      "schema changed between versions — diff the common columns yourself")
+    def packed(df: DataFrame, tag: String): DataFrame =
+      df.select(keys.map(col) :+
+        struct(valueCols.map(col): _*).as(s"__row_$tag"): _*)
+    val joined = packed(before, "b").join(packed(after, "a"), keys, "full_outer")
+    val b = col("__row_b")
+    val a = col("__row_a")
+    val unpackA = valueCols.map(c => a.getField(c).as(c))
+    val unpackB = valueCols.map(c => b.getField(c).as(c))
+    val inserts = joined.filter(b.isNull)
+      .select(keys.map(col) ++ unpackA :+ lit("insert").as("_change_type"): _*)
+    val deletes = joined.filter(a.isNull)
+      .select(keys.map(col) ++ unpackB :+ lit("delete").as("_change_type"): _*)
+    val updated = joined.filter(b.isNotNull && a.isNotNull && !(a <=> b))
+    val pre = updated.select(keys.map(col) ++ unpackB :+
+      lit("update_preimage").as("_change_type"): _*)
+    val post = updated.select(keys.map(col) ++ unpackA :+
+      lit("update_postimage").as("_change_type"): _*)
+    inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+  }
 }
 
 object VersionedTableIO {

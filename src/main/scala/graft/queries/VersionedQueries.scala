@@ -84,5 +84,25 @@ object VersionedQueries {
       .withColumn("n_versions", lit(io.versions("vac").size.toLong))
   }
 
-  val all: Seq[QueryDef] = Seq(qTimeTravel, qVersionedVacuum)
+  /** Change Data Feed: row-level diff of version 1 → 3 (the merge
+    * inserted the ≡1 (mod 3) keys and updated every ≡0 key's price),
+    * replayed declaratively by the oracle. Deletes are covered in
+    * VersionedTableSpec (this table's history never drops keys). */
+  val qChangeFeed: QueryDef = QueryDef(
+    "q119_change_feed",
+    """SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+      |  'insert' AS _change_type
+      |FROM orders WHERE o_orderkey % 3 = 1
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, 'update_preimage'
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice + 1000.0, 'update_postimage'
+      |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    io.readChanges(s, "tt", fromVersion = 1L, toVersion = 3L,
+      keys = Seq("o_orderkey"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qTimeTravel, qVersionedVacuum, qChangeFeed)
 }

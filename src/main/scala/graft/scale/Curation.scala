@@ -27,9 +27,14 @@ object Curation {
     val exact = Dedup.exactDedup(quality, idCol, textCol)
       .drop("fingerprint")
       .persist()
-    val pairs = Dedup
-      .nearDuplicates(exact, idCol, textCol, minJaccard, p)
-      .select("id_a", "id_b")
+    val (ndups, releaseShingles) = Dedup
+      .nearDuplicatesReleasable(exact, idCol, textCol, minJaccard, p)
+    // materialize the (tiny) pair list ONCE: the undirected-edge union
+    // and every label-propagation round would otherwise re-run the
+    // whole candidate+verify chain per consumer
+    val pairs = ndups.select("id_a", "id_b").persist()
+    pairs.count()
+    releaseShingles()
     val clustered = Clusters.dedupClusters(exact, pairs, idCol)
     // cluster_id is the component's min id, so the representative is
     // the row whose own id equals it (singletons represent themselves)
@@ -42,6 +47,7 @@ object Curation {
       // session no longer accumulate cached shingle/dedup data
       .localCheckpoint(true)
     exact.unpersist()
+    pairs.unpersist()
     out
   }
 }

@@ -172,7 +172,16 @@ object Dedup {
     * shingle jaccard ≥ threshold. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double,
-      p: MinHashParams = MinHashParams()): DataFrame = {
+      p: MinHashParams = MinHashParams()): DataFrame =
+    nearDuplicatesReleasable(df, idCol, textCol, minJaccard, p)._1
+
+  /** [[nearDuplicates]] plus a release handle for the internal shingle
+    * cache: composed pipelines (Curation) call it after materializing
+    * the pair list so repeated passes don't accumulate cached shingle
+    * sets. Callers of the plain form own the session-lifetime cache. */
+  def nearDuplicatesReleasable(df: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double,
+      p: MinHashParams = MinHashParams()): (DataFrame, () => Unit) = {
     // tokenize once: the cached set frame feeds both the signature
     // explode and the verification joins (3 regex passes -> 1). The
     // persist backs the returned (lazy) frame — callers running many
@@ -185,7 +194,7 @@ object Dedup {
     val sigs = signaturesFromSets(
       sets.select(col("__id").as(idCol), col("__set")), idCol, p)
     val cands = candidatePairs(sigs, idCol, p)
-    cands
+    val result = cands
       .join(sets.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__set", "set_a"), Seq("id_a"))
       .join(sets.withColumnRenamed("__id", "id_b")
@@ -193,6 +202,7 @@ object Dedup {
       .withColumn("jaccard", round(jaccard(col("set_a"), col("set_b")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+    (result, () => { sets.unpersist(); () })
   }
 
   /** Embedding-cosine near-dup pairs over a BOUNDED corpus slice:

@@ -126,6 +126,22 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(rows == Map(1 -> None, 2 -> Some(9.9)))
   }
 
+  test("readChanges emits all four CDF change types from a keyed diff") {
+    val (io, _) = freshIo()
+    io.overwrite(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), "t")
+    // v2: 1 unchanged, 2 updated, 3 deleted, 4 inserted
+    io.overwrite(Seq((1, "a"), (2, "B"), (4, "d")).toDF("k", "v"), "t")
+    val got = io.readChanges(spark, "t", 1L, 2L, keys = Seq("k"))
+      .as[(Int, String, String)].collect().toSet
+    assert(got === Set(
+      (4, "d", "insert"),
+      (3, "c", "delete"),
+      (2, "b", "update_preimage"),
+      (2, "B", "update_postimage")))
+    intercept[IllegalArgumentException](
+      io.readChanges(spark, "t", 2L, 1L, keys = Seq("k")))
+  }
+
   test("compact rewrites files, preserves content, keeps history") {
     val (io, _) = freshIo()
     io.overwrite(spark.range(1000).toDF("id").repartition(16), "t")
