@@ -10,10 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** One committed snapshot of a versioned table: the ordered list of
   * immutable data directories that make it up, plus carried-forward
   * table properties. The version number is both in the file name (zero-
-  * padded, so lexicographic listing = version order) and in the body. */
+  * padded, so lexicographic listing = version order) and in the body.
+  * `stats` maps dataDir → numeric column → [min, max] — the
+  * Delta/Iceberg file-statistics analog at commit-dir granularity,
+  * used by [[VersionedTableIO.readPruned]] to skip whole directories. */
 final case class Manifest(
     version: Long, ts: Long, op: String,
-    dataDirs: Seq[String], properties: Map[String, String])
+    dataDirs: Seq[String], properties: Map[String, String],
+    stats: Map[String, Map[String, Seq[Double]]] = Map.empty)
 
 /** Versioned-table format over plain parquet — the engine's stand-in
   * for Delta Lake's transaction log (the reference writes Delta
@@ -106,20 +110,26 @@ final class VersionedTableIO(root: String) extends TableIO {
   }
 
   /** Read-modify-write retry loop: build the next manifest from the
-    * current snapshot, race for the slot, re-read and rebuild on loss. */
+    * current snapshot, race for the slot, re-read and rebuild on loss.
+    * `build` returns the snapshot's dirs plus stats for NEW dirs; stats
+    * for carried-over dirs ride along from the base manifest. */
   private def commitLoop(table: String, op: String)(
-      build: Option[Manifest] => Seq[String]): Manifest = {
+      build: Option[Manifest] => (Seq[String], Map[String, Map[String, Seq[Double]]])): Manifest = {
     var attempts = 0
     while (true) {
       // next version comes from the log LISTING, not a manifest body —
       // the file name is the committed truth a concurrent writer races on
       val vs = versions(table)
       val base = vs.lastOption.map(manifest(table, _))
+      val (dirs, newStats) = build(base)
+      val dirSet = dirs.toSet
       val m = Manifest(
         version = vs.lastOption.map(_ + 1).getOrElse(1L),
         ts = System.currentTimeMillis(), op = op,
-        dataDirs = build(base),
-        properties = base.map(_.properties).getOrElse(Map.empty))
+        dataDirs = dirs,
+        properties = base.map(_.properties).getOrElse(Map.empty),
+        stats = (base.map(_.stats).getOrElse(Map.empty) ++ newStats)
+          .view.filterKeys(dirSet).toMap)
       if (tryCommit(table, m)) return m
       attempts += 1
       if (attempts > 100) throw new IllegalStateException(
@@ -158,16 +168,86 @@ final class VersionedTableIO(root: String) extends TableIO {
   def exists(spark: SparkSession, table: String): Boolean =
     versions(table).nonEmpty
 
+  /** Data skipping: the current snapshot restricted to commit dirs
+    * whose [min, max] stats for `column` overlap [lo, hi] — whole
+    * directories the predicate cannot match are never listed, opened,
+    * or scanned (the Delta/Iceberg file-skipping analog; at 100 TB on
+    * an append-mostly table this is the difference between scanning one
+    * backfill window and the whole history). Dirs with no stats for the
+    * column are scanned conservatively. The exact filter is applied on
+    * top, so results equal `read(...).filter(lo <= c AND c <= hi)`. */
+  def readPruned(spark: SparkSession, table: String, column: String,
+      lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val m = manifest(table, latestVersion(table))
+    val kept = prunedDirs(m, column, lo, hi)
+    val base = // all dirs pruned: empty frame with the table's schema
+      if (kept.isEmpty) scan(spark, table, m).limit(0)
+      else scan(spark, table, m.copy(dataDirs = kept))
+    base.filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** (scanned, total) commit-dir counts [[readPruned]] would touch —
+    * the observable skipping contract, asserted in specs/queries. */
+  def pruneCounts(table: String, column: String,
+      lo: Double, hi: Double): (Int, Int) = {
+    val m = manifest(table, latestVersion(table))
+    (prunedDirs(m, column, lo, hi).size, m.dataDirs.size)
+  }
+
+  private def prunedDirs(m: Manifest, column: String,
+      lo: Double, hi: Double): Seq[String] =
+    m.dataDirs.filter { d =>
+      m.stats.get(d).flatMap(_.get(column)) match {
+        case Some(Seq(mn, mx)) => mx >= lo && mn <= hi
+        case _ => true // no stats: must scan
+      }
+    }
+
   // ---- writes ----------------------------------------------------------
 
   /** Write `df` into a fresh immutable data dir; no manifest yet — the
     * data is invisible until a commit references it. Partition columns
-    * stay regular columns (pruning at this layer comes from parquet
-    * row-group stats; hive-style dirs would collide across commits). */
-  private def writeDataDir(df: DataFrame, table: String): String = {
+    * stay regular columns (pruning at this layer comes from the
+    * manifest's commit-dir min/max stats + parquet row-group stats;
+    * hive-style dirs would collide across commits). Returns the dir and
+    * its numeric-column stats. */
+  private def writeDataDir(df: DataFrame, table: String): (String, Map[String, Seq[Double]]) = {
     val rel = s"data/${java.util.UUID.randomUUID()}"
-    df.write.parquet(s"${tableDir(table)}/$rel")
-    rel
+    val abs = s"${tableDir(table)}/$rel"
+    df.write.parquet(abs)
+    (rel, collectStats(df.sparkSession, abs))
+  }
+
+  /** Per-column [min, max] of every numeric column in a written dir —
+    * the write-side stats pass Delta performs inline. Reading the
+    * FILES (not re-running the input plan) with parquet aggregate
+    * pushdown enabled answers MIN/MAX from footers alone, so the pass
+    * costs metadata I/O, not a data scan. */
+  private def collectStats(spark: SparkSession,
+      absDir: String): Map[String, Seq[Double]] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val df = spark.read.parquet(absDir)
+    val numCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }.toSeq
+    if (numCols.isEmpty) return Map.empty
+    val key = "spark.sql.parquet.aggregatePushDown"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val aggs = numCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+      val row = df.agg(aggs.head, aggs.tail: _*).first()
+      numCols.zipWithIndex.flatMap { case (c, i) =>
+        (row.get(2 * i), row.get(2 * i + 1)) match {
+          case (mn: java.lang.Number, mx: java.lang.Number) =>
+            Some(c -> Seq(mn.doubleValue(), mx.doubleValue()))
+          case _ => None // all-null column: no usable bound
+        }
+      }.toMap
+    } finally {
+      prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
   }
 
   private def requireWritable(table: String): Unit =
@@ -177,16 +257,16 @@ final class VersionedTableIO(root: String) extends TableIO {
           "forbidden (delta.appendOnly enforcement)")
 
   def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
-    val rel = writeDataDir(df, table)
+    val (rel, st) = writeDataDir(df, table)
     commitLoop(table, "append")(base =>
-      base.map(_.dataDirs).getOrElse(Nil) :+ rel)
+      (base.map(_.dataDirs).getOrElse(Nil) :+ rel, Map(rel -> st)))
     ()
   }
 
   def overwrite(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
     requireWritable(table)
-    val rel = writeDataDir(df, table)
-    commitLoop(table, "overwrite")(_ => Seq(rel))
+    val (rel, st) = writeDataDir(df, table)
+    commitLoop(table, "overwrite")(_ => (Seq(rel), Map(rel -> st)))
     ()
   }
 
@@ -197,16 +277,32 @@ final class VersionedTableIO(root: String) extends TableIO {
       keys: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
     requireWritable(table)
     if (!exists(spark, table)) { overwrite(source, table, partitionBy); return }
-    val rel = writeDataDir(merge(read(spark, table), source, keys), table)
-    commitLoop(table, "merge")(_ => Seq(rel))
+    val (rel, st) = writeDataDir(merge(read(spark, table), source, keys), table)
+    commitLoop(table, "merge")(_ => (Seq(rel), Map(rel -> st)))
     ()
   }
 
   /** OPTIMIZE analog: rewrite the current snapshot to `numFiles` files
     * as a new version — readers of old versions are unaffected. */
   def compact(spark: SparkSession, table: String, numFiles: Int): Unit = {
-    val rel = writeDataDir(read(spark, table).repartition(numFiles), table)
-    commitLoop(table, "compact")(_ => Seq(rel))
+    val (rel, st) = writeDataDir(read(spark, table).repartition(numFiles), table)
+    commitLoop(table, "compact")(_ => (Seq(rel), Map(rel -> st)))
+    ()
+  }
+
+  /** RESTORE analog: make version `toVersion` current again as a NEW
+    * commit that re-references the old data dirs — metadata-only
+    * (instant, no data copied), history preserved, and the restored
+    * dirs become vacuum-protected again because the head references
+    * them. Fails if the target was already vacuumed. */
+  def restore(table: String, toVersion: Long): Unit = {
+    requireWritable(table)
+    val target = manifest(table, toVersion)
+    target.dataDirs.foreach { d =>
+      require(new File(s"${tableDir(table)}/$d").exists(),
+        s"cannot restore '$table' to $toVersion: data dir $d was vacuumed")
+    }
+    commitLoop(table, "restore")(_ => (target.dataDirs, target.stats))
     ()
   }
 

@@ -43,6 +43,23 @@ object VersionedQueries {
       build("vac")
       io.compact(s, "vac", numFiles = 4)
       io.vacuum("vac", retainLast = 2, orphanGraceMs = 0L)
+      // "pr": three commits over disjoint key ranges (mod-3000 domain so
+      // every scale factor populates every range) — the data-skipping
+      // shape: a bounded predicate should scan ONE commit dir of three
+      val bucketed = Tables.load(s, d, "orders")
+        .select((col("o_orderkey") % 3000).as("bucket_key"),
+          col("o_orderkey"), col("o_totalprice"))
+      io.overwrite(bucketed.filter(col("bucket_key") < 1000), "pr")
+      io.append(bucketed.filter(col("bucket_key") >= 1000 &&
+        col("bucket_key") < 2000), "pr")
+      io.append(bucketed.filter(col("bucket_key") >= 2000), "pr")
+      // "rst": overwrite then roll back — RESTORE as a metadata commit
+      io.overwrite(Tables.load(s, d, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice"), "rst")
+      io.overwrite(Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_totalprice"), "rst")
+      io.restore("rst", toVersion = 1L)
       root
     })
 
@@ -104,5 +121,33 @@ object VersionedQueries {
       keys = Seq("o_orderkey"))
   }
 
-  val all: Seq[QueryDef] = Seq(qTimeTravel, qVersionedVacuum, qChangeFeed)
+  /** Data skipping via commit-dir stats: the bounded predicate selects
+    * 1 of 3 commit dirs from the manifest's min/max (the live counts
+    * ride along as columns); content equals the plain filter. */
+  val qStatsPrune: QueryDef = QueryDef(
+    "q120_stats_prune",
+    """SELECT o_orderkey % 3000 AS bucket_key, o_orderkey, o_totalprice,
+      |  CAST(1 AS INT) AS n_dirs_scanned, CAST(3 AS INT) AS n_dirs_total
+      |FROM orders
+      |WHERE o_orderkey % 3000 BETWEEN 1200 AND 1800""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    val (scanned, total) = io.pruneCounts("pr", "bucket_key", 1200, 1800)
+    io.readPruned(s, "pr", "bucket_key", 1200, 1800)
+      .withColumn("n_dirs_scanned", lit(scanned))
+      .withColumn("n_dirs_total", lit(total))
+  }
+
+  /** RESTORE: after overwrite-all then restore-to-v1, the head reads
+    * as version 1's content and history shows three commits. */
+  val qRestore: QueryDef = QueryDef(
+    "q121_restore",
+    """SELECT o_orderkey, o_totalprice, CAST(3 AS BIGINT) AS n_versions
+      |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    io.read(s, "rst")
+      .withColumn("n_versions", lit(io.versions("rst").size.toLong))
+  }
+
+  val all: Seq[QueryDef] = Seq(qTimeTravel, qVersionedVacuum, qChangeFeed,
+    qStatsPrune, qRestore)
 }

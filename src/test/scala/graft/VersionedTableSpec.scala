@@ -142,6 +142,40 @@ class VersionedTableSpec extends AnyFunSuite {
       io.readChanges(spark, "t", 2L, 1L, keys = Seq("k")))
   }
 
+  test("restore re-references old dirs as a new commit; vacuumed target fails") {
+    val (io, _) = freshIo()
+    io.overwrite(Seq((1, "a")).toDF("k", "v"), "t")
+    io.overwrite(Seq((2, "b")).toDF("k", "v"), "t")
+    io.restore("t", toVersion = 1L)
+    assert(io.latestVersion("t") == 3L)
+    assert(io.read(spark, "t").as[(Int, String)].collect().toSet == Set((1, "a")))
+    assert(io.history("t").head.op == "restore")
+    // the restore head protects v1's dir through vacuum…
+    io.vacuum("t", retainLast = 1, orphanGraceMs = 0L)
+    assert(io.read(spark, "t").as[(Int, String)].collect().toSet == Set((1, "a")))
+    // …but restoring TO a vacuumed version fails loudly
+    io.overwrite(Seq((9, "z")).toDF("k", "v"), "t") // v4 (v3 head retained refs v1 dirs)
+    io.vacuum("t", retainLast = 1, orphanGraceMs = 0L)
+    intercept[IllegalArgumentException](io.restore("t", toVersion = 3L))
+  }
+
+  test("commit-dir stats enable data skipping; results equal plain filter") {
+    val (io, _) = freshIo()
+    // three commits with disjoint id ranges — the backfill-window shape
+    io.overwrite(spark.range(0, 100).toDF("id"), "t")
+    io.append(spark.range(100, 200).toDF("id"), "t")
+    io.append(spark.range(200, 300).toDF("id"), "t")
+    val (scanned, total) = io.pruneCounts("t", "id", 120, 180)
+    assert(total == 3 && scanned == 1) // only the middle commit overlaps
+    val got = io.readPruned(spark, "t", "id", 120, 180)
+      .as[Long].collect().sorted
+    assert(got.toSeq == (120L to 180L))
+    // stats survive carried-over dirs on append and a restore
+    io.restore("t", 2L)
+    assert(io.pruneCounts("t", "id", 250, 260)._1 == 0) // range now absent
+    assert(io.readPruned(spark, "t", "id", 250, 260).count() == 0)
+  }
+
   test("compact rewrites files, preserves content, keeps history") {
     val (io, _) = freshIo()
     io.overwrite(spark.range(1000).toDF("id").repartition(16), "t")
