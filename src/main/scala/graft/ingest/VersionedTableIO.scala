@@ -111,26 +111,39 @@ final class VersionedTableIO(root: String) extends TableIO {
 
   /** Read-modify-write retry loop: build the next manifest from the
     * current snapshot, race for the slot, re-read and rebuild on loss.
-    * `build` returns the snapshot's dirs plus stats for NEW dirs; stats
-    * for carried-over dirs ride along from the base manifest. */
+    * `build` returns the snapshot's dirs, stats for NEW dirs (stats for
+    * carried-over dirs ride along from the base manifest), and a
+    * properties delta — or None to abort without committing (used by
+    * the idempotent path when a replay is detected mid-race). */
   private def commitLoop(table: String, op: String)(
-      build: Option[Manifest] => (Seq[String], Map[String, Map[String, Seq[Double]]])): Manifest = {
+      build: Option[Manifest] => (Seq[String], Map[String, Map[String, Seq[Double]]])): Manifest =
+    commitLoopEx(table, op)(base => {
+      val (dirs, st) = build(base)
+      Some((dirs, st, Map.empty[String, String]))
+    }).get
+
+  private def commitLoopEx(table: String, op: String)(
+      build: Option[Manifest] => Option[(Seq[String],
+        Map[String, Map[String, Seq[Double]]], Map[String, String])]): Option[Manifest] = {
     var attempts = 0
     while (true) {
       // next version comes from the log LISTING, not a manifest body —
       // the file name is the committed truth a concurrent writer races on
       val vs = versions(table)
       val base = vs.lastOption.map(manifest(table, _))
-      val (dirs, newStats) = build(base)
-      val dirSet = dirs.toSet
-      val m = Manifest(
-        version = vs.lastOption.map(_ + 1).getOrElse(1L),
-        ts = System.currentTimeMillis(), op = op,
-        dataDirs = dirs,
-        properties = base.map(_.properties).getOrElse(Map.empty),
-        stats = (base.map(_.stats).getOrElse(Map.empty) ++ newStats)
-          .view.filterKeys(dirSet).toMap)
-      if (tryCommit(table, m)) return m
+      build(base) match {
+        case None => return None
+        case Some((dirs, newStats, propsDelta)) =>
+          val dirSet = dirs.toSet
+          val m = Manifest(
+            version = vs.lastOption.map(_ + 1).getOrElse(1L),
+            ts = System.currentTimeMillis(), op = op,
+            dataDirs = dirs,
+            properties = base.map(_.properties).getOrElse(Map.empty) ++ propsDelta,
+            stats = (base.map(_.stats).getOrElse(Map.empty) ++ newStats)
+              .view.filterKeys(dirSet).toMap)
+          if (tryCommit(table, m)) return Some(m)
+      }
       attempts += 1
       if (attempts > 100) throw new IllegalStateException(
         s"could not commit to '$table' after $attempts attempts")
@@ -288,6 +301,34 @@ final class VersionedTableIO(root: String) extends TableIO {
     val (rel, st) = writeDataDir(read(spark, table).repartition(numFiles), table)
     commitLoop(table, "compact")(_ => (Seq(rel), Map(rel -> st)))
     ()
+  }
+
+  /** Idempotent append — Delta's txnAppId/txnVersion contract for
+    * exactly-once streaming sinks: each (writer id, sequence) pair
+    * commits at most once; a replayed batch (foreachBatch is
+    * at-least-once around crashes) is detected from the LATEST
+    * manifest's properties and skipped, because the watermark rides
+    * the same atomic commit as the data it covers. Returns true if the
+    * append committed, false if it was a replay. Sequences must be
+    * monotonic per writer (streaming batch ids are). */
+  def appendIdempotent(df: DataFrame, table: String,
+      writerId: String, sequence: Long): Boolean = {
+    val key = s"txn:$writerId"
+    def appliedIn(m: Option[Manifest]) =
+      m.flatMap(_.properties.get(key)).map(_.toLong)
+    // cheap pre-check before paying the data write
+    if (appliedIn(latestManifest(table)).exists(_ >= sequence)) return false
+    val (rel, st) = writeDataDir(df, table)
+    val committed = commitLoopEx(table, "append") { base =>
+      // re-check inside the race: a concurrent/crashed predecessor may
+      // have applied this very sequence — the loser must not re-append
+      if (appliedIn(base).exists(_ >= sequence)) None
+      else Some((base.map(_.dataDirs).getOrElse(Nil) :+ rel,
+        Map(rel -> st), Map(key -> sequence.toString)))
+    }
+    if (committed.isEmpty)
+      FsOps.deleteRecursively(new File(s"${tableDir(table)}/$rel"))
+    committed.isDefined
   }
 
   /** RESTORE analog: make version `toVersion` current again as a NEW

@@ -54,6 +54,33 @@ object StreamIngest {
     q.awaitTermination()
   }
 
+  /** Exactly-once streaming append into a VERSIONED table: foreachBatch
+    * is at-least-once around crashes, so each batch commits through
+    * [[graft.ingest.VersionedTableIO.appendIdempotent]] with the
+    * checkpoint as writer identity and the batch id as sequence —
+    * Delta's txnAppId/txnVersion pattern. A replayed batch is detected
+    * from the last manifest (the watermark rides the SAME atomic commit
+    * as its data) and skipped, so the table never double-counts even
+    * when the sink write succeeded but the checkpoint commit did not. */
+  def ingestVersioned(spark: SparkSession, sourceDir: String,
+      checkpointDir: String, io: graft.ingest.VersionedTableIO,
+      table: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val writerId = new java.io.File(checkpointDir).getAbsolutePath
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          io.appendIdempotent(batch, table, writerId, batchId)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming CDC apply — the MERGE-with-deletes sink: each
     * micro-batch of I/U/D change rows is reconciled into the target
     * table via [[graft.ingest.Cdc]] (latest change per key wins,

@@ -176,6 +176,43 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(io.readPruned(spark, "t", "id", 250, 260).count() == 0)
   }
 
+  test("appendIdempotent: replayed sequences are skipped, watermark " +
+    "rides the commit") {
+    val (io, _) = freshIo()
+    assert(io.appendIdempotent(Seq((1, "a")).toDF("k", "v"), "t", "w1", 0L))
+    assert(io.appendIdempotent(Seq((2, "b")).toDF("k", "v"), "t", "w1", 1L))
+    // replay of batch 1 (crash between sink write and checkpoint commit)
+    assert(!io.appendIdempotent(Seq((2, "b")).toDF("k", "v"), "t", "w1", 1L))
+    assert(io.read(spark, "t").count() == 2)
+    assert(io.versions("t") == Seq(1L, 2L)) // no empty replay commit
+    // an INDEPENDENT writer has its own sequence space
+    assert(io.appendIdempotent(Seq((3, "c")).toDF("k", "v"), "t", "w2", 0L))
+    assert(io.read(spark, "t").count() == 3)
+    assert(io.properties("t") == Map("txn:w1" -> "1", "txn:w2" -> "0"))
+  }
+
+  test("versioned streaming sink: re-drain after checkpoint loss does " +
+    "not double-count") {
+    import org.apache.spark.sql.functions.sum
+    val (io, _) = freshIo()
+    val src = java.nio.file.Files.createTempDirectory("graft_vsrc").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_vck").toString
+    val df = Seq((1, 10.0), (2, 20.0)).toDF("k", "v")
+    df.coalesce(1).write.mode("append").parquet(src)
+    graft.stream.StreamIngest.ingestVersioned(
+      spark, src, ck, io, "t", df.schema)
+    assert(io.read(spark, "t").agg(sum($"v")).as[Double].head() == 30.0)
+    // same checkpoint, nothing new: no-op
+    graft.stream.StreamIngest.ingestVersioned(
+      spark, src, ck, io, "t", df.schema)
+    assert(io.read(spark, "t").count() == 2)
+    // FRESH checkpoint at the same path identity would restart batch ids;
+    // simulate the worst case by replaying batch 0 by hand — skipped
+    assert(!io.appendIdempotent(df,
+      "t", new java.io.File(ck).getAbsolutePath, 0L))
+    assert(io.read(spark, "t").count() == 2)
+  }
+
   test("compact rewrites files, preserves content, keeps history") {
     val (io, _) = freshIo()
     io.overwrite(spark.range(1000).toDF("id").repartition(16), "t")
