@@ -32,25 +32,21 @@ object Tables {
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Registration is per-(session, dir) idempotent: repeated callers
-    * (every SQL-entry query) pay the view-creation planning cost once,
-    * not per call. Keyed on the session object identity so a fresh
-    * session (whose catalog starts empty) re-registers. */
-  private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Boolean]())
+  private val MarkerKey = "graft.tables.registeredDir"
 
-  /** Register every table as a temp view so `spark.sql` works against the
-    * same names the DuckDB oracle uses. */
-  def registerAll(spark: SparkSession, dir: String): Unit = {
-    val key = (System.identityHashCode(spark), dir)
-    if (registered.add(key)) {
+  /** Register every table as a temp view so `spark.sql` works against
+    * the same names the DuckDB oracle uses. Idempotent per (session,
+    * dir) via SESSION-scoped state (a conf marker + a catalog probe) —
+    * repeated callers pay the view-creation planning cost once, a
+    * fresh session (empty catalog, no marker) re-registers, and no
+    * global memo can outlive or collide across sessions. Synchronized
+    * so concurrent callers with different dirs cannot interleave view
+    * creation and leave a mixed catalog behind. */
+  def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
+    val current = spark.conf.getOption(MarkerKey)
+    if (!current.contains(dir) || !spark.catalog.tableExists(names.last)) {
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      // A later registerAll with a DIFFERENT dir on the same session must
-      // override these views, so drop every other dir's claim on it.
-      registered.removeIf { k =>
-        k._1 == key._1 && k._2 != dir
-      }
+      spark.conf.set(MarkerKey, dir)
     }
   }
 }

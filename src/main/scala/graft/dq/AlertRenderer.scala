@@ -40,13 +40,15 @@ object AlertRenderer {
       attachmentName: String, attachment: String,
       totalViolations: Long, configCount: Long, dimensionCount: Long)
 
-  /** One config's grouped failure block. */
+  /** One config's grouped failure block; `pks` is the FULL sampled pk
+    * list — render-time caps (preview rows, attachment budget) are
+    * applied per rendering, never to the shared data. */
   private final case class Section(
       dimension: String, config: Long, schemaName: String,
       tableName: String, rule: String, total: Long, pks: Seq[String])
 
   private def sectionHtml(s: Section, cap: Int): String = {
-    val shown = s.pks.take(cap)
+    val shown = s.pks.take(math.max(0, cap))
     val note = if (s.total > shown.size) s" (showing first ${shown.size})" else ""
     val rows = shown.map(pk => s"<tr><td>${esc(pk)}</td></tr>").mkString("\n")
     s"""<div class="config-section">
@@ -79,15 +81,12 @@ object AlertRenderer {
       .agg(sort_array(collect_list(col("violated_pk"))).as("pks"))
       .orderBy(col("ds_dimension"), col("cd_configuration"))
       .collect()
-    var budget = maxAttachmentRows
     val sections = grouped.toSeq.map { r =>
-      val pks = r.getSeq[String](r.fieldIndex("pks")).toList
-      val kept = pks.take(math.max(0, budget))
-      budget -= kept.size
       Section(r.getAs[String]("ds_dimension"),
         r.getAs[Long]("cd_configuration"), r.getAs[String]("schema_name"),
         r.getAs[String]("table_name"), r.getAs[String]("rule"),
-        r.getAs[Long]("n_violations"), kept)
+        r.getAs[Long]("n_violations"),
+        r.getSeq[String](r.fieldIndex("pks")).toList)
     }
     val totalViolations = sections.map(_.total).sum
     val configCount = sections.size.toLong
@@ -107,6 +106,17 @@ object AlertRenderer {
          |<div class="notice">Showing maximum $previewRows violations per
          |configuration. Open the attached $attachmentName for the full report.</div>
          |</body></html>""".stripMargin
+    // the attachment budget bounds driver-side output size; it caps each
+    // section's rendered rows with a running budget but NEVER the email
+    // preview, which always shows up to previewRows per config
+    val attachmentSections = {
+      var budget = maxAttachmentRows
+      sections.map { s =>
+        val html = sectionHtml(s, budget)
+        budget -= math.min(s.pks.size, math.max(0, budget))
+        html
+      }
+    }
     val attachment =
       s"""<!DOCTYPE html><html><head><meta charset="UTF-8">
          |<title>Data Quality Audit Report</title></head><body>
@@ -114,7 +124,7 @@ object AlertRenderer {
          |<div class="info"><ul><li>Total Failed Audits: $totalViolations</li>
          |<li>Configurations with Issues: $configCount</li>
          |<li>Generated: ${esc(generatedAt)}</li></ul></div>
-         |${sections.map(sectionHtml(_, Int.MaxValue)).mkString("\n")}
+         |${attachmentSections.mkString("\n")}
          |</body></html>""".stripMargin
     AlertReport(
       subject = s"[Data Quality] $totalViolations failed audits across " +

@@ -45,23 +45,26 @@ final class SmtpAlertSink(from: String, to: Seq[String],
     transport: String => Unit) extends AlertSink {
   override def send(report: AlertReport): Unit = {
     val boundary = "----graft-alert-boundary"
-    val msg =
-      s"""From: $from
-         |To: ${to.mkString(", ")}
-         |Subject: ${report.subject}
-         |MIME-Version: 1.0
-         |Content-Type: multipart/mixed; boundary="$boundary"
-         |
-         |--$boundary
-         |Content-Type: text/html; charset=UTF-8
-         |
-         |${report.body}
-         |--$boundary
-         |Content-Type: text/html; charset=UTF-8
-         |Content-Disposition: attachment; filename="${report.attachmentName}"
-         |
-         |${report.attachment}
-         |--$boundary--""".stripMargin
+    // assembled by concatenation, NOT stripMargin over interpolated
+    // content (report text lines starting with '|' would be corrupted),
+    // with RFC 5322 CRLF line endings
+    val msg = Seq(
+      s"From: $from",
+      s"To: ${to.mkString(", ")}",
+      s"Subject: ${report.subject}",
+      "MIME-Version: 1.0",
+      s"""Content-Type: multipart/mixed; boundary="$boundary"""",
+      "",
+      s"--$boundary",
+      "Content-Type: text/html; charset=UTF-8",
+      "",
+      report.body,
+      s"--$boundary",
+      "Content-Type: text/html; charset=UTF-8",
+      s"""Content-Disposition: attachment; filename="${report.attachmentName}"""",
+      "",
+      report.attachment,
+      s"--$boundary--").mkString("\r\n")
     transport(msg)
   }
 }

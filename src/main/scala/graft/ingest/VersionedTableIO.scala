@@ -92,16 +92,21 @@ final class VersionedTableIO(root: String) extends TableIO {
     versions(table).lastOption.map(manifest(table, _))
 
   /** Atomically claim `version`: true on success, false if a concurrent
-    * writer took the slot first. */
+    * writer took the slot first. The claim is a HARD LINK of the fully
+    * written temp file into the slot — link(2) is atomic put-if-absent
+    * (EEXIST on a taken slot) and the content is complete before the
+    * slot becomes visible, unlike move-without-replace, which the JDK
+    * implements as a non-atomic stat-then-rename. On an object store
+    * the equivalent primitive is conditional put (if-none-match). */
   private def tryCommit(table: String, m: Manifest): Boolean = {
     val dir = new File(logDir(table))
     dir.mkdirs()
     val tmp = File.createTempFile(".commit", ".tmp", dir)
     mapper.writerWithDefaultPrettyPrinter().writeValue(tmp, m)
+    val slot = manifestFile(table, m.version).toPath
     try {
-      // no REPLACE_EXISTING: move fails if the slot is taken — this is
-      // the entire concurrency-control mechanism
-      Files.move(tmp.toPath, manifestFile(table, m.version).toPath)
+      Files.createLink(slot, tmp.toPath)
+      tmp.delete()
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -245,21 +250,26 @@ final class VersionedTableIO(root: String) extends TableIO {
       case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
     }.toSeq
     if (numCols.isEmpty) return Map.empty
-    val key = "spark.sql.parquet.aggregatePushDown"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try {
-      val aggs = numCols.flatMap(c => Seq(min(col(c)), max(col(c))))
-      val row = df.agg(aggs.head, aggs.tail: _*).first()
-      numCols.zipWithIndex.flatMap { case (c, i) =>
-        (row.get(2 * i), row.get(2 * i + 1)) match {
-          case (mn: java.lang.Number, mx: java.lang.Number) =>
-            Some(c -> Seq(mn.doubleValue(), mx.doubleValue()))
-          case _ => None // all-null column: no usable bound
-        }
-      }.toMap
-    } finally {
-      prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    // the pushdown flag is session state: serialize set→plan→restore so
+    // concurrent writers on one session can't interleave and leak the
+    // flag into (or clobber it for) unrelated queries
+    VersionedTableIO.statsLock.synchronized {
+      val key = "spark.sql.parquet.aggregatePushDown"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try {
+        val aggs = numCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+        val row = df.agg(aggs.head, aggs.tail: _*).first()
+        numCols.zipWithIndex.flatMap { case (c, i) =>
+          (row.get(2 * i), row.get(2 * i + 1)) match {
+            case (mn: java.lang.Number, mx: java.lang.Number) =>
+              Some(c -> Seq(mn.doubleValue(), mx.doubleValue()))
+            case _ => None // all-null column: no usable bound
+          }
+        }.toMap
+      } finally {
+        prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+      }
     }
   }
 
@@ -283,6 +293,32 @@ final class VersionedTableIO(root: String) extends TableIO {
     ()
   }
 
+  /** Snapshot rewrite with read-validation: `transform` is computed
+    * from version v; the commit only lands if v is STILL the head
+    * (otherwise a concurrent append's rows would silently vanish from
+    * the rewritten snapshot). On conflict the whole read-transform-
+    * write recomputes against the new head — Delta's
+    * ConcurrentAppendException semantics, resolved by retry here. */
+  private def rewriteSnapshot(spark: SparkSession, table: String,
+      op: String)(transform: DataFrame => DataFrame): Unit = {
+    var attempts = 0
+    while (attempts < 10) {
+      val baseVersion = latestVersion(table)
+      val (rel, st) = writeDataDir(
+        transform(readVersion(spark, table, baseVersion)), table)
+      val committed = commitLoopEx(table, op) { base =>
+        if (base.map(_.version).contains(baseVersion))
+          Some((Seq(rel), Map(rel -> st), Map.empty[String, String]))
+        else None // head moved since we read: stale result, recompute
+      }
+      if (committed.isDefined) return
+      FsOps.deleteRecursively(new File(s"${tableDir(table)}/$rel"))
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"$op on '$table' lost the commit race $attempts times")
+  }
+
   /** S9 as a snapshot rewrite: read current, merge (source wins on key),
     * commit the merged result as the next version. Reading the table
     * being replaced is safe — old data dirs are immutable until VACUUM. */
@@ -290,18 +326,13 @@ final class VersionedTableIO(root: String) extends TableIO {
       keys: Seq[String], partitionBy: Seq[String] = Nil): Unit = {
     requireWritable(table)
     if (!exists(spark, table)) { overwrite(source, table, partitionBy); return }
-    val (rel, st) = writeDataDir(merge(read(spark, table), source, keys), table)
-    commitLoop(table, "merge")(_ => (Seq(rel), Map(rel -> st)))
-    ()
+    rewriteSnapshot(spark, table, "merge")(cur => merge(cur, source, keys))
   }
 
   /** OPTIMIZE analog: rewrite the current snapshot to `numFiles` files
     * as a new version — readers of old versions are unaffected. */
-  def compact(spark: SparkSession, table: String, numFiles: Int): Unit = {
-    val (rel, st) = writeDataDir(read(spark, table).repartition(numFiles), table)
-    commitLoop(table, "compact")(_ => (Seq(rel), Map(rel -> st)))
-    ()
-  }
+  def compact(spark: SparkSession, table: String, numFiles: Int): Unit =
+    rewriteSnapshot(spark, table, "compact")(_.repartition(numFiles))
 
   /** Idempotent append — Delta's txnAppId/txnVersion contract for
     * exactly-once streaming sinks: each (writer id, sequence) pair
@@ -350,17 +381,12 @@ final class VersionedTableIO(root: String) extends TableIO {
   // ---- properties ------------------------------------------------------
 
   def setProperty(table: String, key: String, value: String): Unit = {
-    var attempts = 0
-    while (attempts < 100) {
-      val base = latestManifest(table).getOrElse(
+    commitLoopEx(table, "setProperty") { base =>
+      val b = base.getOrElse(
         throw new IllegalArgumentException(s"no such table '$table'"))
-      val m = base.copy(version = base.version + 1,
-        ts = System.currentTimeMillis(), op = "setProperty",
-        properties = base.properties + (key -> value))
-      if (tryCommit(table, m)) return
-      attempts += 1
+      Some((b.dataDirs, Map.empty, Map(key -> value)))
     }
-    throw new IllegalStateException(s"could not set property on '$table'")
+    ()
   }
 
   def properties(table: String): Map[String, String] =
@@ -437,6 +463,8 @@ final class VersionedTableIO(root: String) extends TableIO {
 
 object VersionedTableIO {
   val PropAppendOnly = "appendOnly"
+  /** Guards the session-conf mutation in stats collection. */
+  private[ingest] val statsLock = new Object
   private val mapper: ObjectMapper = {
     val m = new ObjectMapper()
     m.registerModule(DefaultScalaModule)

@@ -65,8 +65,14 @@ object IncrementalGold {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val existing =
           if (io.exists(spark, table)) Some(io.read(spark, table)) else None
-        val state = existing
-          .map(_.select(max(col(BatchCol)), max(col(RunCol))).first())
+        // legacy tables (written before run-identity tracking) have no
+        // __run_id column: adopt them under the current run instead of
+        // failing with an unresolved-column error
+        val state = existing.map { g =>
+          if (g.columns.contains(RunCol))
+            g.select(max(col(BatchCol)), max(col(RunCol))).first()
+          else g.select(max(col(BatchCol)), max(lit(runId))).first()
+        }
         val applied = state.map(_.getLong(0)).getOrElse(-1L)
         val storedRun = state.map(_.getString(1))
         if (storedRun.exists(_ != runId))
