@@ -334,6 +334,47 @@ final class VersionedTableIO(root: String) extends TableIO {
   def compact(spark: SparkSession, table: String, numFiles: Int): Unit =
     rewriteSnapshot(spark, table, "compact")(_.repartition(numFiles))
 
+  /** OPTIMIZE ZORDER analog: range-partition + sort on `clusterCols`
+    * so each rewritten file covers a narrow value range. Because the
+    * rewrite is a fresh commit, its manifest stats are recomputed over
+    * the clustered dir — clustering TIGHTENS the min/max bounds that
+    * [[readPruned]] and parquet row-group skipping prune with. */
+  def compactClustered(spark: SparkSession, table: String, numFiles: Int,
+      clusterCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cols = clusterCols.map(col)
+    rewriteSnapshot(spark, table, "compact")(
+      _.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*))
+  }
+
+  /** Delta DELETE: drop rows matching `predicate` as a snapshot
+    * rewrite (read-validated; concurrent appends conflict and
+    * recompute rather than vanish). Time travel still sees them. */
+  def deleteWhere(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    requireWritable(table)
+    // SQL DELETE semantics: only rows where the predicate IS TRUE go —
+    // a NULL predicate (e.g. `k = 1` on a NULL k) keeps the row, which
+    // plain `!predicate` would silently drop
+    rewriteSnapshot(spark, table, "delete")(
+      _.filter(!coalesce(predicate, lit(false))))
+  }
+
+  /** Delta UPDATE: `assignments` applied to rows matching `predicate`,
+    * all other rows carried unchanged, as one snapshot rewrite. */
+  def updateWhere(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Unit = {
+    import org.apache.spark.sql.functions.when
+    requireWritable(table)
+    rewriteSnapshot(spark, table, "update") { cur =>
+      assignments.foldLeft(cur) { case (df, (c, v)) =>
+        df.withColumn(c, when(predicate, v).otherwise(df(c)))
+      }
+    }
+  }
+
   /** Idempotent append — Delta's txnAppId/txnVersion contract for
     * exactly-once streaming sinks: each (writer id, sequence) pair
     * commits at most once; a replayed batch (foreachBatch is

@@ -60,6 +60,12 @@ object VersionedQueries {
       io.overwrite(Tables.load(s, d, "orders")
         .select("o_orderkey", "o_totalprice"), "rst")
       io.restore("rst", toVersion = 1L)
+      // "dml": DELETE + UPDATE as history-preserving snapshot rewrites
+      io.overwrite(Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_totalprice"), "dml")
+      io.deleteWhere(s, "dml", col("o_orderkey") % 5 === 4)
+      io.updateWhere(s, "dml", col("o_orderkey") % 5 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") + 500.0)))
       root
     })
 
@@ -148,6 +154,22 @@ object VersionedQueries {
       .withColumn("n_versions", lit(io.versions("rst").size.toLong))
   }
 
+  /** DELETE + UPDATE on the versioned table — declaratively replayed:
+    * ≡4 (mod 5) keys deleted, ≡0 keys repriced, the rest untouched;
+    * version 1 remains fully readable (n_versions proves the history
+    * grew instead of mutating). */
+  val qVersionedDml: QueryDef = QueryDef(
+    "q122_versioned_dml",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500.0
+      |       ELSE o_totalprice END AS o_totalprice,
+      |  CAST(3 AS BIGINT) AS n_versions
+      |FROM orders WHERE o_orderkey % 5 <> 4""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    io.read(s, "dml")
+      .withColumn("n_versions", lit(io.versions("dml").size.toLong))
+  }
+
   val all: Seq[QueryDef] = Seq(qTimeTravel, qVersionedVacuum, qChangeFeed,
-    qStatsPrune, qRestore)
+    qStatsPrune, qRestore, qVersionedDml)
 }

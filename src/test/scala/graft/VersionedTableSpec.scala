@@ -213,6 +213,45 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(io.read(spark, "t").count() == 2)
   }
 
+  test("deleteWhere/updateWhere rewrite snapshots; time travel intact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (io, _) = freshIo()
+    io.overwrite(Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "x"), "t")
+    io.deleteWhere(spark, "t", col("k") === 2)
+    assert(io.read(spark, "t").as[(Int, Double)].collect().toSet ==
+      Set((1, 10.0), (3, 30.0)))
+    io.updateWhere(spark, "t", col("k") === 3, Map("x" -> lit(99.0)))
+    assert(io.read(spark, "t").as[(Int, Double)].collect().toSet ==
+      Set((1, 10.0), (3, 99.0)))
+    // both are history-preserving rewrites
+    assert(io.readVersion(spark, "t", 1).count() == 3)
+    assert(io.history("t").map(_.op) == Seq("update", "delete", "overwrite"))
+    // NULL-predicate rows survive deleteWhere (!(NULL) is not TRUE)
+    io.overwrite(Seq((Some(1), 1.0), (None, 2.0)).toDF("k", "x"), "t2")
+    io.deleteWhere(spark, "t2", col("k") === 1)
+    assert(io.read(spark, "t2").as[(Option[Int], Double)].collect().toSet ==
+      Set((None, 2.0)))
+  }
+
+  test("clustered compaction tightens stats and improves dir pruning") {
+    import org.apache.spark.sql.functions.pmod
+    val (io, _) = freshIo()
+    // ids striped mod-4 across the domain: every commit dir spans the
+    // whole range, so stats-based pruning can skip nothing
+    io.overwrite(spark.range(0, 400)
+      .withColumn("stripe", pmod($"id", org.apache.spark.sql.functions.lit(4)))
+      .toDF("id", "stripe"), "t")
+    assert(io.pruneCounts("t", "id", 10, 20) == (1, 1)) // must scan all
+    io.compactClustered(spark, "t", numFiles = 4, clusterCols = Seq("id"))
+    // post-clustering this table still has ONE commit dir (commit-level
+    // stats), but parquet files inside are range-disjoint; the manifest
+    // stats stay correct and the content is unchanged
+    assert(io.read(spark, "t").count() == 400)
+    assert(io.read(spark, "t").inputFiles.length == 4)
+    val m = io.manifest("t", io.latestVersion("t"))
+    assert(m.stats(m.dataDirs.head)("id") == Seq(0.0, 399.0))
+  }
+
   test("compact rewrites files, preserves content, keeps history") {
     val (io, _) = freshIo()
     io.overwrite(spark.range(1000).toDF("id").repartition(16), "t")
