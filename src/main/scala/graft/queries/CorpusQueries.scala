@@ -242,7 +242,69 @@ object CorpusQueries {
       "doc_id", shards = 16, seed = 42L)
   }
 
+  /** Sequence packing: documents grouped into 2048-ws-token training
+    * sequences, contiguously in seeded-shard order (one partitioned
+    * window per shard — the scalable, deterministic packing form; the
+    * oracle replays shard, cumsum, and bin arithmetic). */
+  val qSequencePack: QueryDef = QueryDef(
+    "q123_sequence_pack",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_toks,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(substring(md5(doc_id || ':42'), 1, 15), ''),
+      |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+      |    (a, d) -> a * 16 + d) AS hv
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, n_toks, CAST(hv % 4 AS INT) AS shard,
+      |    CAST(row_number() OVER (PARTITION BY hv % 4 ORDER BY hv, doc_id)
+      |      AS BIGINT) AS shard_pos
+      |  FROM h),
+      |cum AS (
+      |  SELECT *, CAST(sum(n_toks) OVER (PARTITION BY shard ORDER BY shard_pos
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+      |  FROM sh),
+      |b AS (
+      |  SELECT *, CAST(floor((c - n_toks) / 2048.0) AS BIGINT) AS bin FROM cum)
+      |SELECT doc_id, n_toks, shard, shard_pos,
+      |  shard * 1000000 + bin AS pack_id,
+      |  CAST(row_number() OVER (PARTITION BY shard * 1000000 + bin
+      |    ORDER BY shard_pos) AS INT) AS pack_pos,
+      |  c - bin * 2048 AS pack_fill
+      |FROM b""".stripMargin) { (s, dir) =>
+    graft.scale.Sampling.packSequences(
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        graft.scale.TextStats.tokenCountWs(col("text")).as("n_toks")),
+      "doc_id", "n_toks", budget = 2048L, shards = 4, seed = 42L)
+      .select("doc_id", "n_toks", "shard", "shard_pos", "pack_id",
+        "pack_pos", "pack_fill")
+  }
+
+  /** Quality-weighted deterministic sampling — importance resampling
+    * for corpus mixing: keep-probability ramps with document length,
+    * membership is a pure content-hash function (no rand()); both the
+    * rate and the hash fraction replay bit-identically in the oracle. */
+  val qWeightedSample: QueryDef = QueryDef(
+    "q124_weighted_sample",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_toks,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(substring(md5('ws:' || text), 1, 15), ''),
+      |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+      |    (a, d) -> a * 16 + d) / 1152921504606846976.0 AS keep_frac
+      |  FROM documents)
+      |SELECT doc_id, n_toks, keep_frac
+      |FROM t WHERE keep_frac < least(1.0, n_toks / 400.0)""".stripMargin) { (s, dir) =>
+    graft.scale.Sampling.weightedSample(
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("text"),
+        graft.scale.TextStats.tokenCountWs(col("text")).as("n_toks")),
+      "text", rate = least(lit(1.0), col("n_toks") / 400.0))
+      .select("doc_id", "n_toks", "keep_frac")
+  }
+
   val all: Seq[QueryDef] =
     Seq(qPiiRedact, qDocRepetition, qDedupClusters, qCuration,
-      qDecontaminate, qShardAssign)
+      qDecontaminate, qShardAssign, qSequencePack, qWeightedSample)
 }

@@ -37,6 +37,56 @@ object Sampling {
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Sequence packing: group documents into fixed-token-budget
+    * training sequences. Contiguous packing in shard order — running
+    * token total within each shard, bin = total-so-far ÷ budget — the
+    * deterministic, window-expressible form (greedy first-fit packs
+    * marginally tighter but is inherently sequential). Scale shape:
+    * one hash-partitioned window per shard, no global sort; shards
+    * come from [[seededShards]] so the pre-pack shuffle is already the
+    * seeded global shuffle training wants. Documents longer than
+    * `budget` get a bin of their own (and overflow it — callers chunk
+    * oversized docs first). Adds `pack_id` (unique across shards),
+    * `pack_pos`, and the doc's running `pack_fill`. */
+  def packSequences(df: DataFrame, idCol: String, tokenCountCol: String,
+      budget: Long, shards: Int, seed: Long = 42L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("shard_pos"))
+    val sharded = seededShards(df, idCol, shards, seed)
+    // bin boundary: a doc starts a new bin when the PRIOR running total
+    // already fills the budget — (cumsum - len) div budget groups docs
+    // whose preceding fill is in the same budget window
+    sharded
+      .withColumn("__cum", sum(col(tokenCountCol)).over(w))
+      .withColumn("__bin",
+        floor((col("__cum") - col(tokenCountCol)) / budget).cast("bigint"))
+      .withColumn("pack_id", col("shard").cast("bigint") * 1000000L + col("__bin"))
+      .withColumn("pack_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pack_id")).orderBy(col("shard_pos"))))
+      .withColumn("pack_fill",
+        col("__cum") - col("__bin") * budget)
+      .drop("__cum", "__bin")
+  }
+
+  /** Quality-weighted deterministic sampling — importance resampling
+    * for corpus mixing: each row survives iff its content-hash
+    * fraction (uniform in [0,1), reproducible across engines) is below
+    * `rate`, a caller-supplied per-row column (e.g. a quality-score
+    * ramp). Same keep/drop decisions on every run, cluster, and
+    * engine; no `rand()`. */
+  def weightedSample(df: DataFrame, textCol: String,
+      rate: Column): DataFrame = {
+    // 60-bit md5 fraction of the CONTENT (salted so it's independent of
+    // deterministicSplit's bucket byte). Kept unrounded: the division
+    // is the same IEEE op in any engine, so the keep/drop comparison is
+    // bit-reproducible.
+    val frac = Dedup.md5Hash60(concat(lit("ws:"), col(textCol))) /
+      lit(1152921504606846976.0) // 2^60
+    df.withColumn("keep_frac", frac)
+      .filter(col("keep_frac") < rate)
+  }
+
   /** Deterministic seeded shuffle + shard assignment — the global
     * training-data shuffle as a pure function of (id, seed): shard by
     * a 60-bit md5 hash, position within the shard by the same hash.

@@ -227,6 +227,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(r.getInt(1) === 8)
   }
 
+  test("packSequences: full coverage, budget respected, contiguous positions") {
+    val docs = (1L to 300L).map(i => (i, 1 + (i * 37 % 500).toInt))
+      .toDF("doc_id", "n_toks")
+    val packed = graft.scale.Sampling
+      .packSequences(docs, "doc_id", "n_toks", budget = 1000L, shards = 4)
+      .select("doc_id", "n_toks", "pack_id", "pack_pos", "pack_fill")
+      .as[(Long, Int, Long, Int, Long)].collect()
+    assert(packed.length === 300) // every doc lands in exactly one pack
+    val byPack = packed.groupBy(_._3)
+    byPack.foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length)) // contiguous
+      val fill = rows.map(_._2.toLong).sum
+      // a pack only exceeds budget when a single doc overflows it, and
+      // contiguous packing closes the bin right after
+      assert(fill <= 1000L + rows.map(_._2).max)
+    }
+    // deterministic: same input → same packing
+    val again = graft.scale.Sampling
+      .packSequences(docs, "doc_id", "n_toks", budget = 1000L, shards = 4)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(packed.map(r => r._1 -> r._3).toMap === again)
+  }
+
+  test("weightedSample: rate 0 drops all, rate 1 keeps all, monotone in rate") {
+    val docs = (1L to 200L).map(i => (i, s"doc number $i body")).toDF("doc_id", "text")
+    def run(rate: Double) = graft.scale.Sampling
+      .weightedSample(docs, "text", lit(rate)).select("doc_id")
+      .as[Long].collect().toSet
+    assert(run(0.0).isEmpty)
+    assert(run(1.0).size === 200)
+    val half = run(0.5)
+    assert(half.subsetOf(run(0.8))) // deterministic nesting, no reshuffle
+    assert(half.size > 50 && half.size < 150) // roughly proportional
+  }
+
   test("bucketed embedding dedup: subset of exact pairs, identical " +
     "cosines, and a broadcast-free plan") {
     // planted near-dups: perturbed copies at ~0.99 cosine — the regime
