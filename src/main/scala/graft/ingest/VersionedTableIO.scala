@@ -216,7 +216,10 @@ final class VersionedTableIO(root: String) extends TableIO {
   private def prunedDirs(m: Manifest, column: String,
       lo: Double, hi: Double): Seq[String] =
     m.dataDirs.filter { d =>
-      m.stats.get(d).flatMap(_.get(column)) match {
+      val st = m.stats.get(d)
+      if (st.flatMap(_.get(VersionedTableIO.CountStat))
+          .exists(_.headOption.contains(0.0))) false // empty dir: skip
+      else st.flatMap(_.get(column)) match {
         case Some(Seq(mn, mx)) => mx >= lo && mn <= hi
         case _ => true // no stats: must scan
       }
@@ -249,7 +252,6 @@ final class VersionedTableIO(root: String) extends TableIO {
     val numCols = df.schema.fields.collect {
       case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
     }.toSeq
-    if (numCols.isEmpty) return Map.empty
     // the pushdown flag is session state: serialize set→plan→restore so
     // concurrent writers on one session can't interleave and leak the
     // flag into (or clobber it for) unrelated queries
@@ -258,10 +260,17 @@ final class VersionedTableIO(root: String) extends TableIO {
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
       try {
-        val aggs = numCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+        import org.apache.spark.sql.functions.{count, lit}
+        val aggs = count(lit(1)) +:
+          numCols.flatMap(c => Seq(min(col(c)), max(col(c))))
         val row = df.agg(aggs.head, aggs.tail: _*).first()
-        numCols.zipWithIndex.flatMap { case (c, i) =>
-          (row.get(2 * i), row.get(2 * i + 1)) match {
+        val n = row.getLong(0).toDouble
+        // row count always recorded — an EMPTY commit dir (a backfill
+        // slice with no rows at this scale) is prunable for EVERY
+        // predicate, where "no stats" would force a conservative scan
+        val countStat = Map(VersionedTableIO.CountStat -> Seq(n, n))
+        countStat ++ numCols.zipWithIndex.flatMap { case (c, i) =>
+          (row.get(2 * i + 1), row.get(2 * i + 2)) match {
             case (mn: java.lang.Number, mx: java.lang.Number) =>
               Some(c -> Seq(mn.doubleValue(), mx.doubleValue()))
             case _ => None // all-null column: no usable bound
@@ -504,6 +513,8 @@ final class VersionedTableIO(root: String) extends TableIO {
 
 object VersionedTableIO {
   val PropAppendOnly = "appendOnly"
+  /** Reserved stats key: per-dir row count (stored as [n, n]). */
+  val CountStat = "__count"
   /** Guards the session-conf mutation in stats collection. */
   private[ingest] val statsLock = new Object
   private val mapper: ObjectMapper = {

@@ -174,6 +174,11 @@ class VersionedTableSpec extends AnyFunSuite {
     io.restore("t", 2L)
     assert(io.pruneCounts("t", "id", 250, 260)._1 == 0) // range now absent
     assert(io.readPruned(spark, "t", "id", 250, 260).count() == 0)
+    // an EMPTY commit (backfill slice with no rows) is prunable for any
+    // predicate — "no stats" must not force a conservative scan of it
+    io.append(spark.range(0, 0).toDF("id"), "t")
+    assert(io.pruneCounts("t", "id", 0, 1000)._1 ==
+      io.pruneCounts("t", "id", 0, 1000)._2 - 1)
   }
 
   test("appendIdempotent: replayed sequences are skipped, watermark " +
