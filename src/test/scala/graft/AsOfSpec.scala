@@ -126,4 +126,25 @@ class AsOfSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges === 2, s"expected 2 exchanges (one per side):\n$plan")
   }
+
+  test("native as-of: downstream ops re-exchange on right-side keys but " +
+    "not left-side keys (left-outer partitioning contract)") {
+    val ev = graft.core.Tables.load(spark, SparkTestSession.sfDir, "events")
+    def joined = AsOf.joinNative(
+      ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value"),
+      ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value"),
+      "user_id", "ts")
+    def exchanges(df: org.apache.spark.sql.DataFrame) =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    // grouping on the LEFT key reuses the join's partitioning (2 join
+    // exchanges, none added) — outputPartitioning reports the left side…
+    assert(exchanges(joined.groupBy("user_id").count()) === 2)
+    // …and ONLY the left side: any non-left-key grouping re-exchanges
+    // (unmatched left rows carry null-extended right columns, so no
+    // right-side distribution may be reported for a left-outer join)
+    assert(exchanges(joined.groupBy("asof_value").count()) === 3)
+  }
 }

@@ -257,6 +257,67 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(m.stats(m.dataDirs.head)("id") == Seq(0.0, 399.0))
   }
 
+  test("model check: random op sequence matches an in-memory reference") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (io, _) = freshIo()
+    val rnd = new scala.util.Random(20260812L) // seeded: deterministic
+    // reference model: committed history as row-bags (append keeps
+    // duplicate keys; upsert/delete/update are keyed/predicated)
+    var history = Vector.empty[Vector[(Int, Double)]]
+    var vacuumedBelow = 1L
+    def df(rows: Seq[(Int, Double)]) = rows.toDF("k", "x")
+    def freshRows() = Vector.fill(1 + rnd.nextInt(4))(
+      (rnd.nextInt(20), math.floor(rnd.nextDouble() * 100)))
+
+    io.overwrite(df(Vector((0, 0.0))), "t")
+    history :+= Vector((0, 0.0))
+    for (step <- 1 to 24) {
+      rnd.nextInt(6) match {
+        case 0 =>
+          val rows = freshRows()
+          io.append(df(rows), "t"); history :+= (history.last ++ rows)
+        case 1 =>
+          val rows = freshRows()
+          io.overwrite(df(rows), "t"); history :+= rows
+        case 2 =>
+          val rows = freshRows().distinctBy(_._1)
+          io.upsert(spark, df(rows), "t", keys = Seq("k"))
+          val keys = rows.map(_._1).toSet
+          history :+= (history.last.filterNot(r => keys(r._1)) ++ rows)
+        case 3 =>
+          val r = rnd.nextInt(5)
+          io.deleteWhere(spark, "t", col("k") % 5 === r)
+          history :+= history.last.filterNot(_._1 % 5 == r)
+        case 4 =>
+          val r = rnd.nextInt(5)
+          io.updateWhere(spark, "t", col("k") % 5 === r,
+            Map("x" -> (col("x") + lit(1000.0))))
+          history :+= history.last.map { case (k, x) =>
+            if (k % 5 == r) (k, x + 1000.0) else (k, x) }
+        case 5 =>
+          val target = vacuumedBelow + rnd.nextInt(
+            (history.size - vacuumedBelow + 1).toInt)
+          io.restore("t", target)
+          history :+= history(target.toInt - 1)
+      }
+      // head must equal the model (as bags)
+      assert(io.read(spark, "t").as[(Int, Double)].collect().sorted.toSeq ==
+        history.last.sorted, s"head diverged at step $step")
+      // a random retained version must equal ITS model snapshot
+      val v = vacuumedBelow + rnd.nextInt(
+        (history.size - vacuumedBelow + 1).toInt)
+      assert(io.readVersion(spark, "t", v)
+        .as[(Int, Double)].collect().sorted.toSeq ==
+        history(v.toInt - 1).sorted, s"version $v diverged at step $step")
+      if (step % 8 == 0) { // periodic retention GC
+        val retain = 3
+        io.vacuum("t", retainLast = retain, orphanGraceMs = 0L)
+        vacuumedBelow = math.max(vacuumedBelow, history.size - retain + 1)
+      }
+    }
+    assert(io.versions("t").last == history.size.toLong)
+  }
+
   test("compact rewrites files, preserves content, keeps history") {
     val (io, _) = freshIo()
     io.overwrite(spark.range(1000).toDF("id").repartition(16), "t")
