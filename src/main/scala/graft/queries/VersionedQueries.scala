@@ -170,6 +170,33 @@ object VersionedQueries {
       .withColumn("n_versions", lit(io.versions("dml").size.toLong))
   }
 
+  /** Incremental view maintenance from the change feed: gold at v1
+    * (full agg) + weighted CDF deltas 1→3 must equal the direct
+    * aggregation of the head — O(changes) refresh, base never
+    * re-scanned. The oracle replays the DML history declaratively and
+    * aggregates the final state. */
+  val qCdfIncrementalGold: QueryDef = QueryDef(
+    "q125_cdf_incremental_gold",
+    """WITH head AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 5 <> 4)
+      |SELECT CAST(o_orderkey % 7 AS BIGINT) AS grp, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM head GROUP BY 1""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    val grp = col("o_orderkey") % 7
+    val goldV1 = graft.ingest.IncrementalView.aggregate(
+      io.readVersion(s, "dml", 1L), grp, "grp", Seq("o_totalprice"))
+    graft.ingest.IncrementalView.refresh(s, io, "dml",
+      keys = Seq("o_orderkey"), fromVersion = 1L, toVersion = 3L,
+      goldAtFrom = goldV1, groupExpr = grp, groupName = "grp",
+      valueCols = Seq("o_totalprice"))
+      .select(col("grp"), col("n"),
+        round(col("o_totalprice_sum"), 2).as("total"))
+  }
+
   val all: Seq[QueryDef] = Seq(qTimeTravel, qVersionedVacuum, qChangeFeed,
-    qStatsPrune, qRestore, qVersionedDml)
+    qStatsPrune, qRestore, qVersionedDml, qCdfIncrementalGold)
 }

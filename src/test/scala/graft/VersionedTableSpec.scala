@@ -318,6 +318,27 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(io.versions("t").last == history.size.toLong)
   }
 
+  test("incremental view maintenance equals full re-aggregation; " +
+    "emptied groups vanish") {
+    import org.apache.spark.sql.functions.col
+    val (io, _) = freshIo()
+    io.overwrite(Seq((1, 10.0), (2, 20.0), (8, 80.0)).toDF("k", "x"), "t")
+    val gold1 = graft.ingest.IncrementalView.aggregate(
+      io.readVersion(spark, "t", 1), col("k") % 7, "grp", Seq("x"))
+    // delete the ONLY member of group 2 (k=2), update k=8, insert k=10
+    io.deleteWhere(spark, "t", col("k") === 2)
+    io.upsert(spark, Seq((8, 85.0), (10, 100.0)).toDF("k", "x"), "t",
+      keys = Seq("k"))
+    val refreshed = graft.ingest.IncrementalView.refresh(
+      spark, io, "t", Seq("k"), 1L, 3L, gold1, col("k") % 7, "grp", Seq("x"))
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = graft.ingest.IncrementalView.aggregate(
+      io.read(spark, "t"), col("k") % 7, "grp", Seq("x"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(refreshed === direct)
+    assert(!refreshed.exists(_._1 == 2L)) // group of deleted k=2 gone
+  }
+
   test("compact rewrites files, preserves content, keeps history") {
     val (io, _) = freshIo()
     io.overwrite(spark.range(1000).toDF("id").repartition(16), "t")
