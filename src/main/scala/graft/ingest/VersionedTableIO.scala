@@ -479,7 +479,12 @@ final class VersionedTableIO(root: String) extends TableIO {
     * versions can be diffed after the fact. Cost: one full-outer join
     * of the two snapshots hashed on `keys` — both sides shuffle once
     * on the key, which is the floor for a keyed diff without stored
-    * change files. */
+    * change files.
+    *
+    * PRECONDITION: `keys` must be unique within each snapshot (the
+    * MERGE/upsert write path maintains this; plain `append` can break
+    * it) — duplicate keys would cross-multiply in the join and
+    * misreport changes, the same contract Delta MERGE has. */
   def readChanges(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long, keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._

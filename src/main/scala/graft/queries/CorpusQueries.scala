@@ -268,8 +268,8 @@ object CorpusQueries {
       |b AS (
       |  SELECT *, CAST(floor((c - n_toks) / 2048.0) AS BIGINT) AS bin FROM cum)
       |SELECT doc_id, n_toks, shard, shard_pos,
-      |  shard * 1000000 + bin AS pack_id,
-      |  CAST(row_number() OVER (PARTITION BY shard * 1000000 + bin
+      |  shard * 1099511627776 + bin AS pack_id,
+      |  CAST(row_number() OVER (PARTITION BY shard * 1099511627776 + bin
       |    ORDER BY shard_pos) AS INT) AS pack_pos,
       |  c - bin * 2048 AS pack_fill
       |FROM b""".stripMargin) { (s, dir) =>

@@ -60,7 +60,11 @@ object Sampling {
       .withColumn("__cum", sum(col(tokenCountCol)).over(w))
       .withColumn("__bin",
         floor((col("__cum") - col(tokenCountCol)) / budget).cast("bigint"))
-      .withColumn("pack_id", col("shard").cast("bigint") * 1000000L + col("__bin"))
+      // shard in the high bits (2^40 bins per shard headroom — at 100 TB
+      // a shard holds ~tokens/budget bins, far below 10^12): collision-
+      // free pack ids without a global sequence
+      .withColumn("pack_id",
+        col("shard").cast("bigint") * 1099511627776L + col("__bin"))
       .withColumn("pack_pos", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("pack_id")).orderBy(col("shard_pos"))))
