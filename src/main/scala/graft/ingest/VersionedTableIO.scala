@@ -1,11 +1,12 @@
 package graft.ingest
 
 import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.Files
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, struct, when}
 
 /** One committed snapshot of a versioned table: the ordered list of
   * immutable data directories that make it up, plus carried-forward
@@ -35,11 +36,12 @@ final case class Manifest(
   * Protocol:
   *  - every write lands in a FRESH data directory; existing files are
   *    never modified — a snapshot is just a manifest listing dirs;
-  *  - a commit is one atomic rename of a temp file into the next
-  *    version slot. Rename-without-replace fails if the slot is taken,
-  *    so two concurrent writers cannot both claim a version — the loser
-  *    re-reads the log and retries on top of the winner (optimistic
-  *    concurrency, same shape as Delta's put-if-absent commit);
+  *  - a commit atomically claims the next version slot by hard-linking
+  *    a fully written temp file into it (link(2) is put-if-absent:
+  *    EEXIST if the slot is taken), so two concurrent writers cannot
+  *    both claim a version — the loser re-reads the log and retries on
+  *    top of the winner (optimistic concurrency, the same shape as
+  *    Delta's conditional-put commit);
   *  - readers resolve the latest (or a requested) manifest and scan
   *    exactly its dirs: a crashed write that left a data dir but no
   *    manifest is simply invisible — the old snapshot stays readable
@@ -196,7 +198,6 @@ final class VersionedTableIO(root: String) extends TableIO {
     * top, so results equal `read(...).filter(lo <= c AND c <= hi)`. */
   def readPruned(spark: SparkSession, table: String, column: String,
       lo: Double, hi: Double): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val m = manifest(table, latestVersion(table))
     val kept = prunedDirs(m, column, lo, hi)
     val base = // all dirs pruned: empty frame with the table's schema
@@ -247,7 +248,6 @@ final class VersionedTableIO(root: String) extends TableIO {
     * costs metadata I/O, not a data scan. */
   private def collectStats(spark: SparkSession,
       absDir: String): Map[String, Seq[Double]] = {
-    import org.apache.spark.sql.functions.{col, max, min}
     val df = spark.read.parquet(absDir)
     val numCols = df.schema.fields.collect {
       case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
@@ -260,7 +260,6 @@ final class VersionedTableIO(root: String) extends TableIO {
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
       try {
-        import org.apache.spark.sql.functions.{count, lit}
         val aggs = count(lit(1)) +:
           numCols.flatMap(c => Seq(min(col(c)), max(col(c))))
         val row = df.agg(aggs.head, aggs.tail: _*).first()
@@ -350,7 +349,6 @@ final class VersionedTableIO(root: String) extends TableIO {
     * [[readPruned]] and parquet row-group skipping prune with. */
   def compactClustered(spark: SparkSession, table: String, numFiles: Int,
       clusterCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.col
     val cols = clusterCols.map(col)
     rewriteSnapshot(spark, table, "compact")(
       _.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*))
@@ -360,8 +358,7 @@ final class VersionedTableIO(root: String) extends TableIO {
     * rewrite (read-validated; concurrent appends conflict and
     * recompute rather than vanish). Time travel still sees them. */
   def deleteWhere(spark: SparkSession, table: String,
-      predicate: org.apache.spark.sql.Column): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, lit}
+      predicate: Column): Unit = {
     requireWritable(table)
     // SQL DELETE semantics: only rows where the predicate IS TRUE go —
     // a NULL predicate (e.g. `k = 1` on a NULL k) keeps the row, which
@@ -373,9 +370,8 @@ final class VersionedTableIO(root: String) extends TableIO {
   /** Delta UPDATE: `assignments` applied to rows matching `predicate`,
     * all other rows carried unchanged, as one snapshot rewrite. */
   def updateWhere(spark: SparkSession, table: String,
-      predicate: org.apache.spark.sql.Column,
-      assignments: Map[String, org.apache.spark.sql.Column]): Unit = {
-    import org.apache.spark.sql.functions.when
+      predicate: Column,
+      assignments: Map[String, Column]): Unit = {
     requireWritable(table)
     rewriteSnapshot(spark, table, "update") { cur =>
       assignments.foldLeft(cur) { case (df, (c, v)) =>
@@ -487,7 +483,6 @@ final class VersionedTableIO(root: String) extends TableIO {
     * misreport changes, the same contract Delta MERGE has. */
   def readChanges(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long, keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions._
     require(fromVersion < toVersion,
       s"fromVersion $fromVersion must precede toVersion $toVersion")
     val before = readVersion(spark, table, fromVersion)

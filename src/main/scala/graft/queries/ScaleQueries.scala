@@ -153,14 +153,17 @@ object ScaleQueries {
     * deterministic, so they are INLINED into the oracle as double
     * literals and DuckDB replays the whole bucket→candidate→top-k
     * pipeline (sign flips would need |dot| < 1e-15 — never observed). */
+  /** SQL replay of [[Similarity.lshBucket]] over a `v DOUBLE[]` column:
+    * one CASE per inlined hyperplane, OR-ed into the sign-bit bucket. */
+  private def lshBucketSql(dim: Int, nPlanes: Int, seed: Long): String =
+    Similarity.planes(dim, nPlanes, seed).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(v, CAST(${p.mkString("[", ", ", "]")} " +
+        s"AS DOUBLE[])) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+
   private def annLshOracleSql(dim: Int, nPlanes: Int, seed: Long,
       k: Int): String = {
-    val ps = Similarity.planes(dim, nPlanes, seed)
-    val planeLits = ps.map(_.mkString("[", ", ", "]"))
-    val bucketExpr = planeLits.zipWithIndex.map { case (lit, i) =>
-      s"(CASE WHEN list_dot_product(v, CAST($lit AS DOUBLE[])) >= 0 " +
-        s"THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
-    }.mkString(" + ")
+    val bucketExpr = lshBucketSql(dim, nPlanes, seed)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |           FROM embeddings),
        |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
@@ -262,12 +265,8 @@ object ScaleQueries {
   private def dedupEmbeddingLshOracleSql(dim: Int, nPlanes: Int,
       bands: Int, seed: Long, minCosine: Double): String = {
     val bandSelects = (0 until bands).map { bnd =>
-      val ps = Similarity.planes(dim, nPlanes, seed + bnd)
-      val bucketExpr = ps.zipWithIndex.map { case (p, i) =>
-        s"(CASE WHEN list_dot_product(v, CAST(${p.mkString("[", ", ", "]")} " +
-          s"AS DOUBLE[])) >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
-      }.mkString(" + ")
-      s"SELECT vec_id, v, $bnd AS band, $bucketExpr AS bucket FROM e"
+      s"SELECT vec_id, v, $bnd AS band, " +
+        s"${lshBucketSql(dim, nPlanes, seed + bnd)} AS bucket FROM e"
     }.mkString("\nUNION ALL\n")
     s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |              FROM embeddings),

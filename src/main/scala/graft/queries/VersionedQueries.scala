@@ -29,6 +29,7 @@ object VersionedQueries {
     cache.computeIfAbsent(dir, { d =>
       val root = java.nio.file.Files.createTempDirectory("graft_versioned").toString
       val io = new VersionedTableIO(root)
+      // every table here derives from this one narrow projection
       val orders = Tables.load(s, d, "orders")
         .select("o_orderkey", "o_totalprice")
       def build(table: String): Unit = {
@@ -54,15 +55,11 @@ object VersionedQueries {
         col("bucket_key") < 2000), "pr")
       io.append(bucketed.filter(col("bucket_key") >= 2000), "pr")
       // "rst": overwrite then roll back — RESTORE as a metadata commit
-      io.overwrite(Tables.load(s, d, "orders")
-        .filter(col("o_orderkey") % 3 === 0)
-        .select("o_orderkey", "o_totalprice"), "rst")
-      io.overwrite(Tables.load(s, d, "orders")
-        .select("o_orderkey", "o_totalprice"), "rst")
+      io.overwrite(orders.filter(col("o_orderkey") % 3 === 0), "rst")
+      io.overwrite(orders, "rst")
       io.restore("rst", toVersion = 1L)
       // "dml": DELETE + UPDATE as history-preserving snapshot rewrites
-      io.overwrite(Tables.load(s, d, "orders")
-        .select("o_orderkey", "o_totalprice"), "dml")
+      io.overwrite(orders, "dml")
       io.deleteWhere(s, "dml", col("o_orderkey") % 5 === 4)
       io.updateWhere(s, "dml", col("o_orderkey") % 5 === 0,
         Map("o_totalprice" -> (col("o_totalprice") + 500.0)))
