@@ -304,7 +304,70 @@ object CorpusQueries {
       .select("doc_id", "n_toks", "keep_frac")
   }
 
+  /** SemDeDup-style semantic dedup: deterministic 2-round Lloyd
+    * k-means over int8-quantized embeddings, then within-cluster
+    * lower-id pruning at cosine ≥ 0.9. The corpus is augmented with
+    * deterministically perturbed copies (q117's pattern) so planted
+    * near-dups exist; quantization, seeding, both Lloyd rounds, the
+    * final assignment AND the dup marking are all replayed by the
+    * oracle — cluster decisions rank round-9 cosine with cell-id
+    * tiebreak, and centroid means are exact because the inputs are
+    * integer-valued (see [[graft.scale.KMeans]]). */
+  val qSemanticDedup: QueryDef = QueryDef(
+    "q126_semantic_dedup",
+    """WITH v0 AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+      |  FROM embeddings),
+      |base AS (SELECT vec_id, list_transform(e, x -> round(x * 127.0 / mx)) AS q
+      |         FROM v0 WHERE mx > 0),
+      |v AS (SELECT vec_id, q FROM base
+      |      UNION ALL
+      |      SELECT vec_id + 100000, list_transform(q, x -> round(x * 0.95 + 0.01))
+      |      FROM base),
+      |c0 AS (SELECT vec_id AS cell, q AS ce FROM v ORDER BY vec_id LIMIT 8),
+      |a1 AS (
+      |  SELECT vec_id, q, cell FROM (
+      |    SELECT v.vec_id, v.q, c0.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY round(list_cosine_similarity(v.q, c0.ce), 9) DESC,
+      |                 c0.cell ASC) AS rn
+      |    FROM v CROSS JOIN c0) WHERE rn = 1),
+      |c1 AS (
+      |  SELECT cell, list(s / n ORDER BY pos) AS ce FROM (
+      |    SELECT cell, pos, sum(val) AS s, count(*) AS n FROM (
+      |      SELECT cell, unnest(q) AS val, unnest(range(len(q))) AS pos FROM a1)
+      |    GROUP BY cell, pos)
+      |  GROUP BY cell),
+      |a2 AS (
+      |  SELECT vec_id, q, cell, sim FROM (
+      |    SELECT v.vec_id, v.q, c1.cell,
+      |      round(list_cosine_similarity(v.q, c1.ce), 6) AS sim,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY round(list_cosine_similarity(v.q, c1.ce), 9) DESC,
+      |                 c1.cell ASC) AS rn
+      |    FROM v CROSS JOIN c1) WHERE rn = 1)
+      |SELECT a.vec_id, a.cell, a.sim,
+      |  CAST(EXISTS (SELECT 1 FROM a2 b WHERE b.cell = a.cell
+      |        AND b.vec_id < a.vec_id
+      |        AND round(list_cosine_similarity(a.q, b.q), 6) >= 0.9) AS INT)
+      |    AS is_dup
+      |FROM a2 a""".stripMargin) { (s, dir) =>
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("mx", array_max(transform(col("e"), x => abs(x))))
+      .filter(col("mx") > 0)
+      .select(col("vec_id"), graft.scale.Similarity.quantizeInt8(col("e")).as("q"))
+    val planted = base.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("q"), x => round(x * 0.95 + 0.01, 0)).as("q"))
+    graft.scale.KMeans.semanticDups(base.unionByName(planted),
+      "vec_id", "q", k = 8, iters = 2, minCosine = 0.9)
+  }
+
   val all: Seq[QueryDef] =
     Seq(qPiiRedact, qDocRepetition, qDedupClusters, qCuration,
-      qDecontaminate, qShardAssign, qSequencePack, qWeightedSample)
+      qDecontaminate, qShardAssign, qSequencePack, qWeightedSample,
+      qSemanticDedup)
 }

@@ -1,0 +1,106 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd k-means over an embedding column, and the
+  * SemDeDup-style semantic dedup built on it: cluster the corpus, then
+  * prune near-identical documents WITHIN each cluster (pairwise cosine
+  * is only ever computed against cluster-mates, never all-pairs).
+  *
+  * Determinism contract (what makes the whole pipeline replayable by a
+  * SQL oracle, the same discipline as the reproducible MinHash mode):
+  *  - seed centroids = the first k vectors by id;
+  *  - assignment ranks round(cosine, 9) desc with cell-id tiebreak, so
+  *    both engines make identical cell decisions;
+  *  - centroid update is sum/count per dimension — callers should feed
+  *    INTEGER-VALUED vectors ([[Similarity.quantizeInt8]]): integer
+  *    sums are exact in IEEE doubles regardless of row order, so the
+  *    updated centroids are bit-identical run to run (a raw-float sum
+  *    would drift with Spark's nondeterministic partial-agg order).
+  *
+  * Scale design: per iteration, ONE narrow crossJoin against the
+  * broadcast (k × dim) centroid table + one shuffle for the
+  * per-dimension means; centroids are collected to the driver each
+  * round (bounded k × dim, the Spark MLlib pattern) which also
+  * truncates lineage — the plan does not grow with iterations. The
+  * within-cluster dedup join keys on cell id, so candidate pairs are
+  * bounded by the largest cluster, not the corpus.
+  */
+object KMeans {
+
+  /** Final cluster assignment after `iters` Lloyd rounds:
+    * (idCol, cell, sim) — `cell` is the seed vector's id, `sim` the
+    * round-6 cosine to the final centroid. */
+  def assign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame =
+    assignWithVectors(df, idCol, vecCol, k, iters)
+      .select(col(idCol), col("cell"), col("sim"))
+
+  /** [[assign]] keeping the (cast) vector column `__q` for downstream
+    * within-cluster work. */
+  private[graft] def assignWithVectors(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__q"))
+
+    // seed centroids: first k vectors by id (bounded collect, k rows)
+    var centroids: Seq[(Long, Seq[Double])] = v.orderBy(col("__id"))
+      .limit(k).collect().toSeq
+      .map((r: Row) => (r.getLong(0), r.getSeq[Double](1)))
+
+    def assignOnce(cent: Seq[(Long, Seq[Double])]): DataFrame = {
+      val centDf = cent.toDF("cell", "__ce")
+      val w = Window.partitionBy(col("__id"))
+        .orderBy(col("__cdist").desc, col("cell").asc)
+      v.crossJoin(broadcast(centDf))
+        .withColumn("__cdist",
+          round(Similarity.cosine(col("__q"), col("__ce")), 9))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__id"), col("__q"), col("cell"),
+          round(Similarity.cosine(col("__q"), col("__ce")), 6).as("sim"))
+    }
+
+    for (_ <- 1 until iters) {
+      val assigned = assignOnce(centroids)
+      // per-dimension mean: exact for integer-valued inputs, collected
+      // bounded (k × dim rows)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("__q")).as(Seq("__pos", "__val")))
+        .groupBy(col("cell"), col("__pos"))
+        .agg(sum(col("__val")).as("__s"), count(lit(1)).as("__n"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"),
+          (col("__s") / col("__n")).as("__m")))), _.getField("__m")).as("__ce"))
+        .collect().toSeq
+        .map((r: Row) => (r.getLong(0), r.getSeq[Double](1)))
+    }
+    assignOnce(centroids)
+      .withColumnRenamed("__id", idCol)
+  }
+
+  /** Semantic dedup: k-means clustering + within-cluster lower-id
+    * near-duplicate marking. Output: (idCol, cell, sim, is_dup) where
+    * is_dup = 1 iff a cluster-mate with a smaller id has cosine ≥
+    * minCosine (keep the is_dup = 0 rows to dedup the corpus). */
+  def semanticDups(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, minCosine: Double): DataFrame = {
+    val a = assignWithVectors(df, idCol, vecCol, k, iters)
+    val left = a.select(col(idCol), col("cell"), col("sim"), col("__q"))
+    val dupIds = left.as("x")
+      .join(a.select(col(idCol).as("__oid"), col("cell"),
+        col("__q").as("__oq")).as("y"), Seq("cell"))
+      .filter(col("__oid") < col(idCol) &&
+        round(Similarity.cosine(col("__q"), col("__oq")), 6) >= minCosine)
+      .select(col(idCol)).distinct()
+      .withColumn("__dup", lit(1))
+    left.join(dupIds, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("sim"),
+        coalesce(col("__dup"), lit(0)).as("is_dup"))
+  }
+}

@@ -290,4 +290,36 @@ class ScaleSpec extends AnyFunSuite {
     val plan = bucketed.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastHashJoin"), plan.linesIterator.take(20).mkString("\n"))
   }
+
+  test("kmeans: deterministic across runs; planted copies cluster with " +
+    "their originals and are marked dups") {
+    val base = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("mx", array_max(transform(col("e"), x => abs(x))))
+      .filter(col("mx") > 0)
+      .select(col("vec_id"), Similarity.quantizeInt8(col("e")).as("q"))
+    val emb = base.unionByName(base.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("q"), x => round(x * 0.95 + 0.01, 0)).as("q")))
+    val run1 = graft.scale.KMeans
+      .semanticDups(emb, "vec_id", "q", k = 8, iters = 2, minCosine = 0.9)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._1)
+    val run2 = graft.scale.KMeans
+      .semanticDups(emb, "vec_id", "q", k = 8, iters = 2, minCosine = 0.9)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._1)
+    // integer-exact centroid sums ⇒ bit-identical reruns despite
+    // nondeterministic partial-agg row order
+    assert(run1.sameElements(run2))
+    val cellOf = run1.map(r => r._1 -> r._2).toMap
+    val n = base.count()
+    // a ~0.9997-cosine copy must land in its original's cell
+    val together = run1.filter(_._1 >= 100000)
+      .count(r => cellOf(r._1 - 100000) == r._2)
+    assert(together >= n * 95 / 100, s"$together/$n copies split from originals")
+    // and, sharing the cell of a lower-id near-identical doc, be a dup
+    assert(run1.count(_._4 == 1) >= n * 95 / 100)
+    // every base cluster is non-trivial (8 seeds over near-orthogonal
+    // vectors should not collapse)
+    assert(run1.map(_._2).distinct.length == 8)
+  }
 }
