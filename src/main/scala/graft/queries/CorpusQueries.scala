@@ -366,8 +366,43 @@ object CorpusQueries {
       "vec_id", "q", k = 8, iters = 2, minCosine = 0.9)
   }
 
+  /** Sub-document exact dedup over 3-token units — repeated passages
+    * are dropped globally (first occurrence by (doc_id, pos) wins) and
+    * documents are reassembled from their surviving units. The 56-word
+    * synthetic vocabulary makes 3-token collisions common, so the pass
+    * has real dedup activity without planting. */
+  val qParagraphDedup: QueryDef = QueryDef(
+    "q127_paragraph_dedup",
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS p
+      |        FROM toks),
+      |chunks AS (
+      |  SELECT doc_id, p // 3 AS pos, string_agg(w, ' ' ORDER BY p) AS unit
+      |  FROM tok GROUP BY doc_id, p // 3),
+      |marked AS (
+      |  SELECT doc_id, pos, unit,
+      |    CASE WHEN row_number() OVER (PARTITION BY unit
+      |           ORDER BY doc_id, pos) = 1 THEN 1 ELSE 0 END AS kept
+      |  FROM chunks)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(kept) AS BIGINT) AS n_kept,
+      |  coalesce(string_agg(CASE WHEN kept = 1 THEN unit END, ' '
+      |    ORDER BY pos), '') AS dedup_text
+      |FROM marked GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    graft.scale.Dedup.unitDedup(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.scale.Dedup.unitChunks(toks, 3).as("units")),
+      "doc_id", "units")
+  }
+
   val all: Seq[QueryDef] =
     Seq(qPiiRedact, qDocRepetition, qDedupClusters, qCuration,
       qDecontaminate, qShardAssign, qSequencePack, qWeightedSample,
-      qSemanticDedup)
+      qSemanticDedup, qParagraphDedup)
 }

@@ -77,6 +77,46 @@ object Dedup {
       .withColumnRenamed("__fp", "fingerprint")
   }
 
+  /** Split a token array into consecutive n-token unit strings — the
+    * "paragraph" analog for corpora without structural separators
+    * (real pipelines pass actual paragraph splits; the dedup semantics
+    * downstream are identical). */
+  def unitChunks(toks: Column, n: Int): Column =
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), ceil(size(toks) / lit(n.toDouble)).cast("int") - 1),
+        i => array_join(slice(toks, i * n + 1, lit(n)), " ")))
+
+  /** Sub-document (paragraph/unit-level) exact dedup — the
+    * MassiveText/C4-style pass that removes REPEATED PASSAGES across
+    * documents while keeping the documents themselves: a unit survives
+    * iff it is the globally first occurrence (smallest (id, pos)) of
+    * its content; each document is reassembled from its surviving
+    * units in order.
+    *
+    * Output: (idCol, n_chunks, n_kept, dedup_text).
+    *
+    * Scale: two shuffles — one window keyed on the unit content (the
+    * same narrow-key discipline as [[exactDedup]]'s fingerprint
+    * grouping; units are short), one groupBy(doc) to reassemble. No
+    * collect, no all-pairs anything. */
+  def unitDedup(df: DataFrame, idCol: String, unitsCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("__id"),
+      posexplode(col(unitsCol)).as(Seq("__pos", "__unit")))
+    val w = Window.partitionBy(col("__unit"))
+      .orderBy(col("__id"), col("__pos"))
+    ex.withColumn("__kept", (row_number().over(w) === 1).cast("int"))
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("__kept")).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__kept") === 1, struct(col("__pos"), col("__unit"))))),
+          _.getField("__unit")), " ").as("dedup_text"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Exact jaccard between two pre-distinct token arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

@@ -291,6 +291,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastHashJoin"), plan.linesIterator.take(20).mkString("\n"))
   }
 
+  test("unitDedup: first occurrence wins, within-doc repeats collapse, " +
+    "docs reassemble in unit order") {
+    val df = Seq(
+      (1L, Seq("a b", "c d", "a b")), // within-doc repeat of "a b"
+      (2L, Seq("c d", "e f")),        // "c d" already seen in doc 1
+      (3L, Seq("a b", "c d")),        // fully duplicate doc → empty
+      (4L, Seq.empty[String])
+    ).toDF("doc_id", "units")
+    val got = graft.scale.Dedup.unitDedup(df, "doc_id", "units")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 3L, 2L, "a b c d")))
+    assert(got(1) == ((2L, 2L, 1L, "e f")))
+    assert(got(2) == ((3L, 2L, 0L, "")))
+    // empty-unit docs produce no exploded rows and drop out — callers
+    // keep them via the q127 left-join pattern if needed
+    assert(got.length == 3)
+    // chunker: ragged tail, empty input
+    val chunks = Seq((1L, Seq("a", "b", "c", "d", "e")), (2L, Seq.empty[String]))
+      .toDF("id", "t")
+      .select(graft.scale.Dedup.unitChunks(col("t"), 2).as("u"))
+      .as[Seq[String]].collect()
+    assert(chunks.contains(Seq("a b", "c d", "e")) && chunks.contains(Seq.empty))
+  }
+
   test("kmeans: deterministic across runs; planted copies cluster with " +
     "their originals and are marked dups") {
     val base = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
