@@ -401,8 +401,56 @@ object CorpusQueries {
       "doc_id", "units")
   }
 
+  /** DuckDB replay of [[graft.scale.Dedup.md5Hash60]] over salted text
+    * (the q124 pattern, shared by the sampling oracles). */
+  private def md5Hash60Sql(salt: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(substring(md5('$salt:' || text), 1, 15), ''),
+       |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+       |    (a, d) -> a * 16 + d)""".stripMargin
+
+  /** Exact per-stratum quota sampling: first `quota` docs of each
+    * language in deterministic content-hash order. */
+  val qQuotaSample: QueryDef = QueryDef(
+    "q128_quota_sample",
+    s"""WITH h AS (SELECT doc_id, lang, ${md5Hash60Sql("qs")} AS h
+       |           FROM documents),
+       |r AS (SELECT doc_id, lang,
+       |        CAST(row_number() OVER (PARTITION BY lang
+       |          ORDER BY h, doc_id) AS INT) AS rank
+       |      FROM h),
+       |q AS (SELECT * FROM (VALUES ('en', 120), ('de', 40), ('fr', 30),
+       |        ('es', 30), ('zh', 25)) t(lang, quota))
+       |SELECT doc_id, lang, rank FROM r JOIN q USING (lang)
+       |WHERE rank <= quota""".stripMargin) { (s, dir) =>
+    graft.scale.Sampling.quotaSample(
+      Tables.load(s, dir, "documents"), "lang", "text", "doc_id",
+      Map("en" -> 120L, "de" -> 40L, "fr" -> 30L, "es" -> 30L,
+        "zh" -> 25L))
+      .select("doc_id", "lang", "rank")
+  }
+
+  /** Temperature-scaled corpus mixing: per-language mass n^0.7 / Σ
+    * flattens the skewed language distribution; membership is a
+    * deterministic content-hash draw at the stratum's rate. */
+  val qTemperatureMix: QueryDef = QueryDef(
+    "q129_temperature_mix",
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |r AS (SELECT lang, least(1.0, 250.0 * pow(n, 0.7) /
+       |        sum(pow(n, 0.7)) OVER () / n) AS rate FROM c),
+       |h AS (SELECT doc_id, lang,
+       |        ${md5Hash60Sql("tm")} / 1152921504606846976.0 AS frac
+       |      FROM documents)
+       |SELECT doc_id, lang, round(rate, 6) AS keep_frac
+       |FROM h JOIN r USING (lang) WHERE frac < rate""".stripMargin) { (s, dir) =>
+    graft.scale.Sampling.temperatureMix(
+      Tables.load(s, dir, "documents"), "lang", "text",
+      tau = 0.7, budgetDocs = 250L)
+      .select("doc_id", "lang", "keep_frac")
+  }
+
   val all: Seq[QueryDef] =
     Seq(qPiiRedact, qDocRepetition, qDedupClusters, qCuration,
       qDecontaminate, qShardAssign, qSequencePack, qWeightedSample,
-      qSemanticDedup, qParagraphDedup)
+      qSemanticDedup, qParagraphDedup, qQuotaSample, qTemperatureMix)
 }

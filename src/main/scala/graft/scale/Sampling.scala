@@ -91,6 +91,54 @@ object Sampling {
       .filter(col("keep_frac") < rate)
   }
 
+  /** Exact per-stratum quota sampling: the first `quota` rows of each
+    * stratum in deterministic content-hash order. Output adds `rank`
+    * (1-based position within the stratum's hash order).
+    *
+    * Scale note: the per-stratum window puts one whole stratum in one
+    * partition — exact quotas are inherently a per-stratum total
+    * order. Fine while strata are catalog-sized (languages, sources);
+    * for web-scale strata use the rate-based approximate form
+    * ([[temperatureMix]]/[[weightedSample]]), which needs no sort. */
+  def quotaSample(df: DataFrame, stratumCol: String, textCol: String,
+      idCol: String, quotas: Map[String, Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = broadcast(quotas.toSeq.toDF(stratumCol, "__quota"))
+    val h = Dedup.md5Hash60(concat(lit("qs:"), col(textCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("rank", row_number().over(w))
+      .join(q, Seq(stratumCol))
+      .filter(col("rank") <= col("__quota"))
+      .drop("__quota")
+  }
+
+  /** Temperature-scaled corpus mixing (the multilingual-sampling
+    * standard): stratum d with n_d docs gets mass w_d = n_d^tau / Σ,
+    * flattening the natural distribution toward uniform as tau → 0.
+    * Each row then survives a deterministic content-hash draw at
+    * rate min(1, budget·w_d / n_d) — approximate quotas, no
+    * per-stratum sort, so it scales to arbitrary strata. Output adds
+    * `keep_frac` (the stratum's rate, round-6). */
+  def temperatureMix(df: DataFrame, stratumCol: String, textCol: String,
+      tau: Double, budgetDocs: Long): DataFrame = {
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", pow(col("__n").cast("double"), lit(tau)))
+      .withColumn("__rate", least(lit(1.0),
+        lit(budgetDocs.toDouble) * col("__w") /
+          sum(col("__w")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy()) / col("__n").cast("double")))
+      .select(col(stratumCol), col("__rate"))
+    val frac = Dedup.md5Hash60(concat(lit("tm:"), col(textCol))) /
+      lit(1152921504606846976.0) // 2^60
+    df.join(broadcast(counts), Seq(stratumCol))
+      .filter(frac < col("__rate"))
+      .withColumn("keep_frac", round(col("__rate"), 6))
+      .drop("__rate")
+  }
+
   /** Deterministic seeded shuffle + shard assignment — the global
     * training-data shuffle as a pure function of (id, seed): shard by
     * a 60-bit md5 hash, position within the shard by the same hash.
