@@ -41,7 +41,16 @@ object Bench {
     // Headline keys LAST: the artifact capture keeps the tail of the
     // line, so the total/count must survive even if the per-query map
     // is truncated at the front.
-    println(s"""{"queries":$qs,"n_queries":${results.size},"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    val json =
+      s"""{"queries":$qs,"n_queries":${results.size},"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+    println(json)
+    // Durable copy: the driver's stdout-tail capture has truncated the
+    // per-query map head two rounds running; the file keeps every query
+    // diffable between rounds.
+    val out = java.nio.file.Paths.get("tools/bench_latest.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -305,14 +305,18 @@ object CorpusQueries {
   }
 
   /** SemDeDup-style semantic dedup: deterministic 2-round Lloyd
-    * k-means over int8-quantized embeddings, then within-cluster
-    * lower-id pruning at cosine ≥ 0.9. The corpus is augmented with
-    * deterministically perturbed copies (q117's pattern) so planted
-    * near-dups exist; quantization, seeding, both Lloyd rounds, the
-    * final assignment AND the dup marking are all replayed by the
-    * oracle — cluster decisions rank round-9 cosine with cell-id
-    * tiebreak, and centroid means are exact because the inputs are
-    * integer-valued (see [[graft.scale.KMeans]]). */
+    * k-means over int8-quantized embeddings, then BOUNDED
+    * within-cluster lower-id pruning at cosine ≥ 0.9 — each row is
+    * compared only against its 32 nearest preceding cluster-mates
+    * (sliding window frame, no self-join), so the pass stays
+    * O(n · 32 · dim) whatever the cluster-size skew. The corpus is
+    * augmented with deterministically perturbed copies (q117's
+    * pattern) so planted near-dups exist; quantization, seeding, both
+    * Lloyd rounds, the final assignment AND the rank-windowed dup
+    * marking are all replayed by the oracle — cluster decisions rank
+    * round-9 cosine with cell-id tiebreak, and centroid means are
+    * exact because the inputs are integer-valued
+    * (see [[graft.scale.KMeans]]). */
   val qSemanticDedup: QueryDef = QueryDef(
     "q126_semantic_dedup",
     """WITH v0 AS (
@@ -325,7 +329,7 @@ object CorpusQueries {
       |      UNION ALL
       |      SELECT vec_id + 100000, list_transform(q, x -> round(x * 0.95 + 0.01))
       |      FROM base),
-      |c0 AS (SELECT vec_id AS cell, q AS ce FROM v ORDER BY vec_id LIMIT 8),
+      |c0 AS (SELECT vec_id AS cell, q AS ce FROM v ORDER BY vec_id LIMIT 64),
       |a1 AS (
       |  SELECT vec_id, q, cell FROM (
       |    SELECT v.vec_id, v.q, c0.cell,
@@ -346,13 +350,16 @@ object CorpusQueries {
       |      row_number() OVER (PARTITION BY v.vec_id
       |        ORDER BY round(list_cosine_similarity(v.q, c1.ce), 9) DESC,
       |                 c1.cell ASC) AS rn
-      |    FROM v CROSS JOIN c1) WHERE rn = 1)
+      |    FROM v CROSS JOIN c1) WHERE rn = 1),
+      |r AS (SELECT vec_id, q, cell, sim,
+      |        row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+      |      FROM a2)
       |SELECT a.vec_id, a.cell, a.sim,
-      |  CAST(EXISTS (SELECT 1 FROM a2 b WHERE b.cell = a.cell
-      |        AND b.vec_id < a.vec_id
+      |  CAST(EXISTS (SELECT 1 FROM r b WHERE b.cell = a.cell
+      |        AND b.rn >= a.rn - 32 AND b.rn < a.rn
       |        AND round(list_cosine_similarity(a.q, b.q), 6) >= 0.9) AS INT)
       |    AS is_dup
-      |FROM a2 a""".stripMargin) { (s, dir) =>
+      |FROM r a""".stripMargin) { (s, dir) =>
     val base = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("e"))
@@ -363,7 +370,7 @@ object CorpusQueries {
       (col("vec_id") + 100000).as("vec_id"),
       transform(col("q"), x => round(x * 0.95 + 0.01, 0)).as("q"))
     graft.scale.KMeans.semanticDups(base.unionByName(planted),
-      "vec_id", "q", k = 8, iters = 2, minCosine = 0.9)
+      "vec_id", "q", k = 64, iters = 2, minCosine = 0.9, maxNeighbors = 32)
   }
 
   /** Sub-document exact dedup over 3-token units — repeated passages

@@ -96,14 +96,19 @@ object Dedup {
     *
     * Output: (idCol, n_chunks, n_kept, dedup_text).
     *
-    * Scale: two shuffles — one window keyed on the unit content (the
+    * Scale: two shuffles — one window keyed on `xxhash64(unit)` (the
     * same narrow-key discipline as [[exactDedup]]'s fingerprint
-    * grouping; units are short), one groupBy(doc) to reassemble. No
-    * collect, no all-pairs anything. */
+    * grouping: real paragraphs are hundreds of bytes, so shuffling the
+    * 8-byte hash instead of the text keeps the exchange narrow; the
+    * unit text rides along as payload only), one groupBy(doc) to
+    * reassemble. A 2^-64 hash collision would merge two distinct
+    * units — below the oracle's noise floor, the same argument as
+    * [[hashedShingleSet]]. No collect, no all-pairs anything. */
   def unitDedup(df: DataFrame, idCol: String, unitsCol: String): DataFrame = {
     val ex = df.select(col(idCol).as("__id"),
       posexplode(col(unitsCol)).as(Seq("__pos", "__unit")))
-    val w = Window.partitionBy(col("__unit"))
+      .withColumn("__uh", xxhash64(col("__unit")))
+    val w = Window.partitionBy(col("__uh"))
       .orderBy(col("__id"), col("__pos"))
     ex.withColumn("__kept", (row_number().over(w) === 1).cast("int"))
       .groupBy(col("__id"))

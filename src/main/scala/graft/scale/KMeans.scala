@@ -85,22 +85,34 @@ object KMeans {
   }
 
   /** Semantic dedup: k-means clustering + within-cluster lower-id
-    * near-duplicate marking. Output: (idCol, cell, sim, is_dup) where
-    * is_dup = 1 iff a cluster-mate with a smaller id has cosine ≥
-    * minCosine (keep the is_dup = 0 rows to dedup the corpus). */
+    * near-duplicate marking, BOUNDED per row. Output:
+    * (idCol, cell, sim, is_dup) where is_dup = 1 iff one of the
+    * `maxNeighbors` nearest PRECEDING cluster-mates (by id order) has
+    * cosine ≥ minCosine (keep the is_dup = 0 rows to dedup the corpus).
+    *
+    * Why the bound exists: an unbounded within-cluster self-join is
+    * O(Σ cᵢ²) — at small k one hot cell makes that quadratic in the
+    * corpus, which is exactly the failure mode SemDeDup's k ≈ 10⁴–10⁵
+    * parameterization avoids. Here nothing depends on the operator
+    * being parameterized well: each row is compared against AT MOST
+    * `maxNeighbors` predecessors via a sliding window frame, so total
+    * work is O(n · maxNeighbors · dim) and one shuffle on cell — no
+    * join, no pair blow-up, whatever the cluster-size distribution.
+    * For clusters of ≤ maxNeighbors+1 rows the semantics are identical
+    * to the unbounded lower-id rule; beyond that, a duplicate pair
+    * more than maxNeighbors apart in id order within a cell is missed
+    * by design (raise k, not maxNeighbors, if that matters — near-dups
+    * land in the same cell AND adjacently only when cells are tight). */
   def semanticDups(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, minCosine: Double): DataFrame = {
+      iters: Int, minCosine: Double, maxNeighbors: Int = 64): DataFrame = {
+    require(maxNeighbors >= 1, "maxNeighbors must be >= 1")
     val a = assignWithVectors(df, idCol, vecCol, k, iters)
-    val left = a.select(col(idCol), col("cell"), col("sim"), col("__q"))
-    val dupIds = left.as("x")
-      .join(a.select(col(idCol).as("__oid"), col("cell"),
-        col("__q").as("__oq")).as("y"), Seq("cell"))
-      .filter(col("__oid") < col(idCol) &&
-        round(Similarity.cosine(col("__q"), col("__oq")), 6) >= minCosine)
-      .select(col(idCol)).distinct()
-      .withColumn("__dup", lit(1))
-    left.join(dupIds, Seq(idCol), "left")
+    val w = Window.partitionBy(col("cell")).orderBy(col(idCol))
+      .rowsBetween(-maxNeighbors, -1)
+    a.withColumn("__prev", collect_list(col("__q")).over(w))
       .select(col(idCol), col("cell"), col("sim"),
-        coalesce(col("__dup"), lit(0)).as("is_dup"))
+        when(exists(col("__prev"),
+          v => round(Similarity.cosine(col("__q"), v), 6) >= minCosine),
+          1).otherwise(0).as("is_dup"))
   }
 }

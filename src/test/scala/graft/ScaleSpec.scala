@@ -325,11 +325,15 @@ class ScaleSpec extends AnyFunSuite {
     val emb = base.unionByName(base.select(
       (col("vec_id") + 100000).as("vec_id"),
       transform(col("q"), x => round(x * 0.95 + 0.01, 0)).as("q")))
+    // maxNeighbors = corpus size ⇒ the window covers every preceding
+    // cluster-mate, i.e. the unbounded lower-id SemDeDup semantics
     val run1 = graft.scale.KMeans
-      .semanticDups(emb, "vec_id", "q", k = 8, iters = 2, minCosine = 0.9)
+      .semanticDups(emb, "vec_id", "q", k = 8, iters = 2, minCosine = 0.9,
+        maxNeighbors = 2000)
       .as[(Long, Long, Double, Int)].collect().sortBy(_._1)
     val run2 = graft.scale.KMeans
-      .semanticDups(emb, "vec_id", "q", k = 8, iters = 2, minCosine = 0.9)
+      .semanticDups(emb, "vec_id", "q", k = 8, iters = 2, minCosine = 0.9,
+        maxNeighbors = 2000)
       .as[(Long, Long, Double, Int)].collect().sortBy(_._1)
     // integer-exact centroid sums ⇒ bit-identical reruns despite
     // nondeterministic partial-agg row order
@@ -345,5 +349,47 @@ class ScaleSpec extends AnyFunSuite {
     // every base cluster is non-trivial (8 seeds over near-orthogonal
     // vectors should not collapse)
     assert(run1.map(_._2).distinct.length == 8)
+  }
+
+  test("semanticDups: per-row candidate work is bounded by maxNeighbors " +
+    "(window frame, no within-cluster self-join)") {
+    // one giant cell (k = 1): id 0 and id 41 are identical vectors, the
+    // 40 fillers between them are orthogonal to both — the only near-dup
+    // of row 41 sits exactly 41 predecessors back
+    val rows = Seq((0L, Seq(10.0, 0.0, 0.0, 0.0))) ++
+      (1L to 40L).map(i => (i, Seq(0.0, 10.0, i.toDouble, 0.0))) :+
+      (41L, Seq(10.0, 0.0, 0.0, 0.0))
+    val df = rows.toDF("vec_id", "q")
+    def dupOf41(maxNeighbors: Int): Int = graft.scale.KMeans
+      .semanticDups(df, "vec_id", "q", k = 1, iters = 1, minCosine = 0.9,
+        maxNeighbors = maxNeighbors)
+      .filter(col("vec_id") === 41).select("is_dup").as[Int].head()
+    // bound enforced: with the near-dup outside the 40-row window the
+    // row is NOT marked (the guard refuses the quadratic comparison)...
+    assert(dupOf41(40) == 0)
+    // ...and one more slot brings it back in
+    assert(dupOf41(41) == 1)
+    // the 100 TB shape: dup marking is a window pass — the ONLY join in
+    // the whole plan is the broadcast-NLJ centroid assignment, so
+    // candidate volume per row is structurally ≤ maxNeighbors whatever
+    // the cluster-size distribution
+    val plan = graft.scale.KMeans
+      .semanticDups(df, "vec_id", "q", k = 1, iters = 1, minCosine = 0.9,
+        maxNeighbors = 8)
+      .queryExecution.executedPlan.toString
+    for (j <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+      assert(!plan.contains(j), j)
+    assert(plan.contains("Window"))
+  }
+
+  test("unitDedup shuffles the 8-byte unit hash, not the unit text") {
+    val df = Seq((1L, Seq("a b", "c d"))).toDF("doc_id", "units")
+    val plan = graft.scale.Dedup.unitDedup(df, "doc_id", "units")
+      .queryExecution.executedPlan.toString
+    // the dedup window's exchange must partition on the xxhash64 key
+    assert(plan.contains("hashpartitioning(__uh"),
+      plan.linesIterator.take(30).mkString("\n"))
+    assert(!plan.contains("hashpartitioning(__unit"),
+      "window keyed on raw unit text — wide shuffle at paragraph scale")
   }
 }
