@@ -1,7 +1,6 @@
 package graft.ingest
 
 import java.io.File
-import java.nio.file.Files
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
@@ -56,9 +55,11 @@ final case class Manifest(
   *
   * At 100 TB the same protocol holds on an object store: data files are
   * written once, the only mutation point is the tiny commit object, and
-  * conditional-put (S3 if-none-match) replaces the local rename.
+  * the atomic claim is pluggable ([[CommitBackend]]) — hard link
+  * locally, conditional put (S3 if-none-match) on a store.
   */
-final class VersionedTableIO(root: String) extends TableIO {
+final class VersionedTableIO(root: String,
+    backend: CommitBackend = LocalLinkBackend) extends TableIO {
   import VersionedTableIO._
 
   private def tableDir(table: String) = s"$root/$table"
@@ -94,27 +95,12 @@ final class VersionedTableIO(root: String) extends TableIO {
     versions(table).lastOption.map(manifest(table, _))
 
   /** Atomically claim `version`: true on success, false if a concurrent
-    * writer took the slot first. The claim is a HARD LINK of the fully
-    * written temp file into the slot — link(2) is atomic put-if-absent
-    * (EEXIST on a taken slot) and the content is complete before the
-    * slot becomes visible, unlike move-without-replace, which the JDK
-    * implements as a non-atomic stat-then-rename. On an object store
-    * the equivalent primitive is conditional put (if-none-match). */
-  private def tryCommit(table: String, m: Manifest): Boolean = {
-    val dir = new File(logDir(table))
-    dir.mkdirs()
-    val tmp = File.createTempFile(".commit", ".tmp", dir)
-    mapper.writerWithDefaultPrettyPrinter().writeValue(tmp, m)
-    val slot = manifestFile(table, m.version).toPath
-    try {
-      Files.createLink(slot, tmp.toPath)
-      tmp.delete()
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        tmp.delete(); false
-    }
-  }
+    * writer took the slot first. The claim itself is the backend's
+    * put-if-absent — see [[CommitBackend]] for the local-link and
+    * object-store forms. */
+  private def tryCommit(table: String, m: Manifest): Boolean =
+    backend.putIfAbsent(manifestFile(table, m.version),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
 
   /** Read-modify-write retry loop: build the next manifest from the
     * current snapshot, race for the slot, re-read and rebuild on loss.

@@ -54,6 +54,50 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(io.vacuum("t", retainLast = 1, orphanGraceMs = 3600L * 1000) == 0)
   }
 
+  /** Two INDEPENDENT sessions (separate VersionedTableIO instances +
+    * separate Spark session state — the in-process stand-in for two
+    * spark-submit writers) race 50 appends into one table through the
+    * given backends. No commit may be lost, versions must be dense. */
+  private def raceAppends(mkBackends: () => (graft.ingest.CommitBackend,
+      graft.ingest.CommitBackend)): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft_race").toString
+    val (bA, bB) = mkBackends()
+    val ioA = new VersionedTableIO(root, bA)
+    val ioB = new VersionedTableIO(root, bB)
+    ioA.overwrite(Seq((0, "init")).toDF("k", "v"), "t")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(io: VersionedTableIO, tag: String): Thread = new Thread(() =>
+      try {
+        val s = spark.newSession()
+        import s.implicits._
+        (1 to 25).foreach(i => io.append(Seq((i, tag)).toDF("k", "v"), "t"))
+      } catch { case t: Throwable => errs.add(t) })
+    val ts = Seq(writer(ioA, "a"), writer(ioB, "b"))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, errs)
+    // every commit landed in its own version; the log is dense
+    assert(ioA.versions("t") == (1L to 51L))
+    // and no append was lost or doubled under the race
+    val rows = ioB.read(spark, "t").as[(Int, String)].collect()
+    assert(rows.length == 51)
+    assert(rows.toSet.size == 51)
+  }
+
+  test("multi-session race, local link backend: 50 appends from two " +
+    "sessions all land, log stays dense") {
+    raceAppends(() => (graft.ingest.LocalLinkBackend,
+      graft.ingest.LocalLinkBackend))
+  }
+
+  test("multi-session race, conditional-put backend: the protocol needs " +
+    "only putIfAbsent semantics") {
+    raceAppends(() => {
+      // one shared "store" (the mock's claim map), two sessions on it
+      val store = new graft.ingest.ConditionalPutBackend
+      (store, store)
+    })
+  }
+
   test("concurrent commit: slot collision is detected and retried") {
     val (io, root) = freshIo()
     io.overwrite(Seq((1, "a")).toDF("k", "v"), "t")
