@@ -456,8 +456,203 @@ object CorpusQueries {
       .select("doc_id", "lang", "keep_frac")
   }
 
+  /** DuckDB replay of [[graft.scale.Dedup.md5Hash60]] over an arbitrary
+    * SQL expression (the salted-text form is [[md5Hash60Sql]]). */
+  private def md5Hash60Of(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(substring(md5($expr), 1, 15), ''),
+       |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+       |    (a, d) -> a * 16 + d)""".stripMargin
+
+  /** The flagship: EVERY corpus pass chained in production order
+    * (scale.Curation.curateV2) — quality → exact dedup → MinHash/LSH →
+    * connected components → representatives → semantic dedup (k-means,
+    * bounded prune) → sub-document unit dedup → benchmark
+    * decontamination → temperature mixing → seeded shards → sequence
+    * packing. Docs with id % 50 = 0 play the benchmark set; the
+    * oracle replays all eleven stages in one statement. */
+  val qCurationV2: QueryDef = QueryDef(
+    "q130_curation_v2", {
+      val p = curationParams
+      val norm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+      s"""WITH RECURSIVE qm AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks,
+         |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS nws,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS npunct,
+         |    length(text) AS nchars
+         |  FROM documents WHERE doc_id % 50 <> 0),
+         |qs AS (
+         |  SELECT doc_id, text, toks, nws,
+         |    round(npunct * 1.0 / greatest(nchars, 1), 6) AS punct_ratio,
+         |    round(len(list_filter(toks, x -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','was'], x))) * 1.0
+         |      / greatest(len(toks), 1), 6) AS stop_ratio,
+         |    round(list_sum(list_transform(toks, x -> length(x))) * 1.0
+         |      / greatest(len(toks), 1), 6) AS mean_tok_len
+         |  FROM qm),
+         |q AS (
+         |  SELECT doc_id, text, toks FROM qs
+         |  WHERE round(CAST((CASE WHEN nws >= 20 THEN 1.0 ELSE 0.0 END) * 0.3 +
+         |    (CASE WHEN mean_tok_len BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |    (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |    (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    AS DOUBLE), 2) >= 0.5),
+         |fp AS (SELECT doc_id, text, toks, sha256($norm) AS f FROM q),
+         |ex AS (SELECT doc_id, text, toks FROM fp
+         |       WHERE doc_id = (SELECT min(f2.doc_id) FROM fp f2 WHERE f2.f = fp.f)),
+         |${MinhashOracle.cteChain("ex", p, 0.7)},
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified_min
+         |  UNION SELECT id_b, id_a FROM verified_min),
+         |reach(node, lab) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT node, min(lab) AS cid FROM reach GROUP BY node),
+         |assigned AS (
+         |  SELECT ex.doc_id, coalesce(comp.cid, ex.doc_id) AS cluster_id, ex.text
+         |  FROM ex LEFT JOIN comp ON ex.doc_id = comp.node),
+         |reps AS MATERIALIZED (SELECT a.doc_id, a.cluster_id, a.text, d.lang
+         |         FROM assigned a JOIN documents d USING (doc_id)
+         |         WHERE a.doc_id = a.cluster_id),
+         |v0 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+         |  FROM embeddings),
+         |vbase AS (SELECT vec_id, list_transform(e, x -> round(x * 127.0 / mx)) AS qv
+         |          FROM v0 WHERE mx > 0),
+         |semv AS MATERIALIZED (SELECT r.doc_id AS vec_id, b.qv FROM reps r
+         |         JOIN vbase b ON b.vec_id = r.doc_id),
+         |c0 AS (SELECT vec_id AS cell, qv AS ce FROM semv ORDER BY vec_id LIMIT 8),
+         |a1 AS (
+         |  SELECT vec_id, qv, cell FROM (
+         |    SELECT semv.vec_id, semv.qv, c0.cell,
+         |      row_number() OVER (PARTITION BY semv.vec_id
+         |        ORDER BY round(list_cosine_similarity(semv.qv, c0.ce), 9) DESC,
+         |                 c0.cell ASC) AS rn
+         |    FROM semv CROSS JOIN c0) WHERE rn = 1),
+         |c1 AS (
+         |  SELECT cell, list(s / n ORDER BY pos) AS ce FROM (
+         |    SELECT cell, pos, sum(val) AS s, count(*) AS n FROM (
+         |      SELECT cell, unnest(qv) AS val, unnest(range(len(qv))) AS pos FROM a1)
+         |    GROUP BY cell, pos)
+         |  GROUP BY cell),
+         |a2 AS (
+         |  SELECT vec_id, qv, cell FROM (
+         |    SELECT semv.vec_id, semv.qv, c1.cell,
+         |      row_number() OVER (PARTITION BY semv.vec_id
+         |        ORDER BY round(list_cosine_similarity(semv.qv, c1.ce), 9) DESC,
+         |                 c1.cell ASC) AS rn
+         |    FROM semv CROSS JOIN c1) WHERE rn = 1),
+         |semr AS MATERIALIZED (SELECT vec_id, qv, cell,
+         |           row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+         |         FROM a2),
+         |semdup AS (
+         |  SELECT a.vec_id FROM semr a
+         |  WHERE EXISTS (SELECT 1 FROM semr b WHERE b.cell = a.cell
+         |        AND b.rn >= a.rn - 16 AND b.rn < a.rn
+         |        AND round(list_cosine_similarity(a.qv, b.qv), 6) >= 0.9)),
+         |aftersem AS MATERIALIZED (
+         |  SELECT r.doc_id, r.cluster_id, r.lang, r.text FROM reps r
+         |  WHERE NOT EXISTS (SELECT 1 FROM semdup s WHERE s.vec_id = r.doc_id)),
+         |utoks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM aftersem),
+         |utok AS (SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS p
+         |         FROM utoks),
+         |uchunks AS (
+         |  SELECT doc_id, p // 3 AS pos, string_agg(w, ' ' ORDER BY p) AS unit
+         |  FROM utok GROUP BY doc_id, p // 3),
+         |umarked AS (
+         |  SELECT doc_id, pos, unit,
+         |    CASE WHEN row_number() OVER (PARTITION BY unit
+         |           ORDER BY doc_id, pos) = 1 THEN 1 ELSE 0 END AS kept
+         |  FROM uchunks),
+         |udocs AS (
+         |  SELECT doc_id, sum(kept) AS n_kept,
+         |    string_agg(CASE WHEN kept = 1 THEN unit END, ' ' ORDER BY pos)
+         |      AS dedup_text
+         |  FROM umarked GROUP BY doc_id),
+         |reass AS MATERIALIZED (
+         |  SELECT a.doc_id, a.cluster_id, a.lang, u.dedup_text
+         |  FROM udocs u JOIN aftersem a USING (doc_id) WHERE u.n_kept > 0),
+         |ct AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(dedup_text), '[^a-z]+'), x -> x <> '') AS toks
+         |  FROM reass),
+         |csh AS (
+         |  SELECT doc_id, list_distinct(list_filter(
+         |    list_transform(range(0, greatest(len(toks) - 5, 0) + 1),
+         |      i -> array_to_string(toks[i + 1 : i + 5], ' ')),
+         |    x -> x <> '')) AS shingles
+         |  FROM ct),
+         |bt AS (
+         |  SELECT doc_id, list_filter(
+         |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_filter(
+         |    list_transform(range(0, greatest(len(toks) - 5, 0) + 1),
+         |      i -> array_to_string(toks[i + 1 : i + 5], ' ')),
+         |    x -> x <> ''))) AS g
+         |  FROM bt),
+         |contam AS (
+         |  SELECT c.doc_id, count(b.g) AS overlap
+         |  FROM (SELECT doc_id, unnest(shingles) AS g FROM csh) c
+         |  LEFT JOIN bsh b USING (g) GROUP BY c.doc_id),
+         |clean AS MATERIALIZED (
+         |  SELECT r.doc_id, r.cluster_id, r.lang, r.dedup_text FROM reass r
+         |  LEFT JOIN contam c USING (doc_id) WHERE coalesce(c.overlap, 0) = 0),
+         |lc AS (SELECT lang, count(*) AS n FROM clean GROUP BY lang),
+         |lr AS (SELECT lang, least(1.0, 150.0 * pow(n, 0.7) /
+         |         sum(pow(n, 0.7)) OVER () / n) AS rate FROM lc),
+         |mixed AS (
+         |  SELECT m.doc_id, m.cluster_id, m.lang, m.dedup_text
+         |  FROM clean m JOIN lr USING (lang)
+         |  WHERE ${md5Hash60Of("'tm:' || m.dedup_text")}
+         |    / 1152921504606846976.0 < lr.rate),
+         |ph AS (
+         |  SELECT doc_id, cluster_id, lang,
+         |    len(list_filter(string_split_regex(dedup_text, '\\s+'), x -> x <> ''))
+         |      AS n_toks,
+         |    ${md5Hash60Of("doc_id || ':42'")} AS hv
+         |  FROM mixed),
+         |psh AS (
+         |  SELECT *, CAST(hv % 4 AS INT) AS shard,
+         |    CAST(row_number() OVER (PARTITION BY hv % 4 ORDER BY hv, doc_id)
+         |      AS BIGINT) AS shard_pos
+         |  FROM ph),
+         |pcum AS (
+         |  SELECT *, CAST(sum(n_toks) OVER (PARTITION BY shard ORDER BY shard_pos
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+         |  FROM psh),
+         |pb AS (
+         |  SELECT *, CAST(floor((c - n_toks) / 512.0) AS BIGINT) AS bin FROM pcum)
+         |SELECT doc_id, cluster_id, lang, n_toks, shard, shard_pos,
+         |  shard * 1099511627776 + bin AS pack_id,
+         |  CAST(row_number() OVER (PARTITION BY shard * 1099511627776 + bin
+         |    ORDER BY shard_pos) AS INT) AS pack_pos,
+         |  c - bin * 512 AS pack_fill
+         |FROM pb""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    graft.scale.Curation.curateV2(
+      corpus = docs.filter(col("doc_id") % 50 =!= 0),
+      bench = docs.filter(col("doc_id") % 50 === 0),
+      embeddings = Tables.load(s, dir, "embeddings"),
+      idCol = "doc_id", textCol = "text", langCol = "lang",
+      minQuality = 0.5, minJaccard = 0.7, p = curationParams,
+      semK = 8, semIters = 2, semMinCosine = 0.9, semMaxNeighbors = 16,
+      unitTokens = 3, decontamN = 5,
+      tau = 0.7, budgetDocs = 150L,
+      packBudget = 512L, packShards = 4)
+  }
+
   val all: Seq[QueryDef] =
     Seq(qPiiRedact, qDocRepetition, qDedupClusters, qCuration,
       qDecontaminate, qShardAssign, qSequencePack, qWeightedSample,
-      qSemanticDedup, qParagraphDedup, qQuotaSample, qTemperatureMix)
+      qSemanticDedup, qParagraphDedup, qQuotaSample, qTemperatureMix,
+      qCurationV2)
 }

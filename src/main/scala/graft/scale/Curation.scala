@@ -2,6 +2,7 @@ package graft.scale
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
 
 /** End-to-end corpus curation — the composed training-data pipeline
   * the individual operators exist for:
@@ -49,5 +50,109 @@ object Curation {
     exact.unpersist()
     pairs.unpersist()
     out
+  }
+
+  /** The full training-data flagship: every corpus pass the library
+    * has, chained in production order —
+    *
+    *   quality filter → exact dedup → MinHash near-dup → connected
+    *   components → representative per cluster → SEMANTIC dedup
+    *   (k-means + bounded within-cluster prune, docs without a usable
+    *   embedding pass through) → sub-document unit dedup (repeated
+    *   passages dropped globally, docs reassembled) → benchmark
+    *   decontamination → temperature-scaled language mixing →
+    *   seeded shards → sequence packing.
+    *
+    * Output: (idCol, cluster_id, langCol, n_toks, shard, shard_pos,
+    * pack_id, pack_pos, pack_fill) — one row per surviving document,
+    * placed in its training sequence.
+    *
+    * Determinism: every stage is a pure function of content + seeds
+    * (reproducible-hash MinHash, integer-exact k-means, md5-60 draws),
+    * so the WHOLE chain is replayed by one SQL oracle (q130).
+    *
+    * Scale: the same shuffle discipline as the component operators —
+    * fingerprint/band/hash keys only, the benchmark gram set and
+    * k×dim centroids are the only broadcasts, per-row semantic work
+    * capped by semMaxNeighbors, packing windows are per-shard. Caches:
+    * `exact` and the pair list back the multi-consumer stages and are
+    * released before return (same discipline as [[curate]]). */
+  def curateV2(corpus: DataFrame, bench: DataFrame, embeddings: DataFrame,
+      idCol: String, textCol: String, langCol: String,
+      minQuality: Double, minJaccard: Double, p: Dedup.MinHashParams,
+      semK: Int, semIters: Int, semMinCosine: Double, semMaxNeighbors: Int,
+      unitTokens: Int, decontamN: Int,
+      tau: Double, budgetDocs: Long,
+      packBudget: Long, packShards: Int, seed: Long = 42L): DataFrame = {
+    // 1-3. quality gate, exact dedup, MinHash near-dup clusters
+    val quality = corpus
+      .filter(TextStats.qualityScore(col(textCol)) >= minQuality)
+    val exact = Dedup.exactDedup(quality, idCol, textCol)
+      .drop("fingerprint")
+      .persist()
+    val (ndups, releaseShingles) = Dedup
+      .nearDuplicatesReleasable(exact, idCol, textCol, minJaccard, p)
+    val pairs = ndups.select("id_a", "id_b").persist()
+    pairs.count()
+    releaseShingles()
+    val reps = Clusters.dedupClusters(exact, pairs, idCol)
+      .filter(col(idCol) === col("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col(langCol), col(textCol))
+      // representatives are small (post-dedup); materializing here
+      // cuts the cluster pipeline off the FOUR downstream consumers
+      // (semantic join, unit dedup, decontamination, reassembly)
+      .localCheckpoint(true)
+    exact.unpersist()
+    pairs.unpersist()
+
+    // 4. semantic dedup over reps that HAVE a usable embedding (zero
+    // vectors and unembedded docs pass through — no cosine, no verdict)
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("__e"))
+      .withColumn("__mx", array_max(transform(col("__e"), (x: Column) => abs(x))))
+      .filter(col("__mx") > 0)
+      .select(col("vec_id"), Similarity.quantizeInt8(col("__e")).as("__q"))
+    val withEmb = reps.select(col(idCol))
+      .join(emb, col(idCol) === col("vec_id"))
+      .select(col(idCol), col("__q"))
+    val marks = KMeans.semanticDups(withEmb, idCol, "__q",
+      semK, semIters, semMinCosine, semMaxNeighbors)
+    val afterSem = reps
+      .join(marks.select(col(idCol), col("is_dup")), Seq(idCol), "left")
+      .filter(coalesce(col("is_dup"), lit(0)) === 0)
+      .drop("is_dup")
+
+    // 5. sub-document unit dedup: repeated passages dropped globally,
+    // survivors reassembled; fully-duplicated docs (n_kept = 0) drop
+    val toks = filter(split(col(textCol), "\\s+"), (t: Column) => t =!= "")
+    val units = afterSem.select(col(idCol), col("cluster_id"), col(langCol),
+      Dedup.unitChunks(toks, unitTokens).as("__units"))
+      .persist() // feeds unitDedup AND the reassembly join
+    val reassembled = units.select(col(idCol), col("cluster_id"), col(langCol))
+      .join(Dedup.unitDedup(units.select(col(idCol), col("__units")),
+          idCol, "__units")
+        .filter(col("n_kept") > 0).select(col(idCol), col("dedup_text")),
+        Seq(idCol))
+      .localCheckpoint(true) // feeds decontamination AND the final join
+    units.unpersist()
+
+    // 6. benchmark decontamination on the text that would be trained on
+    val cleanIds = Decontaminate.overlap(
+        reassembled.select(col(idCol), col("dedup_text")),
+        bench.select(col(idCol), col(textCol).as("dedup_text")),
+        idCol, "dedup_text", n = decontamN)
+      .filter(col("contaminated") === 0).select(col(idCol))
+    val clean = reassembled.join(cleanIds, Seq(idCol))
+
+    // 7-8. temperature-scaled language mixing, seeded shards, packing
+    val mixed = Sampling.temperatureMix(clean, langCol, "dedup_text",
+      tau, budgetDocs)
+    Sampling.packSequences(
+      mixed.select(col(idCol), col("cluster_id"), col(langCol),
+        TextStats.tokenCountWs(col("dedup_text")).as("n_toks")),
+      idCol, "n_toks", packBudget, packShards, seed)
+      .select(col(idCol), col("cluster_id"), col(langCol), col("n_toks"),
+        col("shard"), col("shard_pos"), col("pack_id"), col("pack_pos"),
+        col("pack_fill"))
   }
 }
