@@ -64,6 +64,11 @@ final class VersionedTableIO(root: String,
 
   private def tableDir(table: String) = s"$root/$table"
   private def logDir(table: String) = s"${tableDir(table)}/_graft_log"
+
+  /** The table's commit-log directory — an append-only stream of
+    * manifest files, i.e. a ready-made Structured Streaming file
+    * source (see [[graft.stream.ChangeFeedGold]]). */
+  def logPath(table: String): String = logDir(table)
   private def dataRoot(table: String) = s"${tableDir(table)}/data"
   private def manifestFile(table: String, v: Long) =
     new File(logDir(table), f"$v%020d.json")

@@ -194,6 +194,39 @@ object VersionedQueries {
         round(col("o_totalprice_sum"), 2).as("total"))
   }
 
+  /** The STREAMING form of q125: the table's commit log drives a
+    * Structured Streaming file source; one AvailableNow drain folds
+    * every commit's change feed into the gold view via foreachBatch
+    * (stream.ChangeFeedGold). Same oracle as q125 — the maintained
+    * view must equal direct re-aggregation of the head, however the
+    * backlog was chunked into micro-batches. */
+  val qStreamCdfGold: QueryDef = QueryDef(
+    "q131_stream_cdf_gold",
+    """WITH head AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 5 <> 4)
+      |SELECT CAST(o_orderkey % 7 AS BIGINT) AS grp, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM head GROUP BY 1""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    // fresh checkpoint + gold per invocation: batch ids are only
+    // meaningful within one checkpoint lineage
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_cdf_stream").toString
+    val goldIo = new graft.ingest.ParquetTableIO(s"$scratch/gold")
+    graft.stream.ChangeFeedGold.run(s, io, "dml",
+      keys = Seq("o_orderkey"),
+      groupExpr = col("o_orderkey") % 7, groupName = "grp",
+      valueCols = Seq("o_totalprice"),
+      checkpointDir = s"$scratch/ck", goldIo = goldIo, goldTable = "g")
+    graft.stream.ChangeFeedGold.read(s, goldIo, "g")
+      .select(col("grp"), col("n"),
+        round(col("o_totalprice_sum"), 2).as("total"))
+  }
+
   val all: Seq[QueryDef] = Seq(qTimeTravel, qVersionedVacuum, qChangeFeed,
-    qStatsPrune, qRestore, qVersionedDml, qCdfIncrementalGold)
+    qStatsPrune, qRestore, qVersionedDml, qCdfIncrementalGold,
+    qStreamCdfGold)
 }

@@ -174,4 +174,44 @@ class StreamingSpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().toSeq ===
       Seq(("a", 2L, 5.0), ("b", 1L, 2.0), ("c", 1L, 8.0)))
   }
+
+  test("change-feed gold: versioned-table commits stream into the view; " +
+    "each drain equals direct re-aggregation") {
+    val io = new graft.ingest.VersionedTableIO(tmp("cfg_root"))
+    val goldIo = new ParquetTableIO(tmp("cfg_gold"))
+    val ck = tmp("cfg_ck")
+    def drain(): Unit = graft.stream.ChangeFeedGold.run(
+      spark, io, "t", keys = Seq("k"),
+      groupExpr = col("grp"), groupName = "grp", valueCols = Seq("v"),
+      checkpointDir = ck, goldIo = goldIo, goldTable = "g")
+    def gold(): Seq[(String, Long, Double)] =
+      graft.stream.ChangeFeedGold.read(spark, goldIo, "g")
+        .orderBy("grp").as[(String, Long, Double)].collect().toSeq
+    def direct(): Seq[(String, Long, Double)] =
+      io.read(spark, "t").groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("v_sum"))
+        .orderBy("grp").as[(String, Long, Double)].collect().toSeq
+
+    // commit 1+2, then drain the backlog
+    io.overwrite(Seq((1L, "x", 10.0), (2L, "x", 20.0), (3L, "y", 5.0))
+      .toDF("k", "grp", "v"), "t")
+    io.upsert(spark, Seq((2L, "x", 25.0), (4L, "z", 1.0))
+      .toDF("k", "grp", "v"), "t", keys = Seq("k"))
+    drain()
+    assert(gold() === direct())
+
+    // two MORE commits after the first drain: an upsert that moves a
+    // row across groups and a delete that empties group z entirely
+    io.upsert(spark, Seq((3L, "x", 6.0)).toDF("k", "grp", "v"), "t",
+      keys = Seq("k"))
+    io.deleteWhere(spark, "t", col("k") === 4L)
+    drain()
+    assert(gold() === direct())
+    assert(!gold().exists(_._1 == "z")) // emptied group vanished
+
+    // replay guard: nothing new, gold unchanged
+    val before = gold()
+    drain()
+    assert(gold() === before)
+  }
 }
