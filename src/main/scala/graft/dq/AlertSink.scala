@@ -68,3 +68,52 @@ final class SmtpAlertSink(from: String, to: Seq[String],
     transport(msg)
   }
 }
+
+/** Minimal SMTP client (RFC 5321) over a plain socket — the transport
+  * a [[SmtpAlertSink]] plugs in where the reference calls its mail
+  * client (005_send_alert_hourly.py:224-311). No mail library on the
+  * classpath, none needed: HELO → MAIL FROM → RCPT TO → DATA with
+  * dot-stuffing → QUIT is the whole protocol for a submission agent.
+  * DqSpec round-trips it against an in-test server socket. */
+object SmtpTransport {
+
+  /** A transport bound to a server and envelope, suitable for
+    * `new SmtpAlertSink(from, to, SmtpTransport(host, port, from, to))`. */
+  def apply(host: String, port: Int, from: String,
+      to: Seq[String]): String => Unit =
+    msg => send(host, port, from, to, msg)
+
+  def send(host: String, port: Int, from: String, to: Seq[String],
+      msg: String): Unit = {
+    val sock = new java.net.Socket(host, port)
+    try {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+      val out = new java.io.OutputStreamWriter(sock.getOutputStream, "UTF-8")
+      def expect(codes: Set[Int]): Unit = {
+        var line = in.readLine()
+        // skip multiline-reply continuations ("250-...")
+        while (line != null && line.length > 3 && line.charAt(3) == '-')
+          line = in.readLine()
+        require(line != null && line.length >= 3 &&
+          codes.contains(line.substring(0, 3).toInt),
+          s"SMTP: unexpected reply '$line' (wanted one of $codes)")
+      }
+      def cmd(c: String, codes: Set[Int]): Unit = {
+        out.write(c + "\r\n"); out.flush(); expect(codes)
+      }
+      expect(Set(220))
+      cmd("HELO graft", Set(250))
+      cmd(s"MAIL FROM:<$from>", Set(250))
+      to.foreach(r => cmd(s"RCPT TO:<$r>", Set(250, 251)))
+      cmd("DATA", Set(354))
+      // dot-stuffing: a payload line starting with '.' gets one
+      // prepended, so the lone-dot terminator stays unambiguous
+      val stuffed = msg.split("\r\n", -1)
+        .map(l => if (l.startsWith(".")) "." + l else l)
+        .mkString("\r\n")
+      out.write(stuffed + "\r\n.\r\n"); out.flush(); expect(Set(250))
+      cmd("QUIT", Set(221))
+    } finally sock.close()
+  }
+}

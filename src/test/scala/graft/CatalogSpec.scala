@@ -88,6 +88,45 @@ class CatalogSpec extends AnyFunSuite {
       assert(plan.contains("PartitionFilters: [isnotnull(part_key"), plan)
     } finally spark.sql("DROP TABLE ext_orders")
   }
+
+  test("persistent metastore: a table registered by one JVM resolves by " +
+    "name, with properties and partition pruning, from a fresh JVM") {
+    // catalogImplementation is a STATIC conf — the in-process session is
+    // in-memory-catalog, so the hive/derby path must run in forked JVMs
+    // (which is also the point: persistence across process boundaries,
+    // the reference's shared-metastore contract). graft.tools
+    // .MetastoreCheck does the work; this test forks write then read.
+    val base = java.nio.file.Files.createTempDirectory("graft_ms").toString
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def fork(mode: String): String = {
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.MetastoreCheck", mode, base, s"$base/warehouse")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor() === 0, out.linesIterator.toSeq.takeRight(25)
+        .mkString("\n"))
+      out
+    }
+    assert(fork("write").contains("WROTE 100"))
+    // the reader JVM shares NOTHING with the writer but the metastore
+    // files: name resolution, TBLPROPERTIES, and pruning must all come
+    // from the persisted catalog
+    assert(fork("read").contains("READ 100 pruned=25 prunedPlan=true " +
+      "prop=silver"))
+  }
 }
 
 case class ConfigRow(id: Long, name: String, active: Boolean)

@@ -140,6 +140,73 @@ class DqSpec extends AnyFunSuite {
     assert(mail.contains(report.attachmentName))
   }
 
+  test("smtp round-trip: the assembled MIME message survives a real " +
+    "socket SMTP session byte for byte") {
+    // a report whose body exercises dot-stuffing (a CRLF line starting
+    // with '.') and non-ASCII content
+    val report = AlertRenderer.AlertReport(
+      subject = "dq: 2 failed audits",
+      body = "<html>line1\r\n.starts-with-dot\r\nüñïçødé</html>",
+      attachmentName = "full_report.html",
+      attachment = "<html>full</html>",
+      totalViolations = 2L, configCount = 1L, dimensionCount = 1L)
+
+    // dumb in-test SMTP server: one connection, canned replies, captures
+    // the envelope and the dot-unstuffed DATA payload
+    val server = new java.net.ServerSocket(0)
+    val received = new java.util.concurrent.LinkedBlockingQueue[(Seq[String], String)]()
+    val t = new Thread(() => {
+      val s = server.accept()
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(s.getInputStream, "UTF-8"))
+      val out = new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8")
+      def reply(r: String): Unit = { out.write(r + "\r\n"); out.flush() }
+      reply("220 test ESMTP")
+      val envelope = scala.collection.mutable.ListBuffer.empty[String]
+      val body = new StringBuilder
+      var inData = false
+      var line = in.readLine()
+      while (line != null) {
+        if (inData) {
+          if (line == ".") { inData = false; reply("250 OK: queued") }
+          else body.append(
+            if (line.startsWith("..")) line.substring(1) else line)
+            .append("\r\n")
+        } else line.split(" ", 2).head.toUpperCase match {
+          case "HELO" => reply("250 test")
+          case "MAIL" | "RCPT" => envelope += line; reply("250 OK")
+          case "DATA" => inData = true; reply("354 go ahead")
+          case "QUIT" => reply("221 bye"); line = null
+          case _ => reply("250 OK")
+        }
+        if (line != null) line = in.readLine()
+      }
+      received.put((envelope.toList, body.toString))
+      s.close()
+    })
+    t.start()
+
+    var assembled: String = null
+    new SmtpAlertSink("dq@example.com",
+      Seq("team@example.com", "oncall@example.com"),
+      transport = m => {
+        assembled = m
+        SmtpTransport.send("127.0.0.1", server.getLocalPort,
+          "dq@example.com", Seq("team@example.com", "oncall@example.com"), m)
+      }).send(report)
+    t.join(10000)
+    server.close()
+
+    val (envelope, body) = received.poll()
+    assert(envelope === Seq(
+      "MAIL FROM:<dq@example.com>",
+      "RCPT TO:<team@example.com>",
+      "RCPT TO:<oncall@example.com>"))
+    // the wire payload, dot-unstuffed, is the assembled message exactly
+    assert(body === assembled + "\r\n")
+    assert(body.contains(".starts-with-dot") && body.contains("üñïçødé"))
+  }
+
   test("result ids are deterministic across reruns") {
     val cfg = MandatoryColumnConfig(1, "s", "t", Seq("name"), Seq("id"))
     val a = AuditExecutor.runRule(frame, cfg, at).first().getString(0)
