@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.scale.{Clusters, Dedup, TextStats}
+import graft.scale.{Clusters, Dedup, HeavyHitters, TextStats}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation queries beyond round 1 (BASELINE.json extensions):
@@ -650,9 +650,153 @@ object CorpusQueries {
       packBudget = 512L, packShards = 4)
   }
 
+  /** Incremental dedup of a new ingest batch against a persisted
+    * signature index (Dedup.signatureIndex / dedupAgainstIndex) — the
+    * production shape at 100 TB: the corpus is indexed ONCE (k longs
+    * per doc), daily batches dedup against the index without re-reading
+    * corpus text. Verification is MinHash signature agreement (exact
+    * multiple of 1/64 → bit-stable); the oracle replays BOTH signature
+    * chains (corpus + batch) and the cross-join band match in SQL. */
+  private val indexParams =
+    Dedup.MinHashParams(k = 64, bands = 32, shingle = 2, reproducible = true)
+
+  val qIncrementalDedup: QueryDef = QueryDef(
+    "q132_incremental_dedup", {
+      val toksOf = "list_filter(string_split_regex(lower(text), " +
+        "'[^a-z]+'), x -> x <> '')"
+      s"""WITH c AS (
+         |  SELECT doc_id, $toksOf AS toks
+         |  FROM documents WHERE doc_id < 300 AND doc_id % 5 <> 4),
+         |b AS (
+         |  SELECT doc_id, $toksOf AS toks
+         |  FROM documents WHERE doc_id < 300 AND doc_id % 5 = 4),
+         |${MinhashOracle.sigChain("c", indexParams, "c_")},
+         |${MinhashOracle.sigChain("b", indexParams, "b_")},
+         |icand AS (
+         |  SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+         |  FROM b_bands bb JOIN c_bands cb
+         |    ON bb.band = cb.band AND bb.bucket = cb.bucket),
+         |ag AS (
+         |  SELECT bid, cid,
+         |    len(list_filter(range(1, ${indexParams.k + 1}),
+         |      i -> bs.sig[i] = cs.sig[i])) / ${indexParams.k}.0 AS agree
+         |  FROM icand JOIN b_sig bs ON icand.bid = bs.doc_id
+         |             JOIN c_sig cs ON icand.cid = cs.doc_id),
+         |m AS (
+         |  SELECT bid, min(cid) AS matched_id, max(agree) AS best_agree
+         |  FROM ag WHERE agree >= 0.5 GROUP BY bid)
+         |SELECT b.doc_id AS doc_id, m.matched_id,
+         |  CASE WHEN m.matched_id IS NULL THEN 1 ELSE 0 END AS kept,
+         |  m.best_agree
+         |FROM b LEFT JOIN m ON b.doc_id = m.bid""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    val index = Dedup.signatureIndex(corpus, "doc_id", "text", indexParams)
+    Dedup.dedupAgainstIndex(batch, index, "doc_id", "text",
+      minAgree = 0.5, indexParams)
+  }
+
+  /** Exact top-k bigrams via the two-pass heavy-hitters pattern
+    * (Misra-Gries candidates → exact recount, HeavyHitters.topGrams).
+    * The oracle is the naive exact GROUP BY top-k — equality holds
+    * because the in-query clearance gate proves the k-th count beats
+    * the MG containment bar N/(capacity+1). */
+  val qHeavyHitters: QueryDef = QueryDef(
+    "q133_heavy_hitters",
+    """WITH t AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |    x -> x <> '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT unnest(list_transform(range(1, greatest(len(toks), 1)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      |  FROM t)
+      |SELECT gram, count(*) AS n FROM g GROUP BY gram
+      |ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin) { (s, dir) =>
+    HeavyHitters.topGrams(Tables.load(s, dir, "documents"), "text",
+      k = 20, capacity = 2048)
+  }
+
+  /** The index MAINTENANCE loop q132 implies: generation 1 dedups
+    * batch₁ against the corpus index and appends the KEPT batch₁
+    * signatures; generation 2 dedups batch₂ against the grown index,
+    * so a batch₂ doc duplicating a *kept batch₁* doc (not anything in
+    * the original corpus) is caught. This is the steady-state daily
+    * loop at 100 TB — the corpus is never re-scanned, the index only
+    * ever appends ~0.5 KB per kept doc (persisted-table form proven in
+    * ScaleSpec via VersionedTableIO append + re-read). Batches are
+    * assumed intra-deduped first (q42's job); the oracle replays all
+    * three signature chains and the union. */
+  val qIndexMaintenance: QueryDef = QueryDef(
+    "q134_index_maintenance", {
+      val toksOf = "list_filter(string_split_regex(lower(text), " +
+        "'[^a-z]+'), x -> x <> '')"
+      val agreeOf = s"len(list_filter(range(1, ${indexParams.k + 1}), " +
+        s"i -> bs.sig[i] = cs.sig[i])) / ${indexParams.k}.0"
+      s"""WITH c AS (
+         |  SELECT doc_id, $toksOf AS toks
+         |  FROM documents WHERE doc_id < 300 AND doc_id % 5 <= 2),
+         |b1 AS (
+         |  SELECT doc_id, $toksOf AS toks
+         |  FROM documents WHERE doc_id < 300 AND doc_id % 5 = 3),
+         |b2 AS (
+         |  SELECT doc_id, $toksOf AS toks
+         |  FROM documents WHERE doc_id < 300 AND doc_id % 5 = 4),
+         |${MinhashOracle.sigChain("c", indexParams, "c_")},
+         |${MinhashOracle.sigChain("b1", indexParams, "p_")},
+         |${MinhashOracle.sigChain("b2", indexParams, "q_")},
+         |cand1 AS (
+         |  SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+         |  FROM p_bands bb JOIN c_bands cb
+         |    ON bb.band = cb.band AND bb.bucket = cb.bucket),
+         |ag1 AS (
+         |  SELECT bid, cid, $agreeOf AS agree
+         |  FROM cand1 JOIN p_sig bs ON cand1.bid = bs.doc_id
+         |             JOIN c_sig cs ON cand1.cid = cs.doc_id),
+         |kept1 AS (
+         |  SELECT doc_id FROM b1 WHERE doc_id NOT IN (
+         |    SELECT DISTINCT bid FROM ag1 WHERE agree >= 0.5)),
+         |i_sig AS (
+         |  SELECT * FROM c_sig
+         |  UNION ALL SELECT s.* FROM p_sig s JOIN kept1 k ON s.doc_id = k.doc_id),
+         |i_bands AS (
+         |  SELECT * FROM c_bands
+         |  UNION ALL SELECT s.* FROM p_bands s JOIN kept1 k ON s.doc_id = k.doc_id),
+         |cand2 AS (
+         |  SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid
+         |  FROM q_bands bb JOIN i_bands cb
+         |    ON bb.band = cb.band AND bb.bucket = cb.bucket),
+         |ag2 AS (
+         |  SELECT bid, cid, $agreeOf AS agree
+         |  FROM cand2 JOIN q_sig bs ON cand2.bid = bs.doc_id
+         |             JOIN i_sig cs ON cand2.cid = cs.doc_id),
+         |m AS (
+         |  SELECT bid, min(cid) AS matched_id, max(agree) AS best_agree
+         |  FROM ag2 WHERE agree >= 0.5 GROUP BY bid)
+         |SELECT b2.doc_id AS doc_id, m.matched_id,
+         |  CASE WHEN m.matched_id IS NULL THEN 1 ELSE 0 END AS kept,
+         |  m.best_agree
+         |FROM b2 LEFT JOIN m ON b2.doc_id = m.bid""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
+    val corpus = docs.filter(col("doc_id") % 5 <= 2)
+    val batch1 = docs.filter(col("doc_id") % 5 === 3)
+    val batch2 = docs.filter(col("doc_id") % 5 === 4)
+    val index1 = Dedup.signatureIndex(corpus, "doc_id", "text", indexParams)
+    val kept1 = Dedup
+      .dedupAgainstIndex(batch1, index1, "doc_id", "text", 0.5, indexParams)
+      .filter(col("kept") === 1).select("doc_id")
+    val index2 = index1.unionByName(
+      Dedup.signatures(batch1, "doc_id", "text", indexParams)
+        .join(kept1, Seq("doc_id")))
+    Dedup.dedupAgainstIndex(batch2, index2, "doc_id", "text", 0.5, indexParams)
+  }
+
   val all: Seq[QueryDef] =
     Seq(qPiiRedact, qDocRepetition, qDedupClusters, qCuration,
       qDecontaminate, qShardAssign, qSequencePack, qWeightedSample,
       qSemanticDedup, qParagraphDedup, qQuotaSample, qTemperatureMix,
-      qCurationV2)
+      qCurationV2, qIncrementalDedup, qHeavyHitters, qIndexMaintenance)
 }

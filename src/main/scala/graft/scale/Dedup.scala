@@ -195,10 +195,12 @@ object Dedup {
         array((0 until p.k).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
-  /** LSH candidate pairs (idA < idB) from banded signatures. */
-  def candidatePairs(sigs: DataFrame, idCol: String,
-      p: MinHashParams = MinHashParams()): DataFrame = {
-    val banded = sigs.select(
+  /** (idCol, band, bucket) rows from a signature frame — the banded
+    * LSH key stream shared by [[candidatePairs]] (self-join) and
+    * [[dedupAgainstIndex]] (batch-vs-index join). */
+  def bandedBuckets(sigs: DataFrame, idCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame =
+    sigs.select(
       col(idCol),
       posexplode(array((0 until p.bands).map { bIdx =>
         val sliced = slice(col("sig"), bIdx * p.rowsPerBand + 1, p.rowsPerBand)
@@ -206,6 +208,11 @@ object Dedup {
           md5(concat_ws(",", transform(sliced, _.cast("string"))))
         else hash(sliced).cast("string")
       }: _*)).as(Seq("band", "bucket")))
+
+  /** LSH candidate pairs (idA < idB) from banded signatures. */
+  def candidatePairs(sigs: DataFrame, idCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val banded = bandedBuckets(sigs, idCol, p)
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))
@@ -248,6 +255,68 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
     (result, () => { sets.unpersist(); () })
+  }
+
+  /** The persisted artifact for INCREMENTAL dedup: one row per corpus
+    * document, (idCol, sig array<long> of k mins). At k=64 that is
+    * ~0.5 KB/doc — a 100 TB corpus indexes into a few hundred GB that
+    * daily batches dedup against WITHOUT ever re-reading corpus text.
+    * Alias of [[signatures]], named for the contract. */
+  def signatureIndex(corpus: DataFrame, idCol: String, textCol: String,
+      p: MinHashParams = MinHashParams()): DataFrame =
+    signatures(corpus, idCol, textCol, p)
+
+  /** Incremental (cross-corpus) near-dup detection: mark each document
+    * of a NEW batch that near-duplicates something already in a
+    * persisted [[signatureIndex]] — the production shape at 100 TB,
+    * where re-running all-corpus dedup per ingest batch is impossible
+    * and the index is maintained instead.
+    *
+    * Verification is signature agreement (fraction of equal MinHash
+    * components — the unbiased estimator of Jaccard), NOT exact
+    * shingle Jaccard: the index carries no text, so the whole check
+    * runs on (batch text + corpus sigs). With k=64 the agreement is an
+    * exact multiple of 1/64, so results hash bit-stably.
+    *
+    * Output: one row per batch document —
+    * (idCol, matched_id: lowest matching corpus id or NULL,
+    *  kept: 1 when no index match, best_agree: max agreement or NULL).
+    *
+    * Scale: the batch⋈index join shuffles only (band, bucket) 8-to-32
+    * byte keys + ids; candidate dedup before the verify join; corpus
+    * text never read; batch side is the small side by construction.
+    * Skew caveat shared with [[candidatePairs]]: a boilerplate band
+    * bucket common to millions of corpus docs makes a hot key — cap or
+    * salt such buckets upstream (same posture as q42's scaladoc). */
+  def dedupAgainstIndex(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, minAgree: Double,
+      p: MinHashParams = MinHashParams()): DataFrame = {
+    val bSigs = signatures(batch, idCol, textCol, p)
+    val bBand = bandedBuckets(bSigs, idCol, p)
+      .select(col(idCol).as("__bid"), col("band"), col("bucket"))
+    val iBand = bandedBuckets(index, idCol, p)
+      .select(col(idCol).as("__iid"), col("band"), col("bucket"))
+    val cands = bBand.join(iBand, Seq("band", "bucket"))
+      .select("__bid", "__iid").distinct()
+    val agreeExpr = aggregate(
+      zip_with(col("__bsig"), col("__isig"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), _ + _).cast("double") / lit(p.k.toDouble)
+    val matches = cands
+      .join(bSigs.select(col(idCol).as("__bid"), col("sig").as("__bsig")),
+        Seq("__bid"))
+      .join(index.select(col(idCol).as("__iid"), col("sig").as("__isig")),
+        Seq("__iid"))
+      .withColumn("__agree", agreeExpr)
+      .filter(col("__agree") >= minAgree)
+      .groupBy(col("__bid"))
+      .agg(min(col("__iid")).as("matched_id"),
+        max(col("__agree")).as("best_agree"))
+    batch.select(col(idCol))
+      .join(matches.withColumnRenamed("__bid", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("matched_id"),
+        when(col("matched_id").isNull, 1).otherwise(0).as("kept"),
+        col("best_agree"))
   }
 
   /** Embedding-cosine near-dup pairs over a BOUNDED corpus slice:

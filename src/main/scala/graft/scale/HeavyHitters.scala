@@ -1,0 +1,72 @@
+package graft.scale
+
+import graft.functions.MisraGries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact corpus-wide top-k n-grams via the two-pass heavy-hitters
+  * pattern:
+  *
+  *   pass 1 — Misra-Gries sketch ([[graft.functions.MisraGries]]):
+  *     one scan, bounded memory (≤ capacity counters per partial
+  *     buffer, associative merge), yields ≤ capacity CANDIDATE grams
+  *     plus the total gram count N in the same aggregate.
+  *     Guarantee: every gram with count > N/(capacity+1) is a
+  *     candidate, so the true top-k is contained whenever the k-th
+  *     most frequent gram clears that bar (k ≪ capacity in practice).
+  *   pass 2 — exact recount of candidates only: broadcast-join the
+  *     gram stream against the ≤ capacity candidate keys, GROUP BY
+  *     gram, take top-k by (count desc, gram asc).
+  *
+  * The result carries EXACT counts and is deterministic — oracle = a
+  * plain GROUP BY top-k — while never shuffling more than `capacity`
+  * distinct keys. The naive one-pass exact GROUP BY over a 100 TB
+  * corpus shuffles every distinct n-gram (billions); this shuffles the
+  * per-partition sketches (pass 1, O(partitions × capacity)) plus at
+  * most `capacity` keys (pass 2). Two scans of the gram stream is the
+  * standard price; feed a cached/columnar source when iterating.
+  *
+  * The driver-side `first()` pulls one row of ≤ capacity strings —
+  * bounded by construction, same discipline as the k×dim centroid
+  * collect in [[KMeans]].
+  */
+object HeavyHitters {
+
+  /** Top-k word bigrams of `textCol` with exact counts: (gram, n).
+    *
+    * @param capacity MG sketch size; must comfortably exceed k. The
+    *   contained-top-k condition is enforced in-query: if the k-th
+    *   result count does not strictly clear N/(capacity+1), any
+    *   non-candidate gram (whose count is ≤ that bar by the MG bound)
+    *   could belong in the top-k, so the run fails fast instead of
+    *   silently returning a plausible-but-unproven list. */
+  def topGrams(docs: DataFrame, textCol: String, k: Int,
+      capacity: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Tokenize in its OWN projection: inlining tokens() into the
+    // bigram lambda would re-run the regex split per element_at — the
+    // projection boundary keeps it once per document (q83's pattern;
+    // CollapseProject declines to merge a multiply-referenced alias).
+    val grams = docs
+      .select(TextStats.tokens(col(textCol)).as("__toks"))
+      .select(explode(TextStats.bigramsFromTokens(col("__toks"))).as("gram"))
+    val mg = udaf(new MisraGries(capacity))
+    // Pass 1: sketch + total count in one aggregate → one driver row
+    // of ≤ capacity strings and a long (bounded by construction).
+    val sk = grams
+      .agg(mg(col("gram")).as("cands"), count(lit(1)).as("n_total"))
+      .first()
+    val bar = sk.getLong(1).toDouble / (capacity + 1).toDouble
+    val cands = sk.getSeq[String](0).toDF("gram")
+    // Pass 2: exact recount restricted to the candidate set.
+    val top = grams.join(broadcast(cands), Seq("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
+    // Clearance gate on the k result rows; the filter keeps the
+    // assertion in the plan (assert_true yields NULL when it passes).
+    top.filter(assert_true(col("n").cast("double") > lit(bar),
+      lit(s"top-$k not provably exact: raise capacity=$capacity")).isNull)
+  }
+}

@@ -45,4 +45,25 @@ class AggregatorSpec extends AnyFunSuite {
       .filter(!col("within_5pct")).count()
     assert(got === 0L)
   }
+
+  test("misra-gries: heavy items survive any partitioning; sketch stays " +
+      "within capacity") {
+    import graft.functions.MisraGries
+    // 10k rows: item "hot-i" appears 500+i times (i<10, all > n/(cap+1)
+    // for cap=64 → must survive); the rest is a long uniform tail.
+    val hot = (0 until 10).flatMap(i => Seq.fill(500 + i)(s"hot-$i"))
+    val tail = (0 until 10000 - hot.size).map(i => s"tail-${i % 1500}")
+    val n = hot.size + tail.size
+    val cap = 64
+    assert(500 > n.toDouble / (cap + 1)) // the planted items clear the bar
+    for (parts <- Seq(1, 7, 32)) {
+      val df = spark.sparkContext.parallelize(
+        new scala.util.Random(7).shuffle(hot ++ tail), parts).toDF("v")
+      val mg = udaf(new MisraGries(cap))
+      val got = df.agg(mg(col("v"))).first()
+        .getSeq[String](0)
+      assert(got.size <= cap)
+      for (i <- 0 until 10) assert(got.contains(s"hot-$i"), s"parts=$parts")
+    }
+  }
 }

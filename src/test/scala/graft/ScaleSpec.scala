@@ -3,6 +3,7 @@ package graft
 import graft.core.Tables
 import graft.functions.{RollingHash, Sentiment}
 import graft.scale.{Dedup, Multimodal, Similarity, TextStats}
+import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -391,5 +392,83 @@ class ScaleSpec extends AnyFunSuite {
       plan.linesIterator.take(30).mkString("\n"))
     assert(!plan.contains("hashpartitioning(__unit"),
       "window keyed on raw unit text — wide shuffle at paragraph scale")
+  }
+
+  test("dedupAgainstIndex: batch dups of indexed docs drop with the right " +
+      "match; novel docs keep; the check runs on sigs alone") {
+    val p = Dedup.MinHashParams(k = 64, bands = 32, shingle = 2)
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "completely unrelated corpus text about spark physical plans"),
+      (12L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // exact copy of indexed 10/12 → agree 1.0, matched to min id 10
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      // genuinely new content → kept
+      (101L, "a brand new document that matches nothing in the index"))
+      .toDF("doc_id", "text")
+    // the index is sigs only — text is gone before the dedup call
+    val index = Dedup.signatureIndex(corpus, "doc_id", "text", p)
+    assert(index.columns.toSeq === Seq("doc_id", "sig"))
+    val out = Dedup
+      .dedupAgainstIndex(batch, index, "doc_id", "text", minAgree = 0.5, p)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(100L).get(1) === 10L) // min matching corpus id
+    assert(out(100L).getInt(2) === 0)
+    assert(out(100L).getDouble(3) === 1.0) // identical text → all 64 agree
+    assert(out(101L).isNullAt(1) && out(101L).getInt(2) === 1)
+  }
+
+  test("index maintenance loop: kept batch sigs appended to a PERSISTED " +
+      "versioned index catch later dups of batch docs") {
+    import graft.ingest.VersionedTableIO
+    val p = Dedup.MinHashParams(k = 64, bands = 32, shingle = 2)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq(
+      (100L, "totally novel content about catalyst optimizer rules here"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text") // 101 dups corpus 1, 100 is new
+    val batch2 = Seq(
+      (200L, "totally novel content about catalyst optimizer rules here"),
+      (201L, "something else entirely unseen by any earlier generation"))
+      .toDF("doc_id", "text") // 200 dups KEPT batch1 doc 100
+    val io = new VersionedTableIO(
+      Files.createTempDirectory("sigidx").toString)
+    io.append(Dedup.signatureIndex(corpus, "doc_id", "text", p), "sig_index")
+    val marks1 = Dedup.dedupAgainstIndex(
+      batch1, io.read(spark, "sig_index"), "doc_id", "text", 0.5, p)
+    val kept1 = marks1.filter(col("kept") === 1).select("doc_id")
+    assert(kept1.as[Long].collect().toSeq === Seq(100L))
+    // the daily append: ~0.5 KB/kept-doc, corpus never re-read
+    io.append(
+      Dedup.signatures(batch1, "doc_id", "text", p)
+        .join(kept1, Seq("doc_id")), "sig_index")
+    val marks2 = Dedup.dedupAgainstIndex(
+        batch2, io.read(spark, "sig_index"), "doc_id", "text", 0.5, p)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(marks2(200L).get(1) === 100L) // caught by the batch-1 entry
+    assert(marks2(201L).getInt(2) === 1) // genuinely new → kept
+  }
+
+  test("heavy hitters: two-pass top-k equals the naive exact GROUP BY; " +
+      "undersized capacity fails fast instead of guessing") {
+    val naive = docs
+      .select(explode(TextStats.bigrams(col("text"))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc).limit(10)
+      .collect().toSeq
+    val got = graft.scale.HeavyHitters
+      .topGrams(docs, "text", k = 10, capacity = 2048)
+      .collect().toSeq
+    assert(got === naive)
+    // capacity 1: the bar N/2 is unreachable → the clearance gate trips
+    val ex = intercept[Exception] {
+      graft.scale.HeavyHitters.topGrams(docs, "text", k = 10, capacity = 1)
+        .collect()
+    }
+    assert(ex.getMessage.contains("raise capacity"))
   }
 }
