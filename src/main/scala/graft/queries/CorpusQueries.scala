@@ -400,11 +400,14 @@ object CorpusQueries {
       |  coalesce(string_agg(CASE WHEN kept = 1 THEN unit END, ' '
       |    ORDER BY pos), '') AS dedup_text
       |FROM marked GROUP BY doc_id""".stripMargin) { (s, dir) =>
-    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    // tokens in their OWN projection: inlined into unitChunks' slice
+    // lambda the split would re-run once per chunk (O(tokens × chunks))
     graft.scale.Dedup.unitDedup(
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          graft.scale.Dedup.unitChunks(toks, 3).as("units")),
+          filter(split(col("text"), "\\s+"), t => t =!= "").as("__toks"))
+        .select(col("doc_id"),
+          graft.scale.Dedup.unitChunks(col("__toks"), 3).as("units")),
       "doc_id", "units")
   }
 

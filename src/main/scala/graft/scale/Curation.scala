@@ -124,9 +124,14 @@ object Curation {
 
     // 5. sub-document unit dedup: repeated passages dropped globally,
     // survivors reassembled; fully-duplicated docs (n_kept = 0) drop
-    val toks = filter(split(col(textCol), "\\s+"), (t: Column) => t =!= "")
-    val units = afterSem.select(col(idCol), col("cluster_id"), col(langCol),
-      Dedup.unitChunks(toks, unitTokens).as("__units"))
+    // tokens in their OWN projection: inlined into unitChunks' slice
+    // lambda the split would re-run once per chunk (O(tokens × chunks))
+    val units = afterSem
+      .select(col(idCol), col("cluster_id"), col(langCol),
+        filter(split(col(textCol), "\\s+"), (t: Column) => t =!= "")
+          .as("__toks"))
+      .select(col(idCol), col("cluster_id"), col(langCol),
+        Dedup.unitChunks(col("__toks"), unitTokens).as("__units"))
       .persist() // feeds unitDedup AND the reassembly join
     val reassembled = units.select(col(idCol), col("cluster_id"), col(langCol))
       .join(Dedup.unitDedup(units.select(col(idCol), col("__units")),
