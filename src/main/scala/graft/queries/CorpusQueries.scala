@@ -732,8 +732,11 @@ object CorpusQueries {
     * ScaleSpec via VersionedTableIO append + re-read). Batches are
     * assumed intra-deduped first (q42's job); the oracle replays all
     * three signature chains and the union. */
-  val qIndexMaintenance: QueryDef = QueryDef(
-    "q134_index_maintenance", {
+  /** Shared oracle CTE block for the q134/q135 generation loop: corpus
+    * + two batches, three signature chains, batch₁ vs corpus agreement
+    * (`ag1`), the kept-batch₁ index union, and batch₂ vs grown-index
+    * matches (`m`). Exposes `b1`, `b2`, `ag1`, `m`. */
+  private def indexLoopCtes: String = {
       val toksOf = "list_filter(string_split_regex(lower(text), " +
         "'[^a-z]+'), x -> x <> '')"
       val agreeOf = s"len(list_filter(range(1, ${indexParams.k + 1}), " +
@@ -777,12 +780,16 @@ object CorpusQueries {
          |             JOIN i_sig cs ON cand2.cid = cs.doc_id),
          |m AS (
          |  SELECT bid, min(cid) AS matched_id, max(agree) AS best_agree
-         |  FROM ag2 WHERE agree >= 0.5 GROUP BY bid)
-         |SELECT b2.doc_id AS doc_id, m.matched_id,
-         |  CASE WHEN m.matched_id IS NULL THEN 1 ELSE 0 END AS kept,
-         |  m.best_agree
-         |FROM b2 LEFT JOIN m ON b2.doc_id = m.bid""".stripMargin
-    }) { (s, dir) =>
+         |  FROM ag2 WHERE agree >= 0.5 GROUP BY bid)""".stripMargin
+  }
+
+  val qIndexMaintenance: QueryDef = QueryDef(
+    "q134_index_maintenance",
+    s"""$indexLoopCtes
+       |SELECT b2.doc_id AS doc_id, m.matched_id,
+       |  CASE WHEN m.matched_id IS NULL THEN 1 ELSE 0 END AS kept,
+       |  m.best_agree
+       |FROM b2 LEFT JOIN m ON b2.doc_id = m.bid""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
     val corpus = docs.filter(col("doc_id") % 5 <= 2)
     val batch1 = docs.filter(col("doc_id") % 5 === 3)
@@ -797,9 +804,60 @@ object CorpusQueries {
     Dedup.dedupAgainstIndex(batch2, index2, "doc_id", "text", 0.5, indexParams)
   }
 
+  /** q134's generation loop as a REAL stream (stream.StreamDedup):
+    * corpus sigs bootstrap a versioned index table, two batch files
+    * drain as ordered micro-batches (maxFilesPerTrigger=1, mtime
+    * order), each batch's marks + kept sigs appended exactly-once.
+    * Output = the accumulated marks table (batch₁ marks vs corpus,
+    * batch₂ marks vs corpus+kept₁ — the q132/q134 selects unioned). */
+  val qStreamIndexDedup: QueryDef = QueryDef(
+    "q135_stream_index_dedup",
+    s"""$indexLoopCtes,
+       |m1 AS (
+       |  SELECT bid, min(cid) AS matched_id, max(agree) AS best_agree
+       |  FROM ag1 WHERE agree >= 0.5 GROUP BY bid)
+       |SELECT b1.doc_id AS doc_id, m1.matched_id,
+       |  CASE WHEN m1.matched_id IS NULL THEN 1 ELSE 0 END AS kept,
+       |  m1.best_agree
+       |FROM b1 LEFT JOIN m1 ON b1.doc_id = m1.bid
+       |UNION ALL
+       |SELECT b2.doc_id AS doc_id, m.matched_id,
+       |  CASE WHEN m.matched_id IS NULL THEN 1 ELSE 0 END AS kept,
+       |  m.best_agree
+       |FROM b2 LEFT JOIN m ON b2.doc_id = m.bid""".stripMargin) { (s, dir) =>
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 300)
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 <= 2)
+    val srcDir = JFiles.createTempDirectory("graft_sidx_src").toString
+    // one parquet FILE per batch, mtimes 2 min apart so the file source
+    // drains them as two ordered micro-batches
+    val t0 = System.currentTimeMillis() - 600000L
+    Seq(3, 4).foreach { r =>
+      val stage = JFiles.createTempDirectory(s"graft_sidx_b$r").toString
+      docs.filter(col("doc_id") % 5 === r)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(srcDir, s"b$r.parquet")
+      JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(t0 + r * 120000L)
+    }
+    val io = new graft.ingest.VersionedTableIO(
+      JFiles.createTempDirectory("graft_sidx_tbl").toString)
+    io.append(
+      Dedup.signatureIndex(corpus, "doc_id", "text", indexParams), "sig_index")
+    graft.stream.StreamDedup.run(s, srcDir,
+      JFiles.createTempDirectory("graft_sidx_ck").toString, io,
+      "sig_index", "marks", "doc_id", "text", 0.5, indexParams,
+      docs.schema, maxFilesPerTrigger = Some(1))
+    io.read(s, "marks")
+  }
+
   val all: Seq[QueryDef] =
     Seq(qPiiRedact, qDocRepetition, qDedupClusters, qCuration,
       qDecontaminate, qShardAssign, qSequencePack, qWeightedSample,
       qSemanticDedup, qParagraphDedup, qQuotaSample, qTemperatureMix,
-      qCurationV2, qIncrementalDedup, qHeavyHitters, qIndexMaintenance)
+      qCurationV2, qIncrementalDedup, qHeavyHitters, qIndexMaintenance,
+      qStreamIndexDedup)
 }

@@ -209,10 +209,31 @@ object Dedup {
         else hash(sliced).cast("string")
       }: _*)).as(Seq("band", "bucket")))
 
-  /** LSH candidate pairs (idA < idB) from banded signatures. */
+  /** Drop (band, bucket) groups whose population exceeds `max` — the
+    * standard LSH hot-bucket guard: a bucket shared by millions of
+    * boilerplate documents contributes O(population²) candidate pairs
+    * while carrying almost no discriminative signal (every member
+    * collides on MANY bands, so true near-dups in a dropped bucket are
+    * still found through their other bands with high probability; the
+    * residual miss rate is the AND-probability of all r rows agreeing
+    * ONLY in overloaded bands). The count runs as one partial-agg
+    * shuffle on the same (band, bucket) key the join uses. */
+  private def boundBuckets(banded: DataFrame, max: Int): DataFrame = {
+    val counts = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= max)
+      .select("band", "bucket")
+    banded.join(counts, Seq("band", "bucket"))
+  }
+
+  /** LSH candidate pairs (idA < idB) from banded signatures.
+    * `maxBucket` caps per-bucket population (hot-bucket guard, see
+    * [[boundBuckets]]); None = exact candidate set. */
   def candidatePairs(sigs: DataFrame, idCol: String,
-      p: MinHashParams = MinHashParams()): DataFrame = {
-    val banded = bandedBuckets(sigs, idCol, p)
+      p: MinHashParams = MinHashParams(),
+      maxBucket: Option[Int] = None): DataFrame = {
+    val all = bandedBuckets(sigs, idCol, p)
+    val banded = maxBucket.fold(all)(boundBuckets(all, _))
     val l = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val r = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))
@@ -290,11 +311,15 @@ object Dedup {
     * salt such buckets upstream (same posture as q42's scaladoc). */
   def dedupAgainstIndex(batch: DataFrame, index: DataFrame, idCol: String,
       textCol: String, minAgree: Double,
-      p: MinHashParams = MinHashParams()): DataFrame = {
+      p: MinHashParams = MinHashParams(),
+      maxBucket: Option[Int] = None): DataFrame = {
     val bSigs = signatures(batch, idCol, textCol, p)
     val bBand = bandedBuckets(bSigs, idCol, p)
       .select(col(idCol).as("__bid"), col("band"), col("bucket"))
-    val iBand = bandedBuckets(index, idCol, p)
+    // the guard bounds the INDEX side — that is the 100 TB-scale side
+    // where boilerplate buckets accumulate unboundedly over time
+    val iAll = bandedBuckets(index, idCol, p)
+    val iBand = maxBucket.fold(iAll)(boundBuckets(iAll, _))
       .select(col(idCol).as("__iid"), col("band"), col("bucket"))
     val cands = bBand.join(iBand, Seq("band", "bucket"))
       .select("__bid", "__iid").distinct()

@@ -453,6 +453,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(marks2(201L).getInt(2) === 1) // genuinely new → kept
   }
 
+  test("hot-bucket guard: overloaded LSH buckets drop; small buckets and " +
+      "their pairs survive untouched") {
+    val p = Dedup.MinHashParams(k = 64, bands = 16, shingle = 2)
+    val clones = (0 until 40).map(i => (i.toLong,
+      "spam spam boilerplate footer repeated on every page of the site"))
+    val pair = Seq(
+      (100L, "a genuinely unique article about catalyst planning and shuffles"),
+      (101L, "a genuinely unique article about catalyst planning and shuffle"))
+    val sigs = Dedup.signatures((clones ++ pair).toDF("doc_id", "text"),
+      "doc_id", "text", p)
+    val unguarded = Dedup.candidatePairs(sigs, "doc_id", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.contains((100L, 101L)))
+    assert(unguarded.exists(ab => ab._1 < 40L && ab._2 < 40L)) // clone pairs
+    val guarded = Dedup
+      .candidatePairs(sigs, "doc_id", p, maxBucket = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === Set((100L, 101L))) // every clone bucket dropped
+  }
+
   test("heavy hitters: two-pass top-k equals the naive exact GROUP BY; " +
       "undersized capacity fails fast instead of guessing") {
     val naive = docs

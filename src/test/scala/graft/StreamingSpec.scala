@@ -214,4 +214,57 @@ class StreamingSpec extends AnyFunSuite {
     drain()
     assert(gold() === before)
   }
+
+  test("streaming index dedup: later batches catch dups of earlier kept " +
+      "docs; re-drain appends nothing; late file dedups against all") {
+    import graft.ingest.VersionedTableIO
+    import graft.scale.Dedup
+    val p = Dedup.MinHashParams(k = 64, bands = 32, shingle = 2)
+    val srcDir = Files.createTempDirectory("sd_src").toString
+    val ckDir = Files.createTempDirectory("sd_ck").toString
+    val io = new VersionedTableIO(Files.createTempDirectory("sd_tbl").toString)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    io.append(Dedup.signatureIndex(corpus, "doc_id", "text", p), "sig_index")
+    val t0 = System.currentTimeMillis() - 600000L
+    def addFile(name: String, mtime: Long,
+        rows: Seq[(Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("sd_stage").toString
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    addFile("b1.parquet", t0, Seq(
+      (100L, "totally novel content about catalyst optimizer rules here"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+    addFile("b2.parquet", t0 + 120000L, Seq(
+      (200L, "totally novel content about catalyst optimizer rules here")))
+    val schema = corpus.schema
+    def drain(): Unit = graft.stream.StreamDedup.run(spark, srcDir, ckDir,
+      io, "sig_index", "marks", "doc_id", "text", 0.5, p, schema,
+      maxFilesPerTrigger = Some(1))
+    drain()
+    def marks() = io.read(spark, "marks")
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.getInt(2))).toMap
+    val m1 = marks()
+    assert(m1(101L) === ((1L, 0))) // corpus dup dropped
+    assert(m1(100L) === ((null, 1))) // novel → kept, sig indexed
+    assert(m1(200L) === ((100L, 0))) // caught by batch-1 KEPT doc
+    // re-drain with no new files: exactly-once, nothing re-appended
+    drain()
+    assert(marks() === m1 && io.read(spark, "marks").count() === 3)
+    // a late third file dedups against corpus + every kept generation
+    addFile("b3.parquet", t0 + 240000L, Seq(
+      (300L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (301L, "fresh words never seen in any batch or corpus document")))
+    drain()
+    val m3 = marks()
+    assert(m3(300L) === ((1L, 0)) && m3(301L) === ((null, 1)))
+    assert(m3.size === 5)
+  }
 }
