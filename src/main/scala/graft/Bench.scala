@@ -46,11 +46,14 @@ object Bench {
     println(json)
     // Durable copy: the driver's stdout-tail capture has truncated the
     // per-query map head two rounds running; the file keeps every query
-    // diffable between rounds.
-    val out = java.nio.file.Paths.get("tools/bench_latest.json")
-    java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out,
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // diffable between rounds. FULL runs only — a filtered dev-loop run
+    // must not clobber the round artifact with a partial map.
+    if (only.isEmpty) {
+      val out = java.nio.file.Paths.get("tools/bench_latest.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

@@ -5,6 +5,18 @@ import org.apache.spark.sql.expressions.Aggregator
 
 import scala.collection.mutable
 
+/** Mutable Misra-Gries buffer: the counter map plus a `saturated` flag
+  * recording whether ANY eviction (reduce decrement-all or merge
+  * shrink) ever happened on any lineage that merged into this buffer.
+  * An unsaturated final sketch therefore holds EVERY distinct input
+  * with its EXACT count — the consumer can skip approximation-bound
+  * checks entirely in that case. */
+final class MgBuf(val counts: mutable.HashMap[String, Long],
+    var saturated: Boolean) extends Serializable
+
+/** Final sketch: surviving keys (sorted) + the saturation flag. */
+final case class MgSketch(keys: Seq[String], saturated: Boolean)
+
 /** Misra-Gries heavy-hitters sketch as a typed `Aggregator`: bounded
   * memory (≤ `capacity` counters per partial buffer) with an
   * associative merge, so map-side combine / final-merge is safe on any
@@ -22,69 +34,72 @@ import scala.collection.mutable
   * second pass shuffles at most `capacity` distinct keys regardless of
   * corpus size.
   *
-  * `finish` returns only the candidate KEYS (sorted): the counts are
-  * order-dependent approximations (merge order changes them) while the
-  * surviving key set is what the two-pass pattern consumes, and the
-  * exact pass recomputes trustworthy counts anyway.
+  * `finish` returns the candidate KEYS (sorted) + the saturation flag:
+  * counter values are order-dependent approximations (merge order
+  * changes them) while the surviving key set is what the two-pass
+  * pattern consumes, and the exact pass recomputes trustworthy counts
+  * anyway. `saturated = false` certifies the sketch is a complete
+  * exact frequency table (no eviction ever fired).
   *
   * Reference analog: none — the reference's n-gram work is exact
   * per-document (news_article_sentiment.py tokenize); this is a scale
   * extension per the build brief (BASELINE.json text analysis).
   */
 final class MisraGries(capacity: Int)
-    extends Aggregator[String, mutable.HashMap[String, Long], Seq[String]] {
+    extends Aggregator[String, MgBuf, MgSketch] {
   require(capacity > 0, "capacity must be positive")
 
-  override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+  override def zero: MgBuf = new MgBuf(mutable.HashMap.empty, false)
 
-  override def reduce(b: mutable.HashMap[String, Long],
-      x: String): mutable.HashMap[String, Long] = {
+  override def reduce(b: MgBuf, x: String): MgBuf = {
     if (x != null) {
-      b.get(x) match {
-        case Some(c) => b.update(x, c + 1L)
-        case None if b.size < capacity => b.update(x, 1L)
+      val m = b.counts
+      m.get(x) match {
+        case Some(c) => m.update(x, c + 1L)
+        case None if m.size < capacity => m.update(x, 1L)
         case None =>
           // Classic MG step: a full sketch meets an untracked key →
           // decrement every counter, drop zeros. Each decrement-all
           // cancels capacity+1 units of total count mass, so across n
           // arrivals it runs at most n/(capacity+1) times: amortized
           // O(1) per row.
+          b.saturated = true
           val dead = List.newBuilder[String]
-          b.keysIterator.toList.foreach { k =>
-            val c = b(k) - 1L
-            if (c == 0L) dead += k else b.update(k, c)
+          m.keysIterator.toList.foreach { k =>
+            val c = m(k) - 1L
+            if (c == 0L) dead += k else m.update(k, c)
           }
-          dead.result().foreach(b.remove)
+          dead.result().foreach(m.remove)
       }
     }
     b
   }
 
-  override def merge(a: mutable.HashMap[String, Long],
-      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
-    if (a.size > capacity) {
+  override def merge(a: MgBuf, b: MgBuf): MgBuf = {
+    val m = a.counts
+    b.counts.foreach { case (k, v) => m.update(k, m.getOrElse(k, 0L) + v) }
+    a.saturated = a.saturated || b.saturated
+    if (m.size > capacity) {
       // Merged-sketch shrink (Agarwal et al.): subtract the
       // (capacity+1)-th largest counter from all, keep positives —
       // preserves the MG error bound with error terms adding.
-      val counts = a.values.toArray
+      a.saturated = true
+      val counts = m.values.toArray
       java.util.Arrays.sort(counts)
       val thresh = counts(counts.length - capacity - 1)
       val dead = List.newBuilder[String]
-      a.keysIterator.toList.foreach { k =>
-        val c = a(k) - thresh
-        if (c <= 0L) dead += k else a.update(k, c)
+      m.keysIterator.toList.foreach { k =>
+        val c = m(k) - thresh
+        if (c <= 0L) dead += k else m.update(k, c)
       }
-      dead.result().foreach(a.remove)
+      dead.result().foreach(m.remove)
     }
     a
   }
 
-  override def finish(b: mutable.HashMap[String, Long]): Seq[String] =
-    b.keys.toSeq.sorted
+  override def finish(b: MgBuf): MgSketch =
+    MgSketch(b.counts.keys.toSeq.sorted, b.saturated)
 
-  override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
-    Encoders.kryo[mutable.HashMap[String, Long]]
-  override def outputEncoder: Encoder[Seq[String]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  override def bufferEncoder: Encoder[MgBuf] = Encoders.kryo[MgBuf]
+  override def outputEncoder: Encoder[MgSketch] = Encoders.product[MgSketch]
 }

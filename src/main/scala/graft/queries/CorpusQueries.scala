@@ -722,16 +722,6 @@ object CorpusQueries {
       k = 20, capacity = 2048)
   }
 
-  /** The index MAINTENANCE loop q132 implies: generation 1 dedups
-    * batch₁ against the corpus index and appends the KEPT batch₁
-    * signatures; generation 2 dedups batch₂ against the grown index,
-    * so a batch₂ doc duplicating a *kept batch₁* doc (not anything in
-    * the original corpus) is caught. This is the steady-state daily
-    * loop at 100 TB — the corpus is never re-scanned, the index only
-    * ever appends ~0.5 KB per kept doc (persisted-table form proven in
-    * ScaleSpec via VersionedTableIO append + re-read). Batches are
-    * assumed intra-deduped first (q42's job); the oracle replays all
-    * three signature chains and the union. */
   /** Shared oracle CTE block for the q134/q135 generation loop: corpus
     * + two batches, three signature chains, batch₁ vs corpus agreement
     * (`ag1`), the kept-batch₁ index union, and batch₂ vs grown-index
@@ -783,6 +773,18 @@ object CorpusQueries {
          |  FROM ag2 WHERE agree >= 0.5 GROUP BY bid)""".stripMargin
   }
 
+  /** The index MAINTENANCE loop q132 implies: generation 1 dedups
+    * batch₁ against the corpus index and appends the KEPT batch₁
+    * signatures; generation 2 dedups batch₂ against the grown index,
+    * so a batch₂ doc duplicating a *kept batch₁* doc (not anything in
+    * the original corpus) is caught. This is the steady-state daily
+    * loop at 100 TB — the corpus is never re-scanned, the index only
+    * ever appends ~0.5 KB per kept doc (persisted-table form proven in
+    * ScaleSpec via VersionedTableIO append + re-read; the in-query
+    * localCheckpoints below mirror that materialization, so corpus and
+    * batch₁ signatures are computed once each, not once per consumer).
+    * Batches are assumed intra-deduped first (q42's job); the oracle
+    * replays all three signature chains and the union. */
   val qIndexMaintenance: QueryDef = QueryDef(
     "q134_index_maintenance",
     s"""$indexLoopCtes
@@ -795,12 +797,15 @@ object CorpusQueries {
     val batch1 = docs.filter(col("doc_id") % 5 === 3)
     val batch2 = docs.filter(col("doc_id") % 5 === 4)
     val index1 = Dedup.signatureIndex(corpus, "doc_id", "text", indexParams)
+      .localCheckpoint(true)
+    val b1Sigs = Dedup.signatures(batch1, "doc_id", "text", indexParams)
+      .localCheckpoint(true)
     val kept1 = Dedup
-      .dedupAgainstIndex(batch1, index1, "doc_id", "text", 0.5, indexParams)
+      .dedupAgainstIndexSigs(batch1.select("doc_id"), b1Sigs, index1,
+        "doc_id", 0.5, indexParams)
       .filter(col("kept") === 1).select("doc_id")
-    val index2 = index1.unionByName(
-      Dedup.signatures(batch1, "doc_id", "text", indexParams)
-        .join(kept1, Seq("doc_id")))
+    val index2 = index1.unionByName(b1Sigs.join(kept1, Seq("doc_id")))
+      .localCheckpoint(true)
     Dedup.dedupAgainstIndex(batch2, index2, "doc_id", "text", 0.5, indexParams)
   }
 

@@ -312,8 +312,20 @@ object Dedup {
   def dedupAgainstIndex(batch: DataFrame, index: DataFrame, idCol: String,
       textCol: String, minAgree: Double,
       p: MinHashParams = MinHashParams(),
+      maxBucket: Option[Int] = None): DataFrame =
+    dedupAgainstIndexSigs(batch.select(col(idCol)),
+      signatures(batch, idCol, textCol, p), index, idCol, minAgree, p,
+      maxBucket)
+
+  /** [[dedupAgainstIndex]] over PRECOMPUTED batch signatures — for
+    * callers that need the sigs again afterwards (StreamDedup appends
+    * the kept ones to the index; computing them twice would double the
+    * most expensive per-batch stage). `batchIds` must hold every batch
+    * id (docs with no signature — empty text — come out kept). */
+  def dedupAgainstIndexSigs(batchIds: DataFrame, bSigs: DataFrame,
+      index: DataFrame, idCol: String, minAgree: Double,
+      p: MinHashParams = MinHashParams(),
       maxBucket: Option[Int] = None): DataFrame = {
-    val bSigs = signatures(batch, idCol, textCol, p)
     val bBand = bandedBuckets(bSigs, idCol, p)
       .select(col(idCol).as("__bid"), col("band"), col("bucket"))
     // the guard bounds the INDEX side — that is the 100 TB-scale side
@@ -337,7 +349,7 @@ object Dedup {
       .groupBy(col("__bid"))
       .agg(min(col("__iid")).as("matched_id"),
         max(col("__agree")).as("best_agree"))
-    batch.select(col(idCol))
+    batchIds.select(col(idCol))
       .join(matches.withColumnRenamed("__bid", idCol), Seq(idCol), "left")
       .select(col(idCol), col("matched_id"),
         when(col("matched_id").isNull, 1).otherwise(0).as("kept"),

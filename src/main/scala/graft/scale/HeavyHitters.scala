@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   *
   *   pass 1 — Misra-Gries sketch ([[graft.functions.MisraGries]]):
   *     one scan, bounded memory (≤ capacity counters per partial
-  *     buffer, associative merge), yields ≤ capacity CANDIDATE grams
-  *     plus the total gram count N in the same aggregate.
+  *     buffer, associative merge), yields ≤ capacity CANDIDATE grams,
+  *     a saturation flag, and the total gram count N in one aggregate.
   *     Guarantee: every gram with count > N/(capacity+1) is a
   *     candidate, so the true top-k is contained whenever the k-th
   *     most frequent gram clears that bar (k ≪ capacity in practice).
@@ -34,12 +34,18 @@ object HeavyHitters {
 
   /** Top-k word bigrams of `textCol` with exact counts: (gram, n).
     *
-    * @param capacity MG sketch size; must comfortably exceed k. The
-    *   contained-top-k condition is enforced in-query: if the k-th
-    *   result count does not strictly clear N/(capacity+1), any
-    *   non-candidate gram (whose count is ≤ that bar by the MG bound)
-    *   could belong in the top-k, so the run fails fast instead of
-    *   silently returning a plausible-but-unproven list. */
+    * Exactness proof, per the sketch's saturation flag:
+    *   - UNSATURATED (no eviction ever fired): the sketch is a
+    *     complete frequency table — the recounted top-k is exact with
+    *     no further conditions (fewer than k rows just means fewer
+    *     than k distinct grams exist).
+    *   - SATURATED: the run fails fast unless (a) at least k
+    *     candidates survived and (b) the k-th recounted count strictly
+    *     clears the MG containment bar N/(capacity+1) — otherwise a
+    *     non-candidate gram (count ≤ bar by the MG bound) could belong
+    *     in the top-k and the result would be plausible but unproven.
+    *
+    * @param capacity MG sketch size; must comfortably exceed k. */
   def topGrams(docs: DataFrame, textCol: String, k: Int,
       capacity: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -53,20 +59,27 @@ object HeavyHitters {
       .select(explode(TextStats.bigramsFromTokens(col("__toks"))).as("gram"))
     val mg = udaf(new MisraGries(capacity))
     // Pass 1: sketch + total count in one aggregate → one driver row
-    // of ≤ capacity strings and a long (bounded by construction).
+    // of ≤ capacity strings, a flag and a long (bounded by construction).
     val sk = grams
-      .agg(mg(col("gram")).as("cands"), count(lit(1)).as("n_total"))
+      .agg(mg(col("gram")).as("sketch"), count(lit(1)).as("n_total"))
+      .select(col("sketch.keys"), col("sketch.saturated"), col("n_total"))
       .first()
-    val bar = sk.getLong(1).toDouble / (capacity + 1).toDouble
-    val cands = sk.getSeq[String](0).toDF("gram")
+    val candKeys = sk.getSeq[String](0)
+    val saturated = sk.getBoolean(1)
+    val bar = sk.getLong(2).toDouble / (capacity + 1).toDouble
+    if (saturated) require(candKeys.size >= k,
+      s"top-$k not provably exact: saturated sketch kept only " +
+        s"${candKeys.size} candidates — raise capacity=$capacity")
     // Pass 2: exact recount restricted to the candidate set.
-    val top = grams.join(broadcast(cands), Seq("gram"))
+    val top = grams.join(broadcast(candKeys.toDF("gram")), Seq("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram").asc)
       .limit(k)
-    // Clearance gate on the k result rows; the filter keeps the
-    // assertion in the plan (assert_true yields NULL when it passes).
-    top.filter(assert_true(col("n").cast("double") > lit(bar),
-      lit(s"top-$k not provably exact: raise capacity=$capacity")).isNull)
+    if (!saturated) top
+    else
+      // Clearance gate on the k result rows; the filter keeps the
+      // assertion in the plan (assert_true yields NULL when it passes).
+      top.filter(assert_true(col("n").cast("double") > lit(bar),
+        lit(s"top-$k not provably exact: raise capacity=$capacity")).isNull)
   }
 }

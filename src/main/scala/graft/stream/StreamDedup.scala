@@ -48,17 +48,21 @@ object StreamDedup {
     val q = reader.parquet(sourceDir).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // sigs computed ONCE per batch (the expensive stage): shared
+          // by the verdicts and the index append
+          val bSigs = Dedup.signatures(batch, idCol, textCol, p)
+            .localCheckpoint(true)
           // eager: pin the verdicts to the index BEFORE this batch's
           // sigs land (io.read resolves the manifest at call time, but
           // materializing removes any recompute-after-append hazard)
-          val marks = Dedup.dedupAgainstIndex(batch,
-              io.read(spark, indexTable), idCol, textCol, minAgree, p,
+          val marks = Dedup.dedupAgainstIndexSigs(batch.select(col(idCol)),
+              bSigs, io.read(spark, indexTable), idCol, minAgree, p,
               maxBucket)
             .localCheckpoint(true)
           io.appendIdempotent(marks, marksTable, s"$writerId#marks", batchId)
           io.appendIdempotent(
-            Dedup.signatures(batch, idCol, textCol, p)
-              .join(marks.filter(col("kept") === 1).select(idCol), Seq(idCol)),
+            bSigs.join(marks.filter(col("kept") === 1).select(idCol),
+              Seq(idCol)),
             indexTable, s"$writerId#index", batchId)
         }
         ()

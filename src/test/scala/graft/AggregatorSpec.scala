@@ -60,10 +60,20 @@ class AggregatorSpec extends AnyFunSuite {
       val df = spark.sparkContext.parallelize(
         new scala.util.Random(7).shuffle(hot ++ tail), parts).toDF("v")
       val mg = udaf(new MisraGries(cap))
-      val got = df.agg(mg(col("v"))).first()
-        .getSeq[String](0)
-      assert(got.size <= cap)
-      for (i <- 0 until 10) assert(got.contains(s"hot-$i"), s"parts=$parts")
+      val got = df.agg(mg(col("v")).as("s"))
+        .select(col("s.keys"), col("s.saturated")).first()
+      val keys = got.getSeq[String](0)
+      assert(keys.size <= cap)
+      assert(got.getBoolean(1)) // 1510 distinct over cap=64 → evictions
+      for (i <- 0 until 10) assert(keys.contains(s"hot-$i"), s"parts=$parts")
     }
+    // a sketch that never evicts certifies itself complete and exact
+    val small = spark.sparkContext.parallelize(
+      Seq("a", "b", "a", "c"), 2).toDF("v")
+    val mgBig = udaf(new MisraGries(1000))
+    val comp = small.agg(mgBig(col("v")).as("s"))
+      .select(col("s.keys"), col("s.saturated")).first()
+    assert(comp.getSeq[String](0) === Seq("a", "b", "c"))
+    assert(!comp.getBoolean(1))
   }
 }
