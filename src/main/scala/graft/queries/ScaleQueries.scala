@@ -297,6 +297,51 @@ object ScaleQueries {
       bands = 2)
   }
 
+  /** Incremental embedding dedup against the vector index — the
+    * q132 pattern on vectors (Dedup.dedupVectorsAgainstIndex): the
+    * corpus (vec_id % 5 ≤ 2) is indexed, the batch is perturbed
+    * copies of corpus vectors (%5 = 0 → caught at ~0.999 cosine) and
+    * of NON-corpus vectors (%5 = 4 → near-orthogonal to the whole
+    * index → kept). Planes, perturbation, banding, and the cosine
+    * verify are all replayed by the oracle (the q117 machinery). */
+  val qVectorIndexDedup: QueryDef = QueryDef(
+    "q136_vector_index_dedup", {
+      val (dim, nPlanes, bands, seed) = (64, 8, 2, 42L)
+      def bandSelects(rel: String) = (0 until bands).map { bnd =>
+        s"SELECT vec_id, v, $bnd AS band, " +
+          s"${lshBucketSql(dim, nPlanes, seed + bnd)} AS bucket FROM $rel"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |              FROM embeddings),
+         |c AS (SELECT vec_id, v FROM base WHERE vec_id % 5 <= 2),
+         |bt AS (SELECT vec_id + 100000 AS vec_id,
+         |         list_transform(v, x -> x * 0.95 + 0.01) AS v
+         |       FROM base WHERE vec_id % 5 = 0 OR vec_id % 5 = 4),
+         |cb AS (${bandSelects("c")}),
+         |bb AS (${bandSelects("bt")}),
+         |ag AS (
+         |  SELECT b.vec_id AS bid, c2.vec_id AS cid,
+         |    round(list_cosine_similarity(b.v, c2.v), 6) AS cos
+         |  FROM bb b JOIN cb c2
+         |    ON b.band = c2.band AND b.bucket = c2.bucket),
+         |m AS (SELECT bid, min(cid) AS matched_id, max(cos) AS best_cosine
+         |      FROM ag WHERE cos >= 0.9 GROUP BY bid)
+         |SELECT bt.vec_id, m.matched_id,
+         |  CASE WHEN m.matched_id IS NULL THEN 1 ELSE 0 END AS kept,
+         |  m.best_cosine
+         |FROM bt LEFT JOIN m ON bt.vec_id = m.bid""".stripMargin
+    }) { (s, dir) =>
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val corpus = base.filter(col("vec_id") % 5 <= 2)
+    val batch = base
+      .filter(col("vec_id") % 5 === 0 || col("vec_id") % 5 === 4)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * 0.95 + 0.01).as("embedding"))
+    Dedup.dedupVectorsAgainstIndex(batch, corpus, "vec_id", "embedding",
+      minCosine = 0.9, dim = 64, nPlanes = 8, bands = 2)
+  }
+
   val qTokenStats: QueryDef = QueryDef(
     "q46_token_stats",
     s"""SELECT doc_id,
@@ -581,5 +626,6 @@ object ScaleQueries {
     qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qDedupEmbedding,
     qDedupEmbeddingLsh, qTokenStats, qQuality, qLangId,
     qFingerprint, qMultimodal, qTfidf, qApproxPercentile, qSplit, qStratified,
-    qVectorQuantize, qFrameSample, qSurprisal, qBigramSurprisal)
+    qVectorQuantize, qFrameSample, qSurprisal, qBigramSurprisal,
+    qVectorIndexDedup)
 }

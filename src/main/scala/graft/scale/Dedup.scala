@@ -391,6 +391,46 @@ object Dedup {
     * bounded by bucket populations. Cross-bucket pairs are missed by
     * design; recall is measured against [[embeddingNearDups]] on a
     * bounded slice (the q41-vs-q42 pattern). */
+  /** Incremental EMBEDDING dedup against a persisted vector index —
+    * the vector-side mirror of [[dedupAgainstIndex]]: the corpus keeps
+    * one (id, vector) row per document (int8-quantize via
+    * [[Similarity.quantizeInt8]] to shrink 4× when the verify
+    * tolerance allows), daily batches band on the same seeded sign-LSH
+    * hyperplanes and verify exact cosine within colliding buckets.
+    * Corpus raw data is never re-read; per-batch work is
+    * O(batch + colliding buckets) like the text form, with the same
+    * hot-bucket caveat (degenerate all-zero-ish regions — pre-filter
+    * zero vectors as [[graft.scale.KMeans]] consumers do).
+    *
+    * Output: one row per batch vector —
+    * (idCol, matched_id: lowest corpus id with cosine ≥ minCosine or
+    *  NULL, kept, best_cosine). */
+  def dedupVectorsAgainstIndex(batch: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, minCosine: Double, dim: Int,
+      nPlanes: Int, bands: Int = 1, seed: Long = 42L): DataFrame = {
+    def banded(df: DataFrame, id: String, v: String) = df
+      .select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
+      .select(col(id), col(v),
+        posexplode(array((0 until bands).map(b =>
+          Similarity.lshBucket(col(v), dim, nPlanes, seed + b)): _*))
+          .as(Seq("__band", "__bucket")))
+    val matches = banded(batch, "__bid", "__bv")
+      .join(banded(index, "__iid", "__iv").hint("shuffle_hash"),
+        Seq("__band", "__bucket"))
+      .withColumn("__cos", round(Similarity.cosine(col("__bv"), col("__iv")), 6))
+      .filter(col("__cos") >= minCosine)
+      // min/max are insensitive to the same pair colliding in several
+      // bands, so no distinct pass is needed before the aggregate
+      .groupBy(col("__bid"))
+      .agg(min(col("__iid")).as("matched_id"),
+        max(col("__cos")).as("best_cosine"))
+    batch.select(col(idCol))
+      .join(matches.withColumnRenamed("__bid", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("matched_id"),
+        when(col("matched_id").isNull, 1).otherwise(0).as("kept"),
+        col("best_cosine"))
+  }
+
   def embeddingNearDupsBucketed(df: DataFrame, idCol: String,
       vecCol: String, minCosine: Double, dim: Int, nPlanes: Int,
       bands: Int = 1, seed: Long = 42L): DataFrame = {

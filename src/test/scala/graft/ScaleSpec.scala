@@ -453,6 +453,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(marks2(201L).getInt(2) === 1) // genuinely new → kept
   }
 
+  test("vector index dedup: perturbed copies of indexed vectors are " +
+      "caught at their source id; novel vectors keep; no index broadcast") {
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val corpus = emb.filter(col("vec_id") % 5 <= 2)
+    val batch = emb.filter(col("vec_id") % 5 === 0 || col("vec_id") % 5 === 4)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * 0.95 + 0.01).as("embedding"))
+    val out = Dedup.dedupVectorsAgainstIndex(batch, corpus, "vec_id",
+      "embedding", minCosine = 0.9, dim = 64, nPlanes = 8, bands = 2)
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    val caught = rows.filter { case (id, r) => (id - 100000) % 5 == 0 }
+    // every perturbed copy of an INDEXED vector matches its source
+    // (perturbation keeps cosine ~0.999; both LSH bands rarely both
+    // miss at 8 planes — exactness vs the oracle is the real gate,
+    // this asserts the semantic shape)
+    assert(caught.nonEmpty &&
+      caught.count { case (id, r) => !r.isNullAt(1) &&
+        r.getLong(1) == id - 100000 } >= caught.size * 9 / 10)
+    // perturbed copies of NON-indexed vectors are near-orthogonal to
+    // the whole index → kept
+    assert(rows.collect { case (id, r) if (id - 100000) % 5 == 4 =>
+      r.getInt(2) }.forall(_ == 1))
+    // scale shape: the banded candidate join shuffles both sides (the
+    // pinned shuffle_hash) — only the final tiny post-aggregate
+    // LeftOuter onto batch ids may broadcast
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin [__band"), plan.take(2000))
+    assert(!plan.contains("BroadcastHashJoin [__band"), plan.take(2000))
+  }
+
   test("hot-bucket guard: overloaded LSH buckets drop; small buckets and " +
       "their pairs survive untouched") {
     val p = Dedup.MinHashParams(k = 64, bands = 16, shingle = 2)
