@@ -859,10 +859,37 @@ object CorpusQueries {
     io.read(s, "marks")
   }
 
+  /** Per-language top bigrams via GROUPED two-pass heavy hitters
+    * (HeavyHitters.topGramsByGroup) — per-group MG sketches merged
+    * distributed (no driver collect), candidates joined back, rank
+    * window per group, per-group exactness gate in-plan. Oracle is the
+    * naive per-group GROUP BY + row_number. */
+  val qTopGramsPerLang: QueryDef = QueryDef(
+    "q137_top_grams_per_lang",
+    """WITH t AS (
+      |  SELECT lang, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |    x -> x <> '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, unnest(list_transform(range(1, greatest(len(toks), 1)),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      |  FROM t),
+      |c AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS n
+      |      FROM g GROUP BY 1, 2),
+      |r AS (SELECT lang, gram, n,
+      |        CAST(row_number() OVER (PARTITION BY lang
+      |          ORDER BY n DESC, gram ASC) AS INT) AS rank
+      |      FROM c)
+      |SELECT lang, gram, n, rank FROM r WHERE rank <= 15""".stripMargin) {
+    (s, dir) =>
+    HeavyHitters.topGramsByGroup(Tables.load(s, dir, "documents"),
+      "lang", "text", k = 15, capacity = 2048)
+  }
+
   val all: Seq[QueryDef] =
     Seq(qPiiRedact, qDocRepetition, qDedupClusters, qCuration,
       qDecontaminate, qShardAssign, qSequencePack, qWeightedSample,
       qSemanticDedup, qParagraphDedup, qQuotaSample, qTemperatureMix,
       qCurationV2, qIncrementalDedup, qHeavyHitters, qIndexMaintenance,
-      qStreamIndexDedup)
+      qStreamIndexDedup, qTopGramsPerLang)
 }

@@ -82,4 +82,48 @@ object HeavyHitters {
       top.filter(assert_true(col("n").cast("double") > lit(bar),
         lit(s"top-$k not provably exact: raise capacity=$capacity")).isNull)
   }
+
+  /** GROUPED top-k bigrams — (groupCol, gram, n, rank ≤ k) with exact
+    * counts per group, e.g. per-language vocabulary heads.
+    *
+    * Unlike [[topGrams]] nothing touches the driver: one MG sketch per
+    * group merges behind a partial ObjectHashAggregate, the candidate
+    * keys explode back into a (group, gram) JOIN against the gram
+    * stream (shuffle bounded by groups × capacity keys), and the
+    * per-group top-k is a rank window. The exactness proof is the
+    * per-ROW form of topGrams' gate, evaluated in-plan per group:
+    * unsaturated groups are complete exact tables; saturated groups
+    * must keep ≥ k candidates AND clear their own N_g/(capacity+1)
+    * bar on every returned row, else the query fails fast. */
+  def topGramsByGroup(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int, capacity: Int): DataFrame = {
+    val mg = udaf(new MisraGries(capacity))
+    val grams = docs
+      .select(col(groupCol), TextStats.tokens(col(textCol)).as("__toks"))
+      .select(col(groupCol),
+        explode(TextStats.bigramsFromTokens(col("__toks"))).as("gram"))
+    val sketches = grams.groupBy(col(groupCol))
+      .agg(mg(col("gram")).as("__sk"), count(lit(1)).as("__ng"))
+      .select(col(groupCol), col("__sk.keys").as("__keys"),
+        col("__sk.saturated").as("__sat"),
+        (col("__ng").cast("double") / (capacity + 1).toDouble).as("__bar"),
+        size(col("__sk.keys")).as("__ncand"))
+    val cands = sketches.select(col(groupCol), col("__sat"), col("__bar"),
+      col("__ncand"), explode(col("__keys")).as("gram"))
+    val exact = grams.join(cands, Seq(groupCol, "gram"))
+      .groupBy(col(groupCol), col("gram"))
+      .agg(count(lit(1)).as("n"), first(col("__sat")).as("__sat"),
+        first(col("__bar")).as("__bar"), first(col("__ncand")).as("__ncand"))
+    val ranked = exact
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+          .orderBy(col("n").desc, col("gram").asc)))
+      .filter(col("rank") <= k)
+    ranked.filter(assert_true(
+        !col("__sat") ||
+          (col("__ncand") >= k && col("n").cast("double") > col("__bar")),
+        concat(lit(s"top-$k not provably exact for group "), col(groupCol),
+          lit(s": raise capacity=$capacity"))).isNull)
+      .select(col(groupCol), col("gram"), col("n"), col("rank"))
+  }
 }

@@ -453,6 +453,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(marks2(201L).getInt(2) === 1) // genuinely new → kept
   }
 
+  test("grouped heavy hitters: per-group top-k equals the naive windowed " +
+      "exact; an undersized sketch names the failing group") {
+    import org.apache.spark.sql.expressions.Window
+    val naive = docs
+      .select(col("lang"), TextStats.tokens(col("text")).as("__toks"))
+      .select(col("lang"),
+        explode(TextStats.bigramsFromTokens(col("__toks"))).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n").desc, col("gram").asc)))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val got = graft.scale.HeavyHitters
+      .topGramsByGroup(docs, "lang", "text", k = 5, capacity = 2048)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === naive)
+    val ex = intercept[Exception] {
+      graft.scale.HeavyHitters
+        .topGramsByGroup(docs, "lang", "text", k = 5, capacity = 1)
+        .collect()
+    }
+    assert(ex.getMessage.contains("not provably exact for group"))
+  }
+
   test("vector index dedup: perturbed copies of indexed vectors are " +
       "caught at their source id; novel vectors keep; no index broadcast") {
     val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
