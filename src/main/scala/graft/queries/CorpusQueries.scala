@@ -886,10 +886,45 @@ object CorpusQueries {
       "lang", "text", k = 15, capacity = 2048)
   }
 
+  /** BM25 lexical retrieval (scale.Retrieval.bm25) — top-10 docs per
+    * query term. The oracle replays the exact float shape: exact-long
+    * tf/df/N/Σdl, avgdl as sum-then-divide, the same ln/idf/denominator
+    * expression — scores are bit-stable between engines. */
+  val qBm25: QueryDef = QueryDef(
+    "q138_bm25", {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |    x -> x <> '') AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+         |s AS (SELECT count(*) AS n,
+         |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+         |tf AS (
+         |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+         |  WHERE tok IN ('join', 'vector', 'scan') GROUP BY 1, 2, 3),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.tok,
+         |    round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * ${k1 + 1.0} /
+         |      (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)), 6) AS score
+         |  FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN s),
+         |r AS (
+         |  SELECT tok AS term, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY tok
+         |      ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+         |  FROM sc)
+         |SELECT term, doc_id, score, rank FROM r WHERE rank <= 10""".stripMargin
+    }) { (s, dir) =>
+    graft.scale.Retrieval.bm25(Tables.load(s, dir, "documents"),
+      "doc_id", "text", terms = Seq("join", "vector", "scan"), k = 10)
+  }
+
   val all: Seq[QueryDef] =
     Seq(qPiiRedact, qDocRepetition, qDedupClusters, qCuration,
       qDecontaminate, qShardAssign, qSequencePack, qWeightedSample,
       qSemanticDedup, qParagraphDedup, qQuotaSample, qTemperatureMix,
       qCurationV2, qIncrementalDedup, qHeavyHitters, qIndexMaintenance,
-      qStreamIndexDedup, qTopGramsPerLang)
+      qStreamIndexDedup, qTopGramsPerLang, qBm25)
 }

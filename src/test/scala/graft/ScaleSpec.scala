@@ -453,6 +453,30 @@ class ScaleSpec extends AnyFunSuite {
     assert(marks2(201L).getInt(2) === 1) // genuinely new → kept
   }
 
+  test("bm25: higher tf wins within a term; rarer terms carry higher idf; " +
+      "length normalization penalizes padding") {
+    val df = Seq(
+      (1L, "spark spark spark filler words here to pad the document"),
+      (2L, "spark filler words here to pad the document out a bit"),
+      (3L, "unicorn filler words here to pad the document out a bit"),
+      (4L, "no match at all in this one just padding words here now"),
+      (5L, "spark " + ("pad " * 50))).toDF("doc_id", "text")
+    val out = graft.scale.Retrieval
+      .bm25(df, "doc_id", "text", Seq("spark", "unicorn"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+    // tf dominance: doc 1 (tf=3) outranks doc 2 (tf=1)
+    assert(out(("spark", 1L))._2 === 1)
+    assert(out(("spark", 1L))._1 > out(("spark", 2L))._1)
+    // length normalization: doc 5 (tf=1, 51 tokens) scores below doc 2
+    // (tf=1, 11 tokens)
+    assert(out(("spark", 2L))._1 > out(("spark", 5L))._1)
+    // idf: "unicorn" (df=1) in doc 3 beats "spark" (df=3) at equal tf
+    // and near-equal length
+    assert(out(("unicorn", 3L))._1 > out(("spark", 2L))._1)
+    // doc 4 matches nothing
+    assert(!out.keySet.exists(_._2 == 4L))
+  }
+
   test("grouped heavy hitters: per-group top-k equals the naive windowed " +
       "exact; an undersized sketch names the failing group") {
     import org.apache.spark.sql.expressions.Window
