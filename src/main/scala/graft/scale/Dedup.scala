@@ -391,6 +391,37 @@ object Dedup {
     * bounded by bucket populations. Cross-bucket pairs are missed by
     * design; recall is measured against [[embeddingNearDups]] on a
     * bounded slice (the q41-vs-q42 pattern). */
+  def embeddingNearDupsBucketed(df: DataFrame, idCol: String,
+      vecCol: String, minCosine: Double, dim: Int, nPlanes: Int,
+      bands: Int = 1, seed: Long = 42L): DataFrame = {
+    val v = vecBanded(df, idCol, vecCol, "__id", "__v",
+      dim, nPlanes, bands, seed)
+    val a = v.select(col("__band"), col("__bucket"),
+      col("__id").as("id_a"), col("__v").as("va"))
+    val b = v.select(col("__band"), col("__bucket"),
+      col("__id").as("id_b"), col("__v").as("vb"))
+    a.join(b.hint("shuffle_hash"), Seq("__band", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(Similarity.cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= minCosine)
+      // a pair can match in several bands — dedup on the scalar result
+      .select("id_a", "id_b", "cosine").distinct()
+  }
+
+  /** (outId, outVec, __band, __bucket) rows: the banded sign-LSH key
+    * stream shared by [[embeddingNearDupsBucketed]] (self-join) and
+    * [[dedupVectorsAgainstIndex]] (batch-vs-index) — one definition of
+    * the per-band seed derivation and bucket projection. */
+  private def vecBanded(df: DataFrame, idCol: String, vecCol: String,
+      outId: String, outVec: String, dim: Int, nPlanes: Int, bands: Int,
+      seed: Long): DataFrame = df
+    .select(col(idCol).as(outId), col(vecCol).cast("array<double>").as(outVec))
+    .select(col(outId), col(outVec),
+      posexplode(array((0 until bands).map(b =>
+        Similarity.lshBucket(col(outVec), dim, nPlanes, seed + b)): _*))
+        .as(Seq("__band", "__bucket")))
+
   /** Incremental EMBEDDING dedup against a persisted vector index —
     * the vector-side mirror of [[dedupAgainstIndex]]: the corpus keeps
     * one (id, vector) row per document (int8-quantize via
@@ -408,14 +439,10 @@ object Dedup {
   def dedupVectorsAgainstIndex(batch: DataFrame, index: DataFrame,
       idCol: String, vecCol: String, minCosine: Double, dim: Int,
       nPlanes: Int, bands: Int = 1, seed: Long = 42L): DataFrame = {
-    def banded(df: DataFrame, id: String, v: String) = df
-      .select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
-      .select(col(id), col(v),
-        posexplode(array((0 until bands).map(b =>
-          Similarity.lshBucket(col(v), dim, nPlanes, seed + b)): _*))
-          .as(Seq("__band", "__bucket")))
-    val matches = banded(batch, "__bid", "__bv")
-      .join(banded(index, "__iid", "__iv").hint("shuffle_hash"),
+    val matches = vecBanded(batch, idCol, vecCol, "__bid", "__bv",
+        dim, nPlanes, bands, seed)
+      .join(vecBanded(index, idCol, vecCol, "__iid", "__iv",
+          dim, nPlanes, bands, seed).hint("shuffle_hash"),
         Seq("__band", "__bucket"))
       .withColumn("__cos", round(Similarity.cosine(col("__bv"), col("__iv")), 6))
       .filter(col("__cos") >= minCosine)
@@ -431,27 +458,6 @@ object Dedup {
         col("best_cosine"))
   }
 
-  def embeddingNearDupsBucketed(df: DataFrame, idCol: String,
-      vecCol: String, minCosine: Double, dim: Int, nPlanes: Int,
-      bands: Int = 1, seed: Long = 42L): DataFrame = {
-    val v = df.select(col(idCol).as("__id"),
-      col(vecCol).cast("array<double>").as("__v"))
-      .select(col("__id"), col("__v"),
-        posexplode(array((0 until bands).map(b =>
-          Similarity.lshBucket(col("__v"), dim, nPlanes, seed + b)): _*))
-          .as(Seq("__band", "__bucket")))
-    val a = v.select(col("__band"), col("__bucket"),
-      col("__id").as("id_a"), col("__v").as("va"))
-    val b = v.select(col("__band"), col("__bucket"),
-      col("__id").as("id_b"), col("__v").as("vb"))
-    a.join(b.hint("shuffle_hash"), Seq("__band", "__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        round(Similarity.cosine(col("va"), col("vb")), 6))
-      .filter(col("cosine") >= minCosine)
-      // a pair can match in several bands — dedup on the scalar result
-      .select("id_a", "id_b", "cosine").distinct()
-  }
 
   // ---- SimHash ----------------------------------------------------------
 

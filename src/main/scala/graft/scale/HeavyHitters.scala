@@ -108,20 +108,32 @@ object HeavyHitters {
         col("__sk.saturated").as("__sat"),
         (col("__ng").cast("double") / (capacity + 1).toDouble).as("__bar"),
         size(col("__sk.keys")).as("__ncand"))
-    val cands = sketches.select(col(groupCol), col("__sat"), col("__bar"),
-      col("__ncand"), explode(col("__keys")).as("gram"))
-    val exact = grams.join(cands, Seq(groupCol, "gram"))
+      // candidate-count gate HERE, on the one-row-per-group frame: a
+      // saturated sketch can end with fewer candidates than k (even
+      // zero, when every counter cancels) — the row-level gate below
+      // never sees groups whose candidates vanished, so this is the
+      // only place the check is airtight
+      .filter(assert_true(!col("__sat") || col("__ncand") >= k,
+        concat(lit(s"top-$k not provably exact for group "), col(groupCol),
+          lit(s": raise capacity=$capacity"))).isNull)
+    val cands = sketches.select(col(groupCol).as("__g"), col("__sat"),
+      col("__bar"), explode(col("__keys")).as("gram"))
+    // null-safe group match: an equi-join would silently drop a NULL
+    // group key that the sketch aggregate (and the oracle's GROUP BY)
+    // kept
+    val exact = grams.join(cands,
+        col(groupCol) <=> col("__g") && grams("gram") === cands("gram"))
+      .select(grams(groupCol), grams("gram"), col("__sat"), col("__bar"))
       .groupBy(col(groupCol), col("gram"))
       .agg(count(lit(1)).as("n"), first(col("__sat")).as("__sat"),
-        first(col("__bar")).as("__bar"), first(col("__ncand")).as("__ncand"))
+        first(col("__bar")).as("__bar"))
     val ranked = exact
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
           .orderBy(col("n").desc, col("gram").asc)))
       .filter(col("rank") <= k)
     ranked.filter(assert_true(
-        !col("__sat") ||
-          (col("__ncand") >= k && col("n").cast("double") > col("__bar")),
+        !col("__sat") || col("n").cast("double") > col("__bar"),
         concat(lit(s"top-$k not provably exact for group "), col(groupCol),
           lit(s": raise capacity=$capacity"))).isNull)
       .select(col(groupCol), col("gram"), col("n"), col("rank"))
