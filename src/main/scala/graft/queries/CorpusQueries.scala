@@ -921,10 +921,31 @@ object CorpusQueries {
       "doc_id", "text", terms = Seq("join", "vector", "scan"), k = 10)
   }
 
+  /** BM25 over INCREMENTALLY MAINTAINED corpus stats: the corpus
+    * arrives as two batches, each contributing only its additive
+    * (df, n_docs, sum_dl) delta rows (Retrieval.bm25StatsDelta — the
+    * IncrementalGold decomposability argument applied to retrieval);
+    * scoring folds the deltas and runs the same float shape as q138,
+    * so the result is BIT-IDENTICAL to the one-shot form and the two
+    * queries share one oracle. The persisted-table form of the stats
+    * fold is proven in ScaleSpec via VersionedTableIO appends. */
+  val qBm25Incremental: QueryDef = QueryDef(
+    "q139_bm25_incremental", qBm25.oracle.get) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val terms = Seq("join", "vector", "scan")
+    val deltas =
+      graft.scale.Retrieval.bm25StatsDelta(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", terms)
+      .unionByName(graft.scale.Retrieval.bm25StatsDelta(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", terms))
+    graft.scale.Retrieval.bm25WithStats(docs, deltas, "doc_id", "text",
+      terms, k = 10)
+  }
+
   val all: Seq[QueryDef] =
     Seq(qPiiRedact, qDocRepetition, qDedupClusters, qCuration,
       qDecontaminate, qShardAssign, qSequencePack, qWeightedSample,
       qSemanticDedup, qParagraphDedup, qQuotaSample, qTemperatureMix,
       qCurationV2, qIncrementalDedup, qHeavyHitters, qIndexMaintenance,
-      qStreamIndexDedup, qTopGramsPerLang, qBm25)
+      qStreamIndexDedup, qTopGramsPerLang, qBm25, qBm25Incremental)
 }

@@ -22,26 +22,89 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** (idCol, __dl, __t, __tf) postings for the query-term set — the
+    * per-document side of BM25, shared by the one-shot and
+    * incremental-stats forms. */
+  private def postings(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame =
+    docs
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("__dl"))
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__t"))
+      .filter(col("__t").isInCollection(terms))
+      .groupBy(col(idCol), col("__t"), col("__dl"))
+      .agg(count(lit(1)).as("__tf"))
+
+  /** Per-batch corpus-stats DELTA: (stat, key, n) rows —
+    * ('df', term, docs-containing-term), ('corpus', 'n_docs', batch
+    * size), ('corpus', 'sum_dl', batch token count). All three are
+    * ADDITIVE, so the current corpus stats are a sum-by-key over
+    * appended deltas (the IncrementalGold decomposability argument):
+    * a retrieval deployment appends one tiny delta per ingest batch
+    * and never re-scans the corpus to refresh df/N/avgdl. */
+  def bm25StatsDelta(batch: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val toks = batch
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("__dl"), col("__toks"))
+    val corpus = toks.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__s"))
+      .select(explode(array(
+        struct(lit("corpus").as("stat"), lit("n_docs").as("key"),
+          col("__n").as("n")),
+        struct(lit("corpus").as("stat"), lit("sum_dl").as("key"),
+          col("__s").as("n")))).as("r"))
+      .select("r.stat", "r.key", "r.n")
+    val dfreq = toks
+      .select(col(idCol), explode(col("__toks")).as("__t"))
+      .filter(col("__t").isInCollection(terms))
+      .select(col(idCol), col("__t")).distinct()
+      .groupBy(col("__t")).agg(count(lit(1)).as("n"))
+      .select(lit("df").as("stat"), col("__t").as("key"), col("n"))
+    corpus.unionByName(dfreq)
+  }
+
+  /** Score postings against MAINTAINED stats (the sum-by-key fold of
+    * appended [[bm25StatsDelta]] rows) — same float shape as [[bm25]],
+    * with N and Σdl exact longs, so the two forms are bit-identical
+    * on the same corpus. */
+  def bm25WithStats(docs: DataFrame, statsRows: DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val folded = statsRows.groupBy(col("stat"), col("key"))
+      .agg(sum(col("n")).as("n"))
+    val corpus = folded.filter(col("stat") === "corpus")
+      .groupBy()
+      .agg(max(when(col("key") === "n_docs", col("n"))).as("__N"),
+        max(when(col("key") === "sum_dl", col("n"))).as("__sumdl"))
+      .select(col("__N"),
+        (col("__sumdl").cast("double") / col("__N")).as("__avgdl"))
+    val dfreq = folded.filter(col("stat") === "df")
+      .select(col("key").as("__t"), col("n").as("__df"))
+    score(postings(docs, idCol, textCol, terms), dfreq, corpus,
+      idCol, k, k1, b)
+  }
+
   /** Top-k documents per query term by BM25 (Robertson/Lucene IDF:
     * ln((N - df + 0.5)/(df + 0.5) + 1)). Output:
     * (term, idCol, score rounded to 6, rank ≤ k). */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    val tf = postings(docs, idCol, textCol, terms)
     val toks = docs
       .select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), col("__toks"), size(col("__toks")).as("__dl"))
+      .select(col(idCol), size(col("__toks")).as("__dl"))
     val stats = toks.agg(count(lit(1)).as("__N"),
       (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
-    val tf = toks
-      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__t"))
-      .filter(col("__t").isInCollection(terms))
-      .groupBy(col(idCol), col("__t"), col("__dl"))
-      .agg(count(lit(1)).as("__tf"))
     val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    score(tf, dfreq, stats, idCol, k, k1, b)
+  }
+
+  private def score(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
+      idCol: String, k: Int, k1: Double, b: Double): DataFrame = {
     val scored = tf
       .join(broadcast(dfreq), Seq("__t"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(stats.select(col("__N"), col("__avgdl"))))
       .withColumn("__idf",
         log((col("__N") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))
           + lit(1.0)))

@@ -477,6 +477,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(!out.keySet.exists(_._2 == 4L))
   }
 
+  test("bm25 incremental stats: per-batch deltas appended to a persisted " +
+      "table fold to the one-shot scores bit-for-bit") {
+    import graft.ingest.VersionedTableIO
+    import graft.scale.Retrieval
+    val terms = Seq("join", "vector", "scan")
+    val io = new VersionedTableIO(
+      Files.createTempDirectory("bm25_stats").toString)
+    // three ingest generations, each appending only its tiny delta
+    for (r <- 0 until 3)
+      io.append(Retrieval.bm25StatsDelta(
+        docs.filter(col("doc_id") % 3 === r), "doc_id", "text", terms),
+        "stats")
+    val incremental = Retrieval.bm25WithStats(docs,
+        io.read(spark, "stats"), "doc_id", "text", terms, k = 10)
+      .collect().toSet
+    val oneShot = Retrieval.bm25(docs, "doc_id", "text", terms, k = 10)
+      .collect().toSet
+    assert(incremental === oneShot)
+  }
+
   test("grouped heavy hitters: per-group top-k equals the naive windowed " +
       "exact; an undersized sketch names the failing group") {
     import org.apache.spark.sql.expressions.Window
