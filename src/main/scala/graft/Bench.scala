@@ -33,16 +33,23 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // (min, spread): min-of-N is the comparison basis between rounds;
+      // the spread (max-min over iterations) separates host I/O-wait
+      // noise from a real plan regression — a query whose min moved but
+      // whose spread is tight changed for real, a huge spread on
+      // unchanged code is a noisy window (round-4 lesson).
+      name -> (times.min, times.max - times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val spreads = results.map { case (k, (_, sp)) => "\"" + k + "\":" + sp }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     // Headline keys LAST: the artifact capture keeps the tail of the
     // line, so the total/count must survive even if the per-query map
     // is truncated at the front.
     val json =
-      s"""{"queries":$qs,"n_queries":${results.size},"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+      s"""{"queries":$qs,"spread":$spreads,"iters":$iters,"n_queries":${results.size},"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     println(json)
     // Durable copy: the driver's stdout-tail capture has truncated the
     // per-query map head two rounds running; the file keeps every query

@@ -458,6 +458,55 @@ final class VersionedTableIO(root: String,
   def history(table: String): Seq[Manifest] =
     versions(table).reverse.map(manifest(table, _))
 
+  // ---- external readers --------------------------------------------------
+
+  /** Export version `version` as a PLAIN-FILE manifest any parquet
+    * reader can consume — Delta's symlink-manifest pattern
+    * (`GENERATE symlink_format_manifest`), the piece that lets a
+    * second engine read the snapshot the way the reference shares its
+    * Delta tables with Trino through the metastore
+    * (trino/etc/catalog/delta.properties:1-8,
+    * postgresscripts/init-metastore.sql). Writes
+    * `<table>/_graft_manifests/<version>/manifest.txt` with one
+    * absolute parquet-file path per line (sorted — the export is
+    * byte-deterministic for a given snapshot) and returns the list.
+    * A reader needs NO VersionedTableIO code: feed the lines to
+    * `spark.read.parquet(files)`, Trino's hive connector, or DuckDB's
+    * `read_parquet(list)`; parquet footer pushdown/row-group skipping
+    * still apply because these are ordinary parquet files. The export
+    * is a snapshot view: it pins version N's files, which stay
+    * immutable until VACUUM drops that version (same staleness
+    * contract as Delta's generated manifests). */
+  def exportManifest(table: String, version: Long): Seq[String] = {
+    val m = manifest(table, version)
+    val files = m.dataDirs.flatMap { d =>
+      val dir = new File(s"${tableDir(table)}/$d")
+      Option(dir.listFiles((_, n) => n.endsWith(".parquet")))
+        .getOrElse(Array.empty[File]).map(_.getAbsolutePath).sorted
+    }
+    val outDir = new File(s"${tableDir(table)}/_graft_manifests/$version")
+    outDir.mkdirs()
+    // same write-then-link discipline as commits: a concurrent reader
+    // of the manifest file never observes a partial export
+    val target = new File(outDir, "manifest.txt")
+    if (!target.exists()) {
+      LocalLinkBackend.putIfAbsent(target,
+        files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    files
+  }
+
+  /** Read an exported manifest back as the file list — the helper a
+    * plain-parquet consumer uses; deliberately does NOT touch the
+    * commit log (readable even if the log moved on). */
+  def readManifestExport(table: String, version: Long): Seq[String] = {
+    val f = new File(s"${tableDir(table)}/_graft_manifests/$version/manifest.txt")
+    require(f.exists(), s"no exported manifest for '$table' v$version")
+    val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    s.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
   /** Change Data Feed analog: row-level changes between two committed
     * versions, derived as a keyed snapshot diff —
     * `_change_type` ∈ insert | delete | update_preimage |
@@ -476,11 +525,29 @@ final class VersionedTableIO(root: String,
       fromVersion: Long, toVersion: Long, keys: Seq[String]): DataFrame = {
     require(fromVersion < toVersion,
       s"fromVersion $fromVersion must precede toVersion $toVersion")
-    val before = readVersion(spark, table, fromVersion)
-    val after = readVersion(spark, table, toVersion)
+    val beforeRaw = readVersion(spark, table, fromVersion)
+    val afterRaw = readVersion(spark, table, toVersion)
+    // Schema evolution across the diffed range: align both snapshots to
+    // the UNION of their columns (Delta CDF's "read at the latest
+    // schema" contract) — a column added between the versions surfaces
+    // as null on the before side, so widened rows whose old columns are
+    // unchanged do NOT read as updates (null <=> null holds in the
+    // struct compare below). Column order: after's (the evolved
+    // schema), then any before-only columns.
+    val unionCols: Seq[(String, org.apache.spark.sql.types.DataType)] = {
+      val beforeTypes = beforeRaw.schema.map(f => f.name -> f.dataType)
+      afterRaw.schema.map(f => f.name -> f.dataType) ++
+        beforeTypes.filterNot(c => afterRaw.columns.contains(c._1))
+    }
+    require(keys.forall(k => unionCols.exists(_._1 == k)),
+      s"diff keys ${keys.mkString(",")} missing from both snapshots")
+    def align(df: DataFrame): DataFrame =
+      df.select(unionCols.map { case (c, t) =>
+        if (df.columns.contains(c)) col(c) else lit(null).cast(t).as(c)
+      }: _*)
+    val before = align(beforeRaw)
+    val after = align(afterRaw)
     val valueCols = before.columns.filterNot(keys.contains)
-    require(valueCols.sameElements(after.columns.filterNot(keys.contains)),
-      "schema changed between versions — diff the common columns yourself")
     def packed(df: DataFrame, tag: String): DataFrame =
       df.select(keys.map(col) :+
         struct(valueCols.map(col): _*).as(s"__row_$tag"): _*)

@@ -113,6 +113,26 @@ object CorpusQueries {
       .select("doc_id", "cluster_id", "cluster_size")
   }
 
+  /** INCREMENTAL cluster maintenance (Clusters.updateClusters): the
+    * q84 pair set arrives in two batches — "history" (both endpoints
+    * < 40, already folded into labels) and "today" (the rest). The
+    * incremental path contracts old components to their labels and
+    * propagates only over the BATCH pairs (old edges never re-read),
+    * then relabels. Result must equal the from-scratch labels over
+    * the UNION pair set — q84's recursive-CTE oracle verbatim. */
+  val qIncrementalClusters: QueryDef = QueryDef(
+    "q144_incremental_clusters", qDedupClusters.oracle.get) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 60)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.7)
+      .select("id_a", "id_b")
+    val oldPairs = pairs.filter(col("id_a") < 40 && col("id_b") < 40)
+    val newPairs = pairs.filter(!(col("id_a") < 40 && col("id_b") < 40))
+    val oldLabels = Clusters.connectedComponents(oldPairs, "id_a", "id_b")
+    Clusters.dedupClustersIncremental(docs.select("doc_id"), oldLabels,
+      newPairs, "doc_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+  }
+
   /** The composed corpus-curation pipeline (scale.Curation): quality
     * filter → exact dedup → MinHash near-dup pairs → connected
     * components → representative per cluster → content-hash split.
@@ -890,34 +910,68 @@ object CorpusQueries {
     * query term. The oracle replays the exact float shape: exact-long
     * tf/df/N/Σdl, avgdl as sum-then-divide, the same ln/idf/denominator
     * expression — scores are bit-stable between engines. */
+  /** q138/q141 shared oracle prefix: everything up to the per-(doc,
+    * term) scored postings (`sc`) — the exact float shape
+    * Retrieval.scoredPostings produces. */
+  private def bm25ScoredSql(terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |    x -> x <> '') AS toks
+       |  FROM documents),
+       |d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+       |s AS (SELECT count(*) AS n,
+       |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+       |  WHERE tok IN ($termList) GROUP BY 1, 2, 3),
+       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.tok,
+       |    round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * ${k1 + 1.0} /
+       |      (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)), 6) AS score
+       |  FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN s)""".stripMargin
+  }
+
   val qBm25: QueryDef = QueryDef(
-    "q138_bm25", {
-      val (k1, b) = (1.2, 0.75)
-      s"""WITH t AS (
-         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
-         |    x -> x <> '') AS toks
-         |  FROM documents),
-         |d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
-         |s AS (SELECT count(*) AS n,
-         |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
-         |tf AS (
-         |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
-         |  WHERE tok IN ('join', 'vector', 'scan') GROUP BY 1, 2, 3),
-         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |sc AS (
-         |  SELECT tf.doc_id, tf.tok,
-         |    round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * ${k1 + 1.0} /
-         |      (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)), 6) AS score
-         |  FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN s),
-         |r AS (
-         |  SELECT tok AS term, doc_id, score,
-         |    CAST(row_number() OVER (PARTITION BY tok
-         |      ORDER BY score DESC, doc_id ASC) AS INT) AS rank
-         |  FROM sc)
-         |SELECT term, doc_id, score, rank FROM r WHERE rank <= 10""".stripMargin
-    }) { (s, dir) =>
+    "q138_bm25",
+    s"""${bm25ScoredSql(Seq("join", "vector", "scan"))},
+       |r AS (
+       |  SELECT tok AS term, doc_id, score,
+       |    CAST(row_number() OVER (PARTITION BY tok
+       |      ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+       |  FROM sc)
+       |SELECT term, doc_id, score, rank FROM r WHERE rank <= 10""".stripMargin) { (s, dir) =>
     graft.scale.Retrieval.bm25(Tables.load(s, dir, "documents"),
+      "doc_id", "text", terms = Seq("join", "vector", "scan"), k = 10)
+  }
+
+  /** Per-DOCUMENT multi-term BM25 (Retrieval.bm25Query) — the
+    * user-facing retrieval shape: one query of several terms, each
+    * document scored by the SUM of its q138 per-term scores, top-k
+    * documents overall. The sum is replayed by the oracle as the same
+    * fixed left-to-right coalesce chain (term pivot), so the total —
+    * not just each addend — is bit-stable between engines. */
+  val qBm25Query: QueryDef = QueryDef(
+    "q141_bm25_query", {
+      val terms = Seq("join", "vector", "scan")
+      val chain = terms.map(t =>
+        s"coalesce(max(CASE WHEN tok = '$t' THEN score END), 0.0)")
+        .mkString(" +\n       |    ")
+      s"""${bm25ScoredSql(terms)},
+         |q AS (
+         |  SELECT doc_id, round($chain, 6) AS score
+         |  FROM sc GROUP BY doc_id),
+         |r AS (
+         |  SELECT doc_id, score,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         |      AS rank
+         |  FROM q)
+         |SELECT doc_id, score, rank FROM r WHERE rank <= 10""".stripMargin
+    }) { (s, dir) =>
+    graft.scale.Retrieval.bm25Query(Tables.load(s, dir, "documents"),
       "doc_id", "text", terms = Seq("join", "vector", "scan"), k = 10)
   }
 
@@ -947,5 +1001,6 @@ object CorpusQueries {
       qDecontaminate, qShardAssign, qSequencePack, qWeightedSample,
       qSemanticDedup, qParagraphDedup, qQuotaSample, qTemperatureMix,
       qCurationV2, qIncrementalDedup, qHeavyHitters, qIndexMaintenance,
-      qStreamIndexDedup, qTopGramsPerLang, qBm25, qBm25Incremental)
+      qStreamIndexDedup, qTopGramsPerLang, qBm25, qBm25Incremental,
+      qBm25Query, qIncrementalClusters)
 }

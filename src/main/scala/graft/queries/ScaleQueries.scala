@@ -342,6 +342,74 @@ object ScaleQueries {
       minCosine = 0.9, dim = 64, nPlanes = 8, bands = 2)
   }
 
+  /** ANN recall as a CHECKED contract (Similarity.lshRecall): per
+    * query, recall@5 of the banded-LSH candidate set vs the exact
+    * brute-force top-5 over the planted-near-dup corpus (the q117
+    * augmentation), with the corpus-wide mean recall gated in-plan by
+    * assert_true — the q133 exactness-gate pattern applied to ANN.
+    * The oracle replays buckets, candidates, hits and the mean with
+    * exact-long arithmetic, so the recall NUMBER (not just the rows)
+    * is cross-engine-checked. The 0.15 floor sits ~30% under the
+    * measured mean (0.21 at sf0.01): almost every 0.9996-cosine
+    * planted copy lands in a shared bucket (8 planes × 2 bands — a
+    * rare per-query miss is possible and the near-orthogonal noise
+    * neighbors are intentionally hard), so the mean holds the floor
+    * while a systematic banding regression trips the gate. */
+  val qAnnRecall: QueryDef = QueryDef(
+    "q142_ann_recall", {
+      val (dim, nPlanes, bands, seed, k) = (64, 8, 2, 42L, 5)
+      def bandSelects(rel: String) = (0 until bands).map { bnd =>
+        s"SELECT vec_id, $bnd AS band, " +
+          s"${lshBucketSql(dim, nPlanes, seed + bnd)} AS bucket FROM $rel"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |              FROM embeddings),
+         |e AS (SELECT vec_id, v FROM base
+         |      UNION ALL
+         |      SELECT vec_id + 100000,
+         |        list_transform(v, x -> x * 0.95 + 0.01) FROM base),
+         |q AS (SELECT vec_id, v FROM base WHERE vec_id < 50),
+         |sims AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(q.v, e.v), 6) AS sim
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.vec_id),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |    FROM sims) WHERE rank <= $k),
+         |qb AS (${bandSelects("q")}),
+         |cb AS (${bandSelects("e")}),
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM qb JOIN cb ON qb.band = cb.band AND qb.bucket = cb.bucket
+         |  WHERE cb.vec_id <> qb.vec_id),
+         |hits AS (
+         |  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM brute b JOIN cand c
+         |    ON b.query_id = c.query_id AND b.neighbor_id = c.neighbor_id
+         |  GROUP BY 1),
+         |perq AS (
+         |  SELECT dq.query_id, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit
+         |  FROM (SELECT DISTINCT query_id FROM brute) dq
+         |  LEFT JOIN hits h ON dq.query_id = h.query_id),
+         |tot AS (SELECT CAST(sum(n_hit) AS DOUBLE) / (count(*) * $k)
+         |          AS mean_recall FROM perq)
+         |SELECT query_id, n_hit, n_hit / $k.0 AS recall, mean_recall
+         |FROM perq CROSS JOIN tot""".stripMargin
+    }) { (s, dir) =>
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val perturbed = base.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x * 0.95 + 0.01).as("embedding"))
+    Similarity.lshRecall(base.unionByName(perturbed),
+      base.filter(col("vec_id") < 50), "vec_id", "embedding",
+      k = 5, dim = 64, nPlanes = 8, bands = 2, seed = 42L,
+      minMeanRecall = 0.15)
+  }
+
   val qTokenStats: QueryDef = QueryDef(
     "q46_token_stats",
     s"""SELECT doc_id,
@@ -623,7 +691,7 @@ object ScaleQueries {
   }
 
   val all: Seq[QueryDef] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh,
-    qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qDedupEmbedding,
+    qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qAnnRecall, qDedupEmbedding,
     qDedupEmbeddingLsh, qTokenStats, qQuality, qLangId,
     qFingerprint, qMultimodal, qTfidf, qApproxPercentile, qSplit, qStratified,
     qVectorQuantize, qFrameSample, qSurprisal, qBigramSurprisal,

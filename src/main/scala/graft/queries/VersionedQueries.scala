@@ -54,6 +54,12 @@ object VersionedQueries {
       io.append(bucketed.filter(col("bucket_key") >= 1000 &&
         col("bucket_key") < 2000), "pr")
       io.append(bucketed.filter(col("bucket_key") >= 2000), "pr")
+      // exported plain-file manifest of tt v2: q140's external read
+      io.exportManifest("tt", 2L)
+      // "evo": write-side schema evolution — v1 narrow, v2 adds `flag`
+      io.overwrite(orders.filter(col("o_orderkey") % 3 === 0), "evo")
+      io.append(orders.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("flag", col("o_orderkey") % 2), "evo")
       // "rst": overwrite then roll back — RESTORE as a metadata commit
       io.overwrite(orders.filter(col("o_orderkey") % 3 === 0), "rst")
       io.overwrite(orders, "rst")
@@ -226,7 +232,57 @@ object VersionedQueries {
         round(col("o_totalprice_sum"), 2).as("total"))
   }
 
+  /** External-reader contract (the reference's defining trait: Trino
+    * reads every Delta table Spark writes, via the shared metastore —
+    * trino/etc/catalog/delta.properties:1-8). The exported per-version
+    * manifest is consumed here by a PLAIN parquet read: the file list
+    * comes from manifest.txt via java.nio (no VersionedTableIO scan
+    * code anywhere in the plan), fed straight to spark.read.parquet —
+    * exactly what a second engine would do. Content must equal
+    * snapshot v2 (pre-merge: the ≡0 overwrite + ≡1 append, original
+    * prices). VersionedTableSpec asserts the same external read keeps
+    * parquet filter pushdown. */
+  val qManifestExport: QueryDef = QueryDef(
+    "q140_manifest_export",
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders WHERE o_orderkey % 3 <= 1""".stripMargin) { (s, dir) =>
+    val root = builtRoot(s, dir)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$root/tt/_graft_manifests/2/manifest.txt"))
+    val files = scala.jdk.CollectionConverters.ListHasAsScala(lines)
+      .asScala.toSeq.filter(_.nonEmpty)
+    s.read.parquet(files: _*)
+  }
+
+  /** Schema evolution across versioned commits (the reference evolves
+    * schema on every append — uber/csv_to_delta.py:95,
+    * coin/convert_to_delta.py:163): v2 appends a `flag` column the v1
+    * overwrite lacks. The head snapshot surfaces v1 rows with null
+    * flag (read-side mergeSchema); the change feed diffs ACROSS the
+    * schema boundary at the evolved schema — widened-but-unchanged
+    * rows are NOT updates (null-safe struct compare), the appended
+    * keys are inserts carrying the new column. Old-version reads
+    * staying narrow is asserted in VersionedTableSpec. */
+  val qSchemaEvolution: QueryDef = QueryDef(
+    "q143_schema_evolution",
+    """SELECT o_orderkey, o_totalprice,
+      |  CASE WHEN o_orderkey % 3 = 1 THEN CAST(o_orderkey % 2 AS BIGINT) END
+      |    AS flag,
+      |  'snapshot' AS part
+      |FROM orders WHERE o_orderkey % 3 <= 1
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, CAST(o_orderkey % 2 AS BIGINT),
+      |  'insert'
+      |FROM orders WHERE o_orderkey % 3 = 1""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    val head = io.read(s, "evo").withColumn("part", lit("snapshot"))
+    val cdf = io.readChanges(s, "evo", fromVersion = 1L, toVersion = 2L,
+        keys = Seq("o_orderkey"))
+      .withColumnRenamed("_change_type", "part")
+    head.unionByName(cdf)
+  }
+
   val all: Seq[QueryDef] = Seq(qTimeTravel, qVersionedVacuum, qChangeFeed,
     qStatsPrune, qRestore, qVersionedDml, qCdfIncrementalGold,
-    qStreamCdfGold)
+    qStreamCdfGold, qManifestExport, qSchemaEvolution)
 }

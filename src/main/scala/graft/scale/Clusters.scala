@@ -74,16 +74,87 @@ object Clusters {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
-  /** Assign EVERY row of `docs` to a cluster: members of a pair-graph
-    * component get the component's min id, untouched docs are
-    * singletons (their own id). Adds `cluster_id` and `cluster_size`. */
-  def dedupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
-      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val comp = connectedComponents(pairs, aCol, bCol)
-      .withColumnRenamed("node", idCol)
+  /** INCREMENTAL component maintenance — fold a new batch of pairs
+    * into existing (node, cluster_id) labels WITHOUT re-walking the
+    * old pair set (the delta form the index-dedup story needs: q132/
+    * q134/q135 mark duplicates incrementally; this keeps the cluster
+    * labels incremental too).
+    *
+    * Key idea: old components can be CONTRACTED to their label — a new
+    * edge (a, b) merges whole components, so it suffices to run
+    * min-label propagation on the contracted graph whose nodes are
+    * current labels (plus previously-unseen ids, labeled with
+    * themselves). Because an existing label IS the min id of its old
+    * component, the contracted fixpoint's min is the global min id of
+    * the merged component — identical to from-scratch labels over the
+    * union graph (q144 proves equality against the recursive-CTE
+    * oracle on old ∪ new pairs).
+    *
+    * Cost: CC on O(new pairs) contracted edges (diameter-bounded
+    * rounds over the BATCH, never the corpus) + one broadcast-sized
+    * relabel join of the label table against the touched-label map —
+    * old edges are never read, so a daily batch costs O(batch), not
+    * O(corpus history).
+    */
+  def updateClusters(labels: DataFrame, newPairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val lab = labels.select(col("node"), col("cluster_id"))
+    // each endpoint → its current label; previously-unseen ids label
+    // themselves (coalesce after the left joins)
+    val mapped = newPairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .join(lab.withColumnRenamed("node", "a")
+        .withColumnRenamed("cluster_id", "la"), Seq("a"), "left")
+      .join(lab.withColumnRenamed("node", "b")
+        .withColumnRenamed("cluster_id", "lb"), Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("la"),
+        coalesce(col("lb"), col("b")).as("lb"))
+    val merged = connectedComponents(
+      mapped.filter(col("la") =!= col("lb")), "la", "lb", maxIter)
+      .withColumnRenamed("node", "old_label")
+      .withColumnRenamed("cluster_id", "new_label")
+    // relabel the existing table (labels untouched by the batch keep
+    // their cluster), then add rows for genuinely new nodes
+    val relabeled = lab
+      .join(broadcast(merged).withColumnRenamed("old_label", "cluster_id"),
+        Seq("cluster_id"), "left")
+      .select(col("node"),
+        coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
+    val newNodes = newPairs.select(col(aCol).cast("long").as("node"))
+      .unionByName(newPairs.select(col(bCol).cast("long").as("node")))
+      .distinct()
+      .join(lab.select("node"), Seq("node"), "left_anti")
+      .join(broadcast(merged).withColumnRenamed("old_label", "node"),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("new_label"), col("node")).as("cluster_id"))
+    relabeled.unionByName(newNodes)
+  }
+
+  /** Assign EVERY row of `docs` to a cluster given a computed
+    * (idCol-named node, cluster_id) component table: members get the
+    * component's min id, untouched docs are singletons (their own id).
+    * Adds `cluster_id` and `cluster_size`. */
+  private def assign(docs: DataFrame, comp: DataFrame,
+      idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     docs.join(comp, Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
       .withColumn("cluster_size", count(lit(1)).over(w))
   }
+
+  /** [[assign]] over from-scratch components of `pairs`. */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+    assign(docs, connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("node", idCol), idCol)
+
+  /** [[assign]] over INCREMENTALLY maintained components: existing
+    * labels folded with a new pair batch via [[updateClusters]]. */
+  def dedupClustersIncremental(docs: DataFrame, labels: DataFrame,
+      newPairs: DataFrame, idCol: String,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+    assign(docs, updateClusters(labels, newPairs, aCol, bCol)
+      .withColumnRenamed("node", idCol), idCol)
 }

@@ -413,7 +413,7 @@ object Dedup {
     * stream shared by [[embeddingNearDupsBucketed]] (self-join) and
     * [[dedupVectorsAgainstIndex]] (batch-vs-index) — one definition of
     * the per-band seed derivation and bucket projection. */
-  private def vecBanded(df: DataFrame, idCol: String, vecCol: String,
+  private[scale] def vecBanded(df: DataFrame, idCol: String, vecCol: String,
       outId: String, outVec: String, dim: Int, nPlanes: Int, bands: Int,
       seed: Long): DataFrame = df
     .select(col(idCol).as(outId), col(vecCol).cast("array<double>").as(outVec))

@@ -26,6 +26,15 @@ import org.apache.spark.sql.functions._
   * most `capacity` keys (pass 2). Two scans of the gram stream is the
   * standard price; feed a cached/columnar source when iterating.
   *
+  * DETERMINISM REQUIREMENT: the exactness proof binds only if the
+  * source yields the SAME rows on both scans — the containment bar
+  * from pass 1 is applied to pass 2's recount. Static tables (parquet
+  * scans, the engine's versioned snapshots) satisfy this by
+  * construction; a nondeterministic or sampled input (rand() filters,
+  * unseeded sampling, a live stream) must be persisted/checkpointed
+  * UPSTREAM before calling in, or the gate silently certifies counts
+  * from a different corpus than the sketch saw.
+  *
   * The driver-side `first()` pulls one row of ≤ capacity strings —
   * bounded by construction, same discipline as the k×dim centroid
   * collect in [[KMeans]].

@@ -1,35 +1,51 @@
 package graft.scale
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lexical retrieval scoring — the BM25 side of the search story (the
   * ANN operators in [[Similarity]] are its dense counterpart).
   *
-  * Scale shape: one tokenize pass; the gram explode is filtered to the
-  * query-term set BEFORE any shuffle, so the (doc, term) aggregate
-  * carries only matching postings (≪ corpus tokens); document-frequency
-  * and the (N, avgdl) corpus stats are term-count / single-row frames
-  * broadcast into the scoring projection; the final top-k per term is
-  * a rank window over the scored postings (WindowGroupLimit prunes).
-  * Nothing ever shuffles the text column.
+  * Scale shape: both subtrees derive from ONE shared tokenized
+  * projection ([[tokenized]]); the one-shot [[bm25]] still SCANS the
+  * corpus twice (postings + corpus stats are independent aggregates —
+  * that is inherent to the declarative one-shot form), while the
+  * production path is the incremental pair [[bm25StatsDelta]] +
+  * [[bm25WithStats]], which tokenizes each document exactly once at
+  * ingest and never re-reads the corpus to score. The gram explode is
+  * filtered to the query-term set BEFORE any shuffle, so the
+  * (doc, term) aggregate carries only matching postings (≪ corpus
+  * tokens); document-frequency and the (N, avgdl) corpus stats are
+  * term-count / single-row frames broadcast into the scoring
+  * projection; the final top-k is a rank window over the scored
+  * postings (WindowGroupLimit prunes). Nothing ever shuffles the text
+  * column.
   *
   * Determinism: every float is derived from exact longs (tf, df, N,
   * Σdl) with a fixed expression shape — avgdl is exact-sum-then-divide,
   * NOT a float avg (partial-sum order would differ between engines) —
-  * so scores are bit-stable and oracle-checkable.
+  * so scores are bit-stable and oracle-checkable. Multi-term document
+  * scores ([[bm25Query]]) sum the per-term scores in the CALLER'S term
+  * order as one fixed left-to-right expression, never a float `sum`
+  * aggregate whose combine order could vary.
   */
 object Retrieval {
+
+  /** (idCol, __toks, __dl) — the single tokenized projection every
+    * other frame here derives from. */
+  private def tokenized(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("__dl"))
 
   /** (idCol, __dl, __t, __tf) postings for the query-term set — the
     * per-document side of BM25, shared by the one-shot and
     * incremental-stats forms. */
-  private def postings(docs: DataFrame, idCol: String, textCol: String,
+  private def postings(toks: DataFrame, idCol: String,
       terms: Seq[String]): DataFrame =
-    docs
-      .select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), col("__toks"), size(col("__toks")).as("__dl"))
+    toks
       .select(col(idCol), col("__dl"), explode(col("__toks")).as("__t"))
       .filter(col("__t").isInCollection(terms))
       .groupBy(col(idCol), col("__t"), col("__dl"))
@@ -44,9 +60,7 @@ object Retrieval {
     * and never re-scans the corpus to refresh df/N/avgdl. */
   def bm25StatsDelta(batch: DataFrame, idCol: String, textCol: String,
       terms: Seq[String]): DataFrame = {
-    val toks = batch
-      .select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), size(col("__toks")).as("__dl"), col("__toks"))
+    val toks = tokenized(batch, idCol, textCol)
     val corpus = toks.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__s"))
       .select(explode(array(
         struct(lit("corpus").as("stat"), lit("n_docs").as("key"),
@@ -70,6 +84,14 @@ object Retrieval {
   def bm25WithStats(docs: DataFrame, statsRows: DataFrame, idCol: String,
       textCol: String, terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    val (dfreq, corpus) = foldStats(statsRows)
+    rankPerTerm(scoredPostings(
+      postings(tokenized(docs, idCol, textCol), idCol, terms),
+      dfreq, corpus, k1, b), idCol, k)
+  }
+
+  /** (dfreq, corpus) frames from maintained additive stats rows. */
+  private def foldStats(statsRows: DataFrame): (DataFrame, DataFrame) = {
     val folded = statsRows.groupBy(col("stat"), col("key"))
       .agg(sum(col("n")).as("n"))
     val corpus = folded.filter(col("stat") === "corpus")
@@ -80,8 +102,7 @@ object Retrieval {
         (col("__sumdl").cast("double") / col("__N")).as("__avgdl"))
     val dfreq = folded.filter(col("stat") === "df")
       .select(col("key").as("__t"), col("n").as("__df"))
-    score(postings(docs, idCol, textCol, terms), dfreq, corpus,
-      idCol, k, k1, b)
+    (dfreq, corpus)
   }
 
   /** Top-k documents per query term by BM25 (Robertson/Lucene IDF:
@@ -90,19 +111,48 @@ object Retrieval {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val tf = postings(docs, idCol, textCol, terms)
-    val toks = docs
-      .select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), size(col("__toks")).as("__dl"))
+    val toks = tokenized(docs, idCol, textCol)
+    val tf = postings(toks, idCol, terms)
     val stats = toks.agg(count(lit(1)).as("__N"),
       (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
     val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
-    score(tf, dfreq, stats, idCol, k, k1, b)
+    rankPerTerm(scoredPostings(tf, dfreq, stats, k1, b), idCol, k)
   }
 
-  private def score(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
-      idCol: String, k: Int, k1: Double, b: Double): DataFrame = {
-    val scored = tf
+  /** The user-facing retrieval shape: a multi-term QUERY scored per
+    * document — score(doc) = Σ over query terms of the q138 per-term
+    * BM25 score — then top-k documents. The sum is a FIXED left-to-
+    * right chain of coalesce(score_t, 0) in the caller's term order
+    * (one expression per term out of a pivot), not a float aggregate,
+    * so the total is bit-stable and the oracle replays it verbatim.
+    * Output: (idCol, score rounded to 6, rank ≤ k). */
+  def bm25Query(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = tokenized(docs, idCol, textCol)
+    val tf = postings(toks, idCol, terms)
+    val stats = toks.agg(count(lit(1)).as("__N"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val scored = scoredPostings(tf, dfreq, stats, k1, b)
+    // pivot each term's score into its own aggregate, then add in the
+    // given term order — deterministic float combine, unlike sum()
+    val perTerm: Seq[Column] = terms.map(t =>
+      coalesce(max(when(col("__t") === t, col("score"))), lit(0.0)))
+    val total = round(perTerm.reduce(_ + _), 6)
+    scored.groupBy(col(idCol))
+      .agg(total.as("score"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col(idCol).asc)).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("score"), col("rank"))
+  }
+
+  /** Per-(doc, term) BM25 scores (rounded to 6), shared by the
+    * per-term and per-document ranking forms. */
+  private def scoredPostings(tf: DataFrame, dfreq: DataFrame,
+      stats: DataFrame, k1: Double, b: Double): DataFrame =
+    tf
       .join(broadcast(dfreq), Seq("__t"))
       .crossJoin(broadcast(stats.select(col("__N"), col("__avgdl"))))
       .withColumn("__idf",
@@ -112,11 +162,13 @@ object Retrieval {
         col("__idf") * col("__tf") * lit(k1 + 1.0) /
           (col("__tf") + lit(k1) *
             (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))), 6))
+
+  private def rankPerTerm(scored: DataFrame, idCol: String,
+      k: Int): DataFrame =
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("__t"))
           .orderBy(col("score").desc, col(idCol).asc)))
       .filter(col("rank") <= k)
       .select(col("__t").as("term"), col(idCol), col("score"), col("rank"))
-  }
 }

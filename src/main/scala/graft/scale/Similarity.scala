@@ -118,6 +118,56 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Recall@k of banded sign-LSH candidate generation as a CHECKED
+    * contract: for each query, the fraction of the exact brute-force
+    * top-k ([[bruteForceTopK]]) that the banded candidate set
+    * ([[Dedup.vecBanded]], `bands` independently-seeded bucket
+    * projections) retains. The corpus-wide MEAN recall is gated
+    * in-plan with `assert_true` — a recall regression fails the query
+    * instead of silently degrading the index (the q133 exactness-gate
+    * pattern applied to ANN).
+    *
+    * Determinism: per-query recall is n_hit/k and the mean is
+    * Σ n_hit / (n_queries · k) — exact-long arithmetic divided once,
+    * never a float `avg` whose combine order could drift.
+    *
+    * Scale shape: the ground-truth side is the broadcast-query brute
+    * pass (|Q| small by contract); the candidate side is the banded
+    * bucket join with the corpus never broadcast — the same plan the
+    * production dedup path runs, so the measured recall is the
+    * deployed operator's recall, not a proxy's. */
+  def lshRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, nPlanes: Int, bands: Int,
+      seed: Long, minMeanRecall: Double): DataFrame = {
+    val brute = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val cand = Dedup.vecBanded(queries, idCol, vecCol, "query_id", "__qv",
+        dim, nPlanes, bands, seed)
+      .select(col("query_id"), col("__band"), col("__bucket"))
+      .join(Dedup.vecBanded(corpus, idCol, vecCol, "neighbor_id", "__cv",
+          dim, nPlanes, bands, seed)
+        .select(col("neighbor_id"), col("__band"), col("__bucket"))
+        .hint("shuffle_hash"),
+        Seq("__band", "__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val hits = brute.join(cand, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    val perQuery = brute.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+    val totals = perQuery
+      .agg(sum(col("n_hit")).as("__tot"), count(lit(1)).as("__nq"))
+      .select((col("__tot").cast("double") /
+        (col("__nq") * k).cast("double")).as("mean_recall"))
+    perQuery.crossJoin(broadcast(totals))
+      .withColumn("recall", col("n_hit").cast("double") / lit(k.toDouble))
+      .filter(assert_true(col("mean_recall") >= minMeanRecall,
+        lit(f"ANN recall contract violated: mean recall@$k < " +
+          f"$minMeanRecall%.2f — re-tune planes/bands")).isNull)
+      .select(col("query_id"), col("n_hit"), col("recall"),
+        col("mean_recall"))
+  }
+
   /** LSH-bucketed ANN: candidates share the query's bucket; top-k by
     * exact cosine within candidates. Returns the same shape as
     * bruteForceTopK (rank gaps where the bucket has < k members). */

@@ -110,6 +110,7 @@ class CatalogSpec extends AnyFunSuite {
     def fork(mode: String): String = {
       val cmd = Seq(javaBin) ++ addOpens ++ Seq(
         "-Xmx2g", "-Dspark.ui.enabled=false",
+        "-Dderby.stream.error.file=target/derby.log",
         "-cp", System.getProperty("java.class.path"),
         "graft.tools.MetastoreCheck", mode, base, s"$base/warehouse")
       val pb = new ProcessBuilder(cmd: _*)

@@ -5,6 +5,8 @@ import org.apache.spark.sql.SparkSession
 /** One shared session for the whole forked test JVM. */
 object SparkTestSession {
   lazy val spark: SparkSession = {
+    // keep Derby's log out of the repo root (CatalogSpec side effect)
+    System.setProperty("derby.stream.error.file", "target/derby.log")
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")

@@ -98,6 +98,86 @@ class VersionedTableSpec extends AnyFunSuite {
     })
   }
 
+  test("cross-PROCESS commit race: two forked JVMs race 50 commits each " +
+    "through LocalLinkBackend — one winner per slot, nothing lost or " +
+    "partial") {
+    // the in-JVM race above shares one filesystem view through one
+    // kernel fd table; link(2)'s EEXIST guarantee is only really proven
+    // with two PROCESSES (the CatalogSpec fork harness, minus Spark —
+    // the primitive under test is pure filesystem)
+    val dir = java.nio.file.Files.createTempDirectory("graft_xjvm").toString
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    def fork(id: String) = {
+      val pb = new ProcessBuilder(javaBin, "-cp",
+        System.getProperty("java.class.path"),
+        "graft.tools.CommitRaceCheck", dir, id, "50")
+      pb.redirectErrorStream(true)
+      pb.start()
+    }
+    val pa = fork("a")
+    val pb = fork("b")
+    // open the barrier once both are forked so the races overlap
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "START"),
+      Array.empty[Byte])
+    val outA = new String(pa.getInputStream.readAllBytes(), "UTF-8")
+    val outB = new String(pb.getInputStream.readAllBytes(), "UTF-8")
+    assert(pa.waitFor() == 0 && outA.contains("COMMITTED 50"), outA)
+    assert(pb.waitFor() == 0 && outB.contains("COMMITTED 50"), outB)
+    val slots = new File(dir).listFiles((_, n) => n.endsWith(".json"))
+      .sortBy(_.getName)
+    // dense log: exactly one winner per slot
+    assert(slots.map(_.getName.stripSuffix(".json").toLong).toSeq ==
+      (1L to 100L))
+    // every content is COMPLETE valid JSON (no torn write) and every
+    // (writer, seq) committed exactly once — nothing lost or doubled
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val commits = slots.toSeq.map { f =>
+      val n = om.readTree(f)
+      (n.get("writer").asText(), n.get("seq").asLong())
+    }
+    assert(commits.size == 100 && commits.toSet.size == 100)
+    assert(commits.toSet ==
+      (for (w <- Seq("a", "b"); i <- 0L until 50L) yield (w, i)).toSet)
+  }
+
+  test("exported snapshot manifest: a plain parquet reader consumes " +
+    "version N with filter pushdown, no VersionedTableIO scan code") {
+    val (io, _) = freshIo()
+    io.overwrite((1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "x"), "t")
+    io.append((101 to 200).map(i => (i.toLong, i * 2.0)).toDF("k", "x"), "t")
+    io.overwrite(Seq((999L, 0.0)).toDF("k", "x"), "t") // head moves on
+    val files = io.exportManifest("t", 2L)
+    assert(files.nonEmpty && files.forall(_.endsWith(".parquet")))
+    assert(io.readManifestExport("t", 2L) == files)
+    // the EXTERNAL read: plain spark.read over the pinned file list
+    val df = spark.read.parquet(files: _*)
+    assert(df.count() == 200)
+    assert(df.as[(Long, Double)].collect().toSet ==
+      io.readVersion(spark, "t", 2L).as[(Long, Double)].collect().toSet)
+    // pruning survives: the filter reaches the parquet scan as a
+    // pushed filter (footer/row-group skipping), not a post-scan filter
+    val plan = df.filter($"k" === 5L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,5)"), plan)
+  }
+
+  test("schema evolution: old-version reads stay narrow; CDF across the " +
+    "boundary reads at the evolved schema") {
+    val (io, _) = freshIo()
+    io.overwrite(Seq((1L, "a")).toDF("k", "v"), "t")
+    io.append(Seq((2L, "b", 9.0)).toDF("k", "v", "extra"), "t")
+    // time travel to v1 must NOT leak the later column
+    assert(io.readVersion(spark, "t", 1).columns.toSeq == Seq("k", "v"))
+    assert(io.read(spark, "t").columns.sorted.toSeq ==
+      Seq("extra", "k", "v"))
+    val rows = io.readChanges(spark, "t", 1, 2, Seq("k")).collect()
+    // the widened-but-unchanged k=1 row is NOT an update (null-safe
+    // struct compare); the appended key is an insert AT the new schema
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("_change_type") == "insert")
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Double]("extra") == 9.0)
+  }
+
   test("concurrent commit: slot collision is detected and retried") {
     val (io, root) = freshIo()
     io.overwrite(Seq((1, "a")).toDF("k", "v"), "t")
