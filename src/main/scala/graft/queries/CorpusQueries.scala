@@ -133,6 +133,47 @@ object CorpusQueries {
       .select("doc_id", "cluster_id", "cluster_size")
   }
 
+  /** STREAMING cluster maintenance (stream.StreamClusters): the q84
+    * pair set drains as three ordered micro-batches of PAIRS, each
+    * folded into a persisted labels table by Clusters.updateClusters
+    * (contracted-component propagation — earlier batches' pairs are
+    * never re-read). The final labels must equal from-scratch CC over
+    * the whole pair set: q84's recursive-CTE oracle verbatim, which is
+    * the point — however the pair stream was chunked, the maintained
+    * table converges to the batch answer. Replay idempotence (the fold
+    * is the identity on already-merged labels) is StreamingSpec's. */
+  val qStreamClusters: QueryDef = QueryDef(
+    "q147_stream_clusters", qDedupClusters.oracle.get) { (s, dir) =>
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 60)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.7)
+      .select("id_a", "id_b")
+    val srcDir = JFiles.createTempDirectory("graft_sclu_src").toString
+    // one parquet FILE per batch, mtimes 2 min apart so the file source
+    // drains them as three ordered micro-batches (the q135 staging)
+    val t0 = System.currentTimeMillis() - 600000L
+    (0 to 2).foreach { r =>
+      val stage = JFiles.createTempDirectory(s"graft_sclu_b$r").toString
+      pairs.filter((col("id_a") + col("id_b")) % 3 === r)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(srcDir, s"b$r.parquet")
+      JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(t0 + r * 120000L)
+    }
+    val io = new graft.ingest.VersionedTableIO(
+      JFiles.createTempDirectory("graft_sclu_tbl").toString)
+    graft.stream.StreamClusters.run(s, srcDir,
+      JFiles.createTempDirectory("graft_sclu_ck").toString, io,
+      "labels", pairs.schema, maxFilesPerTrigger = Some(1))
+    // an all-empty pair stream never creates the table: all singletons
+    val labels = if (io.exists(s, "labels")) io.read(s, "labels")
+      else s.range(0).select(col("id").as("node"), col("id").as("cluster_id"))
+    Clusters.assignLabels(docs.select("doc_id"), labels, "doc_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+  }
+
   /** The composed corpus-curation pipeline (scale.Curation): quality
     * filter → exact dedup → MinHash near-dup pairs → connected
     * components → representative per cluster → content-hash split.
@@ -975,6 +1016,28 @@ object CorpusQueries {
       "doc_id", "text", terms = Seq("join", "vector", "scan"), k = 10)
   }
 
+  /** Per-document BM25 over INCREMENTALLY MAINTAINED stats — q141's
+    * user-facing retrieval shape composed with q139's additive stats
+    * deltas: the corpus arrives in two batches contributing only
+    * (df, n_docs, sum_dl) delta rows; scoring folds the deltas and
+    * runs q141's pivoted fixed-order sum, so the ranked documents are
+    * BIT-IDENTICAL to the one-shot form and the two queries share one
+    * oracle. This is the production loop: ingest appends a stats
+    * delta, queries score per-doc without ever re-scanning the
+    * corpus for df/N/avgdl. */
+  val qBm25QueryIncremental: QueryDef = QueryDef(
+    "q145_bm25_query_incremental", qBm25Query.oracle.get) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val terms = Seq("join", "vector", "scan")
+    val deltas =
+      graft.scale.Retrieval.bm25StatsDelta(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", terms)
+      .unionByName(graft.scale.Retrieval.bm25StatsDelta(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", terms))
+    graft.scale.Retrieval.bm25QueryWithStats(docs, deltas, "doc_id",
+      "text", terms, k = 10)
+  }
+
   /** BM25 over INCREMENTALLY MAINTAINED corpus stats: the corpus
     * arrives as two batches, each contributing only its additive
     * (df, n_docs, sum_dl) delta rows (Retrieval.bm25StatsDelta — the
@@ -1002,5 +1065,6 @@ object CorpusQueries {
       qSemanticDedup, qParagraphDedup, qQuotaSample, qTemperatureMix,
       qCurationV2, qIncrementalDedup, qHeavyHitters, qIndexMaintenance,
       qStreamIndexDedup, qTopGramsPerLang, qBm25, qBm25Incremental,
-      qBm25Query, qIncrementalClusters)
+      qBm25Query, qIncrementalClusters, qBm25QueryIncremental,
+      qStreamClusters)
 }

@@ -410,6 +410,69 @@ object ScaleQueries {
       minMeanRecall = 0.15)
   }
 
+  /** q142's checked-recall contract for the IVF index: recall@10 of
+    * the 2-of-16-cell probe candidate set vs the brute-force truth,
+    * mean gated at 0.6 in-plan (measured 0.82/0.90/0.98 at
+    * sf0.001/0.01/0.1 — centroid cells track cosine neighborhoods far
+    * better than random sign-planes, which is why IVF is the
+    * scale path when recall matters). The oracle replays cell
+    * assignment (round-9 ranking, q57's machinery), probes,
+    * candidates, and the exact-long mean. */
+  val qIvfRecall: QueryDef = QueryDef(
+    "q146_ivf_recall",
+    """WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id < 5),
+      |cent AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS ce
+      |         FROM embeddings ORDER BY vec_id LIMIT 16),
+      |assigned AS (
+      |  SELECT neighbor_id, cv, cell FROM (
+      |    SELECT c.neighbor_id, c.cv, cent.cell,
+      |      row_number() OVER (PARTITION BY c.neighbor_id
+      |        ORDER BY round(list_cosine_similarity(c.cv, cent.ce), 9) DESC,
+      |                 cent.cell ASC) AS rn
+      |    FROM c CROSS JOIN cent) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, qv, cell FROM (
+      |    SELECT q.query_id, q.qv, cent.cell,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY round(list_cosine_similarity(q.qv, cent.ce), 9) DESC,
+      |                 cent.cell ASC) AS rn
+      |    FROM q CROSS JOIN cent) WHERE rn <= 2),
+      |cand AS (
+      |  SELECT p.query_id, a.neighbor_id
+      |  FROM assigned a JOIN probes p ON a.cell = p.cell
+      |  WHERE a.neighbor_id <> p.query_id),
+      |sims AS (
+      |  SELECT q.query_id, c.neighbor_id,
+      |    round(list_cosine_similarity(q.qv, c.cv), 6) AS sim
+      |  FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id),
+      |brute AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY sim DESC, neighbor_id ASC) AS rank
+      |    FROM sims) WHERE rank <= 10),
+      |hits AS (
+      |  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hit
+      |  FROM brute b JOIN cand c
+      |    ON b.query_id = c.query_id AND b.neighbor_id = c.neighbor_id
+      |  GROUP BY 1),
+      |perq AS (
+      |  SELECT dq.query_id, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit
+      |  FROM (SELECT DISTINCT query_id FROM brute) dq
+      |  LEFT JOIN hits h ON dq.query_id = h.query_id),
+      |tot AS (SELECT CAST(sum(n_hit) AS DOUBLE) / (count(*) * 10)
+      |          AS mean_recall FROM perq)
+      |SELECT query_id, n_hit, n_hit / 10.0 AS recall, mean_recall
+      |FROM perq CROSS JOIN tot""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.ivfRecall(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10, nCells = 16, nProbe = 2,
+      minMeanRecall = 0.6)
+  }
+
   val qTokenStats: QueryDef = QueryDef(
     "q46_token_stats",
     s"""SELECT doc_id,
@@ -691,7 +754,8 @@ object ScaleQueries {
   }
 
   val all: Seq[QueryDef] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh,
-    qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qAnnRecall, qDedupEmbedding,
+    qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qAnnRecall, qIvfRecall,
+    qDedupEmbedding,
     qDedupEmbeddingLsh, qTokenStats, qQuality, qLangId,
     qFingerprint, qMultimodal, qTfidf, qApproxPercentile, qSplit, qStratified,
     qVectorQuantize, qFrameSample, qSurprisal, qBigramSurprisal,

@@ -144,6 +144,13 @@ object Clusters {
       .withColumn("cluster_size", count(lit(1)).over(w))
   }
 
+  /** [[assign]] over an ALREADY-COMPUTED (node, cluster_id) label
+    * table (e.g. one maintained by [[updateClusters]] or
+    * [[graft.stream.StreamClusters]]). */
+  def assignLabels(docs: DataFrame, labels: DataFrame,
+      idCol: String): DataFrame =
+    assign(docs, labels.withColumnRenamed("node", idCol), idCol)
+
   /** [[assign]] over from-scratch components of `pairs`. */
   def dedupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame =

@@ -134,9 +134,28 @@ object Retrieval {
     val stats = toks.agg(count(lit(1)).as("__N"),
       (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
     val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
-    val scored = scoredPostings(tf, dfreq, stats, k1, b)
-    // pivot each term's score into its own aggregate, then add in the
-    // given term order — deterministic float combine, unlike sum()
+    rankPerDoc(scoredPostings(tf, dfreq, stats, k1, b), idCol, terms, k)
+  }
+
+  /** [[bm25Query]] against MAINTAINED stats (the q139 decomposition
+    * applied to the per-document form): postings come from the batch
+    * being scored, df/N/Σdl from folded [[bm25StatsDelta]] rows — the
+    * corpus is never re-scanned, and the scores are bit-identical to
+    * the one-shot [[bm25Query]] on the same corpus (shared oracle). */
+  def bm25QueryWithStats(docs: DataFrame, statsRows: DataFrame,
+      idCol: String, textCol: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (dfreq, corpus) = foldStats(statsRows)
+    rankPerDoc(scoredPostings(
+      postings(tokenized(docs, idCol, textCol), idCol, terms),
+      dfreq, corpus, k1, b), idCol, terms, k)
+  }
+
+  /** Pivot per-term scores into fixed slots, add in the caller's term
+    * order (deterministic float combine, unlike a `sum` aggregate),
+    * rank documents globally. */
+  private def rankPerDoc(scored: DataFrame, idCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
     val perTerm: Seq[Column] = terms.map(t =>
       coalesce(max(when(col("__t") === t, col("score"))), lit(0.0)))
     val total = round(perTerm.reduce(_ + _), 6)

@@ -86,6 +86,20 @@ object Similarity {
     * candidate sets bound the cosine work. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    ivfCandidates(corpus, queries, idCol, vecCol, nCells, nProbe)
+      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** (query_id, neighbor_id, __qv, __cv) candidate pairs of the IVF
+    * index: corpus vectors in any of the query's nProbe nearest cells
+    * — the probe pipeline shared by [[ivfTopK]] and [[ivfRecall]]. */
+  private def ivfCandidates(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, nCells: Int, nProbe: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("__cv"))
     val centroids = corpus.orderBy(col(idCol)).limit(nCells)
@@ -108,14 +122,8 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("__qv"), col("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "sim", "rank")
   }
 
   /** Recall@k of banded sign-LSH candidate generation as a CHECKED
@@ -139,7 +147,6 @@ object Similarity {
   def lshRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, nPlanes: Int, bands: Int,
       seed: Long, minMeanRecall: Double): DataFrame = {
-    val brute = bruteForceTopK(corpus, queries, idCol, vecCol, k)
     val cand = Dedup.vecBanded(queries, idCol, vecCol, "query_id", "__qv",
         dim, nPlanes, bands, seed)
       .select(col("query_id"), col("__band"), col("__bucket"))
@@ -150,6 +157,27 @@ object Similarity {
         Seq("__band", "__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
+    recallGate(bruteForceTopK(corpus, queries, idCol, vecCol, k), cand,
+      k, minMeanRecall, "planes/bands")
+  }
+
+  /** [[lshRecall]] for the IVF index: recall@k of the nProbe-cell
+    * candidate set — the same brute-truth + in-plan mean-recall gate,
+    * measuring the exact candidate pipeline [[ivfTopK]] deploys. */
+  def ivfRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int, nProbe: Int,
+      minMeanRecall: Double): DataFrame = {
+    val cand = ivfCandidates(corpus, queries, idCol, vecCol, nCells, nProbe)
+      .select("query_id", "neighbor_id")
+    recallGate(bruteForceTopK(corpus, queries, idCol, vecCol, k), cand,
+      k, minMeanRecall, "cells/probes")
+  }
+
+  /** Shared recall@k gate: per-query hit counts of `cand` against the
+    * brute truth, the corpus-wide mean as exact-long arithmetic, and
+    * an in-plan assert_true floor. */
+  private def recallGate(brute: DataFrame, cand: DataFrame, k: Int,
+      minMeanRecall: Double, tuneHint: String): DataFrame = {
     val hits = brute.join(cand, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
     val perQuery = brute.select("query_id").distinct()
@@ -163,7 +191,7 @@ object Similarity {
       .withColumn("recall", col("n_hit").cast("double") / lit(k.toDouble))
       .filter(assert_true(col("mean_recall") >= minMeanRecall,
         lit(f"ANN recall contract violated: mean recall@$k < " +
-          f"$minMeanRecall%.2f — re-tune planes/bands")).isNull)
+          f"$minMeanRecall%.2f — re-tune $tuneHint")).isNull)
       .select(col("query_id"), col("n_hit"), col("recall"),
         col("mean_recall"))
   }

@@ -28,6 +28,35 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(got === Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L), (7L, 7L, 1L)))
   }
 
+  test("updateClusters folds a pair batch into existing labels: merges, " +
+    "new components, and a new min id rerooting an old component") {
+    // existing components {1,2,3} and {5,6}
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("node", "cluster_id")
+    // batch: (2,6) merges the two old components; (10,11) is brand new;
+    // (0,5) introduces a SMALLER id than the component it touches
+    val batch = Seq((2L, 6L), (10L, 11L), (0L, 5L)).toDF("id_a", "id_b")
+    val got = Clusters.updateClusters(labels, batch)
+      .as[(Long, Long)].collect().toMap
+    // {0,1,2,3,5,6} all collapse to min id 0; {10,11} to 10
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      5L -> 0L, 6L -> 0L, 10L -> 10L, 11L -> 10L))
+    // must equal from-scratch CC over old-equivalent ∪ new pairs
+    val scratch = Clusters.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+        .unionByName(batch), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === scratch)
+  }
+
+  test("updateClusters with an empty batch is the identity on labels") {
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("node", "cluster_id")
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Clusters.updateClusters(labels, empty)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("Scd2.build collapses runs and closes intervals at the next change") {
     val ch = Seq(
       (1L, "A", "2024-01-01", 1L), (1L, "A", "2024-01-05", 2L),

@@ -267,4 +267,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(m3(300L) === ((1L, 0)) && m3(301L) === ((null, 1)))
     assert(m3.size === 5)
   }
+
+  test("streaming clusters: batches fold into the labels table; a full " +
+      "replay is the identity (idempotent-by-algebra); late pairs merge " +
+      "existing components") {
+    import graft.ingest.VersionedTableIO
+    val srcDir = Files.createTempDirectory("sc_src").toString
+    val io = new VersionedTableIO(Files.createTempDirectory("sc_tbl").toString)
+    val t0 = System.currentTimeMillis() - 600000L
+    def addFile(name: String, mtime: Long, rows: Seq[(Long, Long)]): Unit = {
+      val stage = Files.createTempDirectory("sc_stage").toString
+      rows.toDF("id_a", "id_b").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    addFile("b1.parquet", t0, Seq((1L, 2L), (5L, 6L)))
+    addFile("b2.parquet", t0 + 120000L, Seq((2L, 6L))) // merges the two
+    val schema = Seq((0L, 0L)).toDF("id_a", "id_b").schema
+    def drain(ck: String): Unit = graft.stream.StreamClusters.run(
+      spark, srcDir, ck, io, "labels", schema, maxFilesPerTrigger = Some(1))
+    def labels() = io.read(spark, "labels")
+      .as[(Long, Long)].collect().toMap
+    drain(Files.createTempDirectory("sc_ck1").toString)
+    val l1 = labels()
+    assert(l1 === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L))
+    // FULL replay from a fresh checkpoint: the fold maps every endpoint
+    // to its already-merged label → contracted self-loops → identity
+    val vBefore = io.versions("labels").size
+    drain(Files.createTempDirectory("sc_ck2").toString)
+    assert(labels() === l1)
+    assert(io.versions("labels").size > vBefore) // replay committed, same content
+    // a late batch with a smaller id reroots the merged component
+    addFile("b3.parquet", t0 + 240000L, Seq((0L, 6L)))
+    drain(Files.createTempDirectory("sc_ck3").toString)
+    assert(labels() === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 0L,
+      6L -> 0L))
+  }
 }
