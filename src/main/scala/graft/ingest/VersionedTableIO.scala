@@ -5,7 +5,7 @@ import java.io.File
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, struct, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, floor, greatest, least, lit, max, min, shiftleft, shiftrightunsigned, struct, when}
 
 /** One committed snapshot of a versioned table: the ordered list of
   * immutable data directories that make it up, plus carried-forward
@@ -299,19 +299,33 @@ final class VersionedTableIO(root: String,
     * write recomputes against the new head — Delta's
     * ConcurrentAppendException semantics, resolved by retry here. */
   private def rewriteSnapshot(spark: SparkSession, table: String,
-      op: String)(transform: DataFrame => DataFrame): Unit = {
+      op: String)(transform: DataFrame => DataFrame): Unit =
+    rewriteSnapshotEx(spark, table, op) { cur =>
+      val (rel, st) = writeDataDir(transform(cur), table)
+      (Seq(rel), Map(rel -> st))
+    }
+
+  /** [[rewriteSnapshot]] generalized to writers that produce SEVERAL
+    * data dirs in one commit (e.g. [[compactZOrder]]'s one-dir-per-
+    * z-bucket layout). `write` materializes the new snapshot from the
+    * current one and returns the written rel dirs + their stats; the
+    * commit lands only if the version it read is still the head. */
+  private def rewriteSnapshotEx(spark: SparkSession, table: String,
+      op: String)(
+      write: DataFrame => (Seq[String], Map[String, Map[String, Seq[Double]]])): Unit = {
     var attempts = 0
     while (attempts < 10) {
       val baseVersion = latestVersion(table)
-      val (rel, st) = writeDataDir(
-        transform(readVersion(spark, table, baseVersion)), table)
+      val (rels, st) = write(readVersion(spark, table, baseVersion))
       val committed = commitLoopEx(table, op) { base =>
         if (base.map(_.version).contains(baseVersion))
-          Some((Seq(rel), Map(rel -> st), Map.empty[String, String]))
+          Some((rels, st, Map.empty[String, String]))
         else None // head moved since we read: stale result, recompute
       }
       if (committed.isDefined) return
-      FsOps.deleteRecursively(new File(s"${tableDir(table)}/$rel"))
+      // nested rels (data/<uuid>/__zb=k) share one staging root: drop it
+      rels.map(_.split("/").take(2).mkString("/")).distinct.foreach(r =>
+        FsOps.deleteRecursively(new File(s"${tableDir(table)}/$r")))
       attempts += 1
     }
     throw new IllegalStateException(
@@ -343,6 +357,71 @@ final class VersionedTableIO(root: String,
     val cols = clusterCols.map(col)
     rewriteSnapshot(spark, table, "compact")(
       _.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*))
+  }
+
+  /** OPTIMIZE ZORDER analog — MULTI-dimensional clustering.
+    * [[compactClustered]]'s linear sort tightens stats on its leading
+    * column only: a predicate on the second column still scans every
+    * dir. Z-ordering interleaves the bits of all cluster columns'
+    * normalized 8-bit keys into one z-value and cuts the snapshot into
+    * `numDirs` z-RANGE buckets, each committed as its own data dir
+    * with its own min/max stats — so [[readPruned]] on ANY clustered
+    * column skips the dirs whose bit-prefix excludes the range (with 2
+    * columns and 16 dirs, a quarter-range predicate on either column
+    * scans 4). The reference compacts its Delta tables the same way
+    * operationally (OPTIMIZE after ingest); Z-order is the shape that
+    * survives 100 TB, where a second-column scan-all is the difference
+    * between reading one backfill's worth of files and the whole table.
+    *
+    * One data pass: normalize (per-column min/max from a single agg,
+    * broadcast back), z-value via codegen'd bit ops, range-partition on
+    * the z-bucket, one partitioned write; stats come from parquet
+    * footers (metadata I/O). The commit is read-validated like every
+    * snapshot rewrite. `numDirs` must be a power of two ≤ 2^(8·nCols). */
+  def compactZOrder(spark: SparkSession, table: String,
+      clusterCols: Seq[String], numDirs: Int): Unit = {
+    requireWritable(table)
+    val nCols = clusterCols.size
+    require(nCols >= 1, "compactZOrder needs at least one cluster column")
+    val totalBits = 8 * nCols
+    require(numDirs >= 2 && (numDirs & (numDirs - 1)) == 0 &&
+      numDirs <= (1 << math.min(totalBits, 30)),
+      s"numDirs must be a power of two in [2, 2^$totalBits], got $numDirs")
+    val bucketBits = 31 - Integer.numberOfLeadingZeros(numDirs)
+    rewriteSnapshotEx(spark, table, "compact") { cur =>
+      val bcols = clusterCols.indices.flatMap(j => Seq(
+        min(col(clusterCols(j))).cast("double").as(s"__zmn$j"),
+        max(col(clusterCols(j))).cast("double").as(s"__zmx$j")))
+      val withB = cur.crossJoin(broadcast(cur.agg(bcols.head, bcols.tail: _*)))
+      // 8-bit key per column: exact when the domain is integral and
+      // spans max-min+1 values; a monotone binning otherwise
+      val keys = clusterCols.indices.map { j =>
+        val span = col(s"__zmx$j") - col(s"__zmn$j") + 1.0
+        least(lit(255), greatest(lit(0),
+          floor((col(clusterCols(j)) - col(s"__zmn$j")) * 256.0 / span)
+            .cast("int")))
+      }
+      val zval = (0 until 8).flatMap { i =>
+        keys.zipWithIndex.map { case (k, j) =>
+          shiftleft(shiftrightunsigned(k, i).bitwiseAND(lit(1)),
+            i * nCols + (nCols - 1 - j))
+        }
+      }.reduce(_ bitwiseOR _)
+      val rel = s"data/${java.util.UUID.randomUUID()}"
+      val abs = s"${tableDir(table)}/$rel"
+      withB
+        .withColumn("__zb", shiftrightunsigned(zval, totalBits - bucketBits))
+        .select((cur.columns.map(col) :+ col("__zb")).toIndexedSeq: _*)
+        .repartitionByRange(numDirs, col("__zb"))
+        .write.partitionBy("__zb").parquet(abs)
+      // each __zb=k subdir becomes its own manifest data dir; reading a
+      // leaf dir directly never re-infers __zb, so the schema is clean
+      val rels = new File(abs).listFiles()
+        .filter(_.getName.startsWith("__zb=")).toSeq
+        .sortBy(_.getName.stripPrefix("__zb=").toInt)
+        .map(f => s"$rel/${f.getName}")
+      (rels, rels.map(r => r -> collectStats(spark, s"${tableDir(table)}/$r")).toMap)
+    }
   }
 
   /** Delta DELETE: drop rows matching `predicate` as a snapshot
@@ -447,7 +526,10 @@ final class VersionedTableIO(root: String,
     val candidates = Option(dataDir.listFiles()).getOrElse(Array.empty)
     val now = System.currentTimeMillis()
     val doomed = candidates.filter { d =>
-      !keepDirs.contains(s"data/${d.getName}") &&
+      // a z-ordered commit's rels are NESTED (data/<uuid>/__zb=k): the
+      // <uuid> root is live if any retained rel sits under it
+      val name = s"data/${d.getName}"
+      !keepDirs.exists(k => k == name || k.startsWith(s"$name/")) &&
         (now - d.lastModified()) >= orphanGraceMs
     }
     doomed.foreach(FsOps.deleteRecursively)

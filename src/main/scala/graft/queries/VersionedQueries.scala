@@ -60,6 +60,22 @@ object VersionedQueries {
       io.overwrite(orders.filter(col("o_orderkey") % 3 === 0), "evo")
       io.append(orders.filter(col("o_orderkey") % 3 === 1)
         .withColumn("flag", col("o_orderkey") % 2), "evo")
+      // "zo": OPTIMIZE ZORDER — dense row_number-derived keys so both
+      // clustered columns span exactly 0..255 at every SF (rn % 256 and
+      // 37·rn % 256, 37 odd so each 256-cycle is a bijection); three
+      // interleaved appends (every dir spans the full key range → no
+      // pruning), then one z-order rewrite into 16 bucket dirs
+      val w = org.apache.spark.sql.expressions.Window.orderBy("o_orderkey")
+      val keyed = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w) - 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("rn") % 256).cast("long").as("zx"),
+          ((col("rn") * 37) % 256).cast("long").as("zy"))
+      io.overwrite(keyed.filter(col("zx") % 3 === 0), "zo")
+      io.append(keyed.filter(col("zx") % 3 === 1), "zo")
+      io.append(keyed.filter(col("zx") % 3 === 2), "zo")
+      io.compactZOrder(s, "zo", clusterCols = Seq("zx", "zy"), numDirs = 16)
       // "rst": overwrite then roll back — RESTORE as a metadata commit
       io.overwrite(orders.filter(col("o_orderkey") % 3 === 0), "rst")
       io.overwrite(orders, "rst")
@@ -282,7 +298,39 @@ object VersionedQueries {
     head.unionByName(cdf)
   }
 
+  /** OPTIMIZE ZORDER (multi-dimensional clustering): after
+    * [[VersionedTableIO.compactZOrder]] cuts the snapshot into 16
+    * z-range dirs on (zx, zy), a quarter-range predicate on EITHER
+    * column scans exactly 4 of 16 dirs — the literal contract columns
+    * are the q120 pattern, deterministic because the keys span 0..255
+    * exactly and bucket membership is the bit-prefix (zx7 zy7 zx6 zy6).
+    * Linear clustering would give 16/16 on zy (asserted in
+    * VersionedTableSpec); at 100 TB that is the difference between a
+    * second-dimension query reading one backfill's worth of files and
+    * the whole table. Content equals the plain filter (oracle replays
+    * the key derivation). */
+  val qZorder: QueryDef = QueryDef(
+    "q148_zorder",
+    """WITH t AS (SELECT o_orderkey, o_totalprice,
+      |    row_number() OVER (ORDER BY o_orderkey) - 1 AS rn FROM orders),
+      |k AS (SELECT o_orderkey, o_totalprice,
+      |    CAST(rn % 256 AS BIGINT) AS zx,
+      |    CAST((rn * 37) % 256 AS BIGINT) AS zy FROM t)
+      |SELECT o_orderkey, o_totalprice, zx, zy,
+      |  CAST(4 AS INT) AS n_dirs_scanned_zx,
+      |  CAST(4 AS INT) AS n_dirs_scanned_zy,
+      |  CAST(16 AS INT) AS n_dirs_total
+      |FROM k WHERE zx BETWEEN 64 AND 127""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    val (sx, tot) = io.pruneCounts("zo", "zx", 64, 127)
+    val (sy, _) = io.pruneCounts("zo", "zy", 128, 191)
+    io.readPruned(s, "zo", "zx", 64, 127)
+      .withColumn("n_dirs_scanned_zx", lit(sx))
+      .withColumn("n_dirs_scanned_zy", lit(sy))
+      .withColumn("n_dirs_total", lit(tot))
+  }
+
   val all: Seq[QueryDef] = Seq(qTimeTravel, qVersionedVacuum, qChangeFeed,
     qStatsPrune, qRestore, qVersionedDml, qCdfIncrementalGold,
-    qStreamCdfGold, qManifestExport, qSchemaEvolution)
+    qStreamCdfGold, qManifestExport, qSchemaEvolution, qZorder)
 }

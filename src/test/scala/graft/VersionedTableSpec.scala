@@ -381,6 +381,40 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(m.stats(m.dataDirs.head)("id") == Seq(0.0, 399.0))
   }
 
+  test("z-order compaction: BOTH clustered columns prune dirs; linear " +
+      "clustering prunes only its own; content and schema preserved") {
+    import org.apache.spark.sql.functions.{col, pmod, lit, sum}
+    val (io, _) = freshIo()
+    // full 256x256 grid: x and y independent, both spanning 0..255, so
+    // bucket membership (top bits x7 y7 x6 y6) is exactly predictable
+    val grid = spark.range(0, 65536)
+      .select(pmod(col("id"), lit(256)).as("x"), (col("id") / 256).cast("long").as("y"))
+    io.overwrite(grid.repartition(8), "zo")
+    io.compactZOrder(spark, "zo", clusterCols = Seq("x", "y"), numDirs = 16)
+    val m = io.manifest("zo", io.latestVersion("zo"))
+    assert(m.dataDirs.size == 16)
+    // a quarter-range predicate on EITHER column scans exactly 4/16 dirs
+    assert(io.pruneCounts("zo", "x", 0, 63) == (4, 16))
+    assert(io.pruneCounts("zo", "y", 0, 63) == (4, 16))
+    assert(io.pruneCounts("zo", "x", 192, 255) == (4, 16))
+    // pruned read ≡ plain filter; schema clean (no __zb leak)
+    assert(io.read(spark, "zo").columns.toSeq == Seq("x", "y"))
+    assert(io.readPruned(spark, "zo", "y", 0, 63)
+      .agg(sum(col("x") * lit(1000) + col("y"))).first().getLong(0) ==
+      grid.filter(col("y") <= 63)
+        .agg(sum(col("x") * lit(1000) + col("y"))).first().getLong(0))
+    // LINEAR clustering at the same dir granularity: own column prunes,
+    // the other column scans everything — the gap z-ordering closes
+    io.overwrite(grid.repartition(8), "lin")
+    io.compactZOrder(spark, "lin", clusterCols = Seq("x"), numDirs = 16)
+    assert(io.pruneCounts("lin", "x", 0, 63) == (4, 16))
+    assert(io.pruneCounts("lin", "y", 0, 63) == (16, 16))
+    // vacuum must treat the nested __zb=k rels as live under their root
+    io.vacuum("zo", retainLast = 1, orphanGraceMs = 0L)
+    assert(io.read(spark, "zo").count() == 65536)
+    assert(io.pruneCounts("zo", "x", 0, 63) == (4, 16))
+  }
+
   test("model check: random op sequence matches an in-memory reference") {
     import org.apache.spark.sql.functions.{col, lit}
     val (io, _) = freshIo()
