@@ -234,6 +234,101 @@ object ScaleQueries {
       "vec_id", "embedding", k = 10, nCells = 16, nProbe = 2)
   }
 
+  /** q149/q150 shared oracle prefix: the full PQ replay — seed
+    * codebook (first 16 vectors by id, row_number → code), per-
+    * subspace encode (round-9 dot argmax, ties → lowest code), ADC
+    * terms, and the fixed-order 8-term score chain — ending at
+    * `ranked` (per-query order by approx score). Mirrors
+    * [[Similarity.pqTopK]] addend for addend. */
+  private def pqRankedSql(m: Int, sub: Int, ksub: Int): String = {
+    val chain = (0 until m)
+      .map(s => s"max(CASE WHEN s = $s THEN d END)").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |subs AS (SELECT CAST(t.s AS INT) AS s FROM range(0, $m) t(s)),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1
+       |      AS code, v
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $ksub)),
+       |cs AS (SELECT s.s, c.code,
+       |         list_slice(c.v, s.s*$sub+1, s.s*$sub+$sub) AS cvec
+       |       FROM seeds c CROSS JOIN subs s),
+       |enc AS (
+       |  SELECT vec_id, s, code, cvec FROM (
+       |    SELECT e.vec_id, cs.s, cs.code, cs.cvec,
+       |      row_number() OVER (PARTITION BY e.vec_id, cs.s
+       |        ORDER BY round(list_dot_product(
+       |          list_slice(e.v, cs.s*$sub+1, cs.s*$sub+$sub), cs.cvec), 9)
+       |          DESC, cs.code ASC) AS rn
+       |    FROM e CROSS JOIN cs) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |terms AS (
+       |  SELECT q.query_id, enc.vec_id AS neighbor_id, enc.s,
+       |    round(list_dot_product(
+       |      list_slice(q.qv, enc.s*$sub+1, enc.s*$sub+$sub), enc.cvec), 9)
+       |      AS d
+       |  FROM enc CROSS JOIN q WHERE enc.vec_id <> q.query_id),
+       |sc AS (
+       |  SELECT query_id, neighbor_id, round($chain, 6) AS score
+       |  FROM terms GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM sc)""".stripMargin
+  }
+
+  /** Product-quantization ANN — the compressed-index leg (64-dim
+    * float64 → 8 code bytes, 64×); the oracle replays codebook,
+    * encode, and the ADC fixed-order score chain end to end. */
+  val qAnnPq: QueryDef = QueryDef(
+    "q149_ann_pq",
+    s"""${pqRankedSql(m = 8, sub = 8, ksub = 16)}
+       |SELECT query_id, neighbor_id, score, rank FROM ranked
+       |WHERE rank <= 10""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10, dim = 64, m = 8, ksub = 16)
+  }
+
+  /** PQ recall contract (q142/q146's gate on the COMPRESSED index):
+    * top-30 ADC candidates must retain the brute top-10 at mean
+    * recall ≥ the floor, asserted in-plan — quantization loss became
+    * a checked property. Oracle recomputes candidates, brute truth,
+    * hits, and the exact-arithmetic mean. Floor 0.3 vs measured
+    * 0.48/0.56/0.54 at sf0.1/0.01/0.001 (the q142/q146 margin). */
+  val qAnnPqRecall: QueryDef = QueryDef(
+    "q150_ann_pq_recall",
+    s"""${pqRankedSql(m = 8, sub = 8, ksub = 16)},
+       |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 30),
+       |brute AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_cosine_similarity(q.qv, c.v), 6) DESC,
+       |                 c.vec_id ASC) AS rank
+       |    FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+       |  WHERE rank <= 10),
+       |hits AS (
+       |  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM brute b JOIN cand c
+       |    ON b.query_id = c.query_id AND b.neighbor_id = c.neighbor_id
+       |  GROUP BY 1),
+       |per AS (
+       |  SELECT d.query_id, coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit
+       |  FROM (SELECT DISTINCT query_id FROM brute) d
+       |  LEFT JOIN hits h ON d.query_id = h.query_id),
+       |tot AS (SELECT CAST(sum(n_hit) AS DOUBLE) / (count(*) * 10)
+       |          AS mean_recall FROM per)
+       |SELECT query_id, n_hit, CAST(n_hit AS DOUBLE) / 10 AS recall,
+       |  mean_recall
+       |FROM per CROSS JOIN tot""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.pqRecall(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10, dim = 64, m = 8, ksub = 16,
+      nCand = 30, minMeanRecall = 0.3)
+  }
+
   /** Embedding-cosine near-dup pairs — exact all-pairs over a BOUNDED
     * slice: the ground-truth form recall is measured against (q41's
     * role for MinHash); the corpus-scale path is q117's bucketed
@@ -755,6 +850,7 @@ object ScaleQueries {
 
   val all: Seq[QueryDef] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh,
     qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qAnnRecall, qIvfRecall,
+    qAnnPq, qAnnPqRecall,
     qDedupEmbedding,
     qDedupEmbeddingLsh, qTokenStats, qQuality, qLangId,
     qFingerprint, qMultimodal, qTfidf, qApproxPercentile, qSplit, qStratified,

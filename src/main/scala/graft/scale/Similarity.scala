@@ -196,6 +196,102 @@ object Similarity {
         col("mean_recall"))
   }
 
+  /** Product-quantization ANN (ADC — asymmetric distance computation).
+    *
+    * The 100 TB story: PQ is the COMPRESSION leg of the ANN stack.
+    * [[quantizeInt8]] shrinks vectors 8×; PQ shrinks them
+    * dim·8 bytes → m bytes (64-dim float64 → 8 bytes at m=8, 64×) by
+    * cutting each vector into `m` subvectors and storing only the id
+    * ("code") of the nearest of `ksub` per-subspace codebook centroids.
+    * Scoring never decompresses the corpus: the query stays exact and
+    * each candidate's approximate dot product is the sum over subspaces
+    * of dot(query subvector, coded centroid) — m lookups + m small dots
+    * instead of one dim-wide pass over data that no longer exists.
+    * At scale the codes column is what sits in memory next to the
+    * posting lists; the float vectors stay in cold storage for re-rank.
+    *
+    * Codebook: per subspace, the subvectors of the first `ksub` corpus
+    * rows by id — the q57 IVF seeding, deterministic so the oracle
+    * replays it (a per-subspace k-means fit plugs into the same shape).
+    * Bounded driver state: ksub·dim doubles (the KMeans centroid
+    * pattern), inlined as literals so encode+score are pure
+    * expressions — the corpus never shuffles and the only exchange in
+    * the plan is the per-query top-k window.
+    *
+    * Determinism discipline: code assignment ranks round-9 dots (ties
+    * → lowest code, both engines); the ADC total is a FIXED
+    * left-to-right chain of round-9 subspace terms (the q141 BM25
+    * shape), rounded to 6 — bit-stable vs the SQL replay. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int = 8,
+      ksub: Int = 16): DataFrame = {
+    val enc = pqEncode(corpus, idCol, vecCol, dim, m, ksub)
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    enc.frame.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", round(
+        (0 until m).map(s => adcTerm(enc, col("__qv"), col("codes"), s))
+          .reduce(_ + _), 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Recall@k of the PQ-ADC candidate list (top `nCand` by approximate
+    * score) against exact brute truth — [[lshRecall]]'s checked
+    * contract applied to the compressed index, gating the compression
+    * loss itself: quantization that starts dropping true neighbors
+    * fails the query instead of silently degrading retrieval. */
+  def pqRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int, ksub: Int, nCand: Int,
+      minMeanRecall: Double): DataFrame =
+    recallGate(bruteForceTopK(corpus, queries, idCol, vecCol, k),
+      pqTopK(corpus, queries, idCol, vecCol, nCand, dim, m, ksub)
+        .select("query_id", "neighbor_id"),
+      k, minMeanRecall, "m/ksub/nCand")
+
+  /** PQ-encoded corpus: (neighbor_id, codes array<int> of length m) +
+    * the codebook that decodes it. Encode is one narrow pass — per
+    * subspace, argmax of round-9 dots against the ksub inlined
+    * centroids (first-occurrence tie = lowest code). */
+  private case class PqIndex(frame: DataFrame, cb: Seq[Seq[Seq[Double]]],
+      sub: Int)
+
+  private def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int): PqIndex = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val seeds: Seq[Seq[Double]] = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(asDouble(col(vecCol)).as("v")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val cb = (0 until m).map(s => seeds.map(_.slice(s * sub, (s + 1) * sub)))
+    def codeFor(v: Column, s: Int): Column = {
+      val dots = array(cb(s).map(cent => round(aggregate(
+        zip_with(slice(v, s * sub + 1, sub), typedLit(cent), _ * _),
+        lit(0.0), _ + _), 9)): _*)
+      (array_position(dots, array_max(dots)) - 1).cast("int")
+    }
+    val frame = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+      .select(col("neighbor_id"),
+        array((0 until m).map(s => codeFor(col("__cv"), s)): _*).as("codes"))
+    PqIndex(frame, cb, sub)
+  }
+
+  /** One ADC addend: dot(query subvector s, centroid coded at s),
+    * round-9 — the centroid lookup is element_at into the inlined
+    * per-subspace codebook. */
+  private def adcTerm(enc: PqIndex, qv: Column, codes: Column,
+      s: Int): Column =
+    round(aggregate(
+      zip_with(slice(qv, s * enc.sub + 1, enc.sub),
+        element_at(typedLit(enc.cb(s)), element_at(codes, s + 1) + 1),
+        _ * _),
+      lit(0.0), _ + _), 9)
+
   /** LSH-bucketed ANN: candidates share the query's bucket; top-k by
     * exact cosine within candidates. Returns the same shape as
     * bruteForceTopK (rank gaps where the bucket has < k members). */

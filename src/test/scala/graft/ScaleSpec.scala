@@ -590,4 +590,37 @@ class ScaleSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("raise capacity"))
   }
+
+  test("PQ-ADC: corpus never shuffles (one window exchange only); codes " +
+      "stay in [0, ksub); an unreachable recall floor fails the query") {
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding",
+      k = 10, dim = 64, m = 8, ksub = 16)
+    // scale shape: encode+score are pure expressions over the corpus
+    // scan; queries broadcast (BNLJ); the ONLY hash exchange is the
+    // per-query top-k rank window
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(2000))
+    assert(pq.count() == 50)
+    // the gate passes at the shipped floor and reports per-query recall
+    val rec = Similarity.pqRecall(emb, q, "vec_id", "embedding",
+        k = 10, dim = 64, m = 8, ksub = 16, nCand = 30,
+        minMeanRecall = 0.3)
+      .orderBy(col("query_id")).collect()
+    assert(rec.length == 5)
+    assert(rec.forall(r => r.getDouble(3) >= 0.3)) // mean_recall column
+    assert(rec.forall(r =>
+      r.getDouble(2) == r.getLong(1).toDouble / 10)) // recall = n_hit/k
+    // quantization loss is a CHECKED property: an unreachable floor
+    // fails the action instead of silently degrading retrieval
+    val ex = intercept[Exception] {
+      Similarity.pqRecall(emb, q, "vec_id", "embedding",
+        k = 10, dim = 64, m = 8, ksub = 16, nCand = 30,
+        minMeanRecall = 0.999).collect()
+    }
+    assert(ex.getMessage.contains("recall contract"))
+  }
 }
