@@ -76,6 +76,11 @@ object VersionedQueries {
       io.append(keyed.filter(col("zx") % 3 === 1), "zo")
       io.append(keyed.filter(col("zx") % 3 === 2), "zo")
       io.compactZOrder(s, "zo", clusterCols = Seq("zx", "zy"), numDirs = 16)
+      // "cl": zero-copy clone of tt@v2 (hard links), then diverge with
+      // an append of the keys tt never had — clone ends at ALL orders
+      // at original prices while tt's head keeps its upserted prices
+      io.cloneTable("tt", "cl", version = Some(2L))
+      io.append(orders.filter(col("o_orderkey") % 3 === 2), "cl")
       // "rst": overwrite then roll back — RESTORE as a metadata commit
       io.overwrite(orders.filter(col("o_orderkey") % 3 === 0), "rst")
       io.overwrite(orders, "rst")
@@ -330,7 +335,63 @@ object VersionedQueries {
       .withColumn("n_dirs_total", lit(tot))
   }
 
+  /** Zero-copy CLONE + divergence: the clone of tt@v2 plus its own
+    * append reads as ALL orders at original prices, while the source
+    * head keeps the upserted prices — two independent futures over
+    * the same physical files (hard-linked, `n_shared_dirs` of the
+    * clone's first commit point at the source's bytes). Vacuum-safety
+    * of the sharing is proved in VersionedTableSpec; content equality
+    * is oracle-checked here. */
+  val qClone: QueryDef = QueryDef(
+    "q151_clone",
+    """SELECT 'cl' AS tbl, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  CAST(2 AS INT) AS n_shared_dirs
+      |FROM orders
+      |UNION ALL
+      |SELECT 'tt', CAST(count(*) AS BIGINT),
+      |  round(sum(o_totalprice + 1000.0), 2), CAST(2 AS INT)
+      |FROM orders WHERE o_orderkey % 3 <= 1""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    val shared = io.manifest("cl", 1L).dataDirs.toSet
+      .intersect(io.manifest("tt", 2L).dataDirs.toSet).size
+    Seq("cl", "tt").map { t =>
+      io.read(s, t)
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .select(lit(t).as("tbl"), col("n"), col("total"),
+          lit(shared).as("n_shared_dirs"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Metadata-only COUNT(*): every row count below comes from
+    * [[VersionedTableIO.rowCount]] — a pure manifest read, no Spark
+    * job, no file opens (the history's counts from kilobytes of log,
+    * Delta's numRecords-from-stats answer shape). The oracle recounts
+    * each snapshot from the source table. */
+  val qMetaCount: QueryDef = QueryDef(
+    "q152_meta_count",
+    """SELECT 'tt' AS tbl, CAST(1 AS BIGINT) AS version,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT 'tt', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 3 <= 1
+      |UNION ALL
+      |SELECT 'tt', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 3 <= 1
+      |UNION ALL
+      |SELECT 'dml', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 5 <> 4""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    val rows = ((1L to 3L).map(v => ("tt", v, io.rowCount("tt", v).get)) :+
+      ("dml", 3L, io.rowCount("dml", 3L).get)).toSeq
+    rows.toDF("tbl", "version", "n_rows")
+  }
+
   val all: Seq[QueryDef] = Seq(qTimeTravel, qVersionedVacuum, qChangeFeed,
     qStatsPrune, qRestore, qVersionedDml, qCdfIncrementalGold,
-    qStreamCdfGold, qManifestExport, qSchemaEvolution, qZorder)
+    qStreamCdfGold, qManifestExport, qSchemaEvolution, qZorder,
+    qClone, qMetaCount)
 }

@@ -415,6 +415,45 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(io.pruneCounts("zo", "x", 0, 63) == (4, 16))
   }
 
+  test("clone: hard links share inodes (zero data copy); vacuuming the " +
+      "SOURCE cannot break the clone; histories diverge independently; " +
+      "rowCount answers from metadata alone") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val (io, root) = freshIo()
+    io.overwrite(spark.range(0, 100).select(col("id")), "src")
+    io.append(spark.range(100, 250).select(col("id")), "src")
+    io.cloneTable("src", "dst", version = Some(2L))
+    // zero-copy: every data file in the clone is the SAME inode
+    def inodes(t: String): Map[String, Object] = {
+      val base = java.nio.file.Paths.get(s"$root/$t")
+      val s = java.nio.file.Files.walk(base)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => base.relativize(p).toString ->
+          java.nio.file.Files.getAttribute(p, "unix:ino"))
+        .toMap
+      finally s.close()
+    }
+    val (srcIno, dstIno) = (inodes("src"), inodes("dst"))
+    assert(dstIno.nonEmpty && dstIno == srcIno)
+    // diverge: append to the clone, rewrite + vacuum the source so the
+    // source drops every dir the clone links — the clone must survive
+    io.append(spark.range(250, 300).select(col("id")), "dst")
+    io.overwrite(spark.range(0, 7).select(col("id")), "src")
+    io.vacuum("src", retainLast = 1, orphanGraceMs = 0L)
+    assert(io.read(spark, "dst").count() == 300)
+    assert(io.read(spark, "src").count() == 7)
+    // metadata-only counts match the scans, for every live version
+    assert(io.rowCount("dst", 1L).contains(250L))
+    assert(io.rowCount("dst", 2L).contains(300L))
+    assert(io.rowCount("src", 3L).contains(7L))
+    // a second clone into an existing table must refuse
+    intercept[IllegalArgumentException] {
+      io.cloneTable("src", "dst")
+    }
+  }
+
   test("model check: random op sequence matches an in-memory reference") {
     import org.apache.spark.sql.functions.{col, lit}
     val (io, _) = freshIo()
