@@ -5,7 +5,7 @@ import java.io.File
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, floor, greatest, least, lit, max, min, shiftleft, shiftrightunsigned, struct, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, floor, greatest, least, lit, max, min, shiftleft, shiftrightunsigned, struct, sum, when}
 
 /** One committed snapshot of a versioned table: the ordered list of
   * immutable data directories that make it up, plus carried-forward
@@ -137,7 +137,11 @@ final class VersionedTableIO(root: String,
             version = vs.lastOption.map(_ + 1).getOrElse(1L),
             ts = System.currentTimeMillis(), op = op,
             dataDirs = dirs,
-            properties = base.map(_.properties).getOrElse(Map.empty) ++ propsDelta,
+            // an EMPTY value in the delta unsets the key (how
+            // dropConstraint removes its property through the same
+            // merge path every other commit uses)
+            properties = (base.map(_.properties).getOrElse(Map.empty) ++
+              propsDelta).filter(_._2.nonEmpty),
             stats = (base.map(_.stats).getOrElse(Map.empty) ++ newStats)
               .view.filterKeys(dirSet).toMap)
           if (tryCommit(table, m)) return Some(m)
@@ -229,7 +233,48 @@ final class VersionedTableIO(root: String,
     val rel = s"data/${java.util.UUID.randomUUID()}"
     val abs = s"${tableDir(table)}/$rel"
     df.write.parquet(abs)
+    validateConstraints(df.sparkSession, table, abs)
     (rel, collectStats(df.sparkSession, abs))
+  }
+
+  /** Enforce the table's CHECK constraints on a freshly written dir —
+    * BEFORE any commit references it, so a violating write aborts with
+    * the old snapshot intact (Delta's InvariantViolationException
+    * point). Validation reads the WRITTEN FILES, column-pruned to the
+    * constraint expressions, rather than re-running the input plan
+    * (which may be expensive or nondeterministic); all constraints
+    * check in ONE scan via a single aggregate. ANSI CHECK semantics: a
+    * row violates only when the predicate evaluates to FALSE — NULL
+    * (unknown) passes, and a constraint whose columns are absent from
+    * this batch's schema passes vacuously (schema evolution: the
+    * merged read surfaces those columns as null). The constraint set
+    * is read at write time — same read-check window as Delta. */
+  private def validateConstraints(spark: SparkSession, table: String,
+      abs: String): Unit = {
+    val cs = constraints(table)
+    if (cs.isEmpty) return
+    val df = spark.read.parquet(abs)
+    val checkable = cs.toSeq.sortBy(_._1).flatMap { case (name, pred) =>
+      try {
+        val c = expr(pred)
+        df.select(c).queryExecution.analyzed // unresolvable → vacuous
+        Some((name, pred, c))
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    }
+    if (checkable.isEmpty) return
+    val aggs = checkable.map { case (_, _, c) =>
+      sum(when(!coalesce(c, lit(true)), 1L).otherwise(0L)) }
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    checkable.zipWithIndex.foreach { case ((name, pred, _), i) =>
+      if (row.getLong(i) > 0L) {
+        FsOps.deleteRecursively(new File(abs))
+        throw new IllegalStateException(
+          s"CHECK constraint '$name' violated by ${row.getLong(i)} " +
+            s"row(s): ($pred) — write aborted, no commit")
+      }
+    }
   }
 
   /** Per-column [min, max] of every numeric column in a written dir —
@@ -565,6 +610,62 @@ final class VersionedTableIO(root: String,
   def properties(table: String): Map[String, String] =
     latestManifest(table).map(_.properties).getOrElse(Map.empty)
 
+  // ---- CHECK constraints ----------------------------------------------
+
+  /** `ALTER TABLE ADD CONSTRAINT name CHECK (predicate)` (Delta
+    * invariants, stored as `constraint.<name>` properties the way
+    * Delta uses `delta.constraints.<name>`): existing rows must
+    * already satisfy the predicate (one validation scan, as Delta
+    * does), then a metadata commit records it; every subsequent write
+    * is validated before its commit and aborts on violation — bad
+    * data can never become visible, which at 100 TB replaces the
+    * find-the-poisoned-partition fire drill with a failed job. */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      predicate: String): Unit = {
+    require(name.nonEmpty && !name.contains('='),
+      s"bad constraint name '$name'")
+    latestManifest(table).filter(_.dataDirs.nonEmpty).foreach { m =>
+      // a predicate over a column the schema doesn't have YET is
+      // vacuously satisfied (rows surface it as null once schema
+      // evolution introduces it) — Delta refuses these; accepting is
+      // the evolution-friendly divergence, enforced the moment a
+      // batch actually carries the column
+      val bad =
+        try Some(scan(spark, table, m)
+          .filter(!coalesce(expr(predicate), lit(true))).count())
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      bad.foreach(b => require(b == 0L,
+        s"cannot add CHECK constraint '$name': $b existing row(s) " +
+          s"violate ($predicate)"))
+    }
+    setProperty(table, s"$PropConstraintPrefix$name", predicate)
+  }
+
+  /** Remove a CHECK constraint (metadata commit; empty value unsets
+    * the property in the merge). */
+  def dropConstraint(table: String, name: String): Unit =
+    setProperty(table, s"$PropConstraintPrefix$name", "")
+
+  /** Active CHECK constraints: name → predicate SQL. */
+  def constraints(table: String): Map[String, String] =
+    properties(table).collect {
+      case (k, v) if k.startsWith(PropConstraintPrefix) && v.nonEmpty =>
+        k.stripPrefix(PropConstraintPrefix) -> v
+    }
+
+  /** DESCRIBE HISTORY: one row per live version — (version, ts, op,
+    * n_rows) — from manifests alone (n_rows via [[rowCount]]; no data
+    * I/O, the Delta history surface). */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    versions(table)
+      .map { v =>
+        val m = manifest(table, v)
+        (m.version, m.ts, m.op, rowCount(table, v))
+      }
+      .toDF("version", "ts", "op", "n_rows")
+  }
+
   // ---- vacuum ----------------------------------------------------------
 
   /** Delete manifests older than the last `retainLast` versions and
@@ -710,6 +811,9 @@ final class VersionedTableIO(root: String,
 
 object VersionedTableIO {
   val PropAppendOnly = "appendOnly"
+  /** Property-key prefix for CHECK constraints (Delta's
+    * `delta.constraints.` analog). */
+  val PropConstraintPrefix = "constraint."
   /** Reserved stats key: per-dir row count (stored as [n, n]). */
   val CountStat = "__count"
   /** Guards the session-conf mutation in stats collection. */

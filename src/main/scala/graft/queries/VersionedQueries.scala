@@ -90,6 +90,19 @@ object VersionedQueries {
       io.deleteWhere(s, "dml", col("o_orderkey") % 5 === 4)
       io.updateWhere(s, "dml", col("o_orderkey") % 5 === 0,
         Map("o_totalprice" -> (col("o_totalprice") + 500.0)))
+      // "con": CHECK constraint enforced on write — the violating
+      // append MUST be rejected before any commit (and is: the
+      // require below is load-bearing for q153's n_versions contract)
+      io.overwrite(orders.filter(col("o_orderkey") % 3 === 0), "con")
+      io.addConstraint(s, "con", "price_positive", "o_totalprice > 0")
+      io.append(orders.filter(col("o_orderkey") % 3 === 1), "con")
+      val rejected =
+        try {
+          io.append(orders.filter(col("o_orderkey") % 3 === 2)
+            .withColumn("o_totalprice", col("o_totalprice") * -1.0), "con")
+          false
+        } catch { case _: IllegalStateException => true }
+      require(rejected, "violating append must be rejected")
       root
     })
 
@@ -390,8 +403,47 @@ object VersionedQueries {
     rows.toDF("tbl", "version", "n_rows")
   }
 
+  /** CHECK constraints (Delta invariants): after a valid overwrite +
+    * append under `o_totalprice > 0`, a violating append was REJECTED
+    * before its commit — the head holds exactly the valid rows and
+    * the version count proves the rejected write left no trace
+    * (1 overwrite + 1 addConstraint metadata commit + 1 append = 3).
+    * The oracle replays the surviving content. */
+  val qConstraints: QueryDef = QueryDef(
+    "q153_check_constraint",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  CAST(3 AS INT) AS n_versions, CAST(1 AS INT) AS n_constraints
+      |FROM orders WHERE o_orderkey % 3 <= 1""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    io.read(s, "con")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .select(col("n"), col("total"),
+        lit(io.versions("con").size).as("n_versions"),
+        lit(io.constraints("con").size).as("n_constraints"))
+  }
+
+  /** DESCRIBE HISTORY from manifests alone (no data I/O): version,
+    * operation, and metadata row count for every live commit of the
+    * DML table — the oracle recomputes each snapshot's count from the
+    * source. */
+  val qHistory: QueryDef = QueryDef(
+    "q154_history",
+    """SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS op,
+      |  CAST(count(*) AS BIGINT) AS n_rows FROM orders
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'delete', CAST(count(*) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 5 <> 4
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 'update', CAST(count(*) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 5 <> 4""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    io.history(s, "dml").select("version", "op", "n_rows")
+  }
+
   val all: Seq[QueryDef] = Seq(qTimeTravel, qVersionedVacuum, qChangeFeed,
     qStatsPrune, qRestore, qVersionedDml, qCdfIncrementalGold,
     qStreamCdfGold, qManifestExport, qSchemaEvolution, qZorder,
-    qClone, qMetaCount)
+    qClone, qMetaCount, qConstraints, qHistory)
 }

@@ -454,6 +454,45 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("CHECK constraints: violating writes abort before commit (append " +
+      "AND update); existing violations block ADD; drop re-opens; absent " +
+      "columns pass vacuously") {
+    import org.apache.spark.sql.functions.col
+    val (io, _) = freshIo()
+    io.overwrite(Seq((1, 10.0), (2, 20.0)).toDF("k", "price"), "t")
+    // ADD validates existing data first
+    intercept[IllegalArgumentException] {
+      io.addConstraint(spark, "t", "big", "price > 15.0")
+    }
+    io.addConstraint(spark, "t", "pos", "price > 0")
+    io.append(Seq((3, 30.0)).toDF("k", "price"), "t")
+    val vBefore = io.latestVersion("t")
+    // violating append: rejected, no new version, head intact
+    val exA = intercept[IllegalStateException] {
+      io.append(Seq((4, -1.0)).toDF("k", "price"), "t")
+    }
+    assert(exA.getMessage.contains("pos"))
+    assert(io.latestVersion("t") == vBefore)
+    assert(io.read(spark, "t").count() == 3)
+    // violating UPDATE (snapshot rewrite path): also rejected
+    intercept[IllegalStateException] {
+      io.updateWhere(spark, "t", col("k") === 1,
+        Map("price" -> (col("price") * -1.0)))
+    }
+    assert(io.read(spark, "t").count() == 3)
+    // NULL passes (ANSI CHECK: unknown is not a violation)
+    io.append(Seq((5, Option.empty[Double])).toDF("k", "price"), "t")
+    // a constraint on a column this batch doesn't carry passes
+    // vacuously (the merged read surfaces it as null)
+    io.addConstraint(spark, "t", "flagged", "flag >= 0")
+    io.append(Seq((6, 60.0)).toDF("k", "price"), "t")
+    // drop re-opens the gate
+    io.dropConstraint("t", "pos")
+    assert(io.constraints("t").keySet == Set("flagged"))
+    io.append(Seq((7, -7.0)).toDF("k", "price"), "t")
+    assert(io.read(spark, "t").count() == 6)
+  }
+
   test("model check: random op sequence matches an in-memory reference") {
     import org.apache.spark.sql.functions.{col, lit}
     val (io, _) = freshIo()
