@@ -273,7 +273,46 @@ object OlapQueries {
         round((col("l_quantity") - mean) / sqrt(variance), 6).as("z"))
   }
 
+  /** Incrementally maintained distinct counts ([[graft.scale
+    * .Cardinality]]): per-batch HLL sketch deltas (the only state
+    * ever persisted) roll up by UNION to per-batch AND global
+    * estimates — distinct is not additive, sketches are mergeable —
+    * with the relative error against exact counts gated in-plan at
+    * 5% (DataSketches determinism makes the gate stable). The oracle
+    * checks the exact counts and the (asserted) bound flag; the
+    * estimate itself is sketch-internal and stays out of the hash. */
+  val qHllIncremental: QueryDef = QueryDef(
+    "q155_hll_incremental",
+    """SELECT 'batch0' AS scope, CAST(count(DISTINCT user_id) AS BIGINT)
+      |    AS n_exact, true AS within_bound
+      |FROM events WHERE event_id % 3 = 0
+      |UNION ALL
+      |SELECT 'batch1', CAST(count(DISTINCT user_id) AS BIGINT), true
+      |FROM events WHERE event_id % 3 = 1
+      |UNION ALL
+      |SELECT 'batch2', CAST(count(DISTINCT user_id) AS BIGINT), true
+      |FROM events WHERE event_id % 3 = 2
+      |UNION ALL
+      |SELECT 'global', CAST(count(DISTINCT user_id) AS BIGINT), true
+      |FROM events""".stripMargin) { (s, dir) =>
+    import graft.scale.Cardinality
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("scope",
+        concat(lit("batch"), (col("event_id") % 3).cast("string")))
+    // three "daily" batch deltas (one scan; append-equivalent by union
+    // algebra) + the global rollup re-keyed from the SAME sketch rows
+    val deltas = Cardinality.sketchDelta(ev, "user_id", Seq("scope"))
+    val allDeltas = deltas.unionByName(
+      deltas.select(lit("global").as("scope"), col("sketch")))
+    val exact = ev.select(col("scope"), col("user_id"))
+      .unionByName(ev.select(lit("global").as("scope"), col("user_id")))
+      .groupBy("scope").agg(countDistinct(col("user_id")).as("n_exact"))
+    Cardinality.estimateChecked(allDeltas, exact, Seq("scope"),
+        relErrBound = 0.05)
+      .select("scope", "n_exact", "within_bound")
+  }
+
   val all: Seq[QueryDef] = Seq(qRollup, qPivot, qPercentiles, qCorrelated,
     qCube, qGroupingSets, qFullOuter, qExistsIn, qWindowExtras, qHof,
-    qHistogram, qZscore)
+    qHistogram, qZscore, qHllIncremental)
 }

@@ -591,6 +591,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("raise capacity"))
   }
 
+  test("HLL cardinality: batch-sketch rollup equals the one-shot sketch; " +
+      "replaying deltas is idempotent; the drift gate trips on a bad lgK") {
+    import graft.scale.Cardinality
+    val ev = spark.range(0, 5000)
+      .select((col("id") % 700).as("k"),
+        (col("id") % 3).cast("string").as("b"))
+    val deltas = Cardinality.sketchDelta(ev, "k", Seq("b"))
+    def global(d: org.apache.spark.sql.DataFrame): Long =
+      Cardinality.estimate(
+        d.select(lit("g").as("b"), col("sketch")), Seq("b"))
+        .collect().head.getLong(1)
+    // union of per-batch sketches == sketch of the union
+    val oneShot = global(Cardinality.sketchDelta(ev, "k", Seq())
+      .select(lit("ignored").as("b"), col("sketch")))
+    assert(global(deltas) == oneShot)
+    // replay (appending the same deltas twice) cannot move the answer
+    assert(global(deltas.unionByName(deltas)) == oneShot)
+    // exact join + gate passes at 5% for lgK=12
+    val exact = ev.groupBy("b").agg(countDistinct(col("k")).as("n_exact"))
+    assert(Cardinality.estimateChecked(deltas, exact, Seq("b"), 0.05)
+      .count() == 3)
+    // an undersized sketch (lgK=4 → 16 buckets for 700 keys) drifts
+    // past the bound and FAILS instead of reporting garbage
+    val bad = Cardinality.sketchDelta(ev, "k", Seq("b"), lgK = 4)
+    val ex = intercept[Exception] {
+      Cardinality.estimateChecked(bad, exact, Seq("b"), 0.05).collect()
+    }
+    assert(ex.getMessage.contains("drifted"))
+  }
+
   test("PQ-ADC: corpus never shuffles (one window exchange only); codes " +
       "stay in [0, ksub); an unreachable recall floor fails the query") {
     val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
