@@ -5,7 +5,7 @@ import java.io.File
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, floor, greatest, least, lit, max, min, shiftleft, shiftrightunsigned, struct, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, count, expr, floor, greatest, least, lit, max, min, shiftleft, shiftrightunsigned, struct, substring_index, sum, when}
 
 /** One committed snapshot of a versioned table: the ordered list of
   * immutable data directories that make it up, plus carried-forward
@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, fl
 final case class Manifest(
     version: Long, ts: Long, op: String,
     dataDirs: Seq[String], properties: Map[String, String],
-    stats: Map[String, Map[String, Seq[Double]]] = Map.empty)
+    stats: Map[String, Map[String, Seq[Double]]] = Map.empty,
+    dvDirs: Seq[String] = Nil)
 
 /** Versioned-table format over plain parquet — the engine's stand-in
   * for Delta Lake's transaction log (the reference writes Delta
@@ -113,14 +114,23 @@ final class VersionedTableIO(root: String,
     * carried-over dirs ride along from the base manifest), and a
     * properties delta — or None to abort without committing (used by
     * the idempotent path when a replay is detected mid-race). */
-  private def commitLoop(table: String, op: String)(
+  private def commitLoop(table: String, op: String,
+      dv: Option[Manifest] => Seq[String] = carryDv)(
       build: Option[Manifest] => (Seq[String], Map[String, Map[String, Seq[Double]]])): Manifest =
-    commitLoopEx(table, op)(base => {
+    commitLoopEx(table, op, dv)(base => {
       val (dirs, st) = build(base)
       Some((dirs, st, Map.empty[String, String]))
     }).get
 
-  private def commitLoopEx(table: String, op: String)(
+  /** Default deletion-vector policy for a commit: CARRY the base
+    * snapshot's DV dirs (appends/metadata commits leave deletes in
+    * force). Rewrites that materialize deletes pass `clearDv`. */
+  private val carryDv: Option[Manifest] => Seq[String] =
+    _.flatMap(b => Option(b.dvDirs)).getOrElse(Nil)
+  private val clearDv: Option[Manifest] => Seq[String] = _ => Nil
+
+  private def commitLoopEx(table: String, op: String,
+      dv: Option[Manifest] => Seq[String] = carryDv)(
       build: Option[Manifest] => Option[(Seq[String],
         Map[String, Map[String, Seq[Double]]], Map[String, String])]): Option[Manifest] = {
     var attempts = 0
@@ -143,7 +153,8 @@ final class VersionedTableIO(root: String,
             properties = (base.map(_.properties).getOrElse(Map.empty) ++
               propsDelta).filter(_._2.nonEmpty),
             stats = (base.map(_.stats).getOrElse(Map.empty) ++ newStats)
-              .view.filterKeys(dirSet).toMap)
+              .view.filterKeys(dirSet).toMap,
+            dvDirs = dv(base))
           if (tryCommit(table, m)) return Some(m)
       }
       attempts += 1
@@ -159,8 +170,34 @@ final class VersionedTableIO(root: String,
     require(m.dataDirs.nonEmpty, s"version ${m.version} of '$table' is empty")
     // mergeSchema across commit dirs = write-side schema evolution:
     // columns added in later commits surface as null in earlier files
-    spark.read.option("mergeSchema", "true")
+    val raw = spark.read.option("mergeSchema", "true")
       .parquet(m.dataDirs.map(d => s"${tableDir(table)}/$d"): _*)
+    if (Option(m.dvDirs).forall(_.isEmpty)) raw
+    else dvSubtract(spark, table, m,
+      raw.withColumn(DvPath, relFilePath)
+        .withColumn(DvPos, col("_metadata.row_index")))
+      .drop(DvPath, DvPos)
+  }
+
+  /** Table-relative file path of the current row — `data/<uuid>/<file>`
+    * — the key deletion vectors store. Relative (not the absolute URI
+    * `_metadata.file_path` yields) so hard-link CLONES of the table
+    * keep their deletes: the same key resolves under either root. */
+  private def relFilePath: Column =
+    concat(lit("data/"),
+      substring_index(col("_metadata.file_path"), "/data/", -1))
+
+  /** Anti-join `withKeys` (carrying DvPath/DvPos columns) against the
+    * snapshot's deletion vectors. The DV side is tiny relative to the
+    * scan (positions only, no row data) — Spark broadcasts it, so the
+    * read overhead is O(scan + |deleted positions|), never a shuffle
+    * of the table. */
+  private def dvSubtract(spark: SparkSession, table: String, m: Manifest,
+      withKeys: DataFrame): DataFrame = {
+    val dv = spark.read
+      .parquet(m.dvDirs.map(d => s"${tableDir(table)}/$d"): _*)
+      .select(col(DvPath), col(DvPos))
+    withKeys.join(broadcast(dv), Seq(DvPath, DvPos), "left_anti")
   }
 
   def read(spark: SparkSession, table: String): DataFrame =
@@ -333,7 +370,7 @@ final class VersionedTableIO(root: String,
   def overwrite(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
     requireWritable(table)
     val (rel, st) = writeDataDir(df, table)
-    commitLoop(table, "overwrite")(_ => (Seq(rel), Map(rel -> st)))
+    commitLoop(table, "overwrite", clearDv)(_ => (Seq(rel), Map(rel -> st)))
     ()
   }
 
@@ -362,7 +399,9 @@ final class VersionedTableIO(root: String,
     while (attempts < 10) {
       val baseVersion = latestVersion(table)
       val (rels, st) = write(readVersion(spark, table, baseVersion))
-      val committed = commitLoopEx(table, op) { base =>
+      // the rewrite read the DV-aware snapshot, so deletes are
+      // MATERIALIZED in the new dirs: clear the vectors
+      val committed = commitLoopEx(table, op, clearDv) { base =>
         if (base.map(_.version).contains(baseVersion))
           Some((rels, st, Map.empty[String, String]))
         else None // head moved since we read: stale result, recompute
@@ -402,6 +441,47 @@ final class VersionedTableIO(root: String,
     val cols = clusterCols.map(col)
     rewriteSnapshot(spark, table, "compact")(
       _.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*))
+  }
+
+  /** OPTIMIZE, bin-packing form (Delta's default OPTIMIZE semantics):
+    * rewrite ONLY the commit dirs whose row count (from manifest
+    * stats) is below `minRows`, packing them into one fresh dir;
+    * every large dir rides into the new manifest untouched. The
+    * whole-snapshot [[compact]] is the wrong tool at 100 TB — a table
+    * is mostly cold large files plus a tail of small recent appends,
+    * and OPTIMIZE must cost O(small tail), not O(table). Dirs without
+    * a count stat are treated as small (conservative: packing them is
+    * always safe). Read-validated like every rewrite: the commit
+    * lands only if the head hasn't moved since the small set was
+    * chosen. No-op when fewer than two dirs qualify. */
+  def compactSmall(spark: SparkSession, table: String, minRows: Long,
+      numFiles: Int = 1): Unit = {
+    requireWritable(table)
+    var attempts = 0
+    while (attempts < 10) {
+      val baseVersion = latestVersion(table)
+      val m = manifest(table, baseVersion)
+      val small = m.dataDirs.filter(d =>
+        m.stats.get(d).flatMap(_.get(CountStat)).map(_.head)
+          .forall(_ < minRows.toDouble))
+      if (small.size <= 1) return
+      val big = m.dataDirs.filterNot(small.toSet)
+      // read the smalls through the DV filter so packing MATERIALIZES
+      // their deletes; vectors for the carried big dirs stay in force
+      val packed = scan(spark, table, m.copy(dataDirs = small))
+        .repartition(numFiles)
+      val (rel, st) = writeDataDir(packed, table)
+      val committed = commitLoopEx(table, "compact") { base =>
+        if (base.map(_.version).contains(baseVersion))
+          Some((big :+ rel, Map(rel -> st), Map.empty[String, String]))
+        else None // head moved: small set is stale, re-pick
+      }
+      if (committed.isDefined) return
+      FsOps.deleteRecursively(new File(s"${tableDir(table)}/$rel"))
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"compactSmall('$table') lost the commit race 10 times")
   }
 
   /** OPTIMIZE ZORDER analog — MULTI-dimensional clustering.
@@ -493,11 +573,14 @@ final class VersionedTableIO(root: String,
     val m = manifest(src, version.getOrElse(latestVersion(src)))
     require(versions(dst).isEmpty,
       s"clone target '$dst' already has commits")
-    m.dataDirs.foreach { rel =>
+    val dvs = Option(m.dvDirs).getOrElse(Nil)
+    (m.dataDirs ++ dvs).foreach { rel =>
       linkTree(new File(s"${tableDir(src)}/$rel"),
         new File(s"${tableDir(dst)}/$rel"))
     }
-    commitLoopEx(dst, "clone") { base =>
+    // DV keys are TABLE-RELATIVE paths, so the linked vectors keep
+    // masking the same rows under the clone's root
+    commitLoopEx(dst, "clone", _ => dvs) { base =>
       require(base.isEmpty, s"clone target '$dst' already has commits")
       Some((m.dataDirs, m.stats, m.properties))
     }
@@ -521,9 +604,64 @@ final class VersionedTableIO(root: String,
     * back to a scan). */
   def rowCount(table: String, version: Long): Option[Long] = {
     val m = manifest(table, version)
+    // live deletion vectors make dir counts upper bounds, not counts
+    if (Option(m.dvDirs).exists(_.nonEmpty)) return None
     val per = m.dataDirs.map(d =>
       m.stats.get(d).flatMap(_.get(CountStat)).map(_.head.toLong))
     if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+  }
+
+  /** Delta DELETE with DELETION VECTORS: mark matching rows deleted by
+    * POSITION — (relative file path, row index) pairs in a sidecar
+    * parquet dir the manifest's `dvDirs` references — without touching
+    * a single data file. [[deleteWhere]] rewrites the whole snapshot;
+    * at 100 TB that makes deleting 100 rows cost a table rewrite,
+    * which is why Delta grew DVs. Cost here: one scan to find matches
+    * + O(matched positions) written; readers anti-join the broadcast
+    * position set (see [[dvSubtract]]). Deletes stack (each DELETE
+    * appends a DV dir); any snapshot REWRITE (overwrite / merge /
+    * update / compact / z-order) materializes them — its DV-aware
+    * input already excludes the rows — and clears `dvDirs`. Time
+    * travel before the delete still sees the rows ([[rowCount]] and
+    * [[exportManifest]] fall back/refuse while DVs are live, since
+    * dir stats become upper bounds). A no-match DELETE commits
+    * nothing. */
+  def deleteWhereVectors(spark: SparkSession, table: String,
+      predicate: Column): Unit = {
+    requireWritable(table)
+    var attempts = 0
+    while (attempts < 10) {
+      val baseVersion = latestVersion(table)
+      val m = manifest(table, baseVersion)
+      val rel = s"data/${java.util.UUID.randomUUID()}"
+      val abs = s"${tableDir(table)}/$rel"
+      // positions of surviving-then-matching rows: already-deleted rows
+      // are excluded up front so DV rows never duplicate
+      scan(spark, table, m.copy(dvDirs = Nil))
+        .withColumn(DvPath, relFilePath)
+        .withColumn(DvPos, col("_metadata.row_index"))
+        .transform(df =>
+          if (Option(m.dvDirs).forall(_.isEmpty)) df
+          else dvSubtract(spark, table, m, df))
+        .filter(predicate)
+        .select(col(DvPath), col(DvPos))
+        .write.parquet(abs)
+      if (spark.read.parquet(abs).isEmpty) {
+        FsOps.deleteRecursively(new File(abs)) // no matches: no commit
+        return
+      }
+      val committed = commitLoopEx(table, "delete",
+        dv = base => carryDv(base) :+ rel) { base =>
+        if (base.map(_.version).contains(baseVersion))
+          Some((m.dataDirs, Map.empty, Map.empty[String, String]))
+        else None // head moved: positions may be stale, recompute
+      }
+      if (committed.isDefined) return
+      FsOps.deleteRecursively(new File(abs))
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"deleteWhereVectors('$table') lost the commit race 10 times")
   }
 
   /** Delta DELETE: drop rows matching `predicate` as a snapshot
@@ -592,7 +730,8 @@ final class VersionedTableIO(root: String,
       require(new File(s"${tableDir(table)}/$d").exists(),
         s"cannot restore '$table' to $toVersion: data dir $d was vacuumed")
     }
-    commitLoop(table, "restore")(_ => (target.dataDirs, target.stats))
+    commitLoop(table, "restore", _ => Option(target.dvDirs).getOrElse(Nil))(
+      _ => (target.dataDirs, target.stats))
     ()
   }
 
@@ -678,7 +817,10 @@ final class VersionedTableIO(root: String,
     require(retainLast >= 1, "must retain at least the current version")
     val vs = versions(table)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainLast))
-    val keepDirs = keep.flatMap(manifest(table, _).dataDirs).toSet
+    val keepDirs = keep.flatMap { v =>
+      val m = manifest(table, v)
+      m.dataDirs ++ Option(m.dvDirs).getOrElse(Nil)
+    }.toSet
     drop.foreach(v => manifestFile(table, v).delete())
     val dataDir = new File(dataRoot(table))
     val candidates = Option(dataDir.listFiles()).getOrElse(Array.empty)
@@ -719,6 +861,10 @@ final class VersionedTableIO(root: String,
     * contract as Delta's generated manifests). */
   def exportManifest(table: String, version: Long): Seq[String] = {
     val m = manifest(table, version)
+    require(Option(m.dvDirs).forall(_.isEmpty),
+      s"version $version of '$table' has live deletion vectors — a " +
+        "plain-parquet reader would resurrect deleted rows; run a " +
+        "rewrite (compact) to materialize them first")
     val files = m.dataDirs.flatMap { d =>
       val dir = new File(s"${tableDir(table)}/$d")
       Option(dir.listFiles((_, n) => n.endsWith(".parquet")))
@@ -816,6 +962,10 @@ object VersionedTableIO {
   val PropConstraintPrefix = "constraint."
   /** Reserved stats key: per-dir row count (stored as [n, n]). */
   val CountStat = "__count"
+  /** Deletion-vector column names: table-relative file path + row
+    * index within that file. */
+  val DvPath = "__dv_path"
+  val DvPos = "__dv_pos"
   /** Guards the session-conf mutation in stats collection. */
   private[ingest] val statsLock = new Object
   private val mapper: ObjectMapper = {

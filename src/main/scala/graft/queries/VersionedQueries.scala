@@ -90,6 +90,19 @@ object VersionedQueries {
       io.deleteWhere(s, "dml", col("o_orderkey") % 5 === 4)
       io.updateWhere(s, "dml", col("o_orderkey") % 5 === 0,
         Map("o_totalprice" -> (col("o_totalprice") + 500.0)))
+      // "opt": one big commit + three small appends, then bin-packing
+      // OPTIMIZE at 30% of the table — only the small tail packs, the
+      // big dir must ride through untouched
+      io.overwrite(orders.filter(col("o_orderkey") % 7 <= 3), "opt")
+      io.append(orders.filter(col("o_orderkey") % 7 === 4), "opt")
+      io.append(orders.filter(col("o_orderkey") % 7 === 5), "opt")
+      io.append(orders.filter(col("o_orderkey") % 7 === 6), "opt")
+      io.compactSmall(s, "opt", minRows = (orders.count() * 3) / 10)
+      // "dvt": DELETE via deletion vectors — two stacking deletes, not
+      // one data file rewritten (q157 carries the dir-identity proof)
+      io.overwrite(orders, "dvt")
+      io.deleteWhereVectors(s, "dvt", col("o_orderkey") % 4 === 3)
+      io.deleteWhereVectors(s, "dvt", col("o_orderkey") % 10 === 6)
       // "con": CHECK constraint enforced on write — the violating
       // append MUST be rejected before any commit (and is: the
       // require below is load-bearing for q153's n_versions contract)
@@ -442,8 +455,61 @@ object VersionedQueries {
     io.history(s, "dml").select("version", "op", "n_rows")
   }
 
+  /** Bin-packing OPTIMIZE: after 1 big + 3 small commits, compacting
+    * at a 30% threshold packs exactly the three-small tail into one
+    * dir and CARRIES the big dir physically untouched (the
+    * intersection contract) — O(small tail) cost, content identical.
+    * The oracle replays the full content and the dir arithmetic. */
+  val qOptimize: QueryDef = QueryDef(
+    "q156_optimize_binpack",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  CAST(4 AS INT) AS n_dirs_before, CAST(2 AS INT) AS n_dirs_after,
+      |  CAST(1 AS INT) AS n_dirs_carried
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    val (m4, m5) = (io.manifest("opt", 4L), io.manifest("opt", 5L))
+    io.read(s, "opt")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .select(col("n"), col("total"),
+        lit(m4.dataDirs.size).as("n_dirs_before"),
+        lit(m5.dataDirs.size).as("n_dirs_after"),
+        lit(m5.dataDirs.toSet.intersect(m4.dataDirs.toSet).size)
+          .as("n_dirs_carried"))
+  }
+
+  /** Deletion vectors: two stacked DELETEs mask rows by position in
+    * sidecar files while the data dirs ride through IDENTICAL
+    * (n_dirs_carried) — deleting k rows cost O(k) positions, not a
+    * table rewrite — and time travel to v1 still sees every row. The
+    * oracle replays both predicates and the full v1 content. */
+  val qDeletionVectors: QueryDef = QueryDef(
+    "q157_deletion_vectors",
+    """SELECT 'head' AS scope, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  CAST(2 AS INT) AS n_dv_dirs, CAST(1 AS INT) AS n_dirs_carried
+      |FROM orders WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 6
+      |UNION ALL
+      |SELECT 'v1', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2),
+      |  CAST(2 AS INT), CAST(1 AS INT)
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    val (m1, m3) = (io.manifest("dvt", 1L), io.manifest("dvt", 3L))
+    val carried = m3.dataDirs.toSet.intersect(m1.dataDirs.toSet).size
+    Seq(("head", io.read(s, "dvt")), ("v1", io.readVersion(s, "dvt", 1L)))
+      .map { case (scope, df) =>
+        df.agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .select(lit(scope).as("scope"), col("n"), col("total"),
+            lit(m3.dvDirs.size).as("n_dv_dirs"),
+            lit(carried).as("n_dirs_carried"))
+      }.reduce(_.unionByName(_))
+  }
+
   val all: Seq[QueryDef] = Seq(qTimeTravel, qVersionedVacuum, qChangeFeed,
     qStatsPrune, qRestore, qVersionedDml, qCdfIncrementalGold,
     qStreamCdfGold, qManifestExport, qSchemaEvolution, qZorder,
-    qClone, qMetaCount, qConstraints, qHistory)
+    qClone, qMetaCount, qConstraints, qHistory, qOptimize,
+    qDeletionVectors)
 }

@@ -493,6 +493,54 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(io.read(spark, "t").count() == 6)
   }
 
+  test("deletion vectors: DELETE touches no data file; deletes stack " +
+      "and time-travel away; no-match commits nothing; rewrite " +
+      "materializes; clone keeps deletes; vacuum respects DV dirs") {
+    import org.apache.spark.sql.functions.col
+    val (io, root) = freshIo()
+    io.overwrite(spark.range(0, 1000).toDF("id"), "t")
+    def dataFiles(): Set[String] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/t"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      } finally s.close()
+    }
+    val before = dataFiles()
+    io.deleteWhereVectors(spark, "t", col("id") % 10 === 0)
+    assert(io.read(spark, "t").count() == 900)
+    // every original data file still present, untouched set + DV files
+    assert(dataFiles().intersect(before) == before)
+    assert(io.manifest("t", 2L).dataDirs == io.manifest("t", 1L).dataDirs)
+    // stacking: second delete over an overlapping predicate
+    io.deleteWhereVectors(spark, "t", col("id") < 100)
+    assert(io.read(spark, "t").count() == 810)
+    assert(io.manifest("t", 3L).dvDirs.size == 2)
+    // time travel sees through the masks version by version
+    assert(io.readVersion(spark, "t", 1L).count() == 1000)
+    assert(io.readVersion(spark, "t", 2L).count() == 900)
+    // no-match delete: no version consumed
+    io.deleteWhereVectors(spark, "t", col("id") === -5)
+    assert(io.latestVersion("t") == 3L)
+    // counts/export honesty while DVs are live
+    assert(io.rowCount("t", 3L).isEmpty)
+    intercept[IllegalArgumentException] { io.exportManifest("t", 3L) }
+    // clone: relative DV keys keep masking under the new root
+    io.cloneTable("t", "c")
+    assert(io.read(spark, "c").count() == 810)
+    // rewrite materializes the deletes and clears the vectors
+    io.compact(spark, "t", numFiles = 2)
+    val head = io.latestVersion("t")
+    assert(io.manifest("t", head).dvDirs.isEmpty)
+    assert(io.read(spark, "t").count() == 810)
+    assert(io.rowCount("t", head).contains(810L))
+    // vacuum to the materialized head sweeps old data AND dv dirs;
+    // content intact
+    assert(io.vacuum("t", retainLast = 1, orphanGraceMs = 0L) > 0)
+    assert(io.read(spark, "t").count() == 810)
+  }
+
   test("model check: random op sequence matches an in-memory reference") {
     import org.apache.spark.sql.functions.{col, lit}
     val (io, _) = freshIo()
