@@ -664,6 +664,60 @@ final class VersionedTableIO(root: String,
       s"deleteWhereVectors('$table') lost the commit race 10 times")
   }
 
+  /** Delta UPDATE with deletion vectors: mask the matched rows by
+    * position AND append their updated images — ONE commit, cost
+    * O(matched rows), no snapshot rewrite (the [[updateWhere]] form
+    * rewrites everything; at 100 TB updating 0.1% of a table must not
+    * cost 100%). The matched set is pinned with an eager local
+    * checkpoint so the mask and the images come from the SAME
+    * evaluation; the appended dir goes through the normal
+    * constraint-validated [[writeDataDir]] path, so a CHECK-violating
+    * update still aborts whole. Stacks with prior DVs and with itself
+    * (updated images live in ordinary data dirs and can be masked by
+    * the next update). */
+  def updateWhereVectors(spark: SparkSession, table: String,
+      predicate: Column, assignments: Map[String, Column]): Unit = {
+    requireWritable(table)
+    var attempts = 0
+    while (attempts < 10) {
+      val baseVersion = latestVersion(table)
+      val m = manifest(table, baseVersion)
+      val matched = scan(spark, table, m.copy(dvDirs = Nil))
+        .withColumn(DvPath, relFilePath)
+        .withColumn(DvPos, col("_metadata.row_index"))
+        .transform(df =>
+          if (Option(m.dvDirs).forall(_.isEmpty)) df
+          else dvSubtract(spark, table, m, df))
+        .filter(predicate)
+        .localCheckpoint()
+      if (matched.isEmpty) return
+      val dvRel = s"data/${java.util.UUID.randomUUID()}"
+      val dvAbs = s"${tableDir(table)}/$dvRel"
+      matched.select(col(DvPath), col(DvPos)).write.parquet(dvAbs)
+      val updated = assignments.foldLeft(matched.drop(DvPath, DvPos)) {
+        case (df, (c, e)) => df.withColumn(c, e)
+      }
+      val (rel, st) =
+        try writeDataDir(updated, table)
+        catch { case e: Throwable => // constraint violation: no orphan
+          FsOps.deleteRecursively(new File(dvAbs)); throw e
+        }
+      val committed = commitLoopEx(table, "update",
+        dv = base => carryDv(base) :+ dvRel) { base =>
+        if (base.map(_.version).contains(baseVersion))
+          Some((m.dataDirs :+ rel, Map(rel -> st),
+            Map.empty[String, String]))
+        else None // head moved: matched set is stale, recompute
+      }
+      if (committed.isDefined) return
+      FsOps.deleteRecursively(new File(dvAbs))
+      FsOps.deleteRecursively(new File(s"${tableDir(table)}/$rel"))
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"updateWhereVectors('$table') lost the commit race 10 times")
+  }
+
   /** Delta DELETE: drop rows matching `predicate` as a snapshot
     * rewrite (read-validated; concurrent appends conflict and
     * recompute rather than vanish). Time travel still sees them. */

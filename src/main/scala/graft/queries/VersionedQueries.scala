@@ -103,6 +103,11 @@ object VersionedQueries {
       io.overwrite(orders, "dvt")
       io.deleteWhereVectors(s, "dvt", col("o_orderkey") % 4 === 3)
       io.deleteWhereVectors(s, "dvt", col("o_orderkey") % 10 === 6)
+      // "dvu": UPDATE via deletion vectors — mask matched rows, append
+      // their updated images, one commit, no rewrite
+      io.overwrite(orders, "dvu")
+      io.updateWhereVectors(s, "dvu", col("o_orderkey") % 5 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") + 500.0)))
       // "con": CHECK constraint enforced on write — the violating
       // append MUST be rejected before any commit (and is: the
       // require below is load-bearing for q153's n_versions contract)
@@ -507,9 +512,40 @@ object VersionedQueries {
       }.reduce(_.unionByName(_))
   }
 
+  /** UPDATE via deletion vectors: the head shows the assignment
+    * applied, v1 the original — with the ORIGINAL data dir carried
+    * untouched (the update cost O(matched): one DV sidecar + one
+    * appended dir of updated images, n_dirs 1→2). Oracle replays the
+    * CASE form of the assignment. */
+  val qDvUpdate: QueryDef = QueryDef(
+    "q158_dv_update",
+    """SELECT 'head' AS scope, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500.0
+      |                 ELSE o_totalprice END), 2) AS total,
+      |  CAST(2 AS INT) AS n_dirs, CAST(1 AS INT) AS n_dv_dirs,
+      |  CAST(1 AS INT) AS n_dirs_carried
+      |FROM orders
+      |UNION ALL
+      |SELECT 'v1', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2),
+      |  CAST(2 AS INT), CAST(1 AS INT), CAST(1 AS INT)
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    val (m1, m2) = (io.manifest("dvu", 1L), io.manifest("dvu", 2L))
+    val carried = m2.dataDirs.toSet.intersect(m1.dataDirs.toSet).size
+    Seq(("head", io.read(s, "dvu")), ("v1", io.readVersion(s, "dvu", 1L)))
+      .map { case (scope, df) =>
+        df.agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .select(lit(scope).as("scope"), col("n"), col("total"),
+            lit(m2.dataDirs.size).as("n_dirs"),
+            lit(m2.dvDirs.size).as("n_dv_dirs"),
+            lit(carried).as("n_dirs_carried"))
+      }.reduce(_.unionByName(_))
+  }
+
   val all: Seq[QueryDef] = Seq(qTimeTravel, qVersionedVacuum, qChangeFeed,
     qStatsPrune, qRestore, qVersionedDml, qCdfIncrementalGold,
     qStreamCdfGold, qManifestExport, qSchemaEvolution, qZorder,
     qClone, qMetaCount, qConstraints, qHistory, qOptimize,
-    qDeletionVectors)
+    qDeletionVectors, qDvUpdate)
 }

@@ -541,6 +541,39 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(io.read(spark, "t").count() == 810)
   }
 
+  test("DV update: mask+append in one commit at O(matched); stacks on " +
+      "its own images; CHECK constraints still guard the appended dir") {
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    val (io, _) = freshIo()
+    io.overwrite(spark.range(0, 1000).toDF("id")
+      .withColumn("v", col("id") * lit(1L)), "t")
+    io.updateWhereVectors(spark, "t", col("id") % 2 === 0,
+      Map("v" -> (col("v") + 1000000L)))
+    def total(): Long = io.read(spark, "t")
+      .agg(sum(col("v"))).first().getLong(0)
+    val base = (0L until 1000L).sum
+    assert(io.read(spark, "t").count() == 1000)
+    assert(total() == base + 500L * 1000000L)
+    assert(io.manifest("t", 2L).dataDirs.size == 2 &&
+      io.manifest("t", 2L).dvDirs.size == 1)
+    // second update hits rows APPENDED by the first (stacking)
+    io.updateWhereVectors(spark, "t", col("v") >= 1000000L,
+      Map("v" -> (col("v") - 1000000L)))
+    assert(total() == base && io.read(spark, "t").count() == 1000)
+    // no-match: no commit
+    io.updateWhereVectors(spark, "t", col("id") === -1,
+      Map("v" -> lit(0L)))
+    assert(io.latestVersion("t") == 3L)
+    // a CHECK-violating update aborts whole: no version, no dv leak
+    io.addConstraint(spark, "t", "vpos", "v >= 0")
+    intercept[IllegalStateException] {
+      io.updateWhereVectors(spark, "t", col("id") === 7,
+        Map("v" -> lit(-1L)))
+    }
+    assert(io.latestVersion("t") == 4L) // 4 = the addConstraint commit
+    assert(total() == base)
+  }
+
   test("model check: random op sequence matches an in-memory reference") {
     import org.apache.spark.sql.functions.{col, lit}
     val (io, _) = freshIo()
