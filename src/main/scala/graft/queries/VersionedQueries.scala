@@ -108,6 +108,13 @@ object VersionedQueries {
       io.overwrite(orders, "dvu")
       io.updateWhereVectors(s, "dvu", col("o_orderkey") % 5 === 0,
         Map("o_totalprice" -> (col("o_totalprice") + 500.0)))
+      // "dvm": MERGE via deletion vectors — mask matched keys, append
+      // the source batch; equals the rewrite-based upsert's answer
+      io.overwrite(orders, "dvm")
+      io.upsertVectors(s,
+        orders.filter(col("o_orderkey") % 3 <= 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+        "dvm", keys = Seq("o_orderkey"))
       // "con": CHECK constraint enforced on write — the violating
       // append MUST be rejected before any commit (and is: the
       // require below is load-bearing for q153's n_versions contract)
@@ -543,9 +550,40 @@ object VersionedQueries {
       }.reduce(_.unionByName(_))
   }
 
+  /** MERGE via deletion vectors: the head equals the rewrite-based
+    * upsert's answer (source wins on matched keys, inserts ride
+    * along) while the original data dir is carried untouched — the
+    * merge cost O(batch + matched positions). Same content as q115's
+    * v3, so the oracle is the same CASE replay. */
+  val qDvMerge: QueryDef = QueryDef(
+    "q159_dv_merge",
+    """SELECT 'head' AS scope, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(CASE WHEN o_orderkey % 3 <= 1 THEN o_totalprice + 1000.0
+      |                 ELSE o_totalprice END), 2) AS total,
+      |  CAST(2 AS INT) AS n_dirs, CAST(1 AS INT) AS n_dv_dirs,
+      |  CAST(1 AS INT) AS n_dirs_carried
+      |FROM orders
+      |UNION ALL
+      |SELECT 'v1', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2),
+      |  CAST(2 AS INT), CAST(1 AS INT), CAST(1 AS INT)
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    val (m1, m2) = (io.manifest("dvm", 1L), io.manifest("dvm", 2L))
+    val carried = m2.dataDirs.toSet.intersect(m1.dataDirs.toSet).size
+    Seq(("head", io.read(s, "dvm")), ("v1", io.readVersion(s, "dvm", 1L)))
+      .map { case (scope, df) =>
+        df.agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .select(lit(scope).as("scope"), col("n"), col("total"),
+            lit(m2.dataDirs.size).as("n_dirs"),
+            lit(m2.dvDirs.size).as("n_dv_dirs"),
+            lit(carried).as("n_dirs_carried"))
+      }.reduce(_.unionByName(_))
+  }
+
   val all: Seq[QueryDef] = Seq(qTimeTravel, qVersionedVacuum, qChangeFeed,
     qStatsPrune, qRestore, qVersionedDml, qCdfIncrementalGold,
     qStreamCdfGold, qManifestExport, qSchemaEvolution, qZorder,
     qClone, qMetaCount, qConstraints, qHistory, qOptimize,
-    qDeletionVectors, qDvUpdate)
+    qDeletionVectors, qDvUpdate, qDvMerge)
 }

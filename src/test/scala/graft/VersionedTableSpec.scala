@@ -574,6 +574,40 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(total() == base)
   }
 
+  test("DV merge: equals the rewrite-based upsert row for row; " +
+      "insert-only merge commits no DV dir; stacks over prior deletes") {
+    import org.apache.spark.sql.functions.col
+    val (io, _) = freshIo()
+    val base = spark.range(0, 500).toDF("k")
+      .withColumn("v", col("k") * 10L)
+    val src = spark.range(200, 700).toDF("k")
+      .withColumn("v", col("k") * 10L + 1L)
+    io.overwrite(base, "a"); io.upsert(spark, src, "a", Seq("k"))
+    io.overwrite(base, "b"); io.upsertVectors(spark, src, "b", Seq("k"))
+    def rows(t: String) = io.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows("a") == rows("b") && rows("b").size == 700)
+    // the DV merge rewrote nothing: original dir carried
+    assert(io.manifest("b", 2L).dataDirs.head ==
+      io.manifest("b", 1L).dataDirs.head)
+    assert(io.manifest("b", 2L).dvDirs.size == 1)
+    // insert-only merge (disjoint keys): plain append, no DV dir
+    io.upsertVectors(spark,
+      spark.range(1000, 1100).toDF("k").withColumn("v", lit(0L)), "b",
+      Seq("k"))
+    assert(io.manifest("b", 3L).dvDirs.size == 1) // unchanged
+    assert(io.read(spark, "b").count() == 800)
+    // stacks over a prior DV delete
+    io.deleteWhereVectors(spark, "b", col("k") < 100)
+    io.upsertVectors(spark,
+      spark.range(50, 150).toDF("k").withColumn("v", lit(7L)), "b",
+      Seq("k"))
+    // 800 − 100 deleted − 50 masked (100..149 matched; 50..99 were
+    // already gone so nothing to mask) + 100 appended = 750
+    assert(io.read(spark, "b").count() == 750)
+    assert(io.read(spark, "b").filter(col("v") === 7L).count() == 100)
+  }
+
   test("model check: random op sequence matches an in-memory reference") {
     import org.apache.spark.sql.functions.{col, lit}
     val (io, _) = freshIo()
