@@ -622,8 +622,8 @@ class VersionedTableSpec extends AnyFunSuite {
 
     io.overwrite(df(Vector((0, 0.0))), "t")
     history :+= Vector((0, 0.0))
-    for (step <- 1 to 24) {
-      rnd.nextInt(6) match {
+    for (step <- 1 to 36) {
+      rnd.nextInt(10) match {
         case 0 =>
           val rows = freshRows()
           io.append(df(rows), "t"); history :+= (history.last ++ rows)
@@ -650,6 +650,27 @@ class VersionedTableSpec extends AnyFunSuite {
             (history.size - vacuumedBelow + 1).toInt)
           io.restore("t", target)
           history :+= history(target.toInt - 1)
+        case 6 => // DV delete: no-match commits nothing
+          val r = rnd.nextInt(5)
+          io.deleteWhereVectors(spark, "t", col("k") % 5 === r)
+          if (history.last.exists(_._1 % 5 == r))
+            history :+= history.last.filterNot(_._1 % 5 == r)
+        case 7 => // DV update: no-match commits nothing
+          val r = rnd.nextInt(5)
+          io.updateWhereVectors(spark, "t", col("k") % 5 === r,
+            Map("x" -> (col("x") + lit(1000.0))))
+          if (history.last.exists(_._1 % 5 == r))
+            history :+= history.last.map { case (k, x) =>
+              if (k % 5 == r) (k, x + 1000.0) else (k, x) }
+        case 8 => // DV merge ≡ upsert semantics
+          val rows = freshRows().distinctBy(_._1)
+          io.upsertVectors(spark, df(rows), "t", keys = Seq("k"))
+          val keys = rows.map(_._1).toSet
+          history :+= (history.last.filterNot(r => keys(r._1)) ++ rows)
+        case 9 => // bin-packing OPTIMIZE: content-preserving IF it commits
+          val before = io.latestVersion("t")
+          io.compactSmall(spark, "t", minRows = 3)
+          if (io.latestVersion("t") > before) history :+= history.last
       }
       // head must equal the model (as bags)
       assert(io.read(spark, "t").as[(Int, Double)].collect().sorted.toSeq ==
