@@ -581,9 +581,59 @@ object VersionedQueries {
       }.reduce(_.unionByName(_))
   }
 
+  /** Streaming CDC apply ([[graft.stream.StreamCdcApply]]): a keyed
+    * change stream drains as one DV-merge per micro-batch — batch 0
+    * seeds the table, batch 1 carries TWO change sets for overlapping
+    * keys (seq 1: +1000 on keys ≡0,1 mod 3; seq 2: +7777 on keys ≡0
+    * mod 5) so in-batch latest-wins must pick seq 2 where they
+    * collide. Final content = the CASE fold the oracle replays;
+    * version count proves one commit per non-empty batch (no rewrite,
+    * no extra versions). Replay idempotence is StreamingSpec's. */
+  val qStreamCdc: QueryDef = QueryDef(
+    "q160_stream_cdc_apply",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 7777.0
+      |                 WHEN o_orderkey % 3 <= 1 THEN o_totalprice + 1000.0
+      |                 ELSE o_totalprice END), 2) AS total,
+      |  CAST(2 AS INT) AS n_versions
+      |FROM orders""".stripMargin) { (s, dir) =>
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val b0 = orders.withColumn("seq", lit(0L))
+    val b1 = orders.filter(col("o_orderkey") % 3 <= 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("seq", lit(1L))
+      .unionByName(orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 7777.0)
+        .withColumn("seq", lit(2L)))
+    val srcDir = JFiles.createTempDirectory("graft_cdc_src").toString
+    val t0 = System.currentTimeMillis() - 600000L
+    Seq(b0, b1).zipWithIndex.foreach { case (df, i) =>
+      val stage = JFiles.createTempDirectory(s"graft_cdc_b$i").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(srcDir, s"b$i.parquet")
+      JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(t0 + i * 120000L)
+    }
+    val io = new VersionedTableIO(
+      JFiles.createTempDirectory("graft_cdc_tbl").toString)
+    graft.stream.StreamCdcApply.run(s, srcDir,
+      JFiles.createTempDirectory("graft_cdc_ck").toString, io, "t",
+      keys = Seq("o_orderkey"), seqCol = "seq", schema = b0.schema,
+      maxFilesPerTrigger = Some(1))
+    io.read(s, "t")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .select(col("n"), col("total"),
+        lit(io.versions("t").size).as("n_versions"))
+  }
+
   val all: Seq[QueryDef] = Seq(qTimeTravel, qVersionedVacuum, qChangeFeed,
     qStatsPrune, qRestore, qVersionedDml, qCdfIncrementalGold,
     qStreamCdfGold, qManifestExport, qSchemaEvolution, qZorder,
     qClone, qMetaCount, qConstraints, qHistory, qOptimize,
-    qDeletionVectors, qDvUpdate, qDvMerge)
+    qDeletionVectors, qDvUpdate, qDvMerge, qStreamCdc)
 }

@@ -113,6 +113,52 @@ class StreamingSpec extends AnyFunSuite {
       Seq((1L, "a2"), (2L, "b2"), (3L, "c"), (4L, "d")))
   }
 
+  test("DV CDC apply: one DV-merge commit per non-empty batch (no " +
+      "rewrite); in-batch latest-wins by seq; a FRESH-checkpoint full " +
+      "replay converges to identical content") {
+    import java.nio.file.{Paths, StandardCopyOption}
+    val src = tmp("dvcdc_src")
+    val mk = (rows: Seq[(Long, Long, Long)]) => rows.toDF("k", "v", "seq")
+    val b0 = mk((0L until 100L).map(k => (k, k, 0L)))
+    // seq 1: +1000 on k%10==0; seq 2: v=7 on k<5 — k=0 collides, seq 2
+    // must win inside the single micro-batch
+    val b1 = mk((0L until 100L).filter(_ % 10 == 0).map(k => (k, k + 1000L, 1L)) ++
+      (0L until 5L).map(k => (k, 7L, 2L)))
+    val t0 = System.currentTimeMillis() - 600000L
+    Seq(b0, b1).zipWithIndex.foreach { case (df, i) =>
+      val stage = tmp(s"dvcdc_b$i")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(src, s"b$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst,
+        StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(t0 + i * 120000L)
+    }
+    def drain(): (graft.ingest.VersionedTableIO, Seq[(Long, Long)]) = {
+      val io = new graft.ingest.VersionedTableIO(tmp("dvcdc_tbl"))
+      graft.stream.StreamCdcApply.run(spark, src, tmp("dvcdc_ck"), io,
+        "t", keys = Seq("k"), seqCol = "seq", schema = b0.schema,
+        maxFilesPerTrigger = Some(1))
+      (io, io.read(spark, "t").orderBy("k").as[(Long, Long)]
+        .collect().toSeq)
+    }
+    val (io1, got) = drain()
+    val expect = (0L until 100L).map { k =>
+      if (k < 5) (k, 7L)
+      else if (k % 10 == 0) (k, k + 1000L)
+      else (k, k)
+    }
+    assert(got === expect)
+    // one commit per batch: v1 append + v2 DV-merge, original dir carried
+    assert(io1.versions("t") == Seq(1L, 2L))
+    assert(io1.manifest("t", 2L).dataDirs.head ==
+      io1.manifest("t", 1L).dataDirs.head)
+    assert(io1.manifest("t", 2L).dvDirs.size == 1)
+    // full replay into a FRESH table+checkpoint: identical content
+    assert(drain()._2 === expect)
+  }
+
   test("incremental gold: partial-merge over two batches equals the batch aggregate") {
     val src = tmp("gold_src"); val ck = tmp("gold_ck")
     val io = new ParquetTableIO(tmp("gold_tbl"))
