@@ -269,8 +269,15 @@ final class VersionedTableIO(root: String,
   private def writeDataDir(df: DataFrame, table: String): (String, Map[String, Seq[Double]]) = {
     val rel = s"data/${java.util.UUID.randomUUID()}"
     val abs = s"${tableDir(table)}/$rel"
-    df.write.parquet(abs)
-    validateConstraints(df.sparkSession, table, abs)
+    // GENERATED ALWAYS AS: compute any declared column the batch does
+    // not carry (callers never hand-maintain derivatives); a batch
+    // that DOES carry one is validated below instead
+    val withGen = generatedColumns(table).toSeq.sortBy(_._1)
+      .foldLeft(df) { case (d, (name, sql)) =>
+        if (d.columns.contains(name)) d else d.withColumn(name, expr(sql))
+      }
+    withGen.write.parquet(abs)
+    validateWrite(df.sparkSession, table, abs)
     (rel, collectStats(df.sparkSession, abs))
   }
 
@@ -286,9 +293,15 @@ final class VersionedTableIO(root: String,
     * this batch's schema passes vacuously (schema evolution: the
     * merged read surfaces those columns as null). The constraint set
     * is read at write time — same read-check window as Delta. */
-  private def validateConstraints(spark: SparkSession, table: String,
+  private def validateWrite(spark: SparkSession, table: String,
       abs: String): Unit = {
-    val cs = constraints(table)
+    // CHECK constraints + generated-column equality share one scan:
+    // a generated column the batch PROVIDED must match its expression
+    // (null-safe — Delta's GENERATED ALWAYS AS validation)
+    val cs = constraints(table) ++
+      generatedColumns(table).map { case (name, sql) =>
+        s"generated:$name" -> s"$name <=> ($sql)"
+      }
     if (cs.isEmpty) return
     val df = spark.read.parquet(abs)
     val checkable = cs.toSeq.sortBy(_._1).flatMap { case (name, pred) =>
@@ -302,7 +315,10 @@ final class VersionedTableIO(root: String,
     }
     if (checkable.isEmpty) return
     val aggs = checkable.map { case (_, _, c) =>
-      sum(when(!coalesce(c, lit(true)), 1L).otherwise(0L)) }
+      // coalesce the SUM too: an empty batch dir aggregates to null,
+      // which is zero violations, not a crash
+      coalesce(sum(when(!coalesce(c, lit(true)), 1L).otherwise(0L)),
+        lit(0L)) }
     val row = df.agg(aggs.head, aggs.tail: _*).first()
     checkable.zipWithIndex.foreach { case ((name, pred, _), i) =>
       if (row.getLong(i) > 0L) {
@@ -897,6 +913,42 @@ final class VersionedTableIO(root: String,
         k.stripPrefix(PropConstraintPrefix) -> v
     }
 
+  /** CREATE TABLE as a metadata-only commit (0 data dirs) — the home
+    * for properties that must exist BEFORE the first write, e.g.
+    * generated columns and appendOnly. Reads stay refused until data
+    * lands (same as any empty version). */
+  def createTable(table: String,
+      properties: Map[String, String] = Map.empty): Unit = {
+    commitLoopEx(table, "create") { base =>
+      require(base.isEmpty, s"table '$table' already exists")
+      Some((Nil, Map.empty, properties))
+    }
+    ()
+  }
+
+  /** Delta GENERATED ALWAYS AS: declare `name` as `exprSql` over the
+    * row's other columns. Every subsequent write COMPUTES the column
+    * when the batch lacks it (ingest never hand-maintains
+    * derivatives — the partition-date pattern) and VALIDATES it
+    * null-safe-equal when the batch carries it (a stale provided
+    * value aborts before commit, same machinery as CHECK). Because
+    * the column lands in every dir, manifest min/max stats cover it —
+    * [[readPruned]] on the generated column is the Delta
+    * partition-pruning-on-generated-columns behavior. The expression
+    * must be deterministic (caller contract, as in Delta). */
+  def addGeneratedColumn(table: String, name: String,
+      exprSql: String): Unit = {
+    require(name.nonEmpty && exprSql.nonEmpty, "bad generated column")
+    setProperty(table, s"$PropGeneratedPrefix$name", exprSql)
+  }
+
+  /** Declared generated columns: name → expression SQL. */
+  def generatedColumns(table: String): Map[String, String] =
+    properties(table).collect {
+      case (k, v) if k.startsWith(PropGeneratedPrefix) && v.nonEmpty =>
+        k.stripPrefix(PropGeneratedPrefix) -> v
+    }
+
   /** DESCRIBE HISTORY: one row per live version — (version, ts, op,
     * n_rows) — from manifests alone (n_rows via [[rowCount]]; no data
     * I/O, the Delta history surface). */
@@ -1065,6 +1117,8 @@ object VersionedTableIO {
   /** Property-key prefix for CHECK constraints (Delta's
     * `delta.constraints.` analog). */
   val PropConstraintPrefix = "constraint."
+  /** Property-key prefix for GENERATED ALWAYS AS columns. */
+  val PropGeneratedPrefix = "generated."
   /** Reserved stats key: per-dir row count (stored as [n, n]). */
   val CountStat = "__count"
   /** Deletion-vector column names: table-relative file path + row

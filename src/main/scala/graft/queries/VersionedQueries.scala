@@ -98,6 +98,15 @@ object VersionedQueries {
       io.append(orders.filter(col("o_orderkey") % 7 === 5), "opt")
       io.append(orders.filter(col("o_orderkey") % 7 === 6), "opt")
       io.compactSmall(s, "opt", minRows = (orders.count() * 3) / 10)
+      // "gen": GENERATED ALWAYS AS — bucket derives from the key at
+      // write time (batches never carry it); three key-range appends
+      // make the generated column the pruning column
+      io.createTable("gen",
+        Map("generated.bucket" -> "o_orderkey % 3000"))
+      io.append(orders.filter(col("o_orderkey") % 3000 < 1000), "gen")
+      io.append(orders.filter(col("o_orderkey") % 3000 >= 1000 &&
+        col("o_orderkey") % 3000 < 2000), "gen")
+      io.append(orders.filter(col("o_orderkey") % 3000 >= 2000), "gen")
       // "dvt": DELETE via deletion vectors — two stacking deletes, not
       // one data file rewritten (q157 carries the dir-identity proof)
       io.overwrite(orders, "dvt")
@@ -631,9 +640,29 @@ object VersionedQueries {
         lit(io.versions("t").size).as("n_versions"))
   }
 
+  /** GENERATED ALWAYS AS: the writer computed `bucket` on every
+    * append (no batch carried it), and because it lands in every dir
+    * with stats, a range predicate on the GENERATED column prunes to
+    * one commit dir of three + the empty create — Delta's
+    * partition-pruning-on-generated-columns behavior. Oracle replays
+    * the derivation and the dir arithmetic. */
+  val qGenerated: QueryDef = QueryDef(
+    "q161_generated_column",
+    """SELECT o_orderkey, o_totalprice,
+      |  CAST(o_orderkey % 3000 AS BIGINT) AS bucket,
+      |  CAST(1 AS INT) AS n_dirs_scanned, CAST(3 AS INT) AS n_data_dirs
+      |FROM orders
+      |WHERE o_orderkey % 3000 BETWEEN 1200 AND 1800""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    val (scanned, total) = io.pruneCounts("gen", "bucket", 1200, 1800)
+    io.readPruned(s, "gen", "bucket", 1200, 1800)
+      .withColumn("n_dirs_scanned", lit(scanned))
+      .withColumn("n_data_dirs", lit(total))
+  }
+
   val all: Seq[QueryDef] = Seq(qTimeTravel, qVersionedVacuum, qChangeFeed,
     qStatsPrune, qRestore, qVersionedDml, qCdfIncrementalGold,
     qStreamCdfGold, qManifestExport, qSchemaEvolution, qZorder,
     qClone, qMetaCount, qConstraints, qHistory, qOptimize,
-    qDeletionVectors, qDvUpdate, qDvMerge, qStreamCdc)
+    qDeletionVectors, qDvUpdate, qDvMerge, qStreamCdc, qGenerated)
 }

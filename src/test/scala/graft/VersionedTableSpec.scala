@@ -490,6 +490,9 @@ class VersionedTableSpec extends AnyFunSuite {
     io.dropConstraint("t", "pos")
     assert(io.constraints("t").keySet == Set("flagged"))
     io.append(Seq((7, -7.0)).toDF("k", "price"), "t")
+    // an EMPTY batch against live constraints: zero violations (the
+    // sum aggregates to null on an empty dir), never a crash
+    io.append(Seq.empty[(Int, Double)].toDF("k", "price"), "t")
     assert(io.read(spark, "t").count() == 6)
   }
 
@@ -606,6 +609,36 @@ class VersionedTableSpec extends AnyFunSuite {
     // already gone so nothing to mask) + 100 appended = 750
     assert(io.read(spark, "b").count() == 750)
     assert(io.read(spark, "b").filter(col("v") === 7L).count() == 100)
+  }
+
+  test("generated columns: auto-computed when absent, validated when " +
+      "provided (stale value aborts); DV update regenerating is fine, " +
+      "breaking the invariant is not") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (io, _) = freshIo()
+    io.createTable("t", Map("generated.b" -> "k % 10"))
+    io.append(Seq((15, "x"), (27, "y")).toDF("k", "v"), "t")
+    assert(io.read(spark, "t").orderBy("k")
+      .select("k", "b").as[(Int, Int)].collect().toSeq ==
+      Seq((15, 5), (27, 7)))
+    // a batch PROVIDING the right value passes; a stale value aborts
+    io.append(Seq((31, "z", 1)).toDF("k", "v", "b"), "t")
+    val ex = intercept[IllegalStateException] {
+      io.append(Seq((42, "w", 9)).toDF("k", "v", "b"), "t")
+    }
+    assert(ex.getMessage.contains("generated:b"))
+    assert(io.read(spark, "t").count() == 3)
+    // DV update that leaves the invariant intact commits; one that
+    // breaks it (changing k without regenerating b) aborts whole
+    io.updateWhereVectors(spark, "t", col("k") === 15,
+      Map("v" -> lit("x2")))
+    assert(io.read(spark, "t").filter(col("v") === "x2").count() == 1)
+    val before = io.latestVersion("t")
+    intercept[IllegalStateException] {
+      io.updateWhereVectors(spark, "t", col("k") === 27,
+        Map("k" -> lit(99)))
+    }
+    assert(io.latestVersion("t") == before)
   }
 
   test("model check: random op sequence matches an in-memory reference") {
