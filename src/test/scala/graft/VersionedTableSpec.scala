@@ -611,6 +611,19 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(io.read(spark, "b").filter(col("v") === 7L).count() == 100)
   }
 
+  test("DV read plan: the position mask applies as a BROADCAST " +
+      "left-anti join — no table shuffle for masked reads") {
+    import org.apache.spark.sql.functions.col
+    val (io, _) = freshIo()
+    io.overwrite(spark.range(0, 50000).toDF("id"), "t")
+    io.deleteWhereVectors(spark, "t", col("id") % 1000 === 0)
+    val plan = io.read(spark, "t").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(io.read(spark, "t").count() == 49950)
+  }
+
   test("generated columns: auto-computed when absent, validated when " +
       "provided (stale value aborts); DV update regenerating is fine, " +
       "breaking the invariant is not") {
