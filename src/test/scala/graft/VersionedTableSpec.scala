@@ -624,6 +624,26 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(io.read(spark, "t").count() == 49950)
   }
 
+  test("concurrent DV deletes: two writers race; the loser recomputes " +
+      "against the new head — both deletes land, none lost; pruned " +
+      "reads stay DV-correct") {
+    import org.apache.spark.sql.functions.col
+    val (io, _) = freshIo()
+    io.overwrite(spark.range(0, 10000).toDF("id"), "t")
+    var err: Option[Throwable] = None
+    val ts = Seq(0, 1).map(r => new Thread(() =>
+      try io.deleteWhereVectors(spark, "t", col("id") % 10 === r)
+      catch { case e: Throwable => err.synchronized { err = Some(e) } }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(err.isEmpty, err.map(_.toString).getOrElse(""))
+    assert(io.read(spark, "t").count() == 8000)
+    assert(io.latestVersion("t") == 3L)
+    assert(io.manifest("t", 3L).dvDirs.size == 2)
+    // stats pruning composes with the DV mask: a pruned read still
+    // subtracts every masked position
+    assert(io.readPruned(spark, "t", "id", 0, 99).count() == 80)
+  }
+
   test("generated columns: auto-computed when absent, validated when " +
       "provided (stale value aborts); DV update regenerating is fine, " +
       "breaking the invariant is not") {
