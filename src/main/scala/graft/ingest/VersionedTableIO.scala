@@ -18,7 +18,8 @@ final case class Manifest(
     version: Long, ts: Long, op: String,
     dataDirs: Seq[String], properties: Map[String, String],
     stats: Map[String, Map[String, Seq[Double]]] = Map.empty,
-    dvDirs: Seq[String] = Nil)
+    dvDirs: Seq[String] = Nil,
+    strStats: Map[String, Map[String, Seq[String]]] = Map.empty)
 
 /** Versioned-table format over plain parquet — the engine's stand-in
   * for Delta Lake's transaction log (the reference writes Delta
@@ -154,7 +155,16 @@ final class VersionedTableIO(root: String,
               propsDelta).filter(_._2.nonEmpty),
             stats = (base.map(_.stats).getOrElse(Map.empty) ++ newStats)
               .view.filterKeys(dirSet).toMap,
-            dvDirs = dv(base))
+            dvDirs = dv(base),
+            // string min/max ride a per-writer side channel keyed by
+            // the (globally unique) rel dir: writeDataDir/clone/restore
+            // seed it, the commit folds entries for THIS snapshot's
+            // dirs over the base's — absent entries just mean a
+            // conservative scan, never wrong results
+            strStats = (base.flatMap(b => Option(b.strStats))
+                .getOrElse(Map.empty) ++
+              dirs.flatMap(d => Option(pendingStrStats.get(d)).map(d -> _)))
+              .view.filterKeys(dirSet).toMap)
           if (tryCommit(table, m)) return Some(m)
       }
       attempts += 1
@@ -246,6 +256,45 @@ final class VersionedTableIO(root: String,
     (prunedDirs(m, column, lo, hi).size, m.dataDirs.size)
   }
 
+  /** [[readPruned]] for STRING columns — lexicographic [lo, hi]
+    * bounds against the per-dir string min/max stats every write
+    * records. The date-string partition pattern at 100 TB
+    * (`dt BETWEEN '2024-05-01' AND '2024-08-31'`): whole months of
+    * commit dirs are skipped from kilobytes of manifest, the single
+    * most common skip predicate on real lakehouse tables. Dirs
+    * without string stats scan conservatively; the exact filter
+    * applies on top, so results always equal the plain
+    * read-and-filter. */
+  def readPrunedStr(spark: SparkSession, table: String, column: String,
+      lo: String, hi: String): DataFrame = {
+    val m = manifest(table, latestVersion(table))
+    val kept = prunedDirsStr(m, column, lo, hi)
+    val base =
+      if (kept.isEmpty) scan(spark, table, m).limit(0)
+      else scan(spark, table, m.copy(dataDirs = kept))
+    base.filter(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** (scanned, total) contract for [[readPrunedStr]]. */
+  def pruneCountsStr(table: String, column: String,
+      lo: String, hi: String): (Int, Int) = {
+    val m = manifest(table, latestVersion(table))
+    (prunedDirsStr(m, column, lo, hi).size, m.dataDirs.size)
+  }
+
+  private def prunedDirsStr(m: Manifest, column: String,
+      lo: String, hi: String): Seq[String] = {
+    val ss = Option(m.strStats).getOrElse(Map.empty)
+    m.dataDirs.filter { d =>
+      if (m.stats.get(d).flatMap(_.get(VersionedTableIO.CountStat))
+          .exists(_.headOption.contains(0.0))) false // empty dir: skip
+      else ss.get(d).flatMap(_.get(column)) match {
+        case Some(Seq(mn, mx)) => mx >= lo && mn <= hi
+        case _ => true // no stats: must scan
+      }
+    }
+  }
+
   private def prunedDirs(m: Manifest, column: String,
       lo: Double, hi: Double): Seq[String] =
     m.dataDirs.filter { d =>
@@ -278,6 +327,8 @@ final class VersionedTableIO(root: String,
       }
     withGen.write.parquet(abs)
     validateWrite(df.sparkSession, table, abs)
+    val str = collectStrStats(df.sparkSession, abs)
+    if (str.nonEmpty) pendingStrStats.put(rel, str)
     (rel, collectStats(df.sparkSession, abs))
   }
 
@@ -368,6 +419,30 @@ final class VersionedTableIO(root: String,
         prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
       }
     }
+  }
+
+  /** Side channel rel-dir → string-column [min,max], consumed by
+    * [[commitLoopEx]] (rel names are UUIDs, so entries never collide
+    * across concurrent writers; stale entries from aborted writes are
+    * filtered out by the commit's dirSet). */
+  private val pendingStrStats =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Seq[String]]]()
+
+  private def collectStrStats(spark: SparkSession,
+      absDir: String): Map[String, Seq[String]] = {
+    val df = spark.read.parquet(absDir)
+    val strCols = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }.toSeq
+    if (strCols.isEmpty) return Map.empty
+    val aggs = strCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    strCols.zipWithIndex.flatMap { case (c, i) =>
+      (row.get(2 * i), row.get(2 * i + 1)) match {
+        case (mn: String, mx: String) => Some(c -> Seq(mn, mx))
+        case _ => None // all-null or empty dir: no usable bound
+      }
+    }.toMap
   }
 
   private def requireWritable(table: String): Unit =
@@ -594,6 +669,8 @@ final class VersionedTableIO(root: String,
       linkTree(new File(s"${tableDir(src)}/$rel"),
         new File(s"${tableDir(dst)}/$rel"))
     }
+    Option(m.strStats).getOrElse(Map.empty)
+      .foreach { case (d, st) => pendingStrStats.put(d, st) }
     // DV keys are TABLE-RELATIVE paths, so the linked vectors keep
     // masking the same rows under the clone's root
     commitLoopEx(dst, "clone", _ => dvs) { base =>
@@ -851,6 +928,8 @@ final class VersionedTableIO(root: String,
       require(new File(s"${tableDir(table)}/$d").exists(),
         s"cannot restore '$table' to $toVersion: data dir $d was vacuumed")
     }
+    Option(target.strStats).getOrElse(Map.empty)
+      .foreach { case (d, st) => pendingStrStats.put(d, st) }
     commitLoop(table, "restore", _ => Option(target.dvDirs).getOrElse(Nil))(
       _ => (target.dataDirs, target.stats))
     ()

@@ -98,6 +98,16 @@ object VersionedQueries {
       io.append(orders.filter(col("o_orderkey") % 7 === 5), "opt")
       io.append(orders.filter(col("o_orderkey") % 7 === 6), "opt")
       io.compactSmall(s, "opt", minRows = (orders.count() * 3) / 10)
+      // "prs": STRING-stats pruning — a date-string column over three
+      // month-range commits; a bounded dt predicate must scan one dir
+      val dated = orders.select(col("o_orderkey"), col("o_totalprice"),
+        concat(lit("2024-"),
+          lpad(((col("o_orderkey") % 12) + 1).cast("string"), 2, "0"),
+          lit("-15")).as("dt"))
+      io.overwrite(dated.filter(col("o_orderkey") % 12 < 4), "prs")
+      io.append(dated.filter(col("o_orderkey") % 12 >= 4 &&
+        col("o_orderkey") % 12 < 8), "prs")
+      io.append(dated.filter(col("o_orderkey") % 12 >= 8), "prs")
       // "gen": GENERATED ALWAYS AS — bucket derives from the key at
       // write time (batches never carry it); three key-range appends
       // make the generated column the pruning column
@@ -660,9 +670,31 @@ object VersionedQueries {
       .withColumn("n_data_dirs", lit(total))
   }
 
+  /** STRING-column stats pruning: the `dt BETWEEN '2024-05-01' AND
+    * '2024-08-31'` shape — lexicographic min/max per commit dir skips
+    * the other two month ranges entirely (1 of 3 dirs scanned, the
+    * contract columns). Oracle replays the date derivation and the
+    * range. */
+  val qStrPrune: QueryDef = QueryDef(
+    "q162_string_pruning",
+    """SELECT o_orderkey, o_totalprice,
+      |  '2024-' || lpad(CAST(o_orderkey % 12 + 1 AS VARCHAR), 2, '0')
+      |    || '-15' AS dt,
+      |  CAST(1 AS INT) AS n_dirs_scanned, CAST(3 AS INT) AS n_data_dirs
+      |FROM orders
+      |WHERE o_orderkey % 12 + 1 BETWEEN 5 AND 8""".stripMargin) { (s, dir) =>
+    val io = new VersionedTableIO(builtRoot(s, dir))
+    val (scanned, total) =
+      io.pruneCountsStr("prs", "dt", "2024-05-01", "2024-08-31")
+    io.readPrunedStr(s, "prs", "dt", "2024-05-01", "2024-08-31")
+      .withColumn("n_dirs_scanned", lit(scanned))
+      .withColumn("n_data_dirs", lit(total))
+  }
+
   val all: Seq[QueryDef] = Seq(qTimeTravel, qVersionedVacuum, qChangeFeed,
     qStatsPrune, qRestore, qVersionedDml, qCdfIncrementalGold,
     qStreamCdfGold, qManifestExport, qSchemaEvolution, qZorder,
     qClone, qMetaCount, qConstraints, qHistory, qOptimize,
-    qDeletionVectors, qDvUpdate, qDvMerge, qStreamCdc, qGenerated)
+    qDeletionVectors, qDvUpdate, qDvMerge, qStreamCdc, qGenerated,
+    qStrPrune)
 }

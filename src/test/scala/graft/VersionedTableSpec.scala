@@ -644,6 +644,35 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(io.readPruned(spark, "t", "id", 0, 99).count() == 80)
   }
 
+  test("string stats: lexicographic pruning; stats survive clone and " +
+      "restore; stat-less dirs scan conservatively, never wrongly") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (io, _) = freshIo()
+    val mk = (lo: Int, hi: Int) => (lo until hi)
+      .map(i => (i.toLong, f"2024-$i%02d-01")).toDF("k", "dt")
+    io.overwrite(mk(1, 5), "t")
+    io.append(mk(5, 9), "t")
+    io.append(mk(9, 13), "t")
+    assert(io.pruneCountsStr("t", "dt", "2024-05-00", "2024-08-99") ==
+      (1, 3))
+    assert(io.readPrunedStr(spark, "t", "dt", "2024-05-00", "2024-08-99")
+      .count() == 4)
+    // clone and restore both keep the string stats usable
+    io.cloneTable("t", "c")
+    assert(io.pruneCountsStr("c", "dt", "2024-05-00", "2024-08-99") ==
+      (1, 3))
+    io.overwrite(mk(1, 13), "t")
+    io.restore("t", 3L)
+    assert(io.pruneCountsStr("t", "dt", "2024-05-00", "2024-08-99") ==
+      (1, 3))
+    // a dir without string stats (all-null column) scans conservatively
+    io.append(Seq((99L, Option.empty[String])).toDF("k", "dt"), "t")
+    assert(io.pruneCountsStr("t", "dt", "2024-05-00", "2024-08-99") ==
+      (2, 4))
+    assert(io.readPrunedStr(spark, "t", "dt", "2024-05-00", "2024-08-99")
+      .count() == 4)
+  }
+
   test("generated columns: auto-computed when absent, validated when " +
       "provided (stale value aborts); DV update regenerating is fine, " +
       "breaking the invariant is not") {
