@@ -143,19 +143,23 @@ final class VersionedTableIO(root: String,
       build(base) match {
         case None => return None
         case Some((dirs, newStats, propsDelta)) =>
-          val dirSet = dirs.toSet
+          val dvs = dv(base)
+          val dirSet = dirs.toSet ++ dvs
+          // an EMPTY value in the DELTA unsets that key (how
+          // dropConstraint removes its property through the same merge
+          // path every other commit uses) — scoped to the delta's own
+          // keys, so a pre-existing property legitimately set to ""
+          // rides through unrelated commits untouched
+          val unset = propsDelta.collect { case (k, v) if v.isEmpty => k }
           val m = Manifest(
             version = vs.lastOption.map(_ + 1).getOrElse(1L),
             ts = System.currentTimeMillis(), op = op,
             dataDirs = dirs,
-            // an EMPTY value in the delta unsets the key (how
-            // dropConstraint removes its property through the same
-            // merge path every other commit uses)
             properties = (base.map(_.properties).getOrElse(Map.empty) ++
-              propsDelta).filter(_._2.nonEmpty),
+              propsDelta) -- unset,
             stats = (base.map(_.stats).getOrElse(Map.empty) ++ newStats)
               .view.filterKeys(dirSet).toMap,
-            dvDirs = dv(base),
+            dvDirs = dvs,
             // string min/max ride a per-writer side channel keyed by
             // the (globally unique) rel dir: writeDataDir/clone/restore
             // seed it, the commit folds entries for THIS snapshot's
@@ -165,7 +169,13 @@ final class VersionedTableIO(root: String,
                 .getOrElse(Map.empty) ++
               dirs.flatMap(d => Option(pendingStrStats.get(d)).map(d -> _)))
               .view.filterKeys(dirSet).toMap)
-          if (tryCommit(table, m)) return Some(m)
+          if (tryCommit(table, m)) {
+            // the committed manifest now carries these dirs' string
+            // stats; drop the side-channel entries so long-lived
+            // writers (streaming loops) don't grow the map unboundedly
+            dirs.foreach(pendingStrStats.remove)
+            return Some(m)
+          }
       }
       attempts += 1
       if (attempts > 100) throw new IllegalStateException(
@@ -198,16 +208,33 @@ final class VersionedTableIO(root: String,
       substring_index(col("_metadata.file_path"), "/data/", -1))
 
   /** Anti-join `withKeys` (carrying DvPath/DvPos columns) against the
-    * snapshot's deletion vectors. The DV side is tiny relative to the
-    * scan (positions only, no row data) — Spark broadcasts it, so the
-    * read overhead is O(scan + |deleted positions|), never a shuffle
-    * of the table. */
+    * snapshot's deletion vectors. For the common O(k)-delete workload
+    * the DV side is tiny (positions only, no row data) and is
+    * BROADCAST, so the read overhead is O(scan + |deleted positions|)
+    * with no shuffle of the table. A MASS delete (say 1B masked rows
+    * at 100 TB) would make that broadcast a driver/executor OOM, so
+    * the plan is size-guarded from the manifest's per-DV-dir count
+    * stats: above `spark.graft.dv.broadcastMaxRows` (default 2^20) —
+    * or when any DV dir predates count stats — the anti-join runs as
+    * a shuffled hash join on (file, pos) instead: both sides hash-
+    * partition on the position key, the per-partition build side is
+    * |dv|/parts, and no single JVM ever holds the full position set. */
   private def dvSubtract(spark: SparkSession, table: String, m: Manifest,
       withKeys: DataFrame): DataFrame = {
     val dv = spark.read
       .parquet(m.dvDirs.map(d => s"${tableDir(table)}/$d"): _*)
       .select(col(DvPath), col(DvPos))
-    withKeys.join(broadcast(dv), Seq(DvPath, DvPos), "left_anti")
+    val dvRows: Option[Long] = {
+      val per = m.dvDirs.map(d =>
+        m.stats.get(d).flatMap(_.get(CountStat)).map(_.head.toLong))
+      if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+    }
+    val maxBroadcast = spark.conf
+      .get(DvBroadcastMaxRowsKey, DvBroadcastMaxRowsDefault.toString).toLong
+    if (dvRows.exists(_ <= maxBroadcast))
+      withKeys.join(broadcast(dv), Seq(DvPath, DvPos), "left_anti")
+    else
+      withKeys.join(dv.hint("shuffle_hash"), Seq(DvPath, DvPos), "left_anti")
   }
 
   def read(spark: SparkSession, table: String): DataFrame =
@@ -445,6 +472,20 @@ final class VersionedTableIO(root: String,
     }.toMap
   }
 
+  /** Abort-path cleanup for an uncommitted data dir: the files AND the
+    * pending string-stats entry (which would otherwise outlive the
+    * aborted write in a long-lived instance). */
+  private def discardDataDir(table: String, rel: String): Unit = {
+    pendingStrStats.remove(rel)
+    FsOps.deleteRecursively(new File(s"${tableDir(table)}/$rel"))
+  }
+
+  /** A [n, n] count-stat entry — what [[collectStats]] records for
+    * data dirs; DV writers record the same for their sidecar dirs so
+    * reads can size-guard the DV plan from the manifest alone. */
+  private def countStatOf(n: Long): Map[String, Seq[Double]] =
+    Map(CountStat -> Seq(n.toDouble, n.toDouble))
+
   private def requireWritable(table: String): Unit =
     if (latestManifest(table).exists(_.properties.get(PropAppendOnly).contains("true")))
       throw new UnsupportedOperationException(
@@ -490,6 +531,11 @@ final class VersionedTableIO(root: String,
     while (attempts < 10) {
       val baseVersion = latestVersion(table)
       val (rels, st) = write(readVersion(spark, table, baseVersion))
+      // an effectively-empty snapshot (empty overwrite, or every row
+      // masked by deletion vectors) materializes NO dirs: committing
+      // dataDirs = Nil would make the head unreadable, so bail without
+      // a commit — the same no-op contract as compactSmall
+      if (rels.isEmpty) return
       // the rewrite read the DV-aware snapshot, so deletes are
       // MATERIALIZED in the new dirs: clear the vectors
       val committed = commitLoopEx(table, op, clearDv) { base =>
@@ -499,8 +545,9 @@ final class VersionedTableIO(root: String,
       }
       if (committed.isDefined) return
       // nested rels (data/<uuid>/__zb=k) share one staging root: drop it
+      rels.foreach(r => pendingStrStats.remove(r))
       rels.map(_.split("/").take(2).mkString("/")).distinct.foreach(r =>
-        FsOps.deleteRecursively(new File(s"${tableDir(table)}/$r")))
+        discardDataDir(table, r))
       attempts += 1
     }
     throw new IllegalStateException(
@@ -568,7 +615,7 @@ final class VersionedTableIO(root: String,
         else None // head moved: small set is stale, re-pick
       }
       if (committed.isDefined) return
-      FsOps.deleteRecursively(new File(s"${tableDir(table)}/$rel"))
+      discardDataDir(table, rel)
       attempts += 1
     }
     throw new IllegalStateException(
@@ -590,10 +637,12 @@ final class VersionedTableIO(root: String,
     * between reading one backfill's worth of files and the whole table.
     *
     * One data pass: normalize (per-column min/max from a single agg,
-    * broadcast back), z-value via codegen'd bit ops, range-partition on
-    * the z-bucket, one partitioned write; stats come from parquet
-    * footers (metadata I/O). The commit is read-validated like every
-    * snapshot rewrite. `numDirs` must be a power of two ≤ 2^(8·nCols). */
+    * inlined as literals), z-value via codegen'd bit ops, range-
+    * partition on the z-bucket, one partitioned write; stats come from
+    * parquet footers (metadata I/O). The commit is read-validated like
+    * every snapshot rewrite. `numDirs` must be a power of two ≤
+    * 2^(8·nCols); cluster columns must be numeric and not all-null; an
+    * effectively-empty snapshot (all rows DV-masked) is a no-op. */
   def compactZOrder(spark: SparkSession, table: String,
       clusterCols: Seq[String], numDirs: Int): Unit = {
     requireWritable(table)
@@ -605,60 +654,85 @@ final class VersionedTableIO(root: String,
       s"numDirs must be a power of two in [2, 2^$totalBits], got $numDirs")
     val bucketBits = 31 - Integer.numberOfLeadingZeros(numDirs)
     rewriteSnapshotEx(spark, table, "compact") { cur =>
-      val bcols = clusterCols.indices.flatMap(j => Seq(
-        min(col(clusterCols(j))).cast("double").as(s"__zmn$j"),
-        max(col(clusterCols(j))).cast("double").as(s"__zmx$j")))
-      val withB = cur.crossJoin(broadcast(cur.agg(bcols.head, bcols.tail: _*)))
-      // 8-bit key per column: exact when the domain is integral and
-      // spans max-min+1 values; a monotone binning otherwise
-      val keys = clusterCols.indices.map { j =>
-        val span = col(s"__zmx$j") - col(s"__zmn$j") + 1.0
-        least(lit(255), greatest(lit(0),
-          floor((col(clusterCols(j)) - col(s"__zmn$j")) * 256.0 / span)
-            .cast("int")))
-      }
-      val zval = (0 until 8).flatMap { i =>
-        keys.zipWithIndex.map { case (k, j) =>
-          shiftleft(shiftrightunsigned(k, i).bitwiseAND(lit(1)),
-            i * nCols + (nCols - 1 - j))
-        }
-      }.reduce(_ bitwiseOR _)
+      // z-keys need a numeric domain: a string/date column would cast
+      // its min/max to null and silently collapse every z-value to one
+      // bucket — refuse up front instead (cluster on a NUMERIC
+      // derivative, e.g. a generated epoch-day column, for dates)
+      val bad = clusterCols.filterNot(c => cur.schema.fields.exists(f =>
+        f.name == c &&
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+      require(bad.isEmpty, "compactZOrder cluster columns must exist " +
+        s"and be numeric; offending: ${bad.mkString(", ")}")
+      val bcols = count(lit(1)) +: clusterCols.indices.flatMap(j => Seq(
+        min(col(clusterCols(j))).cast("double"),
+        max(col(clusterCols(j))).cast("double")))
+      // ONE bounds row, collected (bounded: 2·nCols doubles) and inlined
+      // as literals so the z-value expression stays constant-foldable
+      val b = cur.agg(bcols.head, bcols.tail: _*).first()
       val rel = s"data/${java.util.UUID.randomUUID()}"
       val abs = s"${tableDir(table)}/$rel"
-      withB
-        .withColumn("__zb", shiftrightunsigned(zval, totalBits - bucketBits))
-        .select((cur.columns.map(col) :+ col("__zb")).toIndexedSeq: _*)
-        .repartitionByRange(numDirs, col("__zb"))
-        .write.partitionBy("__zb").parquet(abs)
-      // each __zb=k subdir becomes its own manifest data dir; reading a
-      // leaf dir directly never re-infers __zb, so the schema is clean
-      val rels = new File(abs).listFiles()
-        .filter(_.getName.startsWith("__zb=")).toSeq
-        .sortBy(_.getName.stripPrefix("__zb=").toInt)
-        .map(f => s"$rel/${f.getName}")
+      val rels: Seq[String] = if (b.getLong(0) == 0L) Nil else {
+        val bounds = clusterCols.indices.map { j =>
+          require(!b.isNullAt(2 * j + 1) && !b.isNullAt(2 * j + 2),
+            s"compactZOrder: cluster column '${clusterCols(j)}' is " +
+              "entirely null — no z-range to cluster on")
+          (b.getDouble(2 * j + 1), b.getDouble(2 * j + 2))
+        }
+        // 8-bit key per column: exact when the domain is integral and
+        // spans max-min+1 values; a monotone binning otherwise
+        val keys = clusterCols.indices.map { j =>
+          val (mn, mx) = bounds(j)
+          least(lit(255), greatest(lit(0),
+            floor((col(clusterCols(j)) - mn) * 256.0 / (mx - mn + 1.0))
+              .cast("int")))
+        }
+        val zval = (0 until 8).flatMap { i =>
+          keys.zipWithIndex.map { case (k, j) =>
+            shiftleft(shiftrightunsigned(k, i).bitwiseAND(lit(1)),
+              i * nCols + (nCols - 1 - j))
+          }
+        }.reduce(_ bitwiseOR _)
+        cur
+          .withColumn("__zb", shiftrightunsigned(zval, totalBits - bucketBits))
+          .repartitionByRange(numDirs, col("__zb"))
+          .write.partitionBy("__zb").parquet(abs)
+        // each __zb=k subdir becomes its own manifest data dir; reading a
+        // leaf dir directly never re-infers __zb, so the schema is clean
+        new File(abs).listFiles()
+          .filter(_.getName.startsWith("__zb=")).toSeq
+          .sortBy(_.getName.stripPrefix("__zb=").toInt)
+          .map(f => s"$rel/${f.getName}")
+      }
+      // an all-rows-masked snapshot still writes an empty staging root
+      // (or none at all): drop it; empty rels → rewriteSnapshotEx no-op
+      if (rels.isEmpty) FsOps.deleteRecursively(new File(abs))
       (rels, rels.map(r => r -> collectStats(spark, s"${tableDir(table)}/$r")).toMap)
     }
   }
 
   /** CLONE (Delta `CREATE TABLE ... CLONE src` analog): materialize
     * `dst` as a new table whose first commit is `src`'s snapshot at
-    * `version` — data files are HARD-LINKED, never copied, so the
-    * clone costs O(files) metadata operations and zero data bytes
-    * regardless of table size (the 100 TB dev/staging-branch pattern:
-    * fork the production table, experiment, throw away).
+    * `version`. How the data files are shared is the BACKEND's
+    * honest cheapest primitive ([[CommitBackend.shareFile]]): on a
+    * POSIX filesystem they are HARD-LINKED — O(files) metadata
+    * operations, zero data bytes, regardless of table size (the
+    * 100 TB dev/staging-branch pattern: fork the production table,
+    * experiment, throw away); an object store has no link primitive,
+    * so the conditional-put backend models server-side COPY (one API
+    * call per object, no bytes through the client) — never a
+    * pretend-zero-copy that would dangle later.
     *
-    * SAFER than Delta's shallow clone: links keep the underlying
-    * inodes alive, so VACUUMing the SOURCE can never break the clone
+    * SAFER than Delta's shallow clone under EITHER backend: links
+    * keep the underlying inodes alive and copies are independent
+    * objects, so VACUUMing the SOURCE can never break the clone
     * (Delta's shallow clones dangle when the source is vacuumed —
-    * asserted the other way here in VersionedTableSpec). Stats and
-    * properties carry over; after the clone the two tables diverge
-    * independently. On an object store the [[CommitBackend]] analog is
-    * server-side copy (no link primitive) — same metadata-only cost
-    * class on stores that implement it copy-on-write.
+    * asserted the other way here in VersionedTableSpec, against both
+    * backends). Stats and properties carry over; after the clone the
+    * two tables diverge independently.
     *
-    * Crash-safe like every write: links land before the commit, so a
-    * crash mid-clone leaves only an invisible-and-vacuumable orphan
-    * tree, never a half-visible table. */
+    * Crash-safe like every write: the shared files land before the
+    * commit, so a crash mid-clone leaves only an invisible-and-
+    * vacuumable orphan tree, never a half-visible table. */
   def cloneTable(src: String, dst: String,
       version: Option[Long] = None): Unit = {
     val m = manifest(src, version.getOrElse(latestVersion(src)))
@@ -684,8 +758,7 @@ final class VersionedTableIO(root: String,
     dstDir.mkdirs()
     Option(srcDir.listFiles()).getOrElse(Array.empty).foreach { f =>
       if (f.isDirectory) linkTree(f, new File(dstDir, f.getName))
-      else java.nio.file.Files.createLink(
-        new File(dstDir, f.getName).toPath, f.toPath)
+      else backend.shareFile(f, new File(dstDir, f.getName))
     }
   }
 
@@ -697,11 +770,17 @@ final class VersionedTableIO(root: String,
     * back to a scan). */
   def rowCount(table: String, version: Long): Option[Long] = {
     val m = manifest(table, version)
-    // live deletion vectors make dir counts upper bounds, not counts
-    if (Option(m.dvDirs).exists(_.nonEmpty)) return None
-    val per = m.dataDirs.map(d =>
+    def counts(dirs: Seq[String]): Seq[Option[Long]] = dirs.map(d =>
       m.stats.get(d).flatMap(_.get(CountStat)).map(_.head.toLong))
-    if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+    val data = counts(m.dataDirs)
+    // every DV row masks exactly one LIVE row (writers exclude already-
+    // masked positions up front, so positions never duplicate across
+    // stacked vectors) — the snapshot count is Σdata − Σdv, still a
+    // pure manifest read even while deletes are unmaterialized
+    val dv = counts(Option(m.dvDirs).getOrElse(Nil))
+    if ((data ++ dv).forall(_.isDefined))
+      Some(data.flatten.sum - dv.flatten.sum)
+    else None
   }
 
   /** Delta DELETE with DELETION VECTORS: mark matching rows deleted by
@@ -739,18 +818,20 @@ final class VersionedTableIO(root: String,
         .filter(predicate)
         .select(col(DvPath), col(DvPos))
         .write.parquet(abs)
-      if (spark.read.parquet(abs).isEmpty) {
-        FsOps.deleteRecursively(new File(abs)) // no matches: no commit
+      val nDv = spark.read.parquet(abs).count()
+      if (nDv == 0L) {
+        discardDataDir(table, rel) // no matches: no commit
         return
       }
       val committed = commitLoopEx(table, "delete",
         dv = base => carryDv(base) :+ rel) { base =>
         if (base.map(_.version).contains(baseVersion))
-          Some((m.dataDirs, Map.empty, Map.empty[String, String]))
+          Some((m.dataDirs, Map(rel -> countStatOf(nDv)),
+            Map.empty[String, String]))
         else None // head moved: positions may be stale, recompute
       }
       if (committed.isDefined) return
-      FsOps.deleteRecursively(new File(abs))
+      discardDataDir(table, rel)
       attempts += 1
     }
     throw new IllegalStateException(
@@ -783,7 +864,8 @@ final class VersionedTableIO(root: String,
           else dvSubtract(spark, table, m, df))
         .filter(predicate)
         .localCheckpoint()
-      if (matched.isEmpty) return
+      val nDv = matched.count()
+      if (nDv == 0L) return
       val dvRel = s"data/${java.util.UUID.randomUUID()}"
       val dvAbs = s"${tableDir(table)}/$dvRel"
       matched.select(col(DvPath), col(DvPos)).write.parquet(dvAbs)
@@ -793,18 +875,19 @@ final class VersionedTableIO(root: String,
       val (rel, st) =
         try writeDataDir(updated, table)
         catch { case e: Throwable => // constraint violation: no orphan
-          FsOps.deleteRecursively(new File(dvAbs)); throw e
+          discardDataDir(table, dvRel); throw e
         }
       val committed = commitLoopEx(table, "update",
         dv = base => carryDv(base) :+ dvRel) { base =>
         if (base.map(_.version).contains(baseVersion))
-          Some((m.dataDirs :+ rel, Map(rel -> st),
+          Some((m.dataDirs :+ rel,
+            Map(rel -> st, dvRel -> countStatOf(nDv)),
             Map.empty[String, String]))
         else None // head moved: matched set is stale, recompute
       }
       if (committed.isDefined) return
-      FsOps.deleteRecursively(new File(dvAbs))
-      FsOps.deleteRecursively(new File(s"${tableDir(table)}/$rel"))
+      discardDataDir(table, dvRel)
+      discardDataDir(table, rel)
       attempts += 1
     }
     throw new IllegalStateException(
@@ -838,24 +921,27 @@ final class VersionedTableIO(root: String,
           keys, "left_semi")
         .select(col(DvPath), col(DvPos))
         .write.parquet(dvAbs)
-      val anyMatch = !spark.read.parquet(dvAbs).isEmpty
-      if (!anyMatch) FsOps.deleteRecursively(new File(dvAbs))
+      val nDv = spark.read.parquet(dvAbs).count()
+      val anyMatch = nDv > 0L
+      if (!anyMatch) discardDataDir(table, dvRel)
       val (rel, st) =
         try writeDataDir(source, table)
         catch { case e: Throwable =>
-          if (anyMatch) FsOps.deleteRecursively(new File(dvAbs)); throw e
+          if (anyMatch) discardDataDir(table, dvRel); throw e
         }
       val committed = commitLoopEx(table, "merge",
         dv = base =>
           if (anyMatch) carryDv(base) :+ dvRel else carryDv(base)) { base =>
         if (base.map(_.version).contains(baseVersion))
-          Some((m.dataDirs :+ rel, Map(rel -> st),
+          Some((m.dataDirs :+ rel,
+            Map(rel -> st) ++
+              (if (anyMatch) Map(dvRel -> countStatOf(nDv)) else Map.empty),
             Map.empty[String, String]))
         else None // head moved: matched mask is stale, recompute
       }
       if (committed.isDefined) return
-      if (anyMatch) FsOps.deleteRecursively(new File(dvAbs))
-      FsOps.deleteRecursively(new File(s"${tableDir(table)}/$rel"))
+      if (anyMatch) discardDataDir(table, dvRel)
+      discardDataDir(table, rel)
       attempts += 1
     }
     throw new IllegalStateException(
@@ -911,8 +997,7 @@ final class VersionedTableIO(root: String,
       else Some((base.map(_.dataDirs).getOrElse(Nil) :+ rel,
         Map(rel -> st), Map(key -> sequence.toString)))
     }
-    if (committed.isEmpty)
-      FsOps.deleteRecursively(new File(s"${tableDir(table)}/$rel"))
+    if (committed.isEmpty) discardDataDir(table, rel)
     committed.isDefined
   }
 
@@ -963,21 +1048,51 @@ final class VersionedTableIO(root: String,
       predicate: String): Unit = {
     require(name.nonEmpty && !name.contains('='),
       s"bad constraint name '$name'")
-    latestManifest(table).filter(_.dataDirs.nonEmpty).foreach { m =>
-      // a predicate over a column the schema doesn't have YET is
-      // vacuously satisfied (rows surface it as null once schema
-      // evolution introduces it) — Delta refuses these; accepting is
-      // the evolution-friendly divergence, enforced the moment a
-      // batch actually carries the column
-      val bad =
-        try Some(scan(spark, table, m)
-          .filter(!coalesce(expr(predicate), lit(true))).count())
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
-      bad.foreach(b => require(b == 0L,
-        s"cannot add CHECK constraint '$name': $b existing row(s) " +
-          s"violate ($predicate)"))
+    // Validate-then-commit is racy on its own: a writer whose
+    // validateWrite read the PRE-constraint property set can land a
+    // violating dir after our validation scan but before our property
+    // commit — Delta detects this as a metadata conflict and fails one
+    // side. Here the commit lands only if the head hasn't moved since
+    // the scan; when it has, only the dirs ADDED since are re-scanned
+    // (validated dirs are immutable, their verdict can't change).
+    var validated = Set.empty[String]
+    var attempts = 0
+    while (attempts < 10) {
+      val head = latestManifest(table)
+      val toCheck = head.map(m =>
+        m.dataDirs.filterNot(validated)).getOrElse(Nil)
+      head.filter(_ => toCheck.nonEmpty).foreach { m =>
+        // a predicate over a column the schema doesn't have YET is
+        // vacuously satisfied (rows surface it as null once schema
+        // evolution introduces it) — Delta refuses these; accepting is
+        // the evolution-friendly divergence, enforced the moment a
+        // batch actually carries the column. DV masks apply: a
+        // violating row already deleted by position doesn't block.
+        val bad =
+          try Some(scan(spark, table, m.copy(dataDirs = toCheck))
+            .filter(!coalesce(expr(predicate), lit(true))).count())
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        bad.foreach(b => require(b == 0L,
+          s"cannot add CHECK constraint '$name': $b existing row(s) " +
+            s"violate ($predicate)"))
+      }
+      validated ++= toCheck
+      val headVersion = head.map(_.version)
+      val committed = commitLoopEx(table, "setProperty") { base =>
+        if (base.map(_.version) != headVersion)
+          None // head moved during validation: re-scan the new dirs
+        else {
+          val b = base.getOrElse(
+            throw new IllegalArgumentException(s"no such table '$table'"))
+          Some((b.dataDirs, Map.empty,
+            Map(s"$PropConstraintPrefix$name" -> predicate)))
+        }
+      }
+      if (committed.isDefined) return
+      attempts += 1
     }
-    setProperty(table, s"$PropConstraintPrefix$name", predicate)
+    throw new IllegalStateException(
+      s"addConstraint('$table', '$name') lost the validation race 10 times")
   }
 
   /** Remove a CHECK constraint (metadata commit; empty value unsets
@@ -1204,6 +1319,11 @@ object VersionedTableIO {
     * index within that file. */
   val DvPath = "__dv_path"
   val DvPos = "__dv_pos"
+  /** Conf key: max deletion-vector positions to BROADCAST on read;
+    * larger (or unknown-size) vectors anti-join via shuffled hash
+    * join instead (see [[VersionedTableIO.dvSubtract]]). */
+  val DvBroadcastMaxRowsKey = "spark.graft.dv.broadcastMaxRows"
+  val DvBroadcastMaxRowsDefault: Long = 1L << 20
   /** Guards the session-conf mutation in stats collection. */
   private[ingest] val statsLock = new Object
   private val mapper: ObjectMapper = {

@@ -121,7 +121,7 @@ object CorpusQueries {
     * then relabels. Result must equal the from-scratch labels over
     * the UNION pair set — q84's recursive-CTE oracle verbatim. */
   val qIncrementalClusters: QueryDef = QueryDef(
-    "q144_incremental_clusters", qDedupClusters.oracle.get) { (s, dir) =>
+    "q144_incremental_clusters", qDedupClusters.oracle.get()) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 60)
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.7)
       .select("id_a", "id_b")
@@ -143,7 +143,7 @@ object CorpusQueries {
     * table converges to the batch answer. Replay idempotence (the fold
     * is the identity on already-merged labels) is StreamingSpec's. */
   val qStreamClusters: QueryDef = QueryDef(
-    "q147_stream_clusters", qDedupClusters.oracle.get) { (s, dir) =>
+    "q147_stream_clusters", qDedupClusters.oracle.get()) { (s, dir) =>
     import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
     val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 60)
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.7)
@@ -1026,7 +1026,7 @@ object CorpusQueries {
     * delta, queries score per-doc without ever re-scanning the
     * corpus for df/N/avgdl. */
   val qBm25QueryIncremental: QueryDef = QueryDef(
-    "q145_bm25_query_incremental", qBm25Query.oracle.get) { (s, dir) =>
+    "q145_bm25_query_incremental", qBm25Query.oracle.get()) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
     val terms = Seq("join", "vector", "scan")
     val deltas =
@@ -1047,7 +1047,7 @@ object CorpusQueries {
     * queries share one oracle. The persisted-table form of the stats
     * fold is proven in ScaleSpec via VersionedTableIO appends. */
   val qBm25Incremental: QueryDef = QueryDef(
-    "q139_bm25_incremental", qBm25.oracle.get) { (s, dir) =>
+    "q139_bm25_incremental", qBm25.oracle.get()) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
     val terms = Seq("join", "vector", "scan")
     val deltas =

@@ -176,7 +176,7 @@ object StreamQueries {
     * the batch CDC semantics and SHARES q99's oracle. */
   val qStreamCdc: QueryDef = QueryDef(
     "q102_stream_cdc",
-    IngestQueries.qCdcApply.oracle.get) { (s, dir) =>
+    IngestQueries.qCdcApply.oracle.get()) { (s, dir) =>
     import graft.ingest.ParquetTableIO
     val base = Tables.load(s, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")

@@ -312,24 +312,47 @@ object VersionedQueries {
 
   /** External-reader contract (the reference's defining trait: Trino
     * reads every Delta table Spark writes, via the shared metastore —
-    * trino/etc/catalog/delta.properties:1-8). The exported per-version
-    * manifest is consumed here by a PLAIN parquet read: the file list
-    * comes from manifest.txt via java.nio (no VersionedTableIO scan
-    * code anywhere in the plan), fed straight to spark.read.parquet —
-    * exactly what a second engine would do. Content must equal
-    * snapshot v2 (pre-merge: the ≡0 overwrite + ≡1 append, original
-    * prices). VersionedTableSpec asserts the same external read keeps
-    * parquet filter pushdown. */
-  val qManifestExport: QueryDef = QueryDef(
-    "q140_manifest_export",
-    """SELECT o_orderkey, o_totalprice
-      |FROM orders WHERE o_orderkey % 3 <= 1""".stripMargin) { (s, dir) =>
-    val root = builtRoot(s, dir)
-    val lines = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(s"$root/tt/_graft_manifests/2/manifest.txt"))
-    val files = scala.jdk.CollectionConverters.ListHasAsScala(lines)
-      .asScala.toSeq.filter(_.nonEmpty)
-    s.read.parquet(files: _*)
+    * trino/etc/catalog/delta.properties:1-8). The DuckDB ORACLE is the
+    * foreign engine here: its SQL is derived AT DUMP TIME from the
+    * exported `manifest.txt` file list (`read_parquet([...])` — no
+    * VersionedTableIO code, no Spark, just the plain-file export), and
+    * the Spark side independently REPLAYS snapshot v2's semantics from
+    * the source table (pre-merge: the ≡0 overwrite + ≡1 append,
+    * original prices). The hash match therefore proves in one check
+    * that a genuinely foreign engine consumes the export AND that the
+    * exported bytes equal the committed semantics. Spark-side export
+    * reads (+ kept filter pushdown) are asserted in
+    * VersionedTableSpec. */
+  val qManifestExport: QueryDef = QueryDef.dynamicOracle(
+    "q140_manifest_export")(manifestExportOracle) { (s, dir) =>
+    builtRoot(s, dir) // ensure the table history + export exist
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 <= 1)
+      .select("o_orderkey", "o_totalprice")
+  }
+
+  /** q140's dump-time oracle: DuckDB reads EXACTLY the exported file
+    * list. Falls back to the semantic replay if no export was built in
+    * this JVM (e.g. a dev run that never invoked the query). */
+  private def manifestExportOracle: String = {
+    import scala.jdk.CollectionConverters._
+    val replay =
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 3 <= 1""".stripMargin
+    cache.values().asScala.toSeq match {
+      case Seq(root) =>
+        val f = new java.io.File(s"$root/tt/_graft_manifests/2/manifest.txt")
+        if (!f.exists()) replay
+        else {
+          val files = java.nio.file.Files.readAllLines(f.toPath)
+            .asScala.filter(_.nonEmpty)
+          if (files.isEmpty) replay
+          else files.map(p => s"'$p'")
+            .mkString("SELECT o_orderkey, o_totalprice FROM read_parquet([",
+              ", ", "])")
+        }
+      case _ => replay // zero or several roots: ambiguous, replay
+    }
   }
 
   /** Schema evolution across versioned commits (the reference evolves
@@ -424,8 +447,10 @@ object VersionedQueries {
   /** Metadata-only COUNT(*): every row count below comes from
     * [[VersionedTableIO.rowCount]] — a pure manifest read, no Spark
     * job, no file opens (the history's counts from kilobytes of log,
-    * Delta's numRecords-from-stats answer shape). The oracle recounts
-    * each snapshot from the source table. */
+    * Delta's numRecords-from-stats answer shape). The `dvt` row counts
+    * THROUGH two live deletion vectors (Σdata − Σdv from the DV dirs'
+    * own count stats — deletes don't cost the metadata answer). The
+    * oracle recounts each snapshot from the source table. */
   val qMetaCount: QueryDef = QueryDef(
     "q152_meta_count",
     """SELECT 'tt' AS tbl, CAST(1 AS BIGINT) AS version,
@@ -439,11 +464,16 @@ object VersionedQueries {
       |FROM orders WHERE o_orderkey % 3 <= 1
       |UNION ALL
       |SELECT 'dml', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT)
-      |FROM orders WHERE o_orderkey % 5 <> 4""".stripMargin) { (s, dir) =>
+      |FROM orders WHERE o_orderkey % 5 <> 4
+      |UNION ALL
+      |SELECT 'dvt', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT)
+      |FROM orders
+      |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 6""".stripMargin) { (s, dir) =>
     import s.implicits._
     val io = new VersionedTableIO(builtRoot(s, dir))
     val rows = ((1L to 3L).map(v => ("tt", v, io.rowCount("tt", v).get)) :+
-      ("dml", 3L, io.rowCount("dml", 3L).get)).toSeq
+      ("dml", 3L, io.rowCount("dml", 3L).get) :+
+      ("dvt", 3L, io.rowCount("dvt", 3L).get)).toSeq
     rows.toDF("tbl", "version", "n_rows")
   }
 

@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
+  /** Conf key: max contracted-label-map rows [[updateClusters]] will
+    * BROADCAST for the relabel join; larger maps fall back to a
+    * shuffled join (same result, no single-JVM copy). */
+  val CcBroadcastMaxNodesKey = "spark.graft.cc.broadcastMaxNodes"
+  val CcBroadcastMaxNodesDefault: Long = 1L << 22
+
   /** (node, cluster_id) for every node present in `pairs`.
     * `pairs` must have two id columns; edges are treated as undirected.
     */
@@ -91,10 +97,17 @@ object Clusters {
     * oracle on old ∪ new pairs).
     *
     * Cost: CC on O(new pairs) contracted edges (diameter-bounded
-    * rounds over the BATCH, never the corpus) + one broadcast-sized
-    * relabel join of the label table against the touched-label map —
-    * old edges are never read, so a daily batch costs O(batch), not
-    * O(corpus history).
+    * rounds over the BATCH, never the corpus) + one relabel join of
+    * the label table against the touched-label map — old edges are
+    * never read, so a daily batch costs O(batch), not O(corpus
+    * history). The touched-label map is bounded by the batch's
+    * DISTINCT labels, so it is normally broadcast; an initial
+    * mega-batch could exceed the broadcast limit, so the plan is
+    * size-guarded (`spark.graft.cc.broadcastMaxNodes`, default 2^22):
+    * above it the relabel runs as a shuffled join — same result,
+    * no single-JVM copy of the map. The count that decides is cheap:
+    * the map is already localCheckpoint-materialized by
+    * [[connectedComponents]].
     */
   def updateClusters(labels: DataFrame, newPairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
@@ -114,10 +127,19 @@ object Clusters {
       mapped.filter(col("la") =!= col("lb")), "la", "lb", maxIter)
       .withColumnRenamed("node", "old_label")
       .withColumnRenamed("cluster_id", "new_label")
+    // size guard: broadcast the contracted-label map only while it
+    // fits; a giant first batch falls back to a shuffled join (the
+    // count is metadata-cheap — merged is checkpoint-materialized)
+    val spark = newPairs.sparkSession
+    val maxBroadcast = spark.conf
+      .get(Clusters.CcBroadcastMaxNodesKey,
+        Clusters.CcBroadcastMaxNodesDefault.toString).toLong
+    val mergedSized =
+      if (merged.count() <= maxBroadcast) broadcast(merged) else merged
     // relabel the existing table (labels untouched by the batch keep
     // their cluster), then add rows for genuinely new nodes
     val relabeled = lab
-      .join(broadcast(merged).withColumnRenamed("old_label", "cluster_id"),
+      .join(mergedSized.withColumnRenamed("old_label", "cluster_id"),
         Seq("cluster_id"), "left")
       .select(col("node"),
         coalesce(col("new_label"), col("cluster_id")).as("cluster_id"))
@@ -125,7 +147,7 @@ object Clusters {
       .unionByName(newPairs.select(col(bCol).cast("long").as("node")))
       .distinct()
       .join(lab.select("node"), Seq("node"), "left_anti")
-      .join(broadcast(merged).withColumnRenamed("old_label", "node"),
+      .join(mergedSized.withColumnRenamed("old_label", "node"),
         Seq("node"), "left")
       .select(col("node"),
         coalesce(col("new_label"), col("node")).as("cluster_id"))

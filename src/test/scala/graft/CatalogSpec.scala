@@ -96,6 +96,8 @@ class CatalogSpec extends AnyFunSuite {
     // (which is also the point: persistence across process boundaries,
     // the reference's shared-metastore contract). graft.tools
     // .MetastoreCheck does the work; this test forks write then read.
+    // Deploying against a REAL Thrift/Postgres Hive metastore swaps
+    // only the connection conf — see README "Catalog deployment".
     val base = java.nio.file.Files.createTempDirectory("graft_ms").toString
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(

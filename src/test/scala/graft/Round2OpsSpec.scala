@@ -49,6 +49,24 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(got === scratch)
   }
 
+  test("updateClusters giant-first-batch: above the broadcast guard the " +
+    "relabel join runs un-broadcast and the labels still equal " +
+    "from-scratch CC") {
+    // a first mega-batch touches MANY distinct labels: force the
+    // contracted-label map over the (lowered) broadcast threshold
+    val labels = (0L until 2000L).map(i => (i, i)).toDF("node", "cluster_id")
+    val batch = (0L until 1000L).map(i => (2 * i, 2 * i + 1))
+      .toDF("id_a", "id_b") // 1000 disjoint merges → 2000 touched labels
+    spark.conf.set(Clusters.CcBroadcastMaxNodesKey, "100")
+    val got =
+      try Clusters.updateClusters(labels, batch).as[(Long, Long)]
+        .collect().toMap
+      finally spark.conf.unset(Clusters.CcBroadcastMaxNodesKey)
+    val scratch = Clusters.connectedComponents(batch, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 2000 && got === scratch)
+  }
+
   test("updateClusters with an empty batch is the identity on labels") {
     val labels = Seq((1L, 1L), (2L, 1L)).toDF("node", "cluster_id")
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -98,19 +98,16 @@ class VersionedTableSpec extends AnyFunSuite {
     })
   }
 
-  test("cross-PROCESS commit race: two forked JVMs race 50 commits each " +
-    "through LocalLinkBackend — one winner per slot, nothing lost or " +
-    "partial") {
-    // the in-JVM race above shares one filesystem view through one
-    // kernel fd table; link(2)'s EEXIST guarantee is only really proven
-    // with two PROCESSES (the CatalogSpec fork harness, minus Spark —
-    // the primitive under test is pure filesystem)
-    val dir = java.nio.file.Files.createTempDirectory("graft_xjvm").toString
+  /** Fork two CommitRaceCheck JVMs racing 50 commits each through the
+    * given backend arg into `dir`; assert a dense log of complete
+    * commit files with every (writer, seq) landing exactly once. */
+  private def crossProcessRace(dir: String, backendArg: Seq[String]): Unit = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     def fork(id: String) = {
-      val pb = new ProcessBuilder(javaBin, "-cp",
-        System.getProperty("java.class.path"),
-        "graft.tools.CommitRaceCheck", dir, id, "50")
+      val pb = new ProcessBuilder(
+        (Seq(javaBin, "-cp", System.getProperty("java.class.path"),
+          "graft.tools.CommitRaceCheck", dir, id, "50") ++
+          backendArg): _*)
       pb.redirectErrorStream(true)
       pb.start()
     }
@@ -138,6 +135,33 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(commits.size == 100 && commits.toSet.size == 100)
     assert(commits.toSet ==
       (for (w <- Seq("a", "b"); i <- 0L until 50L) yield (w, i)).toSet)
+  }
+
+  test("cross-PROCESS commit race: two forked JVMs race 50 commits each " +
+    "through LocalLinkBackend — one winner per slot, nothing lost or " +
+    "partial") {
+    // the in-JVM race above shares one filesystem view through one
+    // kernel fd table; link(2)'s EEXIST guarantee is only really proven
+    // with two PROCESSES (the CatalogSpec fork harness, minus Spark —
+    // the primitive under test is pure filesystem)
+    crossProcessRace(
+      java.nio.file.Files.createTempDirectory("graft_xjvm").toString, Nil)
+  }
+
+  test("cross-PROCESS commit race, conditional-put store: two forked " +
+    "JVMs race through a separate single-threaded store process — the " +
+    "object-store arbitration shape, no shared memory, no link(2) in " +
+    "the clients") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xcp").toString
+    val port = new java.util.concurrent.SynchronousQueue[Integer]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val store = new Thread(() =>
+      graft.tools.CondPutStore.serve(0, p => port.put(p), stop))
+    store.setDaemon(true)
+    store.start()
+    val p = port.take().intValue()
+    try crossProcessRace(dir, Seq(s"condput:$p"))
+    finally { stop.set(true); store.join(5000) }
   }
 
   test("exported snapshot manifest: a plain parquet reader consumes " +
@@ -454,6 +478,44 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("clone on the conditional-put backend: server-side-copy model " +
+      "(no link primitive pretended); vacuuming the source still " +
+      "cannot break the clone; stats/properties/divergence identical") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft_cpclone").toString
+    val io = new VersionedTableIO(root, new graft.ingest.ConditionalPutBackend)
+    io.overwrite(spark.range(0, 100).select(col("id")), "src")
+    io.append(spark.range(100, 250).select(col("id")), "src")
+    io.setProperty("src", "owner", "team-a")
+    io.cloneTable("src", "dst")
+    // object-store honesty: the clone's files are independent objects
+    // (copies), NOT shared inodes — the backend has no link primitive
+    def inodes(t: String): Map[String, Object] = {
+      val base = java.nio.file.Paths.get(s"$root/$t")
+      val s = java.nio.file.Files.walk(base)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => base.relativize(p).toString ->
+          java.nio.file.Files.getAttribute(p, "unix:ino"))
+        .toMap
+      finally s.close()
+    }
+    val (srcIno, dstIno) = (inodes("src"), inodes("dst"))
+    assert(dstIno.nonEmpty && dstIno.keySet == srcIno.keySet)
+    assert(dstIno.forall { case (k, ino) => srcIno(k) != ino })
+    // carried metadata: stats prune and properties survive the clone
+    assert(io.rowCount("dst", 1L).contains(250L))
+    assert(io.properties("dst").get("owner").contains("team-a"))
+    // diverge + vacuum the source: independent objects keep the clone
+    // whole even after every source dir it referenced is swept
+    io.append(spark.range(250, 300).select(col("id")), "dst")
+    io.overwrite(spark.range(0, 7).select(col("id")), "src")
+    io.vacuum("src", retainLast = 1, orphanGraceMs = 0L)
+    assert(io.read(spark, "dst").count() == 300)
+    assert(io.read(spark, "src").count() == 7)
+  }
+
   test("CHECK constraints: violating writes abort before commit (append " +
       "AND update); existing violations block ADD; drop re-opens; absent " +
       "columns pass vacuously") {
@@ -526,8 +588,11 @@ class VersionedTableSpec extends AnyFunSuite {
     // no-match delete: no version consumed
     io.deleteWhereVectors(spark, "t", col("id") === -5)
     assert(io.latestVersion("t") == 3L)
-    // counts/export honesty while DVs are live
-    assert(io.rowCount("t", 3L).isEmpty)
+    // metadata-only count holds THROUGH live DVs (Σdata − Σdv from the
+    // DV dirs' own count stats); export still refuses — a plain
+    // parquet reader would resurrect the masked rows
+    assert(io.rowCount("t", 3L).contains(810L))
+    assert(io.rowCount("t", 2L).contains(900L))
     intercept[IllegalArgumentException] { io.exportManifest("t", 3L) }
     // clone: relative DV keys keep masking under the new root
     io.cloneTable("t", "c")
@@ -622,6 +687,83 @@ class VersionedTableSpec extends AnyFunSuite {
       plan.contains("LeftAnti"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
     assert(io.read(spark, "t").count() == 49950)
+  }
+
+  test("DV mass delete: above the broadcast threshold the position mask " +
+      "applies as a SHUFFLED hash join — no broadcast of the full " +
+      "position set, content identical") {
+    import org.apache.spark.sql.functions.col
+    val (io, _) = freshIo()
+    io.overwrite(spark.range(0, 50000).toDF("id"), "t")
+    // mask half the table — with the guard forced low, the read plan
+    // must NOT broadcast (a 1B-row mask at 100 TB would OOM the driver)
+    io.deleteWhereVectors(spark, "t", col("id") % 2 === 0)
+    val key = graft.ingest.VersionedTableIO.DvBroadcastMaxRowsKey
+    spark.conf.set(key, "1000")
+    try {
+      val df = io.read(spark, "t")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(2000))
+      assert(plan.contains("LeftAnti"), plan.take(2000))
+      assert(df.count() == 25000)
+      // pruned reads route through the same guarded subtract
+      assert(io.readPruned(spark, "t", "id", 0, 99).count() == 50)
+    } finally spark.conf.unset(key)
+    // with the default threshold the same table broadcasts again
+    val plan2 = io.read(spark, "t").queryExecution.executedPlan.toString
+    assert(plan2.contains("BroadcastHashJoin"), plan2.take(2000))
+  }
+
+  test("z-order guards: empty/all-masked snapshots are a no-op (never " +
+      "an unreadable head); non-numeric cluster columns are refused") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (io, _) = freshIo()
+    // all rows masked by a DV: the rewrite would materialize ZERO dirs
+    io.overwrite(spark.range(0, 100).toDF("id"), "t")
+    io.deleteWhereVectors(spark, "t", lit(true))
+    assert(io.read(spark, "t").count() == 0)
+    val v = io.latestVersion("t")
+    io.compactZOrder(spark, "t", Seq("id"), numDirs = 4) // must no-op
+    assert(io.latestVersion("t") == v)
+    assert(io.read(spark, "t").count() == 0) // head still readable
+    // string cluster column: min/max.cast(double) would null out and
+    // collapse every z-key to bucket 0 — refused up front instead
+    io.overwrite(Seq((1L, "2024-01-01"), (2L, "2024-06-01"))
+      .toDF("k", "dt"), "s")
+    val ex = intercept[IllegalArgumentException] {
+      io.compactZOrder(spark, "s", Seq("dt"), numDirs = 2)
+    }
+    assert(ex.getMessage.contains("numeric"))
+    // all-null numeric column: no z-range — fail fast, not silently one bucket
+    io.overwrite(Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("k", "x"), "n")
+    val ex2 = intercept[IllegalArgumentException] {
+      io.compactZOrder(spark, "n", Seq("x"), numDirs = 2)
+    }
+    assert(ex2.getMessage.contains("null"))
+    // both refusals left no commit and no orphan staging dir behind
+    assert(io.latestVersion("s") == 1L && io.latestVersion("n") == 1L)
+    assert(io.read(spark, "s").count() == 2)
+  }
+
+  test("property merge: empty-value unset is scoped to the DELTA's own " +
+      "keys — an unset commit can never sweep unrelated properties") {
+    val (io, _) = freshIo()
+    io.overwrite(Seq((1, "a")).toDF("k", "v"), "t")
+    io.setProperty("t", "comment", "hello")
+    io.setProperty("t", "owner", "me")
+    // empty value in a delta = explicit unset of THAT key only
+    io.setProperty("t", "owner", "")
+    assert(io.properties("t") ==
+      io.properties("t").filter(_._2.nonEmpty)) // nothing stored as ""
+    assert(!io.properties("t").contains("owner"))
+    assert(io.properties("t").get("comment").contains("hello"))
+    // unrelated commits (append, dropConstraint) leave other keys alone
+    io.append(Seq((2, "b")).toDF("k", "v"), "t")
+    io.addConstraint(spark, "t", "c1", "k > 0")
+    io.dropConstraint("t", "c1")
+    assert(!io.properties("t").contains("constraint.c1"))
+    assert(io.properties("t").get("comment").contains("hello"))
   }
 
   test("concurrent DV deletes: two writers race; the loser recomputes " +
