@@ -14,11 +14,16 @@ import org.apache.spark.sql.functions._
   * shallow — chains of copies — so this converges in a handful of
   * rounds even at corpus scale).
   *
-  * Scale design: each round is ONE shuffle (groupBy node, partial min
-  * on the map side). `localCheckpoint` truncates lineage per round so
-  * the plan does not grow with iterations, and the convergence check
-  * rides the same pass (isEmpty on changed labels) instead of a second
-  * join.
+  * Scale design: two paths behind a size guard
+  * (`spark.graft.cc.localMaxEdges`). Small edge lists — the contracted
+  * per-batch graphs of the incremental/streaming paths, bounded by
+  * batch size — are solved by driver union-find in one bounded collect
+  * (the O(diameter)-jobs loop would be pure fixed overhead there).
+  * Larger graphs run distributed min-label propagation: each round is
+  * ONE shuffle (groupBy node, partial min on the map side),
+  * `localCheckpoint` truncates lineage per round so the plan does not
+  * grow with iterations, and the convergence check rides the same pass
+  * (isEmpty on changed labels) instead of a second join.
   *
   * Skew: a supernode of degree d puts d edge rows in one partition of
   * the edges⋈labels equi-join — but the labels side is one row per
@@ -38,11 +43,68 @@ object Clusters {
   val CcBroadcastMaxNodesKey = "spark.graft.cc.broadcastMaxNodes"
   val CcBroadcastMaxNodesDefault: Long = 1L << 22
 
+  /** Conf key: max pair rows [[connectedComponents]] solves DRIVER-SIDE
+    * (union-find) before falling back to distributed label propagation.
+    * 0 disables the local path. Rationale: the label-propagation loop
+    * costs O(diameter) Spark jobs (a checkpoint + a convergence scan
+    * per round) — for the contracted per-batch graphs the incremental/
+    * streaming paths feed it (bounded by BATCH pairs, typically
+    * thousands), that fixed job overhead dwarfs the work, while a
+    * bounded collect of ≤2^20 edge rows (~16 MB) is the same driver
+    * budget a broadcast join already spends. Full-corpus pair lists at
+    * 100 TB exceed the cap and take the distributed loop unchanged. */
+  val CcLocalMaxEdgesKey = "spark.graft.cc.localMaxEdges"
+  val CcLocalMaxEdgesDefault: Long = 1L << 20
+
+  /** Driver-side union-find over an edge list: (node → min id of its
+    * component) for every endpoint. Union always points the larger
+    * root at the smaller, so a root IS its component's min id and
+    * path-compressed find resolves labels directly — exactly the
+    * min-label fixpoint the distributed loop converges to. */
+  private[graft] def localComponents(
+      edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keysIterator.toArray.sorted.map(n => (n, find(n)))
+  }
+
   /** (node, cluster_id) for every node present in `pairs`.
     * `pairs` must have two id columns; edges are treated as undirected.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // size-guarded local path: probe with limit(max+1) — ONE job, no
+    // shuffle; a tiny graph (the per-batch contracted case) is solved
+    // on the driver, anything larger falls through to the loop below
+    // having only paid the bounded probe
+    val maxLocal = spark.conf.get(CcLocalMaxEdgesKey,
+      CcLocalMaxEdgesDefault.toString).toLong
+    if (maxLocal > 0 && maxLocal < Int.MaxValue) {
+      val probe = pairs
+        .select(col(aCol).cast("long"), col(bCol).cast("long"))
+        .limit(maxLocal.toInt + 1).collect()
+      if (probe.length <= maxLocal) {
+        return localComponents(probe.map(r => (r.getLong(0), r.getLong(1))))
+          .toSeq.toDF("node", "cluster_id")
+      }
+    }
     val edges = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs.select(col(bCol).cast("long").as("src"),

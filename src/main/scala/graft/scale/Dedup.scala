@@ -461,9 +461,17 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** First 60 bits of md5 as a signed long — slower than xxhash64 but
-    * reproducible in any engine with md5 (the oracle path). */
+  /** First 60 bits of md5 as a non-negative long — slower than
+    * xxhash64 but reproducible in any engine with md5 (the oracle
+    * path). Native codegen expression; [[md5Hash60Composed]] is the
+    * built-in-only form it is bit-equal to (asserted in ScaleSpec). */
   def md5Hash60(c: Column): Column =
+    graft.functions.Md5Hash60.md5Hash60(c)
+
+  /** [[md5Hash60]] composed from built-ins (hex round-trip + string
+    * base-16 parse) — the cross-check and the form available without
+    * the graft expression library. */
+  def md5Hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Per-document SimHash over word tokens: (idCol, simhash).

@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   *    updated centroids are bit-identical run to run (a raw-float sum
   *    would drift with Spark's nondeterministic partial-agg order).
   *
-  * Scale design: per iteration, ONE narrow crossJoin against the
-  * broadcast (k × dim) centroid table + one shuffle for the
-  * per-dimension means; centroids are collected to the driver each
-  * round (bounded k × dim, the Spark MLlib pattern) which also
-  * truncates lineage — the plan does not grow with iterations. The
+  * Scale design: per iteration, assignment is ONE narrow projection
+  * (centroids inlined as literals — no join, no window, no extra
+  * shuffle) + one shuffle for the per-dimension means; centroids are
+  * collected to the driver each round (bounded k × dim, the Spark
+  * MLlib pattern) which also truncates lineage — the plan does not
+  * grow with iterations. The
   * within-cluster dedup join keys on cell id, so candidate pairs are
   * bounded by the largest cluster, not the corpus.
   */
@@ -45,8 +46,17 @@ object KMeans {
     require(iters >= 1, "iters must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
+    // Materialize the (id, vector) working set once: every Lloyd round
+    // plus the seed scan re-reads it, so without this the upstream plan
+    // (source scan + joins + quantization) re-runs iters+1 times — the
+    // standard iterative-ML input cache, with lineage truncated so the
+    // per-round plans stay flat. Eager checkpoint blocks are freed by
+    // the ContextCleaner once the result is dereferenced (no
+    // session-lifetime cache entry to leak — same discipline as
+    // Curation's rep materialization).
     val v = df.select(col(idCol).cast("long").as("__id"),
       col(vecCol).cast("array<double>").as("__q"))
+      .localCheckpoint(true)
 
     // seed centroids: first k vectors by id (bounded collect, k rows)
     var centroids: Seq[(Long, Seq[Double])] = v.orderBy(col("__id"))
@@ -54,16 +64,22 @@ object KMeans {
       .map((r: Row) => (r.getLong(0), r.getSeq[Double](1)))
 
     def assignOnce(cent: Seq[(Long, Seq[Double])]): DataFrame = {
-      val centDf = cent.toDF("cell", "__ce")
-      val w = Window.partitionBy(col("__id"))
-        .orderBy(col("__cdist").desc, col("cell").asc)
-      v.crossJoin(broadcast(centDf))
-        .withColumn("__cdist",
-          round(Similarity.cosine(col("__q"), col("__ce")), 9))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("__id"), col("__q"), col("cell"),
-          round(Similarity.cosine(col("__q"), col("__ce")), 6).as("sim"))
+      // The centroids are a bounded driver-side list (k × dim), so
+      // assignment needs neither a join nor a per-row window: each
+      // centroid is inlined as an array literal and the best cell is
+      // one codegen'd greatest() over (round-9 cosine, -cell) structs —
+      // the same (cosine desc, cell asc) ranking as a rank-1 window,
+      // without the k× row blow-up or the n·k-row shuffle carrying the
+      // vector payload.
+      val cands = cent.map { case (cellId, ce) =>
+        val cos = Similarity.cosine(col("__q"), lit(ce.toArray))
+        struct(round(cos, 9).as("__d"), lit(-cellId).as("__nc"),
+          round(cos, 6).as("__sim"), lit(cellId).as("__cell"))
+      }
+      val best = if (cands.size == 1) cands.head else greatest(cands: _*)
+      v.withColumn("__best", best)
+        .select(col("__id"), col("__q"), col("__best.__cell").as("cell"),
+          col("__best.__sim").as("sim"))
     }
 
     for (_ <- 1 until iters) {

@@ -123,11 +123,37 @@ class Round2OpsSpec extends AnyFunSuite {
   }
 
   test("connectedComponents throws instead of returning wrong labels at maxIter") {
-    // chain 0-1-2-...-9 has diameter 9; 2 rounds cannot converge
+    // chain 0-1-2-...-9 has diameter 9; 2 rounds cannot converge.
+    // Local path disabled: maxIter only governs the distributed loop.
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    intercept[IllegalStateException] {
+    spark.conf.set(Clusters.CcLocalMaxEdgesKey, "0")
+    try intercept[IllegalStateException] {
       Clusters.connectedComponents(pairs, "id_a", "id_b", maxIter = 2)
-    }
+    } finally spark.conf.unset(Clusters.CcLocalMaxEdgesKey)
+  }
+
+  test("connectedComponents: local union-find path equals the distributed " +
+    "loop, and an over-cap edge list falls through to distributed") {
+    // chain + star + self-loop + duplicate/reversed edges
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 1L), (7L, 7L),
+      (10L, 11L), (10L, 12L), (12L, 10L)) ++
+      (100L until 115L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val local = Clusters.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    spark.conf.set(Clusters.CcLocalMaxEdgesKey, "0")
+    val dist =
+      try Clusters.connectedComponents(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      finally spark.conf.unset(Clusters.CcLocalMaxEdgesKey)
+    assert(local === dist)
+    // cap smaller than the edge list: the probe overflows and the
+    // distributed loop answers — labels identical either way
+    spark.conf.set(Clusters.CcLocalMaxEdgesKey, "4")
+    val fallback =
+      try Clusters.connectedComponents(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      finally spark.conf.unset(Clusters.CcLocalMaxEdgesKey)
+    assert(fallback === dist)
   }
 
   test("bigrams: empty and single-token docs yield empty arrays") {
@@ -233,10 +259,14 @@ class Round2OpsSpec extends AnyFunSuite {
     val tri = Seq((1L, 2L)).toDF("id_a", "id_b")
     val pairs = star.unionByName(chain).unionByName(tri)
     // diameter 2 ⇒ must converge well inside 4 rounds — a skew-induced
-    // stall (or silent wrong labels) would throw here
-    val labels = graft.scale.Clusters
-      .connectedComponents(pairs, "id_a", "id_b", maxIter = 4)
-      .as[(Long, Long)].collect().toMap
+    // stall (or silent wrong labels) would throw here. Local path off:
+    // this test pins the DISTRIBUTED loop's skew behavior.
+    spark.conf.set(Clusters.CcLocalMaxEdgesKey, "0")
+    val labels =
+      try graft.scale.Clusters
+        .connectedComponents(pairs, "id_a", "id_b", maxIter = 4)
+        .as[(Long, Long)].collect().toMap
+      finally spark.conf.unset(Clusters.CcLocalMaxEdgesKey)
     assert(labels.size === 10004)
     assert(labels(10000L) === 0L && labels(1L) === 0L && labels(2L) === 0L)
     assert(labels(20003L) === 20001L)

@@ -115,6 +115,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(mism === 0L)
   }
 
+  test("native md5Hash60 is bit-identical to the conv/substring/md5 " +
+    "composed form") {
+    // corpus text + shingle-shaped strings + edge cases (empty string,
+    // high digest bytes, unicode)
+    val samples = docs.select(col("text").as("s"))
+      .unionByName(docs.select(
+        concat_ws(" ", slice(split(lower(col("text")), "[^a-z]+"), 1, 3))
+          .as("s")))
+      .unionByName(Seq("", "a", "ü 雪 ∂", "qs:x").toDF("s"))
+    val mism = samples.select(
+      Dedup.md5Hash60(col("s")).as("native"),
+      Dedup.md5Hash60Composed(col("s")).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(mism === 0L)
+  }
+
   test("sentiment builtin === udf on the corpus (occurrence semantics)") {
     val both = docs.select(
       Sentiment.scoreBuiltin(col("text")).as("b"),
