@@ -16,19 +16,29 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects outright; read nanos as long and convert to a
-    // micros timestamp (floor division — matches DuckDB's ns→us
-    // truncation, so the oracle sees identical instants).
+    // events.parquet's `ts` column has shipped as TIMESTAMP(NANOS) —
+    // which Spark's vectorized reader rejects outright — and as plain
+    // TIMESTAMP(MICROS). Handle both by inspecting the read schema:
+    // nanos surface as LONG (legacy.parquet.nanosAsLong) and convert
+    // with integral division (floor — matches DuckDB's ns→us
+    // truncation); micros surface as TIMESTAMP_NTZ and cast to
+    // session-tz TIMESTAMP (UTC everywhere here, so the instants are
+    // identical and downstream watermarks/windows see one type).
     if (name == "events") {
       // stays set for the session: only affects NANOS-typed columns,
       // and must be live at physical-planning time, not just here.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        // integral `div` — double division would lose precision above
-        // 2^53 (epoch-nanos ≈ 1.7e18)
-        .withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // integral `div` — double division would lose precision above
+          // 2^53 (epoch-nanos ≈ 1.7e18)
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        case _ =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -609,13 +609,47 @@ final class VersionedTableIO(root: String,
       val packed = scan(spark, table, m.copy(dataDirs = small))
         .repartition(numFiles)
       val (rel, st) = writeDataDir(packed, table)
-      val committed = commitLoopEx(table, "compact") { base =>
+      // Carried vectors must not keep positions that reference the
+      // PACKED dirs: those deletes are already materialized in `rel`,
+      // and the stale positions — harmless to reads (their path keys
+      // no longer resolve) — would make [[rowCount]]'s Σdata − Σdv
+      // double-subtract them. Rewrite the vectors down to positions on
+      // the carried big dirs (consolidating any stack into one dir);
+      // no survivors → the snapshot commits with DVs fully cleared.
+      val oldDvs = Option(m.dvDirs).getOrElse(Nil)
+      val (newDvs, dvStats) =
+        if (oldDvs.isEmpty)
+          (Nil, Map.empty[String, Map[String, Seq[Double]]])
+        else {
+          val dvRel = s"data/${java.util.UUID.randomUUID()}"
+          val dvAbs = s"${tableDir(table)}/$dvRel"
+          // a DV path is data/<uuid>/<file> (or data/<uuid>/__zb=k/
+          // <file> for z-ordered dirs): its owning rel dir is the 2- or
+          // 3-segment prefix — O(1) per row however many dirs packed
+          spark.read
+            .parquet(oldDvs.map(d => s"${tableDir(table)}/$d"): _*)
+            .select(col(DvPath), col(DvPos))
+            .filter(
+              !substring_index(col(DvPath), "/", 2).isin(small: _*) &&
+              !substring_index(col(DvPath), "/", 3).isin(small: _*))
+            .write.parquet(dvAbs)
+          val nKept = spark.read.parquet(dvAbs).count()
+          if (nKept == 0L) {
+            FsOps.deleteRecursively(new File(dvAbs))
+            (Nil, Map.empty[String, Map[String, Seq[Double]]])
+          } else
+            (Seq(dvRel), Map(dvRel -> countStatOf(nKept)))
+        }
+      val committed = commitLoopEx(table, "compact",
+        dv = _ => newDvs) { base =>
         if (base.map(_.version).contains(baseVersion))
-          Some((big :+ rel, Map(rel -> st), Map.empty[String, String]))
+          Some((big :+ rel, Map(rel -> st) ++ dvStats,
+            Map.empty[String, String]))
         else None // head moved: small set is stale, re-pick
       }
       if (committed.isDefined) return
       discardDataDir(table, rel)
+      newDvs.foreach(discardDataDir(table, _))
       attempts += 1
     }
     throw new IllegalStateException(
@@ -641,7 +675,8 @@ final class VersionedTableIO(root: String,
     * partition on the z-bucket, one partitioned write; stats come from
     * parquet footers (metadata I/O). The commit is read-validated like
     * every snapshot rewrite. `numDirs` must be a power of two ≤
-    * 2^(8·nCols); cluster columns must be numeric and not all-null; an
+    * 2^(8·nCols); cluster columns must be numeric and not all-null
+    * (rows with a NULL key cluster at that column's min bucket); an
     * effectively-empty snapshot (all rows DV-masked) is a no-op. */
   def compactZOrder(spark: SparkSession, table: String,
       clusterCols: Seq[String], numDirs: Int): Unit = {
@@ -679,11 +714,15 @@ final class VersionedTableIO(root: String,
           (b.getDouble(2 * j + 1), b.getDouble(2 * j + 2))
         }
         // 8-bit key per column: exact when the domain is integral and
-        // spans max-min+1 values; a monotone binning otherwise
+        // spans max-min+1 values; a monotone binning otherwise. NULL
+        // keys map to the column's min (bucket-0 end) — a null would
+        // otherwise propagate into a null z-value and a
+        // __HIVE_DEFAULT_PARTITION__ dir the manifest can't name
         val keys = clusterCols.indices.map { j =>
           val (mn, mx) = bounds(j)
           least(lit(255), greatest(lit(0),
-            floor((col(clusterCols(j)) - mn) * 256.0 / (mx - mn + 1.0))
+            floor((coalesce(col(clusterCols(j)).cast("double"), lit(mn)) - mn)
+              * 256.0 / (mx - mn + 1.0))
               .cast("int")))
         }
         val zval = (0 until 8).flatMap { i =>
@@ -697,9 +736,14 @@ final class VersionedTableIO(root: String,
           .repartitionByRange(numDirs, col("__zb"))
           .write.partitionBy("__zb").parquet(abs)
         // each __zb=k subdir becomes its own manifest data dir; reading a
-        // leaf dir directly never re-infers __zb, so the schema is clean
+        // leaf dir directly never re-infers __zb, so the schema is clean.
+        // Only well-formed __zb=<int> dirs qualify — anything else in
+        // the staging root (hive default-partition dirs, stray markers)
+        // must not crash the sort or leak into the manifest
         new File(abs).listFiles()
-          .filter(_.getName.startsWith("__zb=")).toSeq
+          .filter(f => f.getName.startsWith("__zb=") &&
+            f.getName.stripPrefix("__zb=").forall(_.isDigit) &&
+            f.getName.length > "__zb=".length).toSeq
           .sortBy(_.getName.stripPrefix("__zb=").toInt)
           .map(f => s"$rel/${f.getName}")
       }
@@ -732,16 +776,35 @@ final class VersionedTableIO(root: String,
     *
     * Crash-safe like every write: the shared files land before the
     * commit, so a crash mid-clone leaves only an invisible-and-
-    * vacuumable orphan tree, never a half-visible table. */
+    * vacuumable orphan tree, never a half-visible table. A VACUUM
+    * racing the clone and dropping the source version mid-copy makes
+    * the clone ABORT (post-copy source-manifest check) rather than
+    * commit with silently missing rows. */
   def cloneTable(src: String, dst: String,
       version: Option[Long] = None): Unit = {
-    val m = manifest(src, version.getOrElse(latestVersion(src)))
+    val srcVersion = version.getOrElse(latestVersion(src))
+    val m = manifest(src, srcVersion)
     require(versions(dst).isEmpty,
       s"clone target '$dst' already has commits")
     val dvs = Option(m.dvDirs).getOrElse(Nil)
-    (m.dataDirs ++ dvs).foreach { rel =>
-      linkTree(new File(s"${tableDir(src)}/$rel"),
-        new File(s"${tableDir(dst)}/$rel"))
+    try {
+      (m.dataDirs ++ dvs).foreach { rel =>
+        linkTree(new File(s"${tableDir(src)}/$rel"),
+          new File(s"${tableDir(dst)}/$rel"))
+      }
+      // Clone-while-vacuum guard: a concurrent VACUUM that drops
+      // `srcVersion` can sweep its data dirs MID-COPY — a vanished
+      // file aborts the copy loudly, but a whole dir vanishing between
+      // list and copy would yield an empty clone dir and SILENT row
+      // loss. Vacuum deletes a version's manifest BEFORE its dirs, so
+      // the manifest still existing here proves every dir copied above
+      // stayed intact for the whole copy window.
+      require(manifestFile(src, srcVersion).exists(),
+        s"clone source '$src' v$srcVersion was vacuumed during the copy")
+    } catch {
+      case t: Throwable => // abort whole: no half-copied table visible
+        FsOps.deleteRecursively(new File(tableDir(dst)))
+        throw t
     }
     Option(m.strStats).getOrElse(Map.empty)
       .foreach { case (d, st) => pendingStrStats.put(d, st) }
@@ -794,9 +857,11 @@ final class VersionedTableIO(root: String,
     * appends a DV dir); any snapshot REWRITE (overwrite / merge /
     * update / compact / z-order) materializes them — its DV-aware
     * input already excludes the rows — and clears `dvDirs`. Time
-    * travel before the delete still sees the rows ([[rowCount]] and
-    * [[exportManifest]] fall back/refuse while DVs are live, since
-    * dir stats become upper bounds). A no-match DELETE commits
+    * travel before the delete still sees the rows. [[rowCount]] stays
+    * exact while DVs are live (Σdata − Σdv from the manifest's count
+    * stats — every rewrite keeps vectors consistent with their dirs);
+    * only [[exportManifest]] refuses, since a plain-parquet reader
+    * has no way to apply the mask. A no-match DELETE commits
     * nothing. */
   def deleteWhereVectors(spark: SparkSession, table: String,
       predicate: Column): Unit = {
@@ -1053,12 +1118,23 @@ final class VersionedTableIO(root: String,
     // violating dir after our validation scan but before our property
     // commit — Delta detects this as a metadata conflict and fails one
     // side. Here the commit lands only if the head hasn't moved since
-    // the scan; when it has, only the dirs ADDED since are re-scanned
-    // (validated dirs are immutable, their verdict can't change).
+    // the scan; when it has, only the dirs ADDED since are re-scanned.
+    // Data dirs are immutable, but a dir-name verdict alone is NOT
+    // stable: validation reads through the head's deletion vectors, and
+    // a concurrent restore() can re-commit the same dir names with
+    // FEWER dvDirs — re-exposing a violating row that was masked when
+    // we scanned. So verdicts are additionally keyed on the DV set
+    // they were computed under: whenever the head's dvDirs is not a
+    // superset of the one validated against, every verdict resets.
     var validated = Set.empty[String]
+    var validatedDvs = Option.empty[Set[String]]
     var attempts = 0
     while (attempts < 10) {
       val head = latestManifest(table)
+      val headDvs = head.map(m =>
+        Option(m.dvDirs).getOrElse(Nil).toSet).getOrElse(Set.empty)
+      if (validatedDvs.exists(v => !v.subsetOf(headDvs)))
+        validated = Set.empty // masks removed: prior verdicts are stale
       val toCheck = head.map(m =>
         m.dataDirs.filterNot(validated)).getOrElse(Nil)
       head.filter(_ => toCheck.nonEmpty).foreach { m =>
@@ -1077,6 +1153,7 @@ final class VersionedTableIO(root: String,
             s"violate ($predicate)"))
       }
       validated ++= toCheck
+      validatedDvs = Some(headDvs)
       val headVersion = head.map(_.version)
       val committed = commitLoopEx(table, "setProperty") { base =>
         if (base.map(_.version) != headVersion)

@@ -912,6 +912,13 @@ class VersionedTableSpec extends AnyFunSuite {
       // head must equal the model (as bags)
       assert(io.read(spark, "t").as[(Int, Double)].collect().sorted.toSeq ==
         history.last.sorted, s"head diverged at step $step")
+      // metadata-only count must agree with the model at EVERY step —
+      // catches any op that leaves carried DV stats inconsistent with
+      // its rewritten dirs (Σdata − Σdv double-subtraction)
+      assert(io.rowCount("t", history.size.toLong)
+        .contains(history.last.size.toLong),
+        s"rowCount diverged at step $step: " +
+          s"${io.rowCount("t", history.size.toLong)} vs ${history.last.size}")
       // a random retained version must equal ITS model snapshot
       val v = vacuumedBelow + rnd.nextInt(
         (history.size - vacuumedBelow + 1).toInt)
@@ -955,5 +962,211 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(io.read(spark, "t").inputFiles.length == 2)
     assert(io.read(spark, "t").agg(sum($"id")).as[Long].head() == 499500L)
     assert(io.readVersion(spark, "t", 1).count() == 1000)
+  }
+
+  test("compactSmall with live DVs: carried vectors are rewritten to the " +
+      "surviving dirs — rowCount never double-subtracts materialized " +
+      "deletes") {
+    val (io, root) = freshIo()
+    io.overwrite(spark.range(0, 1000).toDF("id"), "t") // v1: the big dir
+    io.append(spark.range(1000, 1010).toDF("id"), "t") // v2: small
+    io.append(spark.range(1010, 1020).toDF("id"), "t") // v3: small
+    // masks span BOTH a small dir (1005) and the big dir (5, 6)
+    io.deleteWhereVectors(spark, "t", col("id").isin(5L, 6L, 1005L))
+    assert(io.rowCount("t", 4L).contains(1017L))
+    io.compactSmall(spark, "t", minRows = 100) // v5: packs the two smalls
+    val m = io.manifest("t", 5L)
+    assert(m.dataDirs.size == 2) // big dir carried + one packed dir
+    assert(io.read(spark, "t").count() == 1017)
+    // the bug this pins: positions referencing the packed dirs must be
+    // dropped from the carried vectors, or Σdata − Σdv undercounts
+    assert(io.rowCount("t", 5L).contains(1017L))
+    // vectors consolidated to ONE dir holding only the big-dir positions
+    assert(m.dvDirs.size == 1)
+    assert(spark.read.parquet(s"$root/t/${m.dvDirs.head}").count() == 2L)
+    // when every masked position lived in a packed dir, DVs clear whole
+    val (io2, _) = freshIo()
+    io2.overwrite(spark.range(0, 1000).toDF("id"), "t")
+    io2.append(spark.range(1000, 1010).toDF("id"), "t")
+    io2.append(spark.range(1010, 1020).toDF("id"), "t")
+    io2.deleteWhereVectors(spark, "t", col("id") >= 1015L)
+    io2.compactSmall(spark, "t", minRows = 100)
+    val m2 = io2.manifest("t", 5L)
+    assert(m2.dvDirs.isEmpty)
+    assert(io2.read(spark, "t").count() == 1015)
+    assert(io2.rowCount("t", 5L).contains(1015L))
+  }
+
+  test("z-order tolerates partially-null cluster keys: nulls land in the " +
+      "min bucket, no __HIVE_DEFAULT_PARTITION__ dir, content preserved") {
+    val (io, _) = freshIo()
+    val rows = (0 until 400).map(i =>
+      (i.toLong, if (i % 7 == 0) None else Some(i.toDouble)))
+    io.overwrite(rows.toDF("k", "x"), "t")
+    io.compactZOrder(spark, "t", Seq("x"), numDirs = 4)
+    val m = io.manifest("t", 2L)
+    assert(m.dataDirs.forall(d =>
+      d.split("/").last.stripPrefix("__zb=").forall(_.isDigit)))
+    assert(io.read(spark, "t").count() == 400)
+    // the null-key rows survived and sit in the lowest z-bucket's dir
+    val nullRows = io.read(spark, "t").filter(col("x").isNull)
+    assert(nullRows.count() == 58)
+    assert(nullRows.select(input_file_name()).distinct().collect()
+      .forall(_.getString(0).contains("__zb=0")))
+  }
+
+  test("addConstraint vs concurrent restore: a restore that removes DV " +
+      "masks re-exposes rows — the constraint must never commit over a " +
+      "violating head it skipped re-scanning") {
+    // v1: a violating row (v = -5) lives in the data dir
+    // v2: the row is DV-masked, so the HEAD satisfies the predicate
+    // race: restore(1) — same dir names, FEWER dvDirs — while
+    // addConstraint validates. Contract: whichever way the race lands,
+    // the constraint commit's BASE version must satisfy the predicate.
+    for (round <- 0 until 3) {
+      val (io, _) = freshIo()
+      io.overwrite(Seq((1L, 10.0), (2L, -5.0), (3L, 7.0)).toDF("k", "v"), "t")
+      io.deleteWhereVectors(spark, "t", col("v") < 0)
+      assert(io.read(spark, "t").count() == 2)
+      @volatile var constraintErr: Option[Throwable] = None
+      val adder = new Thread(() =>
+        try io.addConstraint(spark, "t", "vpos", "v >= 0")
+        catch { case t: Throwable => constraintErr = Some(t) })
+      adder.start()
+      Thread.sleep(20L * round) // vary the interleaving across rounds
+      io.restore("t", 1L) // re-commits v1's dirs with NO dvDirs
+      adder.join()
+      val committed = io.properties("t").contains("constraint.vpos")
+      assert(committed || constraintErr.isDefined)
+      if (committed) {
+        // find the constraint commit; its base must have been clean
+        val cv = io.history("t").filter(_.op == "setProperty")
+          .map(_.version).min
+        assert(io.readVersion(spark, "t", cv - 1)
+          .filter(col("v") < 0).count() == 0L,
+          s"round $round: constraint committed over a violating base")
+      } else {
+        assert(constraintErr.get.getMessage.contains("violate"),
+          s"round $round: unexpected failure: ${constraintErr.get}")
+      }
+    }
+  }
+
+  /** Random walk over a SOURCE table (appends / overwrites / DV deletes
+    * / compactSmall / restore) interleaved with CLONES at random live
+    * versions and retention VACUUMs — on the given backend. Every clone
+    * must capture exactly its pinned snapshot and stay readable after
+    * the source is vacuumed past that version (links keep inodes alive;
+    * copies are independent objects). */
+  private def cloneVacuumWalk(backend: graft.ingest.CommitBackend): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft_cvw").toString
+    val io = new VersionedTableIO(root, backend)
+    val rnd = new scala.util.Random(20260813L)
+    var history = Vector.empty[Vector[Long]] // version → model row bag
+    var vacuumedBelow = 1L
+    var clones = Map.empty[String, Vector[Long]] // clone table → model
+    def df(rows: Seq[Long]) = rows.toDF("id")
+    io.overwrite(df(0L until 50L), "src")
+    history :+= (0L until 50L).toVector
+    for (step <- 1 to 24) {
+      rnd.nextInt(6) match {
+        case 0 =>
+          val rows = Vector.fill(1 + rnd.nextInt(5))(rnd.nextLong(1000))
+          io.append(df(rows), "src"); history :+= (history.last ++ rows)
+        case 1 =>
+          val rows = Vector.fill(5 + rnd.nextInt(20))(rnd.nextLong(1000))
+          io.overwrite(df(rows), "src"); history :+= rows
+        case 2 =>
+          val r = rnd.nextInt(5)
+          io.deleteWhereVectors(spark, "src", col("id") % 5 === r)
+          if (history.last.exists(_ % 5 == r))
+            history :+= history.last.filterNot(_ % 5 == r)
+        case 3 =>
+          val before = io.latestVersion("src")
+          io.compactSmall(spark, "src", minRows = 10)
+          if (io.latestVersion("src") > before) history :+= history.last
+        case 4 =>
+          val target = vacuumedBelow + rnd.nextInt(
+            (history.size - vacuumedBelow + 1).toInt)
+          io.restore("src", target)
+          history :+= history(target.toInt - 1)
+        case 5 => // clone a random LIVE version, then vacuum the source
+          val target = vacuumedBelow + rnd.nextInt(
+            (history.size - vacuumedBelow + 1).toInt)
+          val name = s"clone_$step"
+          io.cloneTable("src", name, Some(target))
+          clones += name -> history(target.toInt - 1)
+          io.vacuum("src", retainLast = 2, orphanGraceMs = 0L)
+          vacuumedBelow = math.max(vacuumedBelow, history.size - 1L)
+      }
+      assert(io.read(spark, "src").as[Long].collect().sorted.toSeq ==
+        history.last.sorted, s"src diverged at step $step")
+      assert(io.rowCount("src", history.size.toLong)
+        .contains(history.last.size.toLong), s"rowCount diverged at $step")
+      // every clone ever taken still reads ITS snapshot exactly —
+      // source vacuums (including of the cloned version) never dangle it
+      clones.foreach { case (name, expect) =>
+        assert(io.read(spark, name).as[Long].collect().sorted.toSeq ==
+          expect.sorted, s"clone $name diverged at step $step")
+      }
+    }
+    assert(clones.nonEmpty)
+  }
+
+  test("clone+vacuum walk, local link backend: clones pin their snapshot " +
+      "through source vacuums") {
+    cloneVacuumWalk(graft.ingest.LocalLinkBackend)
+  }
+
+  test("clone+vacuum walk, conditional-put backend (server-side-copy " +
+      "clone model): same guarantees with no link primitive") {
+    cloneVacuumWalk(new graft.ingest.ConditionalPutBackend)
+  }
+
+  test("clone racing a concurrent vacuum never silently loses rows: it " +
+      "either lands complete or aborts whole (both backends)") {
+    for (backend <- Seq[graft.ingest.CommitBackend](
+        graft.ingest.LocalLinkBackend,
+        new graft.ingest.ConditionalPutBackend)) {
+      val root = java.nio.file.Files.createTempDirectory("graft_cvr").toString
+      val io = new VersionedTableIO(root, backend)
+      // many files per dir → a copy window wide enough to race into
+      io.overwrite(spark.range(0, 20000).toDF("id").repartition(48), "src")
+      @volatile var stop = false
+      val churner = new Thread(() => {
+        val s = spark.newSession()
+        var i = 0
+        while (!stop && i < 200) {
+          // overwrite drops v1's dirs from the head; vacuum then sweeps
+          io.overwrite(s.range(0, 10).toDF("id"), "src")
+          io.vacuum("src", retainLast = 1, orphanGraceMs = 0L)
+          i += 1
+        }
+      })
+      churner.start()
+      var landed = 0
+      var aborted = 0
+      try {
+        for (i <- 0 until 8) {
+          val name = s"c$i"
+          try {
+            io.cloneTable("src", name, Some(io.latestVersion("src")))
+            landed += 1
+            // a committed clone must be complete and internally readable
+            val n = io.read(spark, name).count()
+            val expect = io.rowCount(name, 1L)
+            assert(expect.contains(n),
+              s"clone $name silently lost rows: read $n, manifest $expect")
+          } catch {
+            case _: IllegalArgumentException | _: IllegalStateException |
+                _: java.io.UncheckedIOException | _: java.io.IOException =>
+              aborted += 1 // loud abort is an allowed outcome
+              assert(io.versions(name).isEmpty,
+                s"aborted clone $name left a visible commit")
+          }
+        }
+      } finally { stop = true; churner.join() }
+      assert(landed + aborted == 8)
+    }
   }
 }
