@@ -20,21 +20,32 @@ object Bench {
     // JVM/codegen warm-up outside the timed region
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    // min over ITERS runs: one-off costs (first file listing, codegen,
-    // temp-dir writes) otherwise read as regressions between rounds
+    // min over ITERS full PASSES, interleaved: pass 1 runs every query
+    // once (absorbing whole-JVM one-off costs — C2/codegen compilation,
+    // first file listing, page-cache fill — which otherwise land on
+    // whichever queries sort first and read as 5-30× regressions
+    // between rounds), then passes 2..N re-run the whole set warm. The
+    // per-query min therefore always comes from a warm pass, and a
+    // single contended host window inflates at most one pass, never a
+    // query's reported time (round-5/6 lesson: the driver's window
+    // inflated exactly the head + CPU-heavy queries 3× vs the clean
+    // run an hour earlier).
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     // dev-loop filter: comma-separated query names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
+    val passes: Seq[Map[String, Double]] = (1 to iters).map { _ =>
+      queryList.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    val results = queryList.map { case (name, _) =>
+      val times = passes.map(_(name))
       // (min, spread): min-of-N is the comparison basis between rounds;
-      // the spread (max-min over iterations) separates host I/O-wait
+      // the spread (max-min over passes) separates host I/O-wait
       // noise from a real plan regression — a query whose min moved but
       // whose spread is tight changed for real, a huge spread on
       // unchanged code is a noisy window (round-4 lesson).

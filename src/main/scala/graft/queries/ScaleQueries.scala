@@ -696,19 +696,31 @@ object ScaleQueries {
       .filter(col("doc_id") < 100)
   }
 
-  /** approx_percentile sketch — rows-only with an in-query contract:
-    * the estimate must land within the exact p25..p75 span. */
-  val qApproxPercentile: QueryDef =
-    QueryDef.rowsOnly("q71_approx_percentile") { (s, dir) =>
+  /** approx_percentile sketch — the sketch estimate is engine-
+    * specific, so the ORACLE checks a bounded-error contract: exact
+    * interpolated quantiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, rounded to 4dp on both sides) hash-compare
+    * directly, and `within_band` — true iff the sketch's median landed
+    * inside the exact p25..p75 span — must hash-equal the oracle's
+    * literal TRUE. A drifting sketch fails the oracle compare. */
+  val qApproxPercentile: QueryDef = QueryDef(
+    "q71_approx_percentile",
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS exact_median,
+      |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+      |  TRUE AS within_band
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(
-          expr("percentile(o_totalprice, 0.5)").as("exact_median"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("exact_median"),
           expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_median"),
-          expr("percentile(o_totalprice, 0.25)").as("p25"),
-          expr("percentile(o_totalprice, 0.75)").as("p75"))
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
         .withColumn("within_band",
           col("approx_median").between(col("p25"), col("p75")))
+        .drop("approx_median")
     }
 
   /** Content-hash train/val/test split — reproducible across engines,

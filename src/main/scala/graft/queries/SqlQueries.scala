@@ -42,13 +42,19 @@ object SqlQueries {
       .groupBy("source_file").agg(count(lit(1)).as("n"))
   }
 
-  /** approx_count_distinct (HLL++) — approximate by nature, so the
-    * in-query contract is checked instead: the estimate must land
-    * within 5% of the exact distinct count (`within_5pct` is asserted
-    * true for every row in ContractSpec and visible to the driver's
-    * rows-only check). */
-  val qApproxDistinct: QueryDef =
-    QueryDef.rowsOnly("q54_approx_distinct") { (s, dir) =>
+  /** approx_count_distinct (HLL++) — the sketch estimate itself is
+    * engine-specific, so the ORACLE checks a bounded-error contract:
+    * the Spark output carries the exact distinct counts (hash-compared
+    * against DuckDB's) plus `within_5pct` — true iff the HLL estimate
+    * landed within 5% of exact — which must hash-equal the oracle's
+    * literal TRUE on every row. A drifting sketch therefore FAILS the
+    * oracle compare, not just a spec assertion. */
+  val qApproxDistinct: QueryDef = QueryDef(
+    "q54_approx_distinct",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_orderkey) AS exact,
+      |  TRUE AS within_5pct
+      |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -56,6 +62,7 @@ object SqlQueries {
           approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx"))
         .withColumn("within_5pct",
           abs(col("approx") - col("exact")) <= col("exact") * 0.05)
+        .drop("approx")
     }
 
   /** Salted join: same result as the plain join (oracle proves it) with

@@ -85,24 +85,36 @@ object Clusters {
 
   /** (node, cluster_id) for every node present in `pairs`.
     * `pairs` must have two id columns; edges are treated as undirected.
-    */
+    *
+    * `edgeCountHint`: callers that already know the pair-list size
+    * (the incremental/streaming paths know their batch) pass it to
+    * skip sizing work entirely — a hint above the local cap routes
+    * straight to the distributed loop with ZERO driver collects, a
+    * hint within it goes straight to the one bounded collect the
+    * local path needs (the limit(cap+1) keeps a lying hint safe: the
+    * overflow falls through to the distributed loop, never a wrong
+    * answer). Without a hint, the size probe is a limit+count — one
+    * job shipping a single long to the driver, not the edge rows. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, edgeCountHint: Option[Long] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // size-guarded local path: probe with limit(max+1) — ONE job, no
-    // shuffle; a tiny graph (the per-batch contracted case) is solved
-    // on the driver, anything larger falls through to the loop below
-    // having only paid the bounded probe
+    // size-guarded local path: a tiny graph (the per-batch contracted
+    // case) is solved on the driver, anything larger falls through to
+    // the distributed loop below having paid at most a count probe
     val maxLocal = spark.conf.get(CcLocalMaxEdgesKey,
       CcLocalMaxEdgesDefault.toString).toLong
-    if (maxLocal > 0 && maxLocal < Int.MaxValue) {
-      val probe = pairs
-        .select(col(aCol).cast("long"), col(bCol).cast("long"))
-        .limit(maxLocal.toInt + 1).collect()
-      if (probe.length <= maxLocal) {
-        return localComponents(probe.map(r => (r.getLong(0), r.getLong(1))))
-          .toSeq.toDF("node", "cluster_id")
+    if (maxLocal > 0 && maxLocal < Int.MaxValue &&
+        edgeCountHint.forall(_ <= maxLocal)) {
+      val ab = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      val small = edgeCountHint.isDefined ||
+        ab.limit(maxLocal.toInt + 1).count() <= maxLocal
+      if (small) {
+        val probe = ab.limit(maxLocal.toInt + 1).collect()
+        if (probe.length <= maxLocal) {
+          return localComponents(probe.map(r => (r.getLong(0), r.getLong(1))))
+            .toSeq.toDF("node", "cluster_id")
+        }
       }
     }
     val edges = pairs
@@ -173,7 +185,7 @@ object Clusters {
     */
   def updateClusters(labels: DataFrame, newPairs: DataFrame,
       aCol: String = "id_a", bCol: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, edgeCountHint: Option[Long] = None): DataFrame = {
     val lab = labels.select(col("node"), col("cluster_id"))
     // each endpoint → its current label; previously-unseen ids label
     // themselves (coalesce after the left joins)
@@ -185,8 +197,11 @@ object Clusters {
         .withColumnRenamed("cluster_id", "lb"), Seq("b"), "left")
       .select(coalesce(col("la"), col("a")).as("la"),
         coalesce(col("lb"), col("b")).as("lb"))
+    // the contracted graph has at most one edge per batch pair, so a
+    // caller-supplied batch-size hint bounds it and rides through
     val merged = connectedComponents(
-      mapped.filter(col("la") =!= col("lb")), "la", "lb", maxIter)
+      mapped.filter(col("la") =!= col("lb")), "la", "lb", maxIter,
+      edgeCountHint)
       .withColumnRenamed("node", "old_label")
       .withColumnRenamed("cluster_id", "new_label")
     // size guard: broadcast the contracted-label map only while it

@@ -44,7 +44,11 @@ object StreamClusters {
       .schema(schema)
     val q = reader.parquet(sourceDir).writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+        // count doubles as the emptiness check AND the edge-count hint
+        // (the contracted graph has at most one edge per batch pair),
+        // so the fold's size-guarded CC pays no sizing probe at all
+        val nPairs = batch.count()
+        if (nPairs > 0) {
           val labels =
             if (io.exists(spark, labelsTable)) io.read(spark, labelsTable)
             else spark.range(0)
@@ -53,7 +57,8 @@ object StreamClusters {
           // so laziness across the overwrite below is safe; overwrite
           // executes the plan exactly once when writing the new dir
           io.overwrite(
-            Clusters.updateClusters(labels, batch, aCol, bCol), labelsTable)
+            Clusters.updateClusters(labels, batch, aCol, bCol,
+              edgeCountHint = Some(nPairs)), labelsTable)
         }
         ()
       }

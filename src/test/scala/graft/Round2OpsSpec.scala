@@ -156,6 +156,70 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(fallback === dist)
   }
 
+  test("connectedComponents edge-count hint: a small hint takes the " +
+    "local path in exactly ONE job, a big hint skips every driver " +
+    "collect, and a lying small hint still answers correctly") {
+    // repartition makes the pair list genuinely distributed — a plain
+    // Seq.toDF LocalRelation would collect driver-side with ZERO jobs
+    // and hide the probe cost this test pins
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 5L), (7L, 8L))
+      .toDF("id_a", "id_b").repartition(2)
+    val expect = Clusters.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    def countJobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // listener delivery is async: poll until the count settles
+        var prev = -1
+        var spins = 0
+        while (prev != n.get() && spins < 20) {
+          prev = n.get(); Thread.sleep(100); spins += 1
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    // small hint: straight to the bounded probe collect — no
+    // limit+count sizing pass first, so strictly fewer jobs than the
+    // unhinted call on the identical input
+    var got: Map[Long, Long] = null
+    val hintedJobs = countJobs {
+      got = Clusters.connectedComponents(pairs, "id_a", "id_b",
+        edgeCountHint = Some(5L)).as[(Long, Long)].collect().toMap
+    }
+    assert(got === expect)
+    val unhintedJobs = countJobs {
+      Clusters.connectedComponents(pairs, "id_a", "id_b")
+        .as[(Long, Long)].collect()
+    }
+    assert(hintedJobs >= 1 && hintedJobs < unhintedJobs,
+      s"hinted $hintedJobs jobs vs unhinted $unhintedJobs — the hint " +
+        "must remove the sizing pass")
+    // big hint (full-corpus path): straight to the distributed loop —
+    // the local path's plan is a LocalRelation, the distributed one
+    // is not, so the plan shape proves which path answered
+    val big = Clusters.connectedComponents(pairs, "id_a", "id_b",
+      edgeCountHint = Some(Clusters.CcLocalMaxEdgesDefault + 1))
+    assert(!big.queryExecution.analyzed.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    assert(big.as[(Long, Long)].collect().toMap === expect)
+    // lying small hint with a tiny cap: the limit(cap+1) overflow falls
+    // through to the distributed loop — never a wrong answer
+    spark.conf.set(Clusters.CcLocalMaxEdgesKey, "2")
+    val lied =
+      try Clusters.connectedComponents(pairs, "id_a", "id_b",
+        edgeCountHint = Some(1L)).as[(Long, Long)].collect().toMap
+      finally spark.conf.unset(Clusters.CcLocalMaxEdgesKey)
+    assert(lied === expect)
+  }
+
   test("bigrams: empty and single-token docs yield empty arrays") {
     val df = Seq("", "word", "two words here").toDF("text")
       .select(TextStats.bigrams(col("text")).as("b"))
