@@ -19,6 +19,26 @@ object Bench {
 
     // JVM/codegen warm-up outside the timed region
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // streaming machinery warm-up: the first streaming query of a JVM
+    // pays one-time costs (state-store/provider classloading, offset-log
+    // codepaths) that would otherwise land on whichever streaming query
+    // runs first in pass 1 — run a throwaway AvailableNow stream here
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("bench_warm")
+      spark.range(10).toDF("v").write.parquet(s"$tmp/in")
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(s"$tmp/in")
+        .groupBy().count()
+        .writeStream
+        .format("memory").queryName("bench_warm_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
 
     // min over ITERS full PASSES, interleaved: pass 1 runs every query
     // once (absorbing whole-JVM one-off costs — C2/codegen compilation,

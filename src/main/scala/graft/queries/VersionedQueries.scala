@@ -90,13 +90,17 @@ object VersionedQueries {
       io.deleteWhere(s, "dml", col("o_orderkey") % 5 === 4)
       io.updateWhere(s, "dml", col("o_orderkey") % 5 === 0,
         Map("o_totalprice" -> (col("o_totalprice") + 500.0)))
-      // "opt": one big commit + three small appends, then bin-packing
-      // OPTIMIZE at 30% of the table — only the small tail packs, the
-      // big dir must ride through untouched
+      // "opt": one big commit + three small appends, a DV delete whose
+      // positions span the big dir AND the small tail, then bin-packing
+      // OPTIMIZE at 30% of the table — only the small tail packs (the
+      // big dir rides through untouched), the pack materializes the
+      // small-dir deletes, and the carried vector is rewritten down to
+      // the big-dir positions so metadata rowCount stays exact (q156)
       io.overwrite(orders.filter(col("o_orderkey") % 7 <= 3), "opt")
       io.append(orders.filter(col("o_orderkey") % 7 === 4), "opt")
       io.append(orders.filter(col("o_orderkey") % 7 === 5), "opt")
       io.append(orders.filter(col("o_orderkey") % 7 === 6), "opt")
+      io.deleteWhereVectors(s, "opt", col("o_orderkey") % 11 === 7)
       io.compactSmall(s, "opt", minRows = (orders.count() * 3) / 10)
       // "prs": STRING-stats pruning — a date-string column over three
       // month-range commits; a bounded dt predicate must scan one dir
@@ -516,28 +520,37 @@ object VersionedQueries {
     io.history(s, "dml").select("version", "op", "n_rows")
   }
 
-  /** Bin-packing OPTIMIZE: after 1 big + 3 small commits, compacting
-    * at a 30% threshold packs exactly the three-small tail into one
-    * dir and CARRIES the big dir physically untouched (the
-    * intersection contract) — O(small tail) cost, content identical.
-    * The oracle replays the full content and the dir arithmetic. */
+  /** Bin-packing OPTIMIZE with live deletion vectors: after 1 big + 3
+    * small commits and a DV delete spanning both, compacting at a 30%
+    * threshold packs exactly the three-small tail into one dir and
+    * CARRIES the big dir physically untouched (the intersection
+    * contract) — O(small tail) cost, content identical. The pack
+    * materializes the small-dir deletes and rewrites the carried
+    * vector down to the big-dir positions, so the post-pack snapshot
+    * keeps ONE consolidated DV dir and the metadata-only rowCount
+    * (meta_n, zero file opens) still equals the scanned count — the
+    * oracle replays content, dir arithmetic, and both contracts. */
   val qOptimize: QueryDef = QueryDef(
     "q156_optimize_binpack",
     """SELECT CAST(count(*) AS BIGINT) AS n,
       |  round(sum(o_totalprice), 2) AS total,
       |  CAST(4 AS INT) AS n_dirs_before, CAST(2 AS INT) AS n_dirs_after,
-      |  CAST(1 AS INT) AS n_dirs_carried
-      |FROM orders""".stripMargin) { (s, dir) =>
+      |  CAST(1 AS INT) AS n_dirs_carried,
+      |  CAST(1 AS INT) AS n_dv_dirs_after,
+      |  CAST(count(*) AS BIGINT) AS meta_n
+      |FROM orders WHERE o_orderkey % 11 <> 7""".stripMargin) { (s, dir) =>
     val io = new VersionedTableIO(builtRoot(s, dir))
-    val (m4, m5) = (io.manifest("opt", 4L), io.manifest("opt", 5L))
+    val (m5, m6) = (io.manifest("opt", 5L), io.manifest("opt", 6L))
     io.read(s, "opt")
       .agg(count(lit(1)).as("n"),
         round(sum(col("o_totalprice")), 2).as("total"))
       .select(col("n"), col("total"),
-        lit(m4.dataDirs.size).as("n_dirs_before"),
-        lit(m5.dataDirs.size).as("n_dirs_after"),
-        lit(m5.dataDirs.toSet.intersect(m4.dataDirs.toSet).size)
-          .as("n_dirs_carried"))
+        lit(m5.dataDirs.size).as("n_dirs_before"),
+        lit(m6.dataDirs.size).as("n_dirs_after"),
+        lit(m6.dataDirs.toSet.intersect(m5.dataDirs.toSet).size)
+          .as("n_dirs_carried"),
+        lit(m6.dvDirs.size).as("n_dv_dirs_after"),
+        lit(io.rowCount("opt", 6L).getOrElse(-1L)).as("meta_n"))
   }
 
   /** Deletion vectors: two stacked DELETEs mask rows by position in
