@@ -1070,7 +1070,19 @@ final class VersionedTableIO(root: String,
     * commit that re-references the old data dirs — metadata-only
     * (instant, no data copied), history preserved, and the restored
     * dirs become vacuum-protected again because the head references
-    * them. Fails if the target was already vacuumed. */
+    * them. Fails if the target was already vacuumed — including a
+    * VACUUM racing this restore: the target-manifest existence is
+    * re-checked inside the commit build (re-evaluated on every retry,
+    * immediately before the atomic claim), and vacuum deletes a
+    * version's manifest BEFORE its dirs, so a sweep that would orphan
+    * the restored dirs aborts the restore instead of committing an
+    * unreadable head (vacuum's post-drop re-listing closes the window
+    * from its side — see [[vacuum]]). Residual exposure: a vacuum whose
+    * ENTIRE drop-relist-sweep tail fits between this check and the
+    * atomic claim could still orphan the head — a sub-millisecond
+    * window whose failure mode is a loud missing-file read error,
+    * never silent wrong data (Delta's restore-vs-vacuum interaction
+    * has the same loud failure with no narrowing at all). */
   def restore(table: String, toVersion: Long): Unit = {
     requireWritable(table)
     val target = manifest(table, toVersion)
@@ -1080,8 +1092,13 @@ final class VersionedTableIO(root: String,
     }
     Option(target.strStats).getOrElse(Map.empty)
       .foreach { case (d, st) => pendingStrStats.put(d, st) }
-    commitLoop(table, "restore", _ => Option(target.dvDirs).getOrElse(Nil))(
-      _ => (target.dataDirs, target.stats))
+    commitLoop(table, "restore", _ => Option(target.dvDirs).getOrElse(Nil)) {
+      _ =>
+        require(manifestFile(table, toVersion).exists(),
+          s"cannot restore '$table' to $toVersion: version was vacuumed " +
+            "during the restore")
+        (target.dataDirs, target.stats)
+    }
     ()
   }
 
@@ -1245,11 +1262,23 @@ final class VersionedTableIO(root: String,
     require(retainLast >= 1, "must retain at least the current version")
     val vs = versions(table)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - retainLast))
-    val keepDirs = keep.flatMap { v =>
-      val m = manifest(table, v)
-      m.dataDirs ++ Option(m.dvDirs).getOrElse(Nil)
-    }.toSet
+    val keepSet = keep.toSet
     drop.foreach(v => manifestFile(table, v).delete())
+    // Recompute the live dir set from the CURRENT log AFTER dropping
+    // manifests: a restore (or any commit) that landed while manifests
+    // were being dropped may have re-referenced dirs reachable only
+    // through the dropped versions — sweeping those would orphan the
+    // new head. Re-listing here pairs with restore's build-time
+    // manifest check (restore aborts if its target manifest vanished):
+    // either the restore saw the manifest and committed before this
+    // listing (its head protects the dirs), or it aborts.
+    val lastSeen = vs.lastOption.getOrElse(0L)
+    val keepDirs = versions(table)
+      .filter(v => keepSet.contains(v) || v > lastSeen)
+      .flatMap { v =>
+        val m = manifest(table, v)
+        m.dataDirs ++ Option(m.dvDirs).getOrElse(Nil)
+      }.toSet
     val dataDir = new File(dataRoot(table))
     val candidates = Option(dataDir.listFiles()).getOrElse(Array.empty)
     val now = System.currentTimeMillis()

@@ -1123,6 +1123,32 @@ class VersionedTableSpec extends AnyFunSuite {
     cloneVacuumWalk(new graft.ingest.ConditionalPutBackend)
   }
 
+  test("restore racing a concurrent vacuum never commits an unreadable " +
+      "head: the restore lands (and its dirs survive) or aborts loudly") {
+    for (round <- 0 until 8) {
+      val (io, _) = freshIo()
+      // v1's dirs are referenced ONLY by v1 — the version vacuum drops
+      io.overwrite(spark.range(0, 2000).toDF("id").repartition(8), "t")
+      io.overwrite(spark.range(5000, 5100).toDF("id"), "t")
+      val restorer = new Thread(() =>
+        try io.restore("t", 1L)
+        catch { case _: IllegalArgumentException => () }) // loud abort ok
+      val vacuumer = new Thread(() => {
+        io.vacuum("t", retainLast = 1, orphanGraceMs = 0L); ()
+      })
+      // vary start order across rounds to widen interleaving coverage
+      val ts = if (round % 2 == 0) Seq(restorer, vacuumer)
+               else Seq(vacuumer, restorer)
+      ts.foreach(_.start()); ts.foreach(_.join())
+      // whichever way the race lands, the head MUST be readable and be
+      // exactly one of the two committed contents
+      val n = io.read(spark, "t").count()
+      assert(n == 2000L || n == 100L,
+        s"round $round: head has $n rows — a restore committed over " +
+          "vacuumed dirs")
+    }
+  }
+
   test("clone racing a concurrent vacuum never silently loses rows: it " +
       "either lands complete or aborts whole (both backends)") {
     for (backend <- Seq[graft.ingest.CommitBackend](
