@@ -1070,19 +1070,24 @@ final class VersionedTableIO(root: String,
     * commit that re-references the old data dirs — metadata-only
     * (instant, no data copied), history preserved, and the restored
     * dirs become vacuum-protected again because the head references
-    * them. Fails if the target was already vacuumed — including a
-    * VACUUM racing this restore: the target-manifest existence is
-    * re-checked inside the commit build (re-evaluated on every retry,
-    * immediately before the atomic claim), and vacuum deletes a
-    * version's manifest BEFORE its dirs, so a sweep that would orphan
-    * the restored dirs aborts the restore instead of committing an
-    * unreadable head (vacuum's post-drop re-listing closes the window
-    * from its side — see [[vacuum]]). Residual exposure: a vacuum whose
-    * ENTIRE drop-relist-sweep tail fits between this check and the
-    * atomic claim could still orphan the head — a sub-millisecond
-    * window whose failure mode is a loud missing-file read error,
-    * never silent wrong data (Delta's restore-vs-vacuum interaction
-    * has the same loud failure with no narrowing at all). */
+    * them. Safe against a VACUUM racing this restore, in three layers:
+    *  1. the target-manifest existence is re-checked inside the commit
+    *     build (re-evaluated on every retry, immediately before the
+    *     atomic claim) — vacuum deletes a version's manifest BEFORE its
+    *     dirs, so a sweep that already started aborts the restore;
+    *  2. vacuum recomputes its keep-set from the live log after
+    *     dropping manifests (see [[vacuum]]), so a restore that
+    *     committed first re-protects its dirs;
+    *  3. if a sweep nonetheless fits entirely between the check and
+    *     the claim (observed under thread-scheduler pauses), the
+    *     post-commit verification below detects the swept dirs,
+    *     REPAIRS the head by re-committing the pre-restore snapshot —
+    *     whose manifest and dirs the sweeping vacuum necessarily
+    *     retained (it was the head at the vacuum's listing) — and
+    *     fails loudly. The orphaned restore version remains as a
+    *     tombstone whose reads fail loudly; the HEAD is always
+    *     readable. (Delta's restore-vs-vacuum has the loud failure
+    *     with neither the narrowing nor the repair.) */
   def restore(table: String, toVersion: Long): Unit = {
     requireWritable(table)
     val target = manifest(table, toVersion)
@@ -1092,14 +1097,33 @@ final class VersionedTableIO(root: String,
     }
     Option(target.strStats).getOrElse(Map.empty)
       .foreach { case (d, st) => pendingStrStats.put(d, st) }
-    commitLoop(table, "restore", _ => Option(target.dvDirs).getOrElse(Nil)) {
-      _ =>
-        require(manifestFile(table, toVersion).exists(),
-          s"cannot restore '$table' to $toVersion: version was vacuumed " +
-            "during the restore")
-        (target.dataDirs, target.stats)
+    val dvs = Option(target.dvDirs).getOrElse(Nil)
+    val committed = commitLoopEx(table, "restore", _ => dvs) { _ =>
+      require(manifestFile(table, toVersion).exists(),
+        s"cannot restore '$table' to $toVersion: version was vacuumed " +
+          "during the restore")
+      Some((target.dataDirs, target.stats, Map.empty[String, String]))
+    }.get
+    val missing = (target.dataDirs ++ dvs)
+      .filterNot(d => new File(s"${tableDir(table)}/$d").exists())
+    if (missing.nonEmpty) {
+      // layer 3: the race landed — repair the head, then fail loudly
+      val prev =
+        try Some(manifest(table, committed.version - 1))
+        catch { case _: IllegalArgumentException => None }
+      prev.filter(_.dataDirs.forall(d =>
+        new File(s"${tableDir(table)}/$d").exists())).foreach { p =>
+        Option(p.strStats).getOrElse(Map.empty)
+          .foreach { case (d, st) => pendingStrStats.put(d, st) }
+        commitLoopEx(table, "restore-rollback",
+          _ => Option(p.dvDirs).getOrElse(Nil))(_ =>
+          Some((p.dataDirs, p.stats, Map.empty[String, String])))
+      }
+      throw new IllegalStateException(
+        s"restore of '$table' to $toVersion lost to a concurrent vacuum " +
+          s"(swept: ${missing.mkString(", ")}); the pre-restore snapshot " +
+          "was re-committed as the head")
     }
-    ()
   }
 
   // ---- properties ------------------------------------------------------
@@ -1329,11 +1353,14 @@ final class VersionedTableIO(root: String,
     }
     val outDir = new File(s"${tableDir(table)}/_graft_manifests/$version")
     outDir.mkdirs()
-    // same write-then-link discipline as commits: a concurrent reader
-    // of the manifest file never observes a partial export
+    // same put-if-absent discipline as commits — THROUGH the table's
+    // backend, so an object-store deployment exports with the same
+    // conditional-put primitive it commits with: a concurrent reader
+    // never observes a partial export, concurrent exporters race to
+    // one winner with identical (deterministic) content
     val target = new File(outDir, "manifest.txt")
     if (!target.exists()) {
-      LocalLinkBackend.putIfAbsent(target,
+      backend.putIfAbsent(target,
         files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     files

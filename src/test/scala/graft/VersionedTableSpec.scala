@@ -1132,7 +1132,9 @@ class VersionedTableSpec extends AnyFunSuite {
       io.overwrite(spark.range(5000, 5100).toDF("id"), "t")
       val restorer = new Thread(() =>
         try io.restore("t", 1L)
-        catch { case _: IllegalArgumentException => () }) // loud abort ok
+        catch { // loud abort or repaired-head loud failure: both allowed
+          case _: IllegalArgumentException | _: IllegalStateException => ()
+        })
       val vacuumer = new Thread(() => {
         io.vacuum("t", retainLast = 1, orphanGraceMs = 0L); ()
       })
