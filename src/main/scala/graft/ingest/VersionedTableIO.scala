@@ -1070,7 +1070,18 @@ final class VersionedTableIO(root: String,
     * commit that re-references the old data dirs — metadata-only
     * (instant, no data copied), history preserved, and the restored
     * dirs become vacuum-protected again because the head references
-    * them. Safe against a VACUUM racing this restore, in three layers:
+    * them. Safe against a VACUUM racing this restore, in four layers:
+    *  0. the target dirs' mtimes are TOUCHED before anything else, so
+    *     they fall under the same orphan-grace protection that shields
+    *     every in-flight writer's uncommitted dirs. Ordering makes
+    *     this airtight for any vacuum with a nonzero grace: a vacuum
+    *     that would sweep the target deletes its MANIFEST before
+    *     filtering candidate dirs by mtime, so either the restore's
+    *     pre-claim check (layer 1) observes the deletion and aborts,
+    *     or the touch preceded the mtime filter and the dirs read as
+    *     fresh — never doomed. (A grace of 0 disables in-flight
+    *     protection for ALL writers, restore included — the same
+    *     documented hazard as vacuuming under active appends.)
     *  1. the target-manifest existence is re-checked inside the commit
     *     build (re-evaluated on every retry, immediately before the
     *     atomic claim) — vacuum deletes a version's manifest BEFORE its
@@ -1078,19 +1089,25 @@ final class VersionedTableIO(root: String,
     *  2. vacuum recomputes its keep-set from the live log after
     *     dropping manifests (see [[vacuum]]), so a restore that
     *     committed first re-protects its dirs;
-    *  3. if a sweep nonetheless fits entirely between the check and
-    *     the claim (observed under thread-scheduler pauses), the
-    *     post-commit verification below detects the swept dirs,
-    *     REPAIRS the head by re-committing the pre-restore snapshot —
-    *     whose manifest and dirs the sweeping vacuum necessarily
-    *     retained (it was the head at the vacuum's listing) — and
-    *     fails loudly. The orphaned restore version remains as a
-    *     tombstone whose reads fail loudly; the HEAD is always
-    *     readable. (Delta's restore-vs-vacuum has the loud failure
-    *     with neither the narrowing nor the repair.) */
+    *  3. if a zero-grace sweep nonetheless lands between the check and
+    *     the claim, the post-commit verification below detects the
+    *     swept dirs, REPAIRS the head by re-committing the pre-restore
+    *     snapshot — whose manifest and dirs the sweeping vacuum
+    *     necessarily retained (it was the head at the vacuum's
+    *     listing) — and fails loudly. The orphaned restore version
+    *     remains as a tombstone whose reads fail loudly; the HEAD
+    *     stays readable. (Delta's restore-vs-vacuum has the loud
+    *     failure with none of these layers.) */
   def restore(table: String, toVersion: Long): Unit = {
     requireWritable(table)
     val target = manifest(table, toVersion)
+    val now = System.currentTimeMillis()
+    (target.dataDirs ++ Option(target.dvDirs).getOrElse(Nil)).foreach { d =>
+      // layer 0: rel dirs may be nested (data/<uuid>/__zb=k); the
+      // vacuum candidate is the 2-segment data/<uuid> root — touch it
+      val root = d.split("/").take(2).mkString("/")
+      new File(s"${tableDir(table)}/$root").setLastModified(now)
+    }
     target.dataDirs.foreach { d =>
       require(new File(s"${tableDir(table)}/$d").exists(),
         s"cannot restore '$table' to $toVersion: data dir $d was vacuumed")
@@ -1300,8 +1317,14 @@ final class VersionedTableIO(root: String,
     val keepDirs = versions(table)
       .filter(v => keepSet.contains(v) || v > lastSeen)
       .flatMap { v =>
-        val m = manifest(table, v)
-        m.dataDirs ++ Option(m.dvDirs).getOrElse(Nil)
+        // a CONCURRENT vacuum can delete a listed manifest before we
+        // read it: that version is the peer's responsibility (it will
+        // sweep or keep its dirs from ITS re-listing) — skip, don't
+        // crash this sweep half-done
+        try {
+          val m = manifest(table, v)
+          m.dataDirs ++ Option(m.dvDirs).getOrElse(Nil)
+        } catch { case _: IllegalArgumentException => Nil }
       }.toSet
     val dataDir = new File(dataRoot(table))
     val candidates = Option(dataDir.listFiles()).getOrElse(Array.empty)

@@ -1123,20 +1123,43 @@ class VersionedTableSpec extends AnyFunSuite {
     cloneVacuumWalk(new graft.ingest.ConditionalPutBackend)
   }
 
+  test("two concurrent vacuums: neither crashes on the other's manifest " +
+      "deletions and the head stays readable") {
+    for (round <- 0 until 4) {
+      val (io, _) = freshIo()
+      (0 until 6).foreach(i =>
+        io.overwrite(spark.range(i * 100L, i * 100L + 50).toDF("id"), "t"))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = Seq.fill(2)(new Thread(() =>
+        try { io.vacuum("t", retainLast = 1, orphanGraceMs = 0L); () }
+        catch { case t: Throwable => errs.add(t) }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(errs.isEmpty, s"round $round: ${errs}")
+      assert(io.read(spark, "t").count() == 50L)
+      assert(io.versions("t").contains(6L))
+    }
+  }
+
   test("restore racing a concurrent vacuum never commits an unreadable " +
       "head: the restore lands (and its dirs survive) or aborts loudly") {
     for (round <- 0 until 8) {
-      val (io, _) = freshIo()
+      val (io, root) = freshIo()
       // v1's dirs are referenced ONLY by v1 — the version vacuum drops
       io.overwrite(spark.range(0, 2000).toDF("id").repartition(8), "t")
       io.overwrite(spark.range(5000, 5100).toDF("id"), "t")
+      // age every dir past the vacuum's grace so the sweep is armed —
+      // the restore's layer-0 mtime touch is then the ONLY thing that
+      // can shield the restored dirs (the realistic contract: grace>0)
+      Option(new java.io.File(s"$root/t/data").listFiles())
+        .getOrElse(Array.empty)
+        .foreach(_.setLastModified(System.currentTimeMillis() - 60000L))
       val restorer = new Thread(() =>
         try io.restore("t", 1L)
         catch { // loud abort or repaired-head loud failure: both allowed
           case _: IllegalArgumentException | _: IllegalStateException => ()
         })
       val vacuumer = new Thread(() => {
-        io.vacuum("t", retainLast = 1, orphanGraceMs = 0L); ()
+        io.vacuum("t", retainLast = 1, orphanGraceMs = 30000L); ()
       })
       // vary start order across rounds to widen interleaving coverage
       val ts = if (round % 2 == 0) Seq(restorer, vacuumer)
@@ -1148,6 +1171,11 @@ class VersionedTableSpec extends AnyFunSuite {
       assert(n == 2000L || n == 100L,
         s"round $round: head has $n rows — a restore committed over " +
           "vacuumed dirs")
+      // and when the vacuum dropped v1 first, the restore must have
+      // aborted rather than resurrected a deleted version
+      if (!io.versions("t").contains(1L) && io.latestVersion("t") > 2L)
+        assert(io.readVersion(spark, "t", io.latestVersion("t"))
+          .count() == 2000L)
     }
   }
 
