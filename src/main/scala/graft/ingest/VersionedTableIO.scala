@@ -2,6 +2,8 @@ package graft.ingest
 
 import java.io.File
 
+import scala.util.control.NonFatal
+
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -139,8 +141,22 @@ final class VersionedTableIO(root: String,
       // next version comes from the log LISTING, not a manifest body —
       // the file name is the committed truth a concurrent writer races on
       val vs = versions(table)
-      val base = vs.lastOption.map(manifest(table, _))
-      build(base) match {
+      // the base-manifest read races concurrent vacuums: a peer that
+      // listed a NEWER head may drop `vs.last`'s manifest between our
+      // listing and the read. That makes our listing stale, not the
+      // table broken — re-list and retry, same as losing the commit
+      // slot. Rethrow when the log did NOT move: then the manifest
+      // really is unreadable (corrupt/permissions) and looping would
+      // spin forever on a real fault.
+      val base =
+        try vs.lastOption.map(manifest(table, _))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            if (versions(table) == vs) throw e
+            null // stale listing — fall through to retry
+        }
+      if (base == null) { /* stale listing — retry counted below */ }
+      else build(base) match {
         case None => return None
         case Some((dirs, newStats, propsDelta)) =>
           val dvs = dv(base)
@@ -737,14 +753,22 @@ final class VersionedTableIO(root: String,
           .write.partitionBy("__zb").parquet(abs)
         // each __zb=k subdir becomes its own manifest data dir; reading a
         // leaf dir directly never re-infers __zb, so the schema is clean.
-        // Only well-formed __zb=<int> dirs qualify — anything else in
-        // the staging root (hive default-partition dirs, stray markers)
-        // must not crash the sort or leak into the manifest
-        new File(abs).listFiles()
-          .filter(f => f.getName.startsWith("__zb=") &&
-            f.getName.stripPrefix("__zb=").forall(_.isDigit) &&
-            f.getName.length > "__zb=".length).toSeq
-          .sortBy(_.getName.stripPrefix("__zb=").toInt)
+        // Stray non-partition markers (_SUCCESS etc.) are ignored, but a
+        // __zb=-prefixed dir that does NOT parse as an int (e.g.
+        // __zb=__HIVE_DEFAULT_PARTITION__ from a z-value the coalesce
+        // failed to make non-null) holds ROWS the manifest couldn't
+        // name — silently dropping it loses data, so fail the
+        // compaction loudly before anything commits
+        val zbDirs = new File(abs).listFiles().toSeq
+          .filter(_.getName.startsWith("__zb="))
+        val malformed = zbDirs.filterNot(f =>
+          f.getName.length > "__zb=".length &&
+            f.getName.stripPrefix("__zb=").forall(_.isDigit))
+        require(malformed.isEmpty,
+          s"z-order of '$table' produced unparseable partition dirs " +
+            s"(${malformed.map(_.getName).mkString(", ")}) — rows would " +
+            "be silently dropped; aborting before commit")
+        zbDirs.sortBy(_.getName.stripPrefix("__zb=").toInt)
           .map(f => s"$rel/${f.getName}")
       }
       // an all-rows-masked snapshot still writes an empty staging root
@@ -802,8 +826,21 @@ final class VersionedTableIO(root: String,
       require(manifestFile(src, srcVersion).exists(),
         s"clone source '$src' v$srcVersion was vacuumed during the copy")
     } catch {
-      case t: Throwable => // abort whole: no half-copied table visible
-        FsOps.deleteRecursively(new File(tableDir(dst)))
+      case t: Throwable =>
+        // Abort by deleting ONLY the rel dirs THIS clone linked, never
+        // the whole dst table dir: the versions(dst).isEmpty check ran
+        // once up front, so a concurrent writer that started creating
+        // dst after it could have in-flight dirs — or a just-landed
+        // first commit — under the same root; wiping tableDir(dst)
+        // would destroy the peer's data. Rel names are UUIDs unique to
+        // the source snapshot, so an INDEPENDENT writer's dirs never
+        // collide with the ones deleted here (only a second clone of
+        // the same src version shares them — and that peer aborts on
+        // the same vanished-source condition that aborted us). Without
+        // a commit the partial copy was never visible anyway.
+        (m.dataDirs ++ dvs).foreach { rel =>
+          FsOps.deleteRecursively(new File(s"${tableDir(dst)}/$rel"))
+        }
         throw t
     }
     Option(m.strStats).getOrElse(Map.empty)
@@ -1124,22 +1161,37 @@ final class VersionedTableIO(root: String,
     val missing = (target.dataDirs ++ dvs)
       .filterNot(d => new File(s"${tableDir(table)}/$d").exists())
     if (missing.nonEmpty) {
-      // layer 3: the race landed — repair the head, then fail loudly
+      // layer 3: the race landed — repair the head, then fail loudly.
+      // NonFatal: the pre-restore manifest itself may be vacuumed away
+      // between the exists() check inside manifest() and its read
       val prev =
         try Some(manifest(table, committed.version - 1))
-        catch { case _: IllegalArgumentException => None }
-      prev.filter(_.dataDirs.forall(d =>
-        new File(s"${tableDir(table)}/$d").exists())).foreach { p =>
+        catch { case NonFatal(_) => None }
+      val repaired = prev.filter(_.dataDirs.forall(d =>
+        new File(s"${tableDir(table)}/$d").exists())).flatMap { p =>
         Option(p.strStats).getOrElse(Map.empty)
           .foreach { case (d, st) => pendingStrStats.put(d, st) }
+        // Roll back ONLY if the doomed restore is still the head: an
+        // unrelated writer that committed on top of the tombstone has
+        // already replaced it as the visible snapshot, and re-committing
+        // the pre-restore state here would clobber that newer commit
+        // (it would survive only as a non-head version). In that case
+        // abort the rollback build and just throw.
         commitLoopEx(table, "restore-rollback",
-          _ => Option(p.dvDirs).getOrElse(Nil))(_ =>
-          Some((p.dataDirs, p.stats, Map.empty[String, String])))
+          _ => Option(p.dvDirs).getOrElse(Nil))(base =>
+          if (base.exists(_.version == committed.version))
+            Some((p.dataDirs, p.stats, Map.empty[String, String]))
+          else None)
       }
       throw new IllegalStateException(
         s"restore of '$table' to $toVersion lost to a concurrent vacuum " +
-          s"(swept: ${missing.mkString(", ")}); the pre-restore snapshot " +
-          "was re-committed as the head")
+          s"(swept: ${missing.mkString(", ")}); " + (repaired match {
+          case Some(r) =>
+            s"the pre-restore snapshot was re-committed as head v${r.version}"
+          case None =>
+            "the head has since moved past the doomed restore, so no " +
+              "rollback was committed"
+        }))
     }
   }
 
@@ -1320,11 +1372,14 @@ final class VersionedTableIO(root: String,
         // a CONCURRENT vacuum can delete a listed manifest before we
         // read it: that version is the peer's responsibility (it will
         // sweep or keep its dirs from ITS re-listing) — skip, don't
-        // crash this sweep half-done
+        // crash this sweep half-done. NonFatal, not just the require's
+        // IllegalArgumentException: the delete can also land BETWEEN
+        // manifest()'s exists() check and its readValue, which
+        // surfaces as FileNotFoundException/IOException instead
         try {
           val m = manifest(table, v)
           m.dataDirs ++ Option(m.dvDirs).getOrElse(Nil)
-        } catch { case _: IllegalArgumentException => Nil }
+        } catch { case NonFatal(_) => Nil }
       }.toSet
     val dataDir = new File(dataRoot(table))
     val candidates = Option(dataDir.listFiles()).getOrElse(Array.empty)
