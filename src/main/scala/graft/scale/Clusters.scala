@@ -89,12 +89,13 @@ object Clusters {
     * `edgeCountHint`: callers that already know the pair-list size
     * (the incremental/streaming paths know their batch) pass it to
     * skip sizing work entirely — a hint above the local cap routes
-    * straight to the distributed loop with ZERO driver collects, a
-    * hint within it goes straight to the one bounded collect the
-    * local path needs (the limit(cap+1) keeps a lying hint safe: the
-    * overflow falls through to the distributed loop, never a wrong
-    * answer). Without a hint, the size probe is a limit+count — one
-    * job shipping a single long to the driver, not the edge rows. */
+    * straight to the distributed loop with ZERO driver collects.
+    * Hinted-small and unhinted calls both pay exactly ONE bounded
+    * job: the limit(cap+1) collect answers size and data together
+    * (≤ cap+1 two-long rows — a constant ~16 MB worst case at the
+    * default cap, independent of corpus size). The limit keeps a
+    * lying hint safe: the overflow falls through to the distributed
+    * loop, never a wrong answer. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25, edgeCountHint: Option[Long] = None): DataFrame = {
     val spark = pairs.sparkSession
@@ -107,14 +108,16 @@ object Clusters {
     if (maxLocal > 0 && maxLocal < Int.MaxValue &&
         edgeCountHint.forall(_ <= maxLocal)) {
       val ab = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
-      val small = edgeCountHint.isDefined ||
-        ab.limit(maxLocal.toInt + 1).count() <= maxLocal
-      if (small) {
-        val probe = ab.limit(maxLocal.toInt + 1).collect()
-        if (probe.length <= maxLocal) {
-          return localComponents(probe.map(r => (r.getLong(0), r.getLong(1))))
-            .toSeq.toDF("node", "cluster_id")
-        }
+      // ONE bounded job decides the path AND fetches the data: a
+      // count-then-collect pair would double the job count for every
+      // small graph (the common per-batch case), while the collect's
+      // worst case — a big graph without a hint — is capped at cap+1
+      // rows regardless of corpus size, so there is nothing to protect
+      // with a separate count probe
+      val probe = ab.limit(maxLocal.toInt + 1).collect()
+      if (probe.length <= maxLocal) {
+        return localComponents(probe.map(r => (r.getLong(0), r.getLong(1))))
+          .toSeq.toDF("node", "cluster_id")
       }
     }
     val edges = pairs

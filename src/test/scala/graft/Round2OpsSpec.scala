@@ -156,8 +156,8 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(fallback === dist)
   }
 
-  test("connectedComponents edge-count hint: a small hint takes the " +
-    "local path in exactly ONE job, a big hint skips every driver " +
+  test("connectedComponents sizing: small graphs (hinted or not) pay " +
+    "exactly ONE bounded probe job, a big hint skips every driver " +
     "collect, and a lying small hint still answers correctly") {
     // repartition makes the pair list genuinely distributed — a plain
     // Seq.toDF LocalRelation would collect driver-side with ZERO jobs
@@ -186,9 +186,10 @@ class Round2OpsSpec extends AnyFunSuite {
       } finally spark.sparkContext.removeSparkListener(l)
       n.get()
     }
-    // small hint: straight to the bounded probe collect — no
-    // limit+count sizing pass first, so strictly fewer jobs than the
-    // unhinted call on the identical input
+    // hinted-small and unhinted calls share the single bounded probe
+    // collect (no separate count sizing pass), so their job counts are
+    // IDENTICAL — the r7 count-then-collect pair would make the
+    // unhinted call strictly more expensive here
     var got: Map[Long, Long] = null
     val hintedJobs = countJobs {
       got = Clusters.connectedComponents(pairs, "id_a", "id_b",
@@ -199,9 +200,9 @@ class Round2OpsSpec extends AnyFunSuite {
       Clusters.connectedComponents(pairs, "id_a", "id_b")
         .as[(Long, Long)].collect()
     }
-    assert(hintedJobs >= 1 && hintedJobs < unhintedJobs,
-      s"hinted $hintedJobs jobs vs unhinted $unhintedJobs — the hint " +
-        "must remove the sizing pass")
+    assert(hintedJobs >= 1 && unhintedJobs <= hintedJobs,
+      s"hinted $hintedJobs jobs vs unhinted $unhintedJobs — the unhinted " +
+        "path must not pay a sizing pass beyond the single probe collect")
     // big hint (full-corpus path): straight to the distributed loop —
     // the local path's plan is a LocalRelation, the distributed one
     // is not, so the plan shape proves which path answered
