@@ -22,9 +22,13 @@ object Bench {
     // streaming machinery warm-up: the first streaming query of a JVM
     // pays one-time costs (state-store/provider classloading, offset-log
     // codepaths) that would otherwise land on whichever streaming query
-    // runs first in pass 1 — run a throwaway AvailableNow stream here
+    // runs first in pass 1 — run a throwaway AvailableNow stream here.
+    // The sink name is uniquified and the temp tree deleted afterwards
+    // so repeated bench runs in one JVM neither collide on the memory
+    // query name nor leak the checkpoint dir.
     locally {
       val tmp = java.nio.file.Files.createTempDirectory("bench_warm")
+      val sinkName = s"bench_warm_sink_${System.nanoTime()}"
       spark.range(10).toDF("v").write.parquet(s"$tmp/in")
       spark.readStream
         .schema(org.apache.spark.sql.types.StructType(Seq(
@@ -33,11 +37,37 @@ object Bench {
         .parquet(s"$tmp/in")
         .groupBy().count()
         .writeStream
-        .format("memory").queryName("bench_warm_sink")
+        .format("memory").queryName(sinkName)
         .outputMode("complete")
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start().awaitTermination()
+      spark.catalog.dropTempView(sinkName)
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+        f.delete(); ()
+      }
+      rmTree(tmp.toFile)
+    }
+
+    // Host-speed canary: a fixed CPU-bound probe (~0.2 s clean) timed
+    // once per pass. Its per-pass wall-clock rides in the artifact so a
+    // sustained contended window — which inflates EVERY pass, the one
+    // failure mode min-of-N interleaving cannot defend (round-7: q100
+    // 5× inflated in both driver passes) — is labeled by the canary
+    // instead of read as a plan regression next round.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(50000000L).selectExpr("sum(id % 7)", "avg(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
     }
 
     // min over ITERS full PASSES, interleaved: pass 1 runs every query
@@ -55,15 +85,55 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    val canaries = scala.collection.mutable.ArrayBuffer[Double]()
     val passes: Seq[Map[String, Double]] = (1 to iters).map { _ =>
-      queryList.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
+      canaries += canary()
+      queryList.map { case (name, fn) => name -> timeQuery(fn) }.toMap
     }
+    val prelim: Map[String, Double] =
+      queryList.map { case (name, _) =>
+        name -> passes.map(_(name)).min
+      }.toMap
+
+    // Outlier retry: any query whose min-of-N still exceeds 3× its
+    // committed clean-run anchor (tools/bench_reference.json, pinned in
+    // git — bench_latest.json is overwritten by every full run and may
+    // hold a contended driver run) gets ONE more attempt after the main
+    // passes, when a transient window has had the longest time to
+    // clear. The sub-second floor keeps noise-scale queries out of the
+    // retry set. A retried query that repairs → the outlier was
+    // transient; one that doesn't, with a clean canary → real
+    // regression; with an inflated canary → host contention, labeled.
+    val refTimes: Map[String, Double] = {
+      val f = new java.io.File("tools/bench_reference.json")
+      if (!f.exists()) Map.empty
+      else try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        mapper.registerModule(
+          com.fasterxml.jackson.module.scala.DefaultScalaModule)
+        val root = mapper.readTree(f)
+        val q = root.get("queries")
+        import scala.jdk.CollectionConverters._
+        q.properties().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    }
+    val suspects = queryList.map(_._1).filter { name =>
+      refTimes.get(name).exists(ref =>
+        prelim(name) > 3 * ref && prelim(name) - ref > 1.0)
+    }
+    val retried: Map[String, Double] =
+      if (suspects.isEmpty) Map.empty
+      else {
+        canaries += canary()
+        suspects.map { name =>
+          val fn = SparkEntry.queries(name)
+          name -> timeQuery(fn)
+        }.toMap
+      }
+
     val results = queryList.map { case (name, _) =>
-      val times = passes.map(_(name))
+      val times = passes.map(_(name)) ++ retried.get(name)
       // (min, spread): min-of-N is the comparison basis between rounds;
       // the spread (max-min over passes) separates host I/O-wait
       // noise from a real plan regression — a query whose min moved but
@@ -76,11 +146,13 @@ object Bench {
     val spreads = results.map { case (k, (_, sp)) => "\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
+    val canaryJson = canaries.mkString("[", ",", "]")
+    val retriedJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Headline keys LAST: the artifact capture keeps the tail of the
     // line, so the total/count must survive even if the per-query map
     // is truncated at the front.
     val json =
-      s"""{"queries":$qs,"spread":$spreads,"iters":$iters,"n_queries":${results.size},"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+      s"""{"queries":$qs,"spread":$spreads,"canary_sec":$canaryJson,"retried":$retriedJson,"iters":$iters,"n_queries":${results.size},"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     println(json)
     // Durable copy: the driver's stdout-tail capture has truncated the
     // per-query map head two rounds running; the file keeps every query
