@@ -17,6 +17,7 @@ Exit code = number of failing queries.
 import glob
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -56,9 +57,13 @@ def main():
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
+        # driver SF dirs hold single files; GenScale writes Spark-style
+        # directories of part files — read_parquet takes either
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     fails = 0
     names = sorted(
         set(oracles) |
