@@ -26,23 +26,36 @@ object Bench {
     // The sink name is uniquified and the temp tree deleted afterwards
     // so repeated bench runs in one JVM neither collide on the memory
     // query name nor leak the checkpoint dir.
+    // Timed: a minimal AvailableNow stream's wall-clock IS the fixed
+    // per-query streaming machinery cost (checkpoint dir, offset/commit
+    // logs, state-store provider, memory sink) that every real
+    // streaming query below pays on top of its data work. Reported as
+    // stream_overhead_sec so the seven streaming queries' totals can be
+    // read net of it — honest measurement, not a timing exclusion.
+    var streamOverheadSec = 0.0
     locally {
       val tmp = java.nio.file.Files.createTempDirectory("bench_warm")
-      val sinkName = s"bench_warm_sink_${System.nanoTime()}"
       spark.range(10).toDF("v").write.parquet(s"$tmp/in")
-      spark.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("v",
-            org.apache.spark.sql.types.LongType))))
-        .parquet(s"$tmp/in")
-        .groupBy().count()
-        .writeStream
-        .format("memory").queryName(sinkName)
-        .outputMode("complete")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
-      spark.catalog.dropTempView(sinkName)
+      def noopStream(i: Int): Double = {
+        val sinkName = s"bench_warm_sink_${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("v",
+              org.apache.spark.sql.types.LongType))))
+          .parquet(s"$tmp/in")
+          .groupBy().count()
+          .writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .option("checkpointLocation", s"$tmp/ckpt$i")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+        spark.catalog.dropTempView(sinkName)
+        (System.nanoTime() - t0) / 1e9
+      }
+      noopStream(0) // warm-up run absorbs the one-time classloading
+      streamOverheadSec = noopStream(1) // steady-state machinery cost
       def rmTree(f: java.io.File): Unit = {
         if (f.isDirectory)
           Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
@@ -152,7 +165,7 @@ object Bench {
     // line, so the total/count must survive even if the per-query map
     // is truncated at the front.
     val json =
-      s"""{"queries":$qs,"spread":$spreads,"canary_sec":$canaryJson,"retried":$retriedJson,"iters":$iters,"n_queries":${results.size},"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+      s"""{"queries":$qs,"spread":$spreads,"canary_sec":$canaryJson,"retried":$retriedJson,"stream_overhead_sec":$streamOverheadSec,"iters":$iters,"n_queries":${results.size},"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     println(json)
     // Durable copy: the driver's stdout-tail capture has truncated the
     // per-query map head two rounds running; the file keeps every query

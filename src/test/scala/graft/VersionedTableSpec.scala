@@ -1179,10 +1179,11 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
-  test("three-way soak: restore, vacuum, and a writer interleave freely " +
-      "(both backends): the head stays readable and metadata-consistent, " +
-      "base content is never silently mixed, and a restore-rollback only " +
-      "ever lands directly on its own tombstone") {
+  test("four-way soak: restore, vacuum, a writer, and a cloner " +
+      "interleave freely (both backends): the head stays readable and " +
+      "metadata-consistent, base content is never silently mixed, every " +
+      "landed clone is complete, every aborted clone invisible, and a " +
+      "restore-rollback only ever lands directly on its own tombstone") {
     for (backend <- Seq[graft.ingest.CommitBackend](
         graft.ingest.LocalLinkBackend,
         new graft.ingest.ConditionalPutBackend)) {
@@ -1232,13 +1233,41 @@ class VersionedTableSpec extends AnyFunSuite {
             io.vacuum("t", retainLast = 1, orphanGraceMs = 30000L); ()
           }
         })
+        // fourth party: clones fork the table mid-churn — a committed
+        // clone must be complete and internally consistent, an aborted
+        // one must leave no visible commit (the full concurrency
+        // surface: clone ∥ restore ∥ vacuum ∥ writer)
+        val cloneOutcomes =
+          new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val cloner = new Thread(() => {
+          for (i <- 0 until 3) {
+            val name = s"c${round}_$i"
+            try {
+              io.cloneTable("t", name)
+              cloneOutcomes.add(s"landed:$name"); ()
+            } catch {
+              case scala.util.control.NonFatal(_) =>
+                cloneOutcomes.add(s"aborted:$name"); ()
+            }
+          }
+        })
         // vary start order across rounds to widen interleaving coverage
         val ts = round % 3 match {
-          case 0 => Seq(writer, restorer, vacuumer)
-          case 1 => Seq(vacuumer, writer, restorer)
-          case _ => Seq(restorer, vacuumer, writer)
+          case 0 => Seq(writer, restorer, vacuumer, cloner)
+          case 1 => Seq(cloner, vacuumer, writer, restorer)
+          case _ => Seq(restorer, cloner, vacuumer, writer)
         }
         ts.foreach(_.start()); ts.foreach(_.join())
+        cloneOutcomes.forEach { o =>
+          val Array(outcome, name) = o.split(":")
+          if (outcome == "landed") {
+            val n = io.read(spark, name).count()
+            assert(io.rowCount(name, 1L).contains(n),
+              s"round $round: clone $name committed incomplete: read $n " +
+                s"vs manifest ${io.rowCount(name, 1L)}")
+          } else assert(io.versions(name).isEmpty,
+            s"round $round: aborted clone $name left a visible commit")
+        }
         assert(writerErrs.get() == null,
           s"round $round: a concurrent append crashed: ${writerErrs.get()}")
         // head must be readable, and its count must agree with the
