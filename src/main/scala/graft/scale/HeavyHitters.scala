@@ -97,8 +97,11 @@ object HeavyHitters {
     *
     * Unlike [[topGrams]] nothing touches the driver: one MG sketch per
     * group merges behind a partial ObjectHashAggregate, the candidate
-    * keys explode back into a (group, gram) JOIN against the gram
-    * stream (shuffle bounded by groups × capacity keys), and the
+    * keys explode back into a (group, gram) BROADCAST join against the
+    * gram stream (the candidate side is ≤ groups × capacity rows by
+    * construction, so the full gram stream never shuffles for the
+    * recount — only the post-join per-candidate partial counts do), and
+    * the
     * per-group top-k is a rank window. The exactness proof is the
     * per-ROW form of topGrams' gate, evaluated in-plan per group:
     * unsaturated groups are complete exact tables; saturated groups
@@ -129,8 +132,9 @@ object HeavyHitters {
       col("__bar"), explode(col("__keys")).as("gram"))
     // null-safe group match: an equi-join would silently drop a NULL
     // group key that the sketch aggregate (and the oracle's GROUP BY)
-    // kept
-    val exact = grams.join(cands,
+    // kept. Broadcast: cands is ≤ groups × capacity rows by
+    // construction, so the gram stream stays un-shuffled.
+    val exact = grams.join(broadcast(cands),
         col(groupCol) <=> col("__g") && grams("gram") === cands("gram"))
       .select(grams(groupCol), grams("gram"), col("__sat"), col("__bar"))
       .groupBy(col(groupCol), col("gram"))

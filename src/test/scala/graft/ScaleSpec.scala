@@ -525,10 +525,16 @@ class ScaleSpec extends AnyFunSuite {
         Window.partitionBy("lang").orderBy(col("n").desc, col("gram").asc)))
       .filter(col("rank") <= 5)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    val got = graft.scale.HeavyHitters
+    val framed = graft.scale.HeavyHitters
       .topGramsByGroup(docs, "lang", "text", k = 5, capacity = 2048)
+    val got = framed
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got === naive)
+    // the exact-recount join must BROADCAST the (≤ groups × capacity)
+    // candidate side — the full gram stream never shuffles for pass 2
+    val plan = framed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"recount join not broadcast:\n$plan")
     val ex = intercept[Exception] {
       graft.scale.HeavyHitters
         .topGramsByGroup(docs, "lang", "text", k = 5, capacity = 1)
