@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Shuffle-volume audit: measured evidence for the narrow-exchange
+  * claims in SCALE.md/COVERAGE.md ("dedup shuffles 32-byte
+  * fingerprints, never text", "the ANN corpus is never shuffled").
+  *
+  * Wall-clock scaling shows a query is not super-linear; this tool
+  * shows WHY it stays that way at 100 TB: for each audited query it
+  * sums, across every completed stage, the bytes written to shuffle
+  * (`shuffleWriteMetrics.bytesWritten` — exact, maintained by the
+  * shuffle writer itself) and the bytes spilled to disk, then reports
+  * shuffle bytes per byte of SOURCE data (the on-disk size of the
+  * parquet tables the query reads, so compressed is compared to
+  * compressed — shuffle blocks are lz4-compressed like the parquet
+  * pages). A dedup/ANN operator whose exchanges carry fingerprints
+  * instead of documents shows a ratio well under 1; an operator that
+  * re-shuffles its corpus shows ≥ 1 at every SF and would saturate
+  * the cluster network long before 100 TB. Spill must be 0 at every
+  * measured SF — a partition that spills at sf1 is sized wrong for a
+  * 1000-executor cluster.
+  *
+  * Runtime `inputMetrics.bytesRead` is deliberately NOT used: for
+  * local-filesystem parquet it reports only footer reads (measured
+  * 3.4 KB for a full scan of a 594 KB file), so the denominator comes
+  * from `File.length` over each query's declared source tables
+  * instead — static, byte-stable, and an UPPER bound on useful input
+  * (column pruning reads less), which makes the reported ratios
+  * conservative (the true shuffle-per-read-byte is higher, but a
+  * ratio ≪ 1 against the whole table is the claim that matters).
+  *
+  * Byte counts are deterministic — unlike wall-clock, the audit does
+  * not need a quiet host.
+  *
+  * Usage (one JSON line to stdout, plus tools/shuffle_audit_<sf>.json
+  * when unfiltered):
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt -batch "runMain graft.ShuffleAudit"
+  *   SPARK_GRAFT_AUDIT_ONLY=q40_dedup_exact,... # dev loop
+  *
+  * Streaming queries are excluded: their per-batch jobs interleave
+  * with checkpoint/state-store I/O on the listener bus, so a
+  * per-query attribution would mix machinery bytes into data bytes.
+  */
+object ShuffleAudit {
+
+  /** Batch queries whose scale posture rests on a narrow-exchange
+    * argument — the dedup/ANN/text/curation kernels — each with the
+    * source tables it reads (fixture tables a query stages and
+    * re-reads derive from these, so the sizes below are the full
+    * source volume the query is responsible for). */
+  val Audited: Seq[(String, Seq[String])] = Seq(
+    "q40_dedup_exact" -> Seq("documents"),
+    "q42_minhash_lsh" -> Seq("documents"),
+    "q44_ann_cosine" -> Seq("embeddings"),
+    "q84_dedup_clusters" -> Seq("documents"),
+    "q100_curation_pipeline" -> Seq("documents"),
+    "q110_decontaminate" -> Seq("documents"),
+    "q117_dedup_embedding_lsh" -> Seq("embeddings"),
+    "q118_bigram_surprisal" -> Seq("documents"),
+    "q126_semantic_dedup" -> Seq("embeddings"),
+    "q127_paragraph_dedup" -> Seq("documents"),
+    "q130_curation_v2" -> Seq("documents", "embeddings"),
+    "q133_heavy_hitters" -> Seq("documents"),
+    "q137_top_grams_per_lang" -> Seq("documents"),
+    "q138_bm25" -> Seq("documents"),
+    "q149_ann_pq" -> Seq("embeddings"))
+
+  private final class Tally extends SparkListener {
+    private val lock = new Object
+    private var shuffleWrite = 0L
+    private var spilled = 0L
+    override def onStageCompleted(ev: SparkListenerStageCompleted): Unit =
+      lock.synchronized {
+        val m = ev.stageInfo.taskMetrics
+        if (m != null) {
+          shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+          spilled += m.diskBytesSpilled
+        }
+      }
+    def snapshot(): (Long, Long) = lock.synchronized((shuffleWrite, spilled))
+  }
+
+  /** On-disk bytes of `<dir>/<table>.parquet` (file or directory). */
+  private def tableBytes(dir: String, table: String): Long = {
+    def sz(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(sz).sum
+      else f.length()
+    sz(new java.io.File(s"$dir/$table.parquet"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tally = new Tally
+    spark.sparkContext.addSparkListener(tally)
+
+    // The listener bus is asynchronous: after a query's last job
+    // finishes, its stage-completed events may still be in flight.
+    // Settle by polling the counters until two consecutive reads 200 ms
+    // apart agree (bounded at 5 s — local-mode queues drain in
+    // milliseconds; the bound only guards a wedged bus).
+    def settled(): (Long, Long) = {
+      var prev = tally.snapshot()
+      var stable = false
+      val deadline = System.nanoTime() + 5000000000L
+      while (!stable && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        val cur = tally.snapshot()
+        stable = cur == prev
+        prev = cur
+      }
+      prev
+    }
+
+    val only = sys.env.get("SPARK_GRAFT_AUDIT_ONLY").map(_.split(",").toSet)
+    val audited = Audited.filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // warm-up outside any measurement window (codegen, file listing)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val rows = audited.map { case (name, tables) =>
+      val fn = SparkEntry.queries(name)
+      val src = tables.map(tableBytes(sfDir, _)).sum
+      val (w0, s0) = settled()
+      fn(spark, sfDir).count()
+      val (w1, s1) = settled()
+      val sh = w1 - w0
+      val sp = s1 - s0
+      val ratio = if (src > 0) sh.toDouble / src else 0.0
+      (name, src, sh, sp, ratio)
+    }
+
+    val qs = rows.map { case (n, src, sh, sp, r) =>
+      f""""$n":{"source_mb":${src / 1e6}%.2f,"shuffle_mb":${sh / 1e6}%.2f,"spill_mb":${sp / 1e6}%.2f,"shuffle_per_source":$r%.3f}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"queries":$qs,"n_queries":${rows.size},"metric":"shuffle_audit","sf":"$sfDir"}"""
+    println(json)
+    if (only.isEmpty) {
+      val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9_.]", "_")
+      val out = java.nio.file.Paths.get(s"tools/shuffle_audit_$sfTag.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    spark.stop()
+  }
+}

@@ -67,7 +67,23 @@ object Dedup {
       s => s =!= ""))
 
   /** Exact dedup: keep the smallest-id row per fingerprint. Grouping on
-    * the hash, not the document, keeps shuffle rows narrow. */
+    * the hash, not the document, keeps shuffle KEYS narrow; the row
+    * rides the fingerprint window exchange once as payload — the
+    * operator's one unconditional full shuffle.
+    *
+    * Why not a narrow-keys-then-anti-join form (loser ids from an
+    * (id, fingerprint)-only window, then `df LEFT ANTI JOIN losers`)?
+    * Measured (graft.ShuffleAudit + Bench, sf0.1): shuffle volume did
+    * NOT drop (the sha256 fingerprint is 32 of the ~40 narrow bytes,
+    * and union-heavy callers duplicate the loser sub-plan), while
+    * wall-clock REGRESSED ~35% (q40 0.38→0.52 s, q100 3.18→4.20 s)
+    * from the double upstream evaluation and the extra broadcast-build
+    * job. And at cluster scale the anti-join only wins while the loser
+    * set broadcasts: at realistic duplicate fractions (10-30% of a
+    * 10^10-doc corpus) the loser ids alone are tens of GB, the join
+    * falls back to a shuffled anti join, and the corpus crosses the
+    * wire anyway — plus the narrow window on top. One predictable,
+    * skew-free full shuffle is the better contract. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(col("__fp"))
     df.withColumn("__fp", fingerprint(col(textCol)))
@@ -390,7 +406,18 @@ object Dedup {
     * 100 TB corpus requires — ScaleSpec asserts it), candidate work
     * bounded by bucket populations. Cross-bucket pairs are missed by
     * design; recall is measured against [[embeddingNearDups]] on a
-    * bounded slice (the q41-vs-q42 pattern). */
+    * bounded slice (the q41-vs-q42 pattern).
+    *
+    * Why vectors ride the band rows (shuffle = 2 × bands × corpus
+    * vector volume, graft.ShuffleAudit-measured 4.3× source at
+    * sf0.1/bands=2): the alternative — narrow (id, band, bucket)
+    * candidate keys, distinct pairs, then vector-fetch joins by id —
+    * was measured 8× WORSE (27.7 MB vs 3.45 MB) because clustered
+    * corpora skew bucket populations, and unverified candidate PAIRS
+    * (quadratic in bucket size) would cross the wire three times,
+    * where this form generates and cosine-verifies them inside the
+    * bucket join without ever shuffling them. Shuffle here scales
+    * with the corpus, never with the pair count. */
   def embeddingNearDupsBucketed(df: DataFrame, idCol: String,
       vecCol: String, minCosine: Double, dim: Int, nPlanes: Int,
       bands: Int = 1, seed: Long = 42L): DataFrame = {
