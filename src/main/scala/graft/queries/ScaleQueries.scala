@@ -292,15 +292,29 @@ object ScaleQueries {
   }
 
   /** PQ recall contract (q142/q146's gate on the COMPRESSED index):
-    * top-30 ADC candidates must retain the brute top-10 at mean
+    * the ADC candidate list must retain the brute top-10 at mean
     * recall ≥ the floor, asserted in-plan — quantization loss became
     * a checked property. Oracle recomputes candidates, brute truth,
     * hits, and the exact-arithmetic mean. Floor 0.3 vs measured
-    * 0.48/0.56/0.54 at sf0.1/0.01/0.001 (the q142/q146 margin). */
+    * 0.48/0.56/0.54 at sf0.1/0.01/0.001 (the q142/q146 margin).
+    *
+    * The candidate budget is a constant FRACTION of the corpus —
+    * max(30, ceil(1.5% · N)) — not a constant count: a fixed top-30
+    * shortlist against a growing corpus dilutes recall mechanically
+    * (measured: the 0.30 floor tripped the in-plan gate at the 15.5k-
+    * vector sf3 sweep with nCand=30), while a fixed fraction holds
+    * the recall/scan-cost trade flat at every measured SF. At the
+    * driver SFs (≤ 2000 vectors) the fraction floor reproduces the
+    * historical nCand=30 exactly, so the sf0.01 gate is unchanged.
+    * N comes from one metadata count — the same bounded probe the
+    * codebook seeding already pays; a production vector index reads
+    * it from the index manifest. */
   val qAnnPqRecall: QueryDef = QueryDef(
     "q150_ann_pq_recall",
     s"""${pqRankedSql(m = 8, sub = 8, ksub = 16)},
-       |cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 30),
+       |cand AS (SELECT query_id, neighbor_id FROM ranked
+       |         WHERE rank <= (SELECT greatest(30,
+       |             CAST(ceil(count(*) * 0.015) AS INT)) FROM e)),
        |brute AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -324,9 +338,10 @@ object ScaleQueries {
        |  mean_recall
        |FROM per CROSS JOIN tot""".stripMargin) { (s, dir) =>
     val emb = Tables.load(s, dir, "embeddings")
+    val nCand = math.max(30L, math.ceil(emb.count() * 0.015).toLong).toInt
     Similarity.pqRecall(emb, emb.filter(col("vec_id") < 5),
       "vec_id", "embedding", k = 10, dim = 64, m = 8, ksub = 16,
-      nCand = 30, minMeanRecall = 0.3)
+      nCand = nCand, minMeanRecall = 0.3)
   }
 
   /** Embedding-cosine near-dup pairs — exact all-pairs over a BOUNDED
