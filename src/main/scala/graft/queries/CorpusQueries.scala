@@ -182,9 +182,18 @@ object CorpusQueries {
     * end-to-end. */
   // bands=16 (r=4) puts the LSH collision threshold at (1/16)^(1/4) = 0.5
   // for the 0.7 target: ~99% recall at j=0.7 while cutting low-jaccard
-  // candidates ~30x vs r=2 (the verification join is the scale cost)
+  // candidates ~30x vs r=2 (the verification join is the scale cost).
+  // shingle=3, NOT 2 (the round-8 sf10 audit lesson): shingle size must
+  // keep the shingle space sparse relative to the vocabulary, or the
+  // banded self-join goes quadratic on coincident low-jaccard slices —
+  // 2-shingles over the synthetic vocab produced 6.3M candidate pairs
+  // at 500k docs (pairs ∝ N², 4.8 GB shuffle + 4.1 GB sort spill, and
+  // every one of them verified FALSE), where 3-shingles produce 2.2k
+  // with identical verified output at every driver SF (224/24/26
+  // candidates = 224/24/26 verified — perfect precision). The oracle
+  // derives from these params, so both engines re-tune together.
   private val curationParams =
-    Dedup.MinHashParams(k = 64, bands = 16, shingle = 2, reproducible = true)
+    Dedup.MinHashParams(k = 64, bands = 16, shingle = 3, reproducible = true)
 
   private def curationOracleSql(p: Dedup.MinHashParams,
       minJaccard: Double): String = {

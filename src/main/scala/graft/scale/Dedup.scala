@@ -264,10 +264,27 @@ object Dedup {
       p: MinHashParams = MinHashParams()): DataFrame =
     nearDuplicatesReleasable(df, idCol, textCol, minJaccard, p)._1
 
-  /** [[nearDuplicates]] plus a release handle for the internal shingle
-    * cache: composed pipelines (Curation) call it after materializing
-    * the pair list so repeated passes don't accumulate cached shingle
-    * sets. Callers of the plain form own the session-lifetime cache. */
+  /** [[nearDuplicates]] plus a release handle for the internal caches:
+    * composed pipelines (Curation) call it after materializing the
+    * pair list so repeated passes don't accumulate cached shingle
+    * sets. Callers of the plain form own the session-lifetime cache.
+    *
+    * Verification never shuffles the corpus (the round-8 sf10 audit
+    * lesson): a plain `cands ⋈ sets ⋈ sets` id-join plans as
+    * sort-merge once the set side outgrows the broadcast threshold,
+    * and its exchange carries EVERY document's shingle set — measured
+    * 4.8 GB shuffle + 4.1 GB sort spill at 500k docs (80× source,
+    * growing super-linearly in the audit) for a candidate list of a
+    * few thousand pairs. Instead the cached sets are first semi-
+    * filtered to ids that appear in some candidate pair: the id list
+    * is bounded by 2·|cands| (hot-bucket-guarded candidate volume,
+    * ~16 B/id on the broadcast), the semi join filters the cached
+    * corpus scan in place, and the verify joins then touch only
+    * candidate docs' sets — shuffle linear in the PAIR count,
+    * independent of corpus size. Same rows out, so the q42/q100/q130
+    * oracles are untouched. `cands` is persisted so the LSH chain
+    * (signature agg + band self-join) runs once, not once per
+    * verify-join side; the release handle drops both caches. */
   def nearDuplicatesReleasable(df: DataFrame, idCol: String,
       textCol: String, minJaccard: Double,
       p: MinHashParams = MinHashParams()): (DataFrame, () => Unit) = {
@@ -282,16 +299,19 @@ object Dedup {
         shinglesFromTokens(col("__toks"), p.shingle).as("__set")).persist()
     val sigs = signaturesFromSets(
       sets.select(col("__id").as(idCol), col("__set")), idCol, p)
-    val cands = candidatePairs(sigs, idCol, p)
+    val cands = candidatePairs(sigs, idCol, p).persist()
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("__id")).distinct()
+    val setsC = sets.join(broadcast(candIds), Seq("__id"), "left_semi")
     val result = cands
-      .join(sets.withColumnRenamed("__id", "id_a")
+      .join(setsC.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__set", "set_a"), Seq("id_a"))
-      .join(sets.withColumnRenamed("__id", "id_b")
+      .join(setsC.withColumnRenamed("__id", "id_b")
         .withColumnRenamed("__set", "set_b"), Seq("id_b"))
       .withColumn("jaccard", round(jaccard(col("set_a"), col("set_b")), 4))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
-    (result, () => { sets.unpersist(); () })
+    (result, () => { sets.unpersist(); cands.unpersist(); () })
   }
 
   /** The persisted artifact for INCREMENTAL dedup: one row per corpus

@@ -140,11 +140,26 @@ object TextStats {
     *
     * Scale shape: tokenize once into a list column, derive bigrams by
     * zipping the list with its own tail (no self-join on positions),
-    * aggregate the three count tables corpus-wide, join them back on
-    * (prev,cur)/(prev)/(cur). The count tables are vocabulary-sized —
-    * AQE broadcasts them when small, shuffles when not; the token
-    * stream itself is never joined to itself. Docs with < 2 tokens
-    * have no bigrams and drop out. */
+    * aggregate the count tables corpus-wide, DENORMALIZE them into one
+    * stats table keyed by (prev,cur), and join the bigram stream to it
+    * exactly once. The stats-side joins touch only vocabulary-sized
+    * tables (prev totals derive from the bigram counts by a second
+    * aggregation — Σ_cur c(prev,cur) = c(prev,·) — not from another
+    * pass over the corpus stream). The corpus-sized stream therefore
+    * never enters an exchange: the stats table is the trained MODEL,
+    * and models ship to the workers — the join carries an EXPLICIT
+    * broadcast, because leaving it to AQE is not enough (static
+    * planning can't size an aggregated side, so it plans sort-merge,
+    * and by the time AQE's runtime stats demote it to broadcast the
+    * position stream's map stage has already written its full shuffle
+    * — the round-8 sf10 audit measured 433-492 MB of exactly such
+    * dead shuffle for a 961-row stats table; with the static
+    * broadcast the query's total shuffle is the vocabulary-sized
+    * count tables plus per-doc partial aggs). A corpus whose bigram
+    * vocabulary genuinely outgrows broadcast needs a top-K/OOV-bucket
+    * cap on the model first — the standard LM-scorer contract — not a
+    * corpus-stream shuffle. Docs with < 2 tokens have no bigrams and
+    * drop out. */
   def bigramSurprisal(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, lambda: Double = 0.75): org.apache.spark.sql.DataFrame = {
     val lists = df.select(col(idCol), tokens(col(textCol)).as("__l"))
@@ -158,16 +173,18 @@ object TextStats {
       .select(col(idCol), col("__z").getField("0").as("prev"),
         col("__z").getField("1").as("cur"))
     val bigCounts = bi.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
-    val prevCounts = bi.groupBy("prev").agg(count(lit(1)).as("cp"))
+    val prevCounts = bigCounts.groupBy("prev").agg(sum("cb").as("cp"))
     val p = lit(lambda) * (col("cb").cast("double") / col("cp")) +
       lit(1.0 - lambda) * (col("cu").cast("double") / col("__total"))
-    bi.join(bigCounts, Seq("prev", "cur"))
+    val stats = bigCounts
       .join(prevCounts, Seq("prev"))
       .join(uni.withColumnRenamed("term", "cur"), Seq("cur"))
       .crossJoin(broadcast(total))
+      .select(col("prev"), col("cur"), p.as("__p"))
+    bi.join(broadcast(stats), Seq("prev", "cur"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(-avg(log(p)), 6).as("mean_surprisal"))
+        round(-avg(log(col("__p"))), 6).as("mean_surprisal"))
   }
 
   // ---- PII redaction ------------------------------------------------------

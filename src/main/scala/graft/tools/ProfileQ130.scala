@@ -25,7 +25,7 @@ object ProfileQ130 {
     val bench = docs.filter(col("doc_id") % 50 === 0)
     val embeddings = Tables.load(spark, dir, "embeddings")
     val idCol = "doc_id"; val textCol = "text"; val langCol = "lang"
-    val p = Dedup.MinHashParams(k = 64, bands = 16, shingle = 2,
+    val p = Dedup.MinHashParams(k = 64, bands = 16, shingle = 3,
       reproducible = true)
     val minQuality = 0.5; val minJaccard = 0.7
     val semK = 8; val semIters = 2; val semMinCosine = 0.9
