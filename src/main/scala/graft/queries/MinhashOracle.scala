@@ -38,7 +38,12 @@ private[queries] object MinhashOracle {
        |${pre}sig AS (SELECT doc_id, $sigList AS sig FROM ${pre}mh),
        |${pre}bands AS (
        |  SELECT doc_id, g.b AS band,
-       |    md5(array_to_string(sig[g.b * $r + 1 : g.b * $r + $r], ',')) AS bucket
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(substring(
+       |        md5(array_to_string(sig[g.b * $r + 1 : g.b * $r + $r], ',')),
+       |        1, 15), ''),
+       |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+       |      (a, d) -> a * 16 + d) AS bucket
        |  FROM ${pre}sig, generate_series(0, ${p.bands - 1}) g(b))""".stripMargin
   }
 

@@ -213,7 +213,15 @@ object Dedup {
 
   /** (idCol, band, bucket) rows from a signature frame — the banded
     * LSH key stream shared by [[candidatePairs]] (self-join) and
-    * [[dedupAgainstIndex]] (batch-vs-index join). */
+    * [[dedupAgainstIndex]] (batch-vs-index join).
+    *
+    * The bucket is a fixed-width LONG, not a hash string: this stream
+    * is the curation pipelines' dominant exchange (bands × corpus
+    * rows), and an md5 hex string carries 48 B on the wire where the
+    * md5-60 fold carries 8 — the bucket is only ever compared for
+    * equality, so the narrow key halves the exchange at identical
+    * candidate semantics (the oracle folds the same first 15 md5 hex
+    * digits; collisions at 2^60 are jaccard-verified away anyway). */
   def bandedBuckets(sigs: DataFrame, idCol: String,
       p: MinHashParams = MinHashParams()): DataFrame =
     sigs.select(
@@ -221,8 +229,8 @@ object Dedup {
       posexplode(array((0 until p.bands).map { bIdx =>
         val sliced = slice(col("sig"), bIdx * p.rowsPerBand + 1, p.rowsPerBand)
         if (p.reproducible)
-          md5(concat_ws(",", transform(sliced, _.cast("string"))))
-        else hash(sliced).cast("string")
+          md5Hash60(concat_ws(",", transform(sliced, _.cast("string"))))
+        else hash(sliced).cast("long")
       }: _*)).as(Seq("band", "bucket")))
 
   /** Drop (band, bucket) groups whose population exceeds `max` — the
