@@ -76,11 +76,22 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // (elapsed, errored): a throwing query must surface as an ERROR in
+    // the artifact, never as a plausible timing — before round 9 the
+    // catch swallowed the failure and the elapsed time was recorded
+    // anyway, so a query that started throwing would bench as a fast
+    // number and only CORRECTNESS would catch it.
     def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+        : (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val errored =
+        try { fn(spark, sfDir).count(); false }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"BENCH QUERY ERROR: ${e.getClass.getName}: " +
+            s"${e.getMessage}")
+          true
+        }
+      ((System.nanoTime() - t0) / 1e9, errored)
     }
 
     // min over ITERS full PASSES, interleaved: pass 1 runs every query
@@ -99,13 +110,13 @@ object Bench {
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
-    val passes: Seq[Map[String, Double]] = (1 to iters).map { _ =>
+    val passes: Seq[Map[String, (Double, Boolean)]] = (1 to iters).map { _ =>
       canaries += canary()
       queryList.map { case (name, fn) => name -> timeQuery(fn) }.toMap
     }
     val prelim: Map[String, Double] =
       queryList.map { case (name, _) =>
-        name -> passes.map(_(name)).min
+        name -> passes.map(_(name)._1).min
       }.toMap
 
     // Outlier retry: any query whose min-of-N still exceeds 3× its
@@ -135,7 +146,7 @@ object Bench {
       refTimes.get(name).exists(ref =>
         prelim(name) > 3 * ref && prelim(name) - ref > 1.0)
     }
-    val retried: Map[String, Double] =
+    val retried: Map[String, (Double, Boolean)] =
       if (suspects.isEmpty) Map.empty
       else {
         canaries += canary()
@@ -145,27 +156,37 @@ object Bench {
         }.toMap
       }
 
+    // A query that errored in ANY run is listed in the artifact's
+    // "errors" key and reports time -1 — impossible to misread as a
+    // healthy timing, and the headline total excludes it.
+    val erroredQueries: Seq[String] = queryList.map(_._1).filter { name =>
+      passes.exists(_(name)._2) || retried.get(name).exists(_._2)
+    }
     val results = queryList.map { case (name, _) =>
-      val times = passes.map(_(name)) ++ retried.get(name)
+      val times = passes.map(_(name)._1) ++ retried.get(name).map(_._1)
       // (min, spread): min-of-N is the comparison basis between rounds;
       // the spread (max-min over passes) separates host I/O-wait
       // noise from a real plan regression — a query whose min moved but
       // whose spread is tight changed for real, a huge spread on
       // unchanged code is a noisy window (round-4 lesson).
-      name -> (times.min, times.max - times.min)
+      val mn = if (erroredQueries.contains(name)) -1.0 else times.min
+      name -> (mn, times.max - times.min)
     }
     val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, (_, sp)) => "\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
+    val total =
+      if (results.nonEmpty) results.map(_._2._1).filter(_ >= 0).sum else 0.0
     val canaryJson = canaries.mkString("[", ",", "]")
     val retriedJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errorsJson = erroredQueries.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     // Headline keys LAST: the artifact capture keeps the tail of the
-    // line, so the total/count must survive even if the per-query map
-    // is truncated at the front.
+    // line, so the total/count/errors must survive even if the
+    // per-query map is truncated at the front.
     val json =
-      s"""{"queries":$qs,"spread":$spreads,"canary_sec":$canaryJson,"retried":$retriedJson,"stream_overhead_sec":$streamOverheadSec,"iters":$iters,"n_queries":${results.size},"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+      s"""{"queries":$qs,"spread":$spreads,"canary_sec":$canaryJson,"retried":$retriedJson,"stream_overhead_sec":$streamOverheadSec,"iters":$iters,"n_queries":${results.size},"errors":$errorsJson,"n_errors":${erroredQueries.size},"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     println(json)
     // Durable copy: the driver's stdout-tail capture has truncated the
     // per-query map head two rounds running; the file keeps every query

@@ -224,7 +224,7 @@ object CorpusQueries {
        |fp AS (SELECT doc_id, text, toks, sha256($norm) AS f FROM q),
        |ex AS (SELECT doc_id, text, toks FROM fp
        |       WHERE doc_id = (SELECT min(f2.doc_id) FROM fp f2 WHERE f2.f = fp.f)),
-       |${MinhashOracle.cteChain("ex", p, minJaccard)},
+       |${MinhashOracle.cteChain("ex", p, minJaccard, Some(1000))},
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM verified_min
        |  UNION SELECT id_b, id_a FROM verified_min),
@@ -255,7 +255,8 @@ object CorpusQueries {
     curationOracleSql(curationParams, minJaccard = 0.7)) { (s, dir) =>
     graft.scale.Curation.curate(
       Tables.load(s, dir, "documents"), "doc_id", "text",
-      minQuality = 0.5, minJaccard = 0.7, curationParams)
+      minQuality = 0.5, minJaccard = 0.7, curationParams,
+      maxBucket = Some(1000))
   }
 
   /** Benchmark decontamination: every 50th doc plays the benchmark
@@ -574,7 +575,7 @@ object CorpusQueries {
          |fp AS (SELECT doc_id, text, toks, sha256($norm) AS f FROM q),
          |ex AS (SELECT doc_id, text, toks FROM fp
          |       WHERE doc_id = (SELECT min(f2.doc_id) FROM fp f2 WHERE f2.f = fp.f)),
-         |${MinhashOracle.cteChain("ex", p, 0.7)},
+         |${MinhashOracle.cteChain("ex", p, 0.7, Some(1000))},
          |edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM verified_min
          |  UNION SELECT id_b, id_a FROM verified_min),
@@ -720,7 +721,7 @@ object CorpusQueries {
       semK = 8, semIters = 2, semMinCosine = 0.9, semMaxNeighbors = 16,
       unitTokens = 3, decontamN = 5,
       tau = 0.7, budgetDocs = 150L,
-      packBudget = 512L, packShards = 4)
+      packBudget = 512L, packShards = 4, maxBucket = Some(1000))
   }
 
   /** Incremental dedup of a new ingest batch against a persisted

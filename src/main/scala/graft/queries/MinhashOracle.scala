@@ -50,13 +50,23 @@ private[queries] object MinhashOracle {
   /** [[sigChain]] plus self-join candidate pairs and exact-jaccard
     * verification. Exposes CTEs: `sh`(doc_id, shingles),
     * `cand`(id_a, id_b) and `verified`/`verified_min`
-    * (id_a, id_b, jaccard ≥ minJaccard). */
+    * (id_a, id_b, jaccard ≥ minJaccard). `maxBucket` replays the
+    * engine's hot-bucket guard ([[graft.scale.Dedup.candidatePairs]]):
+    * (band, bucket) groups above the cap contribute no candidates —
+    * the SAME filter in both engines, so the gate stays aligned even
+    * on a corpus where the cap binds. */
   def cteChain(src: String, p: Dedup.MinHashParams,
-      minJaccard: Double): String = {
+      minJaccard: Double, maxBucket: Option[Int] = None): String = {
+    val bandRel = maxBucket.fold("bands") { cap =>
+      s"""(SELECT b.* FROM bands b JOIN (
+         |    SELECT band, bucket FROM bands
+         |    GROUP BY band, bucket HAVING count(*) <= $cap) ok
+         |    USING (band, bucket))""".stripMargin
+    }
     s"""${sigChain(src, p)},
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b
+       |  FROM $bandRel a JOIN $bandRel b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
        |verified AS (
        |  SELECT id_a, id_b,

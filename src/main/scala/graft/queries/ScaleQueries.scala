@@ -77,7 +77,7 @@ object ScaleQueries {
        |  SELECT doc_id, list_filter(
        |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
        |  FROM documents WHERE doc_id < $docLimit),
-       |${MinhashOracle.cteChain("t", p, minJaccard)}
+       |${MinhashOracle.cteChain("t", p, minJaccard, Some(1000))}
        |SELECT id_a, id_b, jaccard FROM verified_min""".stripMargin
 
   val qMinhashLsh: QueryDef = QueryDef(
@@ -85,7 +85,7 @@ object ScaleQueries {
     minhashOracleSql(mhParams, minJaccard = 0.4, docLimit = 200)) { (s, dir) =>
     Dedup.nearDuplicates(
       Tables.load(s, dir, "documents").filter(col("doc_id") < 200),
-      "doc_id", "text", minJaccard = 0.4, mhParams)
+      "doc_id", "text", minJaccard = 0.4, mhParams, maxBucket = Some(1000))
   }
 
   /** SimHash near-dup pairs with the md5-derived 60-bit token hash —
@@ -306,9 +306,9 @@ object ScaleQueries {
     * the recall/scan-cost trade flat at every measured SF. At the
     * driver SFs (≤ 2000 vectors) the fraction floor reproduces the
     * historical nCand=30 exactly, so the sf0.01 gate is unchanged.
-    * N comes from one metadata count — the same bounded probe the
-    * codebook seeding already pays; a production vector index reads
-    * it from the index manifest. */
+    * N is derived INSIDE the plan (one-row broadcast of the corpus
+    * count — the oracle's scalar-subquery shape), so the query is a
+    * single lazy plan: no extra count action per invocation. */
   val qAnnPqRecall: QueryDef = QueryDef(
     "q150_ann_pq_recall",
     s"""${pqRankedSql(m = 8, sub = 8, ksub = 16)},
@@ -338,10 +338,9 @@ object ScaleQueries {
        |  mean_recall
        |FROM per CROSS JOIN tot""".stripMargin) { (s, dir) =>
     val emb = Tables.load(s, dir, "embeddings")
-    val nCand = math.max(30L, math.ceil(emb.count() * 0.015).toLong).toInt
-    Similarity.pqRecall(emb, emb.filter(col("vec_id") < 5),
+    Similarity.pqRecallFrac(emb, emb.filter(col("vec_id") < 5),
       "vec_id", "embedding", k = 10, dim = 64, m = 8, ksub = 16,
-      nCand = nCand, minMeanRecall = 0.3)
+      nCandMin = 30, nCandFrac = 0.015, minMeanRecall = 0.3)
   }
 
   /** Embedding-cosine near-dup pairs — exact all-pairs over a BOUNDED

@@ -30,14 +30,19 @@ object SqlQueries {
   }
 
   /** S15: row lineage via the file-metadata column (Spark 4's
-    * `_metadata.file_path`, successor of input_file_name). */
+    * `_metadata.file_path`, successor of input_file_name). Lineage is
+    * grouped by the TABLE-RELATIVE path segment (the first `*.parquet`
+    * component — `documents.parquet` whether the table is one file or
+    * a directory of part files), so the same oracle holds on the
+    * driver's single-file layout AND GenScale's multi-file dirs; the
+    * per-part-file grain stays available by grouping the raw
+    * `_metadata.file_path` instead. */
   val qFileLineage: QueryDef = QueryDef(
     "q53_file_lineage",
-    // documents is a single parquet file, so the lineage column is the
-    // constant basename — expressible over the oracle's table view
     "SELECT 'documents.parquet' AS source_file, count(*) AS n FROM documents") { (s, dir) =>
     s.read.parquet(s"$dir/documents.parquet")
-      .select(regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1)
+      .select(regexp_extract(col("_metadata.file_path"),
+          "([^/]+\\.parquet)", 1)
         .as("source_file"))
       .groupBy("source_file").agg(count(lit(1)).as("n"))
   }

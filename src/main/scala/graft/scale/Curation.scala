@@ -17,9 +17,17 @@ import org.apache.spark.sql.Column
   * the O(diameter) label-propagation rounds). */
 object Curation {
 
+  /** `maxBucket` is the LSH hot-bucket guard, threaded through to
+    * [[Dedup.nearDuplicatesReleasable]]: it bounds per-bucket candidate
+    * volume by construction (justifying the broadcast candidate-id
+    * semi-filter) and is what keeps a boilerplate-heavy corpus from
+    * going quadratic. The query entries pass 1000 — far above any
+    * population the synthetic data reaches, binding only where it
+    * should. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double, minJaccard: Double,
-      p: Dedup.MinHashParams): DataFrame = {
+      p: Dedup.MinHashParams,
+      maxBucket: Option[Int] = None): DataFrame = {
     val quality = docs
       .filter(TextStats.qualityScore(col(textCol)) >= minQuality)
     // persist: the quality regex battery + dedup window feed THREE
@@ -29,7 +37,8 @@ object Curation {
       .drop("fingerprint")
       .persist()
     val (ndups, releaseShingles) = Dedup
-      .nearDuplicatesReleasable(exact, idCol, textCol, minJaccard, p)
+      .nearDuplicatesReleasable(exact, idCol, textCol, minJaccard, p,
+        maxBucket)
     // materialize the (tiny) pair list ONCE: the undirected-edge union
     // and every label-propagation round would otherwise re-run the
     // whole candidate+verify chain per consumer
@@ -83,7 +92,8 @@ object Curation {
       semK: Int, semIters: Int, semMinCosine: Double, semMaxNeighbors: Int,
       unitTokens: Int, decontamN: Int,
       tau: Double, budgetDocs: Long,
-      packBudget: Long, packShards: Int, seed: Long = 42L): DataFrame = {
+      packBudget: Long, packShards: Int, seed: Long = 42L,
+      maxBucket: Option[Int] = None): DataFrame = {
     // 1-3. quality gate, exact dedup, MinHash near-dup clusters
     val quality = corpus
       .filter(TextStats.qualityScore(col(textCol)) >= minQuality)
@@ -91,7 +101,8 @@ object Curation {
       .drop("fingerprint")
       .persist()
     val (ndups, releaseShingles) = Dedup
-      .nearDuplicatesReleasable(exact, idCol, textCol, minJaccard, p)
+      .nearDuplicatesReleasable(exact, idCol, textCol, minJaccard, p,
+        maxBucket)
     val pairs = ndups.select("id_a", "id_b").persist()
     pairs.count()
     releaseShingles()

@@ -161,7 +161,7 @@ object Dedup {
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** @param reproducible use cross-engine-reproducible hashes (md5-60
-    *        for shingles, md5 strings for band buckets) instead of
+    *        longs for shingles AND band buckets) instead of
     *        Spark-internal murmur3/xxhash — slightly slower, but a SQL
     *        oracle can replay the whole pipeline bit-for-bit. */
   final case class MinHashParams(k: Int = 64, bands: Int = 16,
@@ -240,15 +240,22 @@ object Dedup {
     * collides on MANY bands, so true near-dups in a dropped bucket are
     * still found through their other bands with high probability; the
     * residual miss rate is the AND-probability of all r rows agreeing
-    * ONLY in overloaded bands). The count runs as one partial-agg
-    * shuffle on the same (band, bucket) key the join uses. */
-  private def boundBuckets(banded: DataFrame, max: Int): DataFrame = {
-    val counts = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("__bn"))
+    * ONLY in overloaded bands).
+    *
+    * Shape: a COUNT window over the same (band, bucket) partitioning
+    * the downstream join uses — not a groupBy+join, which would plan
+    * the banded stream (the pipelines' dominant exchange, bands ×
+    * corpus rows) into TWO separate exchanges (one feeding the
+    * partial-agg counts, one feeding the join probe) and recompute
+    * the signature aggregation for each; the window form shuffles the
+    * stream once and the self-join reuses that exchange (measured on
+    * q100: the join form cost +50% wall at sf0.1). */
+  private def boundBuckets(banded: DataFrame, max: Int): DataFrame =
+    banded
+      .withColumn("__bn", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("__bn") <= max)
-      .select("band", "bucket")
-    banded.join(counts, Seq("band", "bucket"))
-  }
+      .drop("__bn")
 
   /** LSH candidate pairs (idA < idB) from banded signatures.
     * `maxBucket` caps per-bucket population (hot-bucket guard, see
@@ -266,11 +273,13 @@ object Dedup {
   }
 
   /** End-to-end near-dup detection: LSH candidates verified by exact
-    * shingle jaccard ≥ threshold. */
+    * shingle jaccard ≥ threshold. `maxBucket` is the hot-bucket guard
+    * (see [[boundBuckets]]); None = exact candidate set. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double,
-      p: MinHashParams = MinHashParams()): DataFrame =
-    nearDuplicatesReleasable(df, idCol, textCol, minJaccard, p)._1
+      p: MinHashParams = MinHashParams(),
+      maxBucket: Option[Int] = None): DataFrame =
+    nearDuplicatesReleasable(df, idCol, textCol, minJaccard, p, maxBucket)._1
 
   /** [[nearDuplicates]] plus a release handle for the internal caches:
     * composed pipelines (Curation) call it after materializing the
@@ -284,18 +293,27 @@ object Dedup {
     * 4.8 GB shuffle + 4.1 GB sort spill at 500k docs (80× source,
     * growing super-linearly in the audit) for a candidate list of a
     * few thousand pairs. Instead the cached sets are first semi-
-    * filtered to ids that appear in some candidate pair: the id list
-    * is bounded by 2·|cands| (hot-bucket-guarded candidate volume,
-    * ~16 B/id on the broadcast), the semi join filters the cached
-    * corpus scan in place, and the verify joins then touch only
-    * candidate docs' sets — shuffle linear in the PAIR count,
-    * independent of corpus size. Same rows out, so the q42/q100/q130
-    * oracles are untouched. `cands` is persisted so the LSH chain
-    * (signature agg + band self-join) runs once, not once per
-    * verify-join side; the release handle drops both caches. */
+    * filtered to ids that appear in some candidate pair, so the
+    * verify joins touch only candidate docs' sets — shuffle linear in
+    * the PAIR count, independent of corpus size. Same rows out, so the
+    * q42/q100/q130 oracles are untouched. `cands` is persisted so the
+    * LSH chain (signature agg + band self-join) runs once, not once
+    * per verify-join side; the release handle drops both caches.
+    *
+    * The candidate-id semi join carries an EXPLICIT broadcast hint
+    * ONLY when `maxBucket` is set: the hint overrides the size
+    * threshold and collects the id list to the driver, which is safe
+    * exactly when the hot-bucket guard bounds per-bucket candidate
+    * volume by construction (≤ maxBucket²/2 pairs per surviving
+    * bucket). Unguarded (maxBucket = None, the exact-candidate mode),
+    * a boilerplate-heavy corpus can yield O(n²) pairs, so the semi
+    * join is left to the planner — a pathological corpus degrades to
+    * a shuffled semi join instead of a driver OOM. Corpus-scale
+    * callers should pass a cap (the curation pipelines use 1000). */
   def nearDuplicatesReleasable(df: DataFrame, idCol: String,
       textCol: String, minJaccard: Double,
-      p: MinHashParams = MinHashParams()): (DataFrame, () => Unit) = {
+      p: MinHashParams = MinHashParams(),
+      maxBucket: Option[Int] = None): (DataFrame, () => Unit) = {
     // tokenize once: the cached set frame feeds both the signature
     // explode and the verification joins (3 regex passes -> 1). The
     // persist backs the returned (lazy) frame — callers running many
@@ -307,10 +325,12 @@ object Dedup {
         shinglesFromTokens(col("__toks"), p.shingle).as("__set")).persist()
     val sigs = signaturesFromSets(
       sets.select(col("__id").as(idCol), col("__set")), idCol, p)
-    val cands = candidatePairs(sigs, idCol, p).persist()
+    val cands = candidatePairs(sigs, idCol, p, maxBucket).persist()
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as("__id")).distinct()
-    val setsC = sets.join(broadcast(candIds), Seq("__id"), "left_semi")
+    val candIdsHinted =
+      if (maxBucket.isDefined) broadcast(candIds) else candIds
+    val setsC = sets.join(candIdsHinted, Seq("__id"), "left_semi")
     val result = cands
       .join(setsC.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__set", "set_a"), Seq("id_a"))

@@ -224,7 +224,17 @@ object Similarity {
     * shape), rounded to 6 — bit-stable vs the SQL replay. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, m: Int = 8,
-      ksub: Int = 16): DataFrame = {
+      ksub: Int = 16): DataFrame =
+    pqRanked(corpus, queries, idCol, vecCol, dim, m, ksub)
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+
+  /** The full ADC ranking (every corpus row scored per query, ranked)
+    * with no top-k cut — [[pqTopK]] filters it by a constant,
+    * [[pqRecallFrac]] by a plan-derived candidate count. */
+  private def pqRanked(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int,
+      ksub: Int): DataFrame = {
     val enc = pqEncode(corpus, idCol, vecCol, dim, m, ksub)
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("__qv"))
@@ -236,8 +246,6 @@ object Similarity {
         (0 until m).map(s => adcTerm(enc, col("__qv"), col("codes"), s))
           .reduce(_ + _), 6))
       .withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
   }
 
   /** Recall@k of the PQ-ADC candidate list (top `nCand` by approximate
@@ -252,6 +260,27 @@ object Similarity {
       pqTopK(corpus, queries, idCol, vecCol, nCand, dim, m, ksub)
         .select("query_id", "neighbor_id"),
       k, minMeanRecall, "m/ksub/nCand")
+
+  /** [[pqRecall]] with the candidate-list size derived INSIDE the
+    * plan as max(nCandMin, ⌈nCandFrac·|corpus|⌉) — the corpus-count
+    * scalar rides a one-row broadcast (the SQL scalar-subquery shape),
+    * so the whole recall gate stays ONE lazy plan with no driver-side
+    * count action: a bench or audit that runs the query runs exactly
+    * one job, and the corpus-fraction shortlist contract (q150) scales
+    * with the index instead of being frozen at build-time N. */
+  def pqRecallFrac(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int, ksub: Int,
+      nCandMin: Int, nCandFrac: Double,
+      minMeanRecall: Double): DataFrame = {
+    val nFrame = corpus.agg(greatest(lit(nCandMin.toLong),
+      ceil(count(lit(1)) * nCandFrac).cast("long")).as("__ncand"))
+    val cand = pqRanked(corpus, queries, idCol, vecCol, dim, m, ksub)
+      .crossJoin(broadcast(nFrame))
+      .filter(col("rank") <= col("__ncand"))
+      .select("query_id", "neighbor_id")
+    recallGate(bruteForceTopK(corpus, queries, idCol, vecCol, k), cand,
+      k, minMeanRecall, "m/ksub/nCand")
+  }
 
   /** PQ-encoded corpus: (neighbor_id, codes array<int> of length m) +
     * the codebook that decodes it. Encode is one narrow pass — per

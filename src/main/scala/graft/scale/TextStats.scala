@@ -157,11 +157,20 @@ object TextStats {
     * broadcast the query's total shuffle is the vocabulary-sized
     * count tables plus per-doc partial aggs). A corpus whose bigram
     * vocabulary genuinely outgrows broadcast needs a top-K/OOV-bucket
-    * cap on the model first — the standard LM-scorer contract — not a
-    * corpus-stream shuffle. Docs with < 2 tokens have no bigrams and
-    * drop out. */
+    * cap on the model first — the standard LM-scorer contract — and
+    * `vocabCap` IS that cap, enforceable by callers: Some(K) keeps
+    * the top-K bigram rows and top-K unigram rows (by count, ties by
+    * key — deterministic), so both broadcasts are bounded by K
+    * regardless of corpus vocabulary; bigram occurrences outside the
+    * capped model back off to the unigram leg alone,
+    * p = (1−λ)·c(w)/T, with a count floor of 1 for out-of-model
+    * words. A cap at least as large as both vocabularies is
+    * bit-identical to the uncapped form (TextStatsSpec asserts it).
+    * None (q118's mode) keeps the exact interpolated model. Docs
+    * with < 2 tokens have no bigrams and drop out. */
   def bigramSurprisal(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, lambda: Double = 0.75): org.apache.spark.sql.DataFrame = {
+      textCol: String, lambda: Double = 0.75,
+      vocabCap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     val lists = df.select(col(idCol), tokens(col(textCol)).as("__l"))
     val uni = lists.select(explode(col("__l")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cu"))
@@ -173,18 +182,39 @@ object TextStats {
       .select(col(idCol), col("__z").getField("0").as("prev"),
         col("__z").getField("1").as("cur"))
     val bigCounts = bi.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    // c(prev,·) always derives from the FULL bigram counts, so capped
+    // probabilities stay proper (the cap drops rows from the shipped
+    // model, not mass from the denominators)
     val prevCounts = bigCounts.groupBy("prev").agg(sum("cb").as("cp"))
     val p = lit(lambda) * (col("cb").cast("double") / col("cp")) +
       lit(1.0 - lambda) * (col("cu").cast("double") / col("__total"))
-    val stats = bigCounts
+    def statsOf(bc: org.apache.spark.sql.DataFrame) = bc
       .join(prevCounts, Seq("prev"))
       .join(uni.withColumnRenamed("term", "cur"), Seq("cur"))
       .crossJoin(broadcast(total))
       .select(col("prev"), col("cur"), p.as("__p"))
-    bi.join(broadcast(stats), Seq("prev", "cur"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(-avg(log(col("__p"))), 6).as("mean_surprisal"))
+    vocabCap match {
+      case None =>
+        bi.join(broadcast(statsOf(bigCounts)), Seq("prev", "cur"))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(-avg(log(col("__p"))), 6).as("mean_surprisal"))
+      case Some(cap) =>
+        val cappedStats = statsOf(
+          bigCounts.orderBy(col("cb").desc, col("prev"), col("cur"))
+            .limit(cap))
+        val cappedUni = uni.orderBy(col("cu").desc, col("term")).limit(cap)
+          .select(col("term").as("cur"), col("cu").as("__cuc"))
+        val pOov = lit(1.0 - lambda) *
+          (coalesce(col("__cuc"), lit(1L)).cast("double") / col("__total"))
+        bi.join(broadcast(cappedStats), Seq("prev", "cur"), "left")
+          .join(broadcast(cappedUni), Seq("cur"), "left")
+          .crossJoin(broadcast(total))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(-avg(log(coalesce(col("__p"), pOov))), 6)
+              .as("mean_surprisal"))
+    }
   }
 
   // ---- PII redaction ------------------------------------------------------

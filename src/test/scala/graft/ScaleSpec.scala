@@ -675,4 +675,66 @@ class ScaleSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("recall contract"))
   }
+
+  test("pqRecallFrac derives the candidate budget in-plan and matches " +
+      "the fixed-nCand gate where the fraction floor binds") {
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    // at driver SFs ceil(1.5% · N) < 30, so the floor reproduces
+    // nCand=30 exactly — the q150 contract
+    val frac = Similarity.pqRecallFrac(emb, q, "vec_id", "embedding",
+      k = 10, dim = 64, m = 8, ksub = 16, nCandMin = 30,
+      nCandFrac = 0.015, minMeanRecall = 0.3)
+      .orderBy(col("query_id")).collect()
+    val fixed = Similarity.pqRecall(emb, q, "vec_id", "embedding",
+      k = 10, dim = 64, m = 8, ksub = 16, nCand = 30,
+      minMeanRecall = 0.3)
+      .orderBy(col("query_id")).collect()
+    assert(frac.map(_.toString).toSeq === fixed.map(_.toString).toSeq)
+  }
+
+  test("bigramSurprisal vocabCap: a cap above both vocabularies is " +
+      "bit-identical to the uncapped model; a binding cap stays finite " +
+      "and keeps every doc's bigram count") {
+    val sub = docs.filter(col("doc_id") < 80)
+    val exact = TextStats.bigramSurprisal(sub, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val roomy = TextStats.bigramSurprisal(sub, "doc_id", "text",
+        vocabCap = Some(1000000))
+      .orderBy("doc_id").collect()
+    assert(roomy.map(_.toString).toSeq === exact.map(_.toString).toSeq)
+    // binding cap: model shrinks to 50 bigram + 50 unigram rows; OOV
+    // occurrences back off to the unigram leg — scores stay finite and
+    // n_bigrams (pure stream-side count) is unchanged
+    val capped = TextStats.bigramSurprisal(sub, "doc_id", "text",
+        vocabCap = Some(50))
+      .orderBy("doc_id").collect()
+    assert(capped.length === exact.length)
+    capped.zip(exact).foreach { case (c, e) =>
+      assert(c.getLong(1) === e.getLong(1)) // n_bigrams
+      assert(!c.getDouble(2).isNaN && !c.getDouble(2).isInfinite)
+      // backoff-only probabilities are ≤ interpolated ones, so capped
+      // surprisal can only move up
+      assert(c.getDouble(2) >= e.getDouble(2) - 1e-6)
+    }
+  }
+
+  test("nearDuplicates hot-bucket guard: a non-binding cap is " +
+      "result-identical; a binding cap only removes pairs") {
+    val sub = docs.filter(col("doc_id") < 100)
+    val p = Dedup.MinHashParams(k = 64, bands = 32, shingle = 2)
+    val unguarded = Dedup.nearDuplicates(sub, "doc_id", "text",
+        minJaccard = 0.4, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Dedup.nearDuplicates(sub, "doc_id", "text",
+        minJaccard = 0.4, p, maxBucket = Some(1000))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === unguarded)
+    // a cap of 1 drops every shared bucket (any candidate-producing
+    // bucket has ≥ 2 members), so the candidate set must be empty
+    val strangled = Dedup.nearDuplicates(sub, "doc_id", "text",
+        minJaccard = 0.4, p, maxBucket = Some(1))
+      .collect()
+    assert(strangled.isEmpty)
+  }
 }
