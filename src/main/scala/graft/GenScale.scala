@@ -14,11 +14,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Every value is a pure hash of (row id, salt) — no rand(), so output
   * is byte-stable across partitionings, re-runs, and Spark versions.
-  * Usage: runMain graft.GenScale <outDir> [multiplier-vs-sf0.1]
+  * Usage: runMain graft.GenScale <outDir> [multiplier-vs-sf0.1] [docWords]
   * (default multiplier 10 = "sf1": 6M lineitem / 50k docs / 1M events).
-  * Writes parquet DIRECTORIES named <table>.parquet, which the same
-  * `Tables.load` path reads transparently. Never touches
-  * /root/testdata (read-only). */
+  * `docWords` scales words-per-document (default 1 = the driver's
+  * 10-100 words ≈ 120 B/doc; 10 = 100-1000 words ≈ 1-6 KB/doc — the
+  * realistic-web-document regime for shuffle-ratio evidence: the
+  * curation kernels' per-doc wire constant is fixed, so KB docs put
+  * shuffle/source well below the tiny-doc ratios). Writes parquet
+  * DIRECTORIES named <table>.parquet, which the same `Tables.load`
+  * path reads transparently. Never touches /root/testdata
+  * (read-only). */
 object GenScale {
   private val Vocab: Seq[String] = Seq(
     "a", "agg", "batch", "big", "column", "customer", "data", "dup",
@@ -29,6 +34,7 @@ object GenScale {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("target/testdata_sf1")
     val mult = args.lift(1).map(_.toDouble).getOrElse(10.0)
+    val docWords = args.lift(2).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -39,11 +45,12 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, outDir, mult)
+    generate(spark, outDir, mult, docWords)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, outDir: String, mult: Double): Unit = {
+  def generate(spark: SparkSession, outDir: String, mult: Double,
+      docWords: Int = 1): Unit = {
     def n(sf01: Long): Long = math.max(1L, math.round(sf01 * mult))
     val nCustomer = n(15000)
     val nSupplier = n(1000)
@@ -146,7 +153,8 @@ object GenScale {
       .selectExpr("id",
         "CASE WHEN id % 625 = 1 THEN id - 1 ELSE id END AS seed")
       .selectExpr("id",
-        "10 + int(pmod(xxhash64(seed, 171), 91)) AS nw", "seed")
+        s"$docWords * (10 + int(pmod(xxhash64(seed, 171), 91))) AS nw",
+        "seed")
       .selectExpr(
         "id AS doc_id",
         s"array_join(transform(sequence(1, nw), j -> " +
@@ -178,7 +186,8 @@ object GenScale {
       .select("vec_id", "embedding", "label"),
       "embeddings", 2)
 
-    println(s"generated mult=$mult under $outDir: lineitem=$nLineitem " +
-      s"orders=$nOrders events=$nEvents docs=$nDocs vecs=$nVecs")
+    println(s"generated mult=$mult docWords=$docWords under $outDir: " +
+      s"lineitem=$nLineitem orders=$nOrders events=$nEvents docs=$nDocs " +
+      s"vecs=$nVecs")
   }
 }

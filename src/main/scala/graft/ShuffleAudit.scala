@@ -95,9 +95,16 @@ object ShuffleAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Partition-count override: spill is a function of rows-per-partition,
+    // not of the plan — a corpus 3 decades past the driver SF with the
+    // dev-loop's 32 partitions can spill where the same plan with
+    // SF-proportional partitions (what a real cluster runs) does not.
+    // The audit exposes the knob so that claim is measurable.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -874,6 +874,91 @@ object ScaleQueries {
       Tables.load(s, dir, "documents"), "doc_id", "text", lambda = 0.75)
   }
 
+  /** q118's LM scorer under a BINDING vocabulary cap (TextStats
+    * vocabCap = 60 ≪ the corpus bigram vocabulary): the shipped model
+    * is the top-60 bigram rows + top-60 unigram rows by count (ties by
+    * key — a total order both engines sort identically), out-of-model
+    * pairs back off to the unigram leg with a count floor of 1. The
+    * oracle replays the cap selection AND the backoff, so the
+    * bounded-broadcast contract — the thing that keeps the q118 plan
+    * alive on a corpus whose vocabulary outgrows broadcast — is
+    * gate-checked cross-engine, not just spec-asserted. */
+  val qBigramSurprisalCapped: QueryDef = QueryDef(
+    "q163_bigram_surprisal_capped",
+    """WITH lists AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+      |  FROM documents),
+      |uni AS (SELECT unnest(l) AS term FROM lists),
+      |cu AS (SELECT term, count(*) AS cu FROM uni GROUP BY 1),
+      |tot AS (SELECT count(*) AS t FROM uni),
+      |bi AS (
+      |  SELECT doc_id, z[1] AS prev, z[2] AS cur
+      |  FROM (SELECT doc_id, unnest(list_zip(l[:-2], l[2:])) AS z
+      |        FROM lists WHERE len(l) >= 2)),
+      |cb AS (SELECT prev, cur, count(*) AS cb FROM bi GROUP BY 1, 2),
+      |cp AS (SELECT prev, count(*) AS cp FROM bi GROUP BY 1),
+      |cbk AS (SELECT prev, cur, cb FROM cb ORDER BY cb DESC, prev, cur LIMIT 60),
+      |cuk AS (SELECT term, cu AS cuk FROM cu ORDER BY cu DESC, term LIMIT 60),
+      |p AS (
+      |  SELECT bi.doc_id,
+      |    CASE WHEN cbk.cb IS NOT NULL THEN
+      |      0.75 * (CAST(cbk.cb AS DOUBLE) / cp.cp) +
+      |      0.25 * (CAST(cu.cu AS DOUBLE) / (SELECT t FROM tot))
+      |    ELSE
+      |      0.25 * (CAST(coalesce(cuk.cuk, 1) AS DOUBLE) / (SELECT t FROM tot))
+      |    END AS p
+      |  FROM bi
+      |  LEFT JOIN cbk USING (prev, cur)
+      |  JOIN cp USING (prev)
+      |  JOIN cu ON cu.term = bi.cur
+      |  LEFT JOIN cuk ON cuk.term = bi.cur)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(-avg(ln(p)), 6) AS mean_surprisal
+      |FROM p GROUP BY 1""".stripMargin) { (s, dir) =>
+    TextStats.bigramSurprisal(
+      Tables.load(s, dir, "documents"), "doc_id", "text", lambda = 0.75,
+      vocabCap = Some(60))
+  }
+
+  /** The LSH hot-bucket guard in its BINDING regime, gate-checked from
+    * BOTH sides: the corpus is docs < 100 plus two synthetic clone
+    * families — 12 exact clones of doc 1 (13 members, every band
+    * bucket > maxBucket = 8, so the guard drops the family and its
+    * O(13²) pair blowup never reaches the wire) and 4 exact clones of
+    * doc 2 (5 members, under the cap, so its C(5,2) = 10 pairs at
+    * jaccard 1.0 MUST survive — the output is deterministically
+    * non-empty, proving the guard prunes rather than blanket-drops).
+    * The oracle replays the clone construction AND the
+    * bucket-population filter, so the guard's miss semantics — not
+    * just its happy path — are hash-compared cross-engine. */
+  val qMinhashHotBucket: QueryDef = QueryDef(
+    "q164_minhash_hot_bucket",
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+       |  UNION ALL
+       |  SELECT CAST(9000 + g.i AS BIGINT) AS doc_id, b.text
+       |  FROM documents b, generate_series(1, 12) g(i) WHERE b.doc_id = 1
+       |  UNION ALL
+       |  SELECT CAST(9500 + g.i AS BIGINT) AS doc_id, b.text
+       |  FROM documents b, generate_series(1, 4) g(i) WHERE b.doc_id = 2),
+       |t AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+       |  FROM corpus),
+       |${MinhashOracle.cteChain("t", mhParams, 0.4, Some(8))}
+       |SELECT id_a, id_b, jaccard FROM verified_min""".stripMargin) { (s, dir) =>
+    val base = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 100).select("doc_id", "text")
+    def family(src: Long, n: Int, idBase: Long) =
+      base.filter(col("doc_id") === src)
+        .select(explode(sequence(lit(1), lit(n))).as("i"), col("text"))
+        .select((col("i").cast("long") + idBase).as("doc_id"), col("text"))
+    Dedup.nearDuplicates(
+      base.unionByName(family(1L, 12, 9000L)).unionByName(family(2L, 4, 9500L)),
+      "doc_id", "text", minJaccard = 0.4, mhParams, maxBucket = Some(8))
+  }
+
   val all: Seq[QueryDef] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh,
     qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qAnnRecall, qIvfRecall,
     qAnnPq, qAnnPqRecall,
@@ -881,5 +966,6 @@ object ScaleQueries {
     qDedupEmbeddingLsh, qTokenStats, qQuality, qLangId,
     qFingerprint, qMultimodal, qTfidf, qApproxPercentile, qSplit, qStratified,
     qVectorQuantize, qFrameSample, qSurprisal, qBigramSurprisal,
+    qBigramSurprisalCapped, qMinhashHotBucket,
     qVectorIndexDedup)
 }
