@@ -25,7 +25,8 @@ object Kpi {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        graft.core.Money.moneySum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"),
         count(lit(1)).as("n_rows"),
         countIf(col("l_quantity") > 25).as("big_qty_rows"),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.core.Tables
+import graft.core.{Money, Tables}
 import graft.gold.Kpi
 import org.apache.spark.sql.functions._
 
@@ -10,9 +10,9 @@ object GoldQueries {
 
   val q1Kpi: QueryDef = QueryDef(
     "q1_kpi_agg",
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
       |  sum(l_quantity) AS sum_qty,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  ${Money.moneySumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
       |  count(*) AS n_rows,
       |  CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty_rows,
       |  round(avg(l_discount), 4) AS avg_disc,
@@ -27,9 +27,9 @@ object GoldQueries {
     * the lineitem⋈orders join and the final group-by shuffle. */
   val qStarJoin: QueryDef = QueryDef(
     "q2_star_join",
-    """SELECT r.r_name AS region, c.c_mktsegment AS segment,
+    s"""SELECT r.r_name AS region, c.c_mktsegment AS segment,
       |  count(*) AS n_items,
-      |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+      |  ${Money.moneySumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
       |FROM lineitem l
       |JOIN orders o ON l.l_orderkey = o.o_orderkey
       |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -48,7 +48,7 @@ object GoldQueries {
       .groupBy(r("r_name").as("region"), c("c_mktsegment").as("segment"))
       .agg(
         count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        Money.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
   }
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.core.Tables
+import graft.core.{Money, Tables}
 import org.apache.spark.sql.functions._
 
 /** General OLAP surface beyond the reference (SURVEY §2.4 "absent"
@@ -106,18 +106,20 @@ object OlapQueries {
     * by flag, by status, grand total; no (flag,status) set). */
   val qGroupingSets: QueryDef = QueryDef(
     "q77_grouping_sets",
-    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
       |  coalesce(l_linestatus, 'ALL') AS ls,
       |  count(*) AS n,
-      |  round(sum(l_extendedprice), 2) AS total_price
+      |  ${Money.moneySumSql("l_extendedprice")} AS total_price
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) { (s, dir) =>
     Tables.registerAll(s, dir)
+    // the moneySum fragment is valid Spark SQL too — both engines run
+    // the IDENTICAL text, so the flag can never skew one side only
     s.sql(
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,
         |  count(*) AS n,
-        |  round(sum(l_extendedprice), 2) AS total_price
+        |  ${Money.moneySumSql("l_extendedprice")} AS total_price
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
   }

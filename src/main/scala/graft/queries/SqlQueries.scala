@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.core.{Skew, Tables}
+import graft.core.{Money, Skew, Tables}
 import org.apache.spark.sql.functions._
 
 /** SQL-entry, lineage, approx-distinct and skew queries (S6/P8/A10,
@@ -13,18 +13,18 @@ object SqlQueries {
     * summary-agg body (COUNT/COUNT DISTINCT/SUM/MAX). */
   val qSqlEntry: QueryDef = QueryDef(
     "q52_sql_entry",
-    """SELECT o_orderstatus,
+    s"""SELECT o_orderstatus,
       |  count(*) AS n,
       |  count(DISTINCT o_custkey) AS n_cust,
-      |  round(sum(o_totalprice), 2) AS total,
+      |  ${Money.moneySumSql("o_totalprice")} AS total,
       |  max(o_orderdate) AS max_od
       |FROM orders WHERE o_totalprice > 1000 GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
     Tables.registerAll(s, dir)
     s.sql(
-      """SELECT o_orderstatus,
+      s"""SELECT o_orderstatus,
         |  count(*) AS n,
         |  count(DISTINCT o_custkey) AS n_cust,
-        |  round(sum(o_totalprice), 2) AS total,
+        |  ${Money.moneySumSql("o_totalprice")} AS total,
         |  max(o_orderdate) AS max_od
         |FROM orders WHERE o_totalprice > 1000 GROUP BY o_orderstatus""".stripMargin)
   }

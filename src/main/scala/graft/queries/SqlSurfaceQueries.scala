@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.core.Tables
+import graft.core.{Money, Tables}
 import org.apache.spark.sql.functions._
 
 /** Round-3 SQL-surface extensions: unpivot/melt, correlated LATERAL,
@@ -78,7 +78,7 @@ object SqlSurfaceQueries {
     * along as a column so the recursive member needs no subquery. */
   val qRecursiveCte: QueryDef = QueryDef(
     "q108_recursive_spine",
-    """WITH RECURSIVE months(m, mx) AS (
+    s"""WITH RECURSIVE months(m, mx) AS (
       |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
       |         CAST(date_trunc('month', max(o_orderdate)) AS DATE)
       |  FROM orders
@@ -86,14 +86,15 @@ object SqlSurfaceQueries {
       |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mx FROM months WHERE m < mx),
       |k AS (
       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
-      |    CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS rev
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    ${Money.moneySumSql("o_totalprice")} AS rev
       |  FROM orders GROUP BY 1)
       |SELECT months.m AS month, coalesce(k.n, 0) AS n_orders,
       |  coalesce(k.rev, 0.0) AS revenue
       |FROM months LEFT JOIN k ON months.m = k.m""".stripMargin) { (s, dir) =>
     Tables.registerAll(s, dir)
     s.sql(
-      """WITH RECURSIVE months(m, mx) AS (
+      s"""WITH RECURSIVE months(m, mx) AS (
         |  SELECT CAST(trunc(min(o_orderdate), 'MM') AS DATE),
         |         CAST(trunc(max(o_orderdate), 'MM') AS DATE)
         |  FROM orders
@@ -101,7 +102,7 @@ object SqlSurfaceQueries {
         |  SELECT add_months(m, 1), mx FROM months WHERE m < mx),
         |k AS (
         |  SELECT CAST(trunc(o_orderdate, 'MM') AS DATE) AS m,
-        |    count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        |    count(*) AS n, ${Money.moneySumSql("o_totalprice")} AS rev
         |  FROM orders GROUP BY 1)
         |SELECT months.m AS month, coalesce(k.n, 0L) AS n_orders,
         |  coalesce(k.rev, 0.0d) AS revenue

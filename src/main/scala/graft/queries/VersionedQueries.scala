@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.core.Tables
+import graft.core.{Money, Tables}
 import graft.ingest.VersionedTableIO
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -160,20 +160,21 @@ object VersionedQueries {
     * manifests are visible (VersionedTableSpec proves the crash path). */
   val qTimeTravel: QueryDef = QueryDef(
     "q115_time_travel",
-    """SELECT CAST(1 AS BIGINT) AS version, count(*) AS n,
-      |  round(sum(o_totalprice), 2) AS total
+    s"""SELECT CAST(1 AS BIGINT) AS version, count(*) AS n,
+      |  ${Money.moneySumSql("o_totalprice")} AS total
       |FROM orders WHERE o_orderkey % 3 = 0
       |UNION ALL
-      |SELECT CAST(2 AS BIGINT), count(*), round(sum(o_totalprice), 2)
+      |SELECT CAST(2 AS BIGINT), count(*), ${Money.moneySumSql("o_totalprice")}
       |FROM orders WHERE o_orderkey % 3 <= 1
       |UNION ALL
-      |SELECT CAST(3 AS BIGINT), count(*), round(sum(o_totalprice + 1000.0), 2)
+      |SELECT CAST(3 AS BIGINT), count(*),
+      |  ${Money.moneySumSql("o_totalprice + 1000.0")}
       |FROM orders WHERE o_orderkey % 3 <= 1""".stripMargin) { (s, dir) =>
     val io = new VersionedTableIO(builtRoot(s, dir))
     (1L to 3L).map { v =>
       io.readVersion(s, "tt", v)
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("total"))
+          Money.moneySum(col("o_totalprice")).as("total"))
         .select(lit(v).as("version"), col("n"), col("total"))
     }.reduce(_.unionByName(_))
   }
@@ -428,13 +429,13 @@ object VersionedQueries {
     * is oracle-checked here. */
   val qClone: QueryDef = QueryDef(
     "q151_clone",
-    """SELECT 'cl' AS tbl, CAST(count(*) AS BIGINT) AS n,
-      |  round(sum(o_totalprice), 2) AS total,
+    s"""SELECT 'cl' AS tbl, CAST(count(*) AS BIGINT) AS n,
+      |  ${Money.moneySumSql("o_totalprice")} AS total,
       |  CAST(2 AS INT) AS n_shared_dirs
       |FROM orders
       |UNION ALL
       |SELECT 'tt', CAST(count(*) AS BIGINT),
-      |  round(sum(o_totalprice + 1000.0), 2), CAST(2 AS INT)
+      |  ${Money.moneySumSql("o_totalprice + 1000.0")}, CAST(2 AS INT)
       |FROM orders WHERE o_orderkey % 3 <= 1""".stripMargin) { (s, dir) =>
     val io = new VersionedTableIO(builtRoot(s, dir))
     val shared = io.manifest("cl", 1L).dataDirs.toSet
@@ -442,7 +443,7 @@ object VersionedQueries {
     Seq("cl", "tt").map { t =>
       io.read(s, t)
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("total"))
+          Money.moneySum(col("o_totalprice")).as("total"))
         .select(lit(t).as("tbl"), col("n"), col("total"),
           lit(shared).as("n_shared_dirs"))
     }.reduce(_.unionByName(_))
@@ -489,14 +490,14 @@ object VersionedQueries {
     * The oracle replays the surviving content. */
   val qConstraints: QueryDef = QueryDef(
     "q153_check_constraint",
-    """SELECT CAST(count(*) AS BIGINT) AS n,
-      |  round(sum(o_totalprice), 2) AS total,
+    s"""SELECT CAST(count(*) AS BIGINT) AS n,
+      |  ${Money.moneySumSql("o_totalprice")} AS total,
       |  CAST(3 AS INT) AS n_versions, CAST(1 AS INT) AS n_constraints
       |FROM orders WHERE o_orderkey % 3 <= 1""".stripMargin) { (s, dir) =>
     val io = new VersionedTableIO(builtRoot(s, dir))
     io.read(s, "con")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("total"))
+        Money.moneySum(col("o_totalprice")).as("total"))
       .select(col("n"), col("total"),
         lit(io.versions("con").size).as("n_versions"),
         lit(io.constraints("con").size).as("n_constraints"))
@@ -532,8 +533,8 @@ object VersionedQueries {
     * oracle replays content, dir arithmetic, and both contracts. */
   val qOptimize: QueryDef = QueryDef(
     "q156_optimize_binpack",
-    """SELECT CAST(count(*) AS BIGINT) AS n,
-      |  round(sum(o_totalprice), 2) AS total,
+    s"""SELECT CAST(count(*) AS BIGINT) AS n,
+      |  ${Money.moneySumSql("o_totalprice")} AS total,
       |  CAST(4 AS INT) AS n_dirs_before, CAST(2 AS INT) AS n_dirs_after,
       |  CAST(1 AS INT) AS n_dirs_carried,
       |  CAST(1 AS INT) AS n_dv_dirs_after,
@@ -543,7 +544,7 @@ object VersionedQueries {
     val (m5, m6) = (io.manifest("opt", 5L), io.manifest("opt", 6L))
     io.read(s, "opt")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("total"))
+        Money.moneySum(col("o_totalprice")).as("total"))
       .select(col("n"), col("total"),
         lit(m5.dataDirs.size).as("n_dirs_before"),
         lit(m6.dataDirs.size).as("n_dirs_after"),
@@ -560,12 +561,12 @@ object VersionedQueries {
     * oracle replays both predicates and the full v1 content. */
   val qDeletionVectors: QueryDef = QueryDef(
     "q157_deletion_vectors",
-    """SELECT 'head' AS scope, CAST(count(*) AS BIGINT) AS n,
-      |  round(sum(o_totalprice), 2) AS total,
+    s"""SELECT 'head' AS scope, CAST(count(*) AS BIGINT) AS n,
+      |  ${Money.moneySumSql("o_totalprice")} AS total,
       |  CAST(2 AS INT) AS n_dv_dirs, CAST(1 AS INT) AS n_dirs_carried
       |FROM orders WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 6
       |UNION ALL
-      |SELECT 'v1', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2),
+      |SELECT 'v1', CAST(count(*) AS BIGINT), ${Money.moneySumSql("o_totalprice")},
       |  CAST(2 AS INT), CAST(1 AS INT)
       |FROM orders""".stripMargin) { (s, dir) =>
     val io = new VersionedTableIO(builtRoot(s, dir))
@@ -574,7 +575,7 @@ object VersionedQueries {
     Seq(("head", io.read(s, "dvt")), ("v1", io.readVersion(s, "dvt", 1L)))
       .map { case (scope, df) =>
         df.agg(count(lit(1)).as("n"),
-            round(sum(col("o_totalprice")), 2).as("total"))
+            Money.moneySum(col("o_totalprice")).as("total"))
           .select(lit(scope).as("scope"), col("n"), col("total"),
             lit(m3.dvDirs.size).as("n_dv_dirs"),
             lit(carried).as("n_dirs_carried"))
@@ -588,14 +589,15 @@ object VersionedQueries {
     * CASE form of the assignment. */
   val qDvUpdate: QueryDef = QueryDef(
     "q158_dv_update",
-    """SELECT 'head' AS scope, CAST(count(*) AS BIGINT) AS n,
-      |  round(sum(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500.0
-      |                 ELSE o_totalprice END), 2) AS total,
+    s"""SELECT 'head' AS scope, CAST(count(*) AS BIGINT) AS n,
+      |  ${Money.moneySumSql(
+           "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500.0 " +
+           "ELSE o_totalprice END")} AS total,
       |  CAST(2 AS INT) AS n_dirs, CAST(1 AS INT) AS n_dv_dirs,
       |  CAST(1 AS INT) AS n_dirs_carried
       |FROM orders
       |UNION ALL
-      |SELECT 'v1', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2),
+      |SELECT 'v1', CAST(count(*) AS BIGINT), ${Money.moneySumSql("o_totalprice")},
       |  CAST(2 AS INT), CAST(1 AS INT), CAST(1 AS INT)
       |FROM orders""".stripMargin) { (s, dir) =>
     val io = new VersionedTableIO(builtRoot(s, dir))
@@ -604,7 +606,7 @@ object VersionedQueries {
     Seq(("head", io.read(s, "dvu")), ("v1", io.readVersion(s, "dvu", 1L)))
       .map { case (scope, df) =>
         df.agg(count(lit(1)).as("n"),
-            round(sum(col("o_totalprice")), 2).as("total"))
+            Money.moneySum(col("o_totalprice")).as("total"))
           .select(lit(scope).as("scope"), col("n"), col("total"),
             lit(m2.dataDirs.size).as("n_dirs"),
             lit(m2.dvDirs.size).as("n_dv_dirs"),
@@ -619,14 +621,15 @@ object VersionedQueries {
     * v3, so the oracle is the same CASE replay. */
   val qDvMerge: QueryDef = QueryDef(
     "q159_dv_merge",
-    """SELECT 'head' AS scope, CAST(count(*) AS BIGINT) AS n,
-      |  round(sum(CASE WHEN o_orderkey % 3 <= 1 THEN o_totalprice + 1000.0
-      |                 ELSE o_totalprice END), 2) AS total,
+    s"""SELECT 'head' AS scope, CAST(count(*) AS BIGINT) AS n,
+      |  ${Money.moneySumSql(
+           "CASE WHEN o_orderkey % 3 <= 1 THEN o_totalprice + 1000.0 " +
+           "ELSE o_totalprice END")} AS total,
       |  CAST(2 AS INT) AS n_dirs, CAST(1 AS INT) AS n_dv_dirs,
       |  CAST(1 AS INT) AS n_dirs_carried
       |FROM orders
       |UNION ALL
-      |SELECT 'v1', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2),
+      |SELECT 'v1', CAST(count(*) AS BIGINT), ${Money.moneySumSql("o_totalprice")},
       |  CAST(2 AS INT), CAST(1 AS INT), CAST(1 AS INT)
       |FROM orders""".stripMargin) { (s, dir) =>
     val io = new VersionedTableIO(builtRoot(s, dir))
@@ -635,7 +638,7 @@ object VersionedQueries {
     Seq(("head", io.read(s, "dvm")), ("v1", io.readVersion(s, "dvm", 1L)))
       .map { case (scope, df) =>
         df.agg(count(lit(1)).as("n"),
-            round(sum(col("o_totalprice")), 2).as("total"))
+            Money.moneySum(col("o_totalprice")).as("total"))
           .select(lit(scope).as("scope"), col("n"), col("total"),
             lit(m2.dataDirs.size).as("n_dirs"),
             lit(m2.dvDirs.size).as("n_dv_dirs"),
@@ -653,10 +656,11 @@ object VersionedQueries {
     * no extra versions). Replay idempotence is StreamingSpec's. */
   val qStreamCdc: QueryDef = QueryDef(
     "q160_stream_cdc_apply",
-    """SELECT CAST(count(*) AS BIGINT) AS n,
-      |  round(sum(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 7777.0
-      |                 WHEN o_orderkey % 3 <= 1 THEN o_totalprice + 1000.0
-      |                 ELSE o_totalprice END), 2) AS total,
+    s"""SELECT CAST(count(*) AS BIGINT) AS n,
+      |  ${Money.moneySumSql(
+           "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 7777.0 " +
+           "WHEN o_orderkey % 3 <= 1 THEN o_totalprice + 1000.0 " +
+           "ELSE o_totalprice END")} AS total,
       |  CAST(2 AS INT) AS n_versions
       |FROM orders""".stripMargin) { (s, dir) =>
     import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
@@ -688,7 +692,7 @@ object VersionedQueries {
       maxFilesPerTrigger = Some(1))
     io.read(s, "t")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("total"))
+        Money.moneySum(col("o_totalprice")).as("total"))
       .select(col("n"), col("total"),
         lit(io.versions("t").size).as("n_versions"))
   }

@@ -118,4 +118,26 @@ class CoreSpec extends AnyFunSuite {
     assert(ids.head === 11L && ids.last === 1010L)
     assert(ids.distinct.length === 1000)
   }
+
+  test("Money.moneySumDecimal: partition-order invariant where doubles are not") {
+    import graft.core.Money
+    // money-like values: 2-decimal prices scaled so the double sum's
+    // low bits depend on add order once magnitude ~1e11 is reached
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(20000)(
+      math.round(rnd.nextDouble() * 1e9 * 100).toDouble / 100)
+    val variants = Seq(1, 7, 32).map { parts =>
+      vals.toDF("v").repartition(parts)
+        .agg(Money.moneySumDecimal(col("v")).as("s"))
+        .first().getDouble(0)
+    }
+    // decimal accumulation: bit-identical at every partitioning
+    assert(variants.distinct.length === 1)
+    // and equals the exact BigDecimal ground truth
+    val exact = vals.map(BigDecimal(_)).sum
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(variants.head === exact)
+    // flag off keeps the driver contract: plain double sum
+    assert(!Money.decimal)
+  }
 }
