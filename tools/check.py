@@ -53,8 +53,15 @@ def table(rows, cols):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional 3rd arg: comma-separated query names (re-check subset)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
+    # big-SF oracles (MinHash CTE chains over 500k+ docs) exceed RAM in
+    # a pure in-memory connection, which cannot spill; a temp directory
+    # lets DuckDB offload instead of dying with an allocation error
+    os.makedirs("/tmp/graft_duck_tmp", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/graft_duck_tmp'")
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
         # driver SF dirs hold single files; GenScale writes Spark-style
@@ -68,6 +75,8 @@ def main():
     names = sorted(
         set(oracles) |
         {p.rstrip("/").split("/")[-1] for p in glob.glob(f"{out_dir}/*/")})
+    if only is not None:
+        names = [n for n in names if n in only]
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
