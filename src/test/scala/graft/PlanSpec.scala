@@ -163,4 +163,43 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("LSH hot-bucket guard: banded stream shuffles ONCE in the corpus regime") {
+    // the guard is a COUNT window over the SAME (band, bucket)
+    // partitioning the self-join shuffles on. In the corpus regime
+    // (sort-merge — what 100 TB runs; broadcast disabled here to force
+    // it at spec scale), the window's exchange must BE the join's
+    // exchange, with the second side a ReusedExchange: the round-9
+    // groupBy+join alternative planned the banded stream (the curation
+    // pipelines' dominant exchange) into separate exchanges per
+    // consumer and cost +50% wall on q100. Asserted on the FINAL
+    // adaptive plan — reuse is resolved during execution.
+    import graft.scale.Dedup
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+        .limit(200)
+      val p = Dedup.MinHashParams(k = 16, bands = 4)
+      val sigs = Dedup.signatures(docs, "doc_id", "text", p)
+        .localCheckpoint(true) // common input: isolate the candidate stage
+      val guarded = Dedup.candidatePairs(sigs, "doc_id", p, Some(8))
+      guarded.collect() // drive AQE to the final plan
+      // the adaptive plan prints final + "== Initial Plan ==" sections,
+      // and ReusedExchange lines quote the exchange they reuse — count
+      // only true Exchange operators in the FINAL section
+      val plan = planOf(guarded).split("== Initial Plan ==").head
+      val bandExchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(band") &&
+          !l.contains("ReusedExchange"))
+      assert(plan.contains("isFinalPlan=true"), s"plan not final:\n$plan")
+      assert(bandExchanges == 1,
+        s"banded stream shuffled $bandExchanges times (want 1):\n$plan")
+      assert(plan.contains("ReusedExchange"),
+        s"second join side did not reuse the band exchange:\n$plan")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
