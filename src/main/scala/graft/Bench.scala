@@ -169,8 +169,13 @@ object Bench {
       // noise from a real plan regression — a query whose min moved but
       // whose spread is tight changed for real, a huge spread on
       // unchanged code is a noisy window (round-4 lesson).
+      // an errored query reports -1 for BOTH min and spread: a spread
+      // mixing time-to-throw with healthy passes would read as an
+      // extreme noise window in the round-over-round analysis
       val mn = if (erroredQueries.contains(name)) -1.0 else times.min
-      name -> (mn, times.max - times.min)
+      val sp = if (erroredQueries.contains(name)) -1.0
+        else times.max - times.min
+      name -> (mn, sp)
     }
     val qs = results.map { case (k, (mn, _)) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")

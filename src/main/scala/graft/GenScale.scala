@@ -51,6 +51,9 @@ object GenScale {
 
   def generate(spark: SparkSession, outDir: String, mult: Double,
       docWords: Int = 1): Unit = {
+    // sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty — a
+    // non-positive docWords would silently generate 2-word documents
+    require(docWords >= 1, s"docWords must be >= 1, got $docWords")
     def n(sf01: Long): Long = math.max(1L, math.round(sf01 * mult))
     val nCustomer = n(15000)
     val nSupplier = n(1000)

@@ -57,14 +57,22 @@ private[queries] object MinhashOracle {
     * on a corpus where the cap binds. */
   def cteChain(src: String, p: Dedup.MinHashParams,
       minJaccard: Double, maxBucket: Option[Int] = None): String = {
-    val bandRel = maxBucket.fold("bands") { cap =>
-      s"""(SELECT b.* FROM bands b JOIN (
+    // the guard is hoisted into ONE named CTE rather than inlined into
+    // both self-join sides: the bands group-by is the oracle's heaviest
+    // aggregation at big SFs, and a textual duplicate would evaluate it
+    // twice in an engine already at its memory limit (sf10 needed
+    // check.py's temp-spill as it is)
+    val guardCte = maxBucket.fold("") { cap =>
+      s"""bands_ok AS (
+         |  SELECT b.* FROM bands b JOIN (
          |    SELECT band, bucket FROM bands
          |    GROUP BY band, bucket HAVING count(*) <= $cap) ok
-         |    USING (band, bucket))""".stripMargin
+         |    USING (band, bucket)),
+         |""".stripMargin
     }
+    val bandRel = if (maxBucket.isDefined) "bands_ok" else "bands"
     s"""${sigChain(src, p)},
-       |cand AS (
+       |${guardCte}cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM $bandRel a JOIN $bandRel b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),

@@ -50,8 +50,12 @@ object ProfileQ130 {
         .drop("fingerprint")
         .persist()
       exact.count(); t("quality+exactDedup")
+      // maxBucket matches the production q100/q130 entries (guarded +
+      // broadcast candidate-id semi-filter) — the profiler must measure
+      // the SHIPPED plan, not the unguarded variant
       val (ndups, releaseShingles) = Dedup
-        .nearDuplicatesReleasable(exact, idCol, textCol, minJaccard, p)
+        .nearDuplicatesReleasable(exact, idCol, textCol, minJaccard, p,
+          maxBucket = Some(1000))
       val pairs = ndups.select("id_a", "id_b").persist()
       pairs.count(); t("minhash pairs")
       releaseShingles()

@@ -19,6 +19,7 @@ import json
 import math
 import os
 import sys
+import tempfile
 
 import duckdb
 
@@ -58,10 +59,11 @@ def main():
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     # big-SF oracles (MinHash CTE chains over 500k+ docs) exceed RAM in
-    # a pure in-memory connection, which cannot spill; a temp directory
-    # lets DuckDB offload instead of dying with an allocation error
-    os.makedirs("/tmp/graft_duck_tmp", exist_ok=True)
-    con.execute("SET temp_directory='/tmp/graft_duck_tmp'")
+    # a pure in-memory connection, which cannot spill; a per-run temp
+    # directory lets DuckDB offload instead of dying with an allocation
+    # error (per-run: concurrent checks must not share spill files)
+    tmp = tempfile.mkdtemp(prefix="graft_duck_")
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
         # driver SF dirs hold single files; GenScale writes Spark-style
@@ -76,6 +78,11 @@ def main():
         set(oracles) |
         {p.rstrip("/").split("/")[-1] for p in glob.glob(f"{out_dir}/*/")})
     if only is not None:
+        unknown = only - set(names)
+        if unknown:
+            # a typo'd subset must not read as an empty (passing) check
+            print(f"FATAL: unknown query name(s): {sorted(unknown)}")
+            sys.exit(120)
         names = [n for n in names if n in only]
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
