@@ -118,7 +118,9 @@ object FunctionQueries {
       |  FROM documents)
       |WHERE token <> '' GROUP BY 1""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "documents")
-      .select(explode(split(lower(col("text")), "[^a-z]+")).as("token"))
+      // outer + the existing non-empty filter: the inferred generate
+      // predicate would re-evaluate the split per row (Dedup class doc)
+      .select(explode_outer(split(lower(col("text")), "[^a-z]+")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
   }

@@ -16,6 +16,25 @@ import org.apache.spark.sql.functions._
   *    k/bands up to push the collision threshold s ≈ (1/b)^(1/r) near
   *    the target jaccard.
   *  - SimHash: same shape with 16-bit chunk banding.
+  *
+  * GENERATE HYGIENE (the round-9 KB-corpus lesson, applied here and in
+  * TextStats/HeavyHitters/Retrieval/KMeans): every explode of a
+  * COMPUTED token/shingle/gram/unit array is the OUTER form followed
+  * by an explicit null filter on the generated column. Spark's
+  * InferFiltersFromGenerate plants `size(arr) > 0 AND isnotnull(arr)`
+  * below a non-outer Generate, and predicate pushdown substitutes the
+  * array EXPRESSION through the staged projections — re-inlining the
+  * tokenization into the predicate, including into HOF lambdas where
+  * it re-evaluates once per gram: O(tokens × grams) interpreted regex
+  * work per row, per conjunct. Invisible on 100-word driver docs; the
+  * KB-document audit measured it as task-HOURS at 1000-word docs
+  * (jstack: StringSplit.nullSafeEval inside ArrayTransform inside a
+  * pushed Filter). The outer generate is outside the rule's match, and
+  * the null filter references the GENERATED column so it cannot push
+  * below the Generate — same rows out (outer's null row for empty/null
+  * arrays is dropped), no inferred predicate. Contract: array ELEMENTS
+  * must never be null — true for every stream here; a null element
+  * would now be dropped where plain explode kept it.
   */
 object Dedup {
 
@@ -122,7 +141,8 @@ object Dedup {
     * [[hashedShingleSet]]. No collect, no all-pairs anything. */
   def unitDedup(df: DataFrame, idCol: String, unitsCol: String): DataFrame = {
     val ex = df.select(col(idCol).as("__id"),
-      posexplode(col(unitsCol)).as(Seq("__pos", "__unit")))
+      posexplode_outer(col(unitsCol)).as(Seq("__pos", "__unit")))
+      .filter(col("__unit").isNotNull) // generate hygiene — class doc
       .withColumn("__uh", xxhash64(col("__unit")))
     val w = Window.partitionBy(col("__uh"))
       .orderBy(col("__id"), col("__pos"))
@@ -197,7 +217,8 @@ object Dedup {
   def signaturesFromSets(sets: DataFrame, idCol: String,
       p: MinHashParams): DataFrame = {
     val exploded = sets
-      .select(col(idCol), explode(col("__set")).as("__sh"))
+      .select(col(idCol), explode_outer(col("__set")).as("__sh"))
+      .filter(col("__sh").isNotNull) // generate hygiene — class doc
       // → non-negative long in [0, p)
       .withColumn("__h", pmod(
         if (p.reproducible) md5Hash60(col("__sh"))
@@ -555,7 +576,8 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String,
       hasher: Column => Column = xxhash64(_), nBits: Int = 64): DataFrame = {
     val exploded = df.select(col(idCol),
-      explode(tokenSet(col(textCol))).as("__t"))
+      explode_outer(tokenSet(col(textCol))).as("__t"))
+      .filter(col("__t").isNotNull) // generate hygiene — class doc
       .withColumn("__h", hasher(col("__t")))
     // one agg: per-bit signed vote; positive vote → bit set
     val votes = (0 until nBits).map { j =>

@@ -65,7 +65,9 @@ object HeavyHitters {
     // CollapseProject declines to merge a multiply-referenced alias).
     val grams = docs
       .select(TextStats.tokens(col(textCol)).as("__toks"))
-      .select(explode(TextStats.bigramsFromTokens(col("__toks"))).as("gram"))
+      .select(explode_outer(TextStats.bigramsFromTokens(col("__toks")))
+        .as("gram"))
+      .filter(col("gram").isNotNull) // generate hygiene — Dedup class doc
     val mg = udaf(new MisraGries(capacity))
     // Pass 1: sketch + total count in one aggregate → one driver row
     // of ≤ capacity strings, a flag and a long (bounded by construction).
@@ -113,7 +115,8 @@ object HeavyHitters {
     val grams = docs
       .select(col(groupCol), TextStats.tokens(col(textCol)).as("__toks"))
       .select(col(groupCol),
-        explode(TextStats.bigramsFromTokens(col("__toks"))).as("gram"))
+        explode_outer(TextStats.bigramsFromTokens(col("__toks"))).as("gram"))
+      .filter(col("gram").isNotNull) // generate hygiene — Dedup class doc
     val sketches = grams.groupBy(col(groupCol))
       .agg(mg(col("gram")).as("__sk"), count(lit(1)).as("__ng"))
       .select(col(groupCol), col("__sk.keys").as("__keys"),

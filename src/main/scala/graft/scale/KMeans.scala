@@ -87,7 +87,9 @@ object KMeans {
       // per-dimension mean: exact for integer-valued inputs, collected
       // bounded (k × dim rows)
       centroids = assigned
-        .select(col("cell"), posexplode(col("__q")).as(Seq("__pos", "__val")))
+        .select(col("cell"),
+          posexplode_outer(col("__q")).as(Seq("__pos", "__val")))
+        .filter(col("__val").isNotNull) // generate hygiene — Dedup doc
         .groupBy(col("cell"), col("__pos"))
         .agg(sum(col("__val")).as("__s"), count(lit(1)).as("__n"))
         .groupBy(col("cell"))

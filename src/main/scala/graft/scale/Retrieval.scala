@@ -46,8 +46,11 @@ object Retrieval {
   private def postings(toks: DataFrame, idCol: String,
       terms: Seq[String]): DataFrame =
     toks
-      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__t"))
-      .filter(col("__t").isInCollection(terms))
+      .select(col(idCol), col("__dl"),
+        explode_outer(col("__toks")).as("__t"))
+      // isNotNull is generate hygiene (Dedup class doc); isInCollection
+      // subsumes it but stating both keeps the contract explicit
+      .filter(col("__t").isNotNull && col("__t").isInCollection(terms))
       .groupBy(col(idCol), col("__t"), col("__dl"))
       .agg(count(lit(1)).as("__tf"))
 
@@ -69,8 +72,8 @@ object Retrieval {
           col("__s").as("n")))).as("r"))
       .select("r.stat", "r.key", "r.n")
     val dfreq = toks
-      .select(col(idCol), explode(col("__toks")).as("__t"))
-      .filter(col("__t").isInCollection(terms))
+      .select(col(idCol), explode_outer(col("__toks")).as("__t"))
+      .filter(col("__t").isNotNull && col("__t").isInCollection(terms))
       .select(col(idCol), col("__t")).distinct()
       .groupBy(col("__t")).agg(count(lit(1)).as("n"))
       .select(lit("df").as("stat"), col("__t").as("key"), col("n"))

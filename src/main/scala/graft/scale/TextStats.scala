@@ -66,7 +66,8 @@ object TextStats {
     import org.apache.spark.sql.expressions.Window
     val n = df.count()
     val terms = df.select(col(idCol),
-      explode(tokens(col(textCol))).as("term"))
+      explode_outer(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull) // generate hygiene — Dedup class doc
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = terms.select(col(idCol), col("term")).distinct()
@@ -115,7 +116,8 @@ object TextStats {
   def unigramSurprisal(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val terms = df.select(col(idCol),
-      explode(tokens(col(textCol))).as("term"))
+      explode_outer(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull) // generate hygiene — Dedup class doc
     val counts = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
     // corpus total derived from the (small) vocabulary frame and
     // broadcast as a 1-row cross join — the whole plan stays lazy and
@@ -172,13 +174,24 @@ object TextStats {
       textCol: String, lambda: Double = 0.75,
       vocabCap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     val lists = df.select(col(idCol), tokens(col(textCol)).as("__l"))
-    val uni = lists.select(explode(col("__l")).as("term"))
+    val uni = lists.select(explode_outer(col("__l")).as("term"))
+      .filter(col("term").isNotNull) // generate hygiene — Dedup class doc
       .groupBy("term").agg(count(lit(1)).as("cu"))
     val total = uni.agg(sum("cu").as("__total"))
-    val bi = lists.filter(size(col("__l")) >= 2)
-      .select(col(idCol), explode(arrays_zip(
-        slice(col("__l"), lit(1), size(col("__l")) - 1),
-        slice(col("__l"), lit(2), size(col("__l")) - 1))).as("__z"))
+    // no `size(__l) >= 2` pre-filter: that predicate pushes below the
+    // `lists` projection, substituting the full tokenization into a
+    // per-row scan filter on every branch that reads `bi` (three extra
+    // interpreted split+filter evaluations per document — caught by
+    // PlanSpec's generate-hygiene guard). Docs with < 2 tokens zip to
+    // an EMPTY array (greatest keeps the slice length total at 0),
+    // explode_outer turns them into one null row, and the hygiene
+    // filter drops it — same rows out, tokenization evaluated once.
+    val tailLen = greatest(size(col("__l")) - 1, lit(0))
+    val bi = lists
+      .select(col(idCol), explode_outer(arrays_zip(
+        slice(col("__l"), lit(1), tailLen),
+        slice(col("__l"), lit(2), tailLen))).as("__z"))
+      .filter(col("__z").isNotNull)
       .select(col(idCol), col("__z").getField("0").as("prev"),
         col("__z").getField("1").as("cur"))
     val bigCounts = bi.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
@@ -256,7 +269,8 @@ object TextStats {
     val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .withColumn("__bi", bigramsFromTokens(col("__toks")))
     val tokCounts = base
-      .select(col(idCol), explode(col("__toks")).as("__t"))
+      .select(col(idCol), explode_outer(col("__toks")).as("__t"))
+      .filter(col("__t").isNotNull) // generate hygiene — Dedup class doc
       .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__n"))
       .groupBy(col(idCol))
       .agg(sum("__n").as("n_toks"), count(lit(1)).as("n_distinct"),

@@ -202,4 +202,54 @@ class PlanSpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  // ---- generate hygiene (Dedup.scala class doc) -----------------------
+  // InferFiltersFromGenerate plants `size(arr)>0 AND isnotnull(arr)`
+  // below a NON-outer explode, and pushdown substitutes the full array
+  // EXPRESSION through the staged projections — re-inlining the
+  // tokenization (an interpreted regex split inside HOF lambdas) into a
+  // Filter predicate where it re-evaluates per gram: O(tokens × grams)
+  // per row. Invisible on 100-word driver docs; measured as task-HOURS
+  // on KB documents. The fix is explode_outer + an explicit null filter
+  // on the GENERATED column. These tests pin both directions.
+
+  /** Filter conditions in the optimized plan that re-evaluate a split —
+    * the tokenization leaking into a predicate. */
+  private def splitBearingFilters(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("split(") =>
+        f.condition.toString.take(200)
+    }
+
+  test("positive control: a plain explode of a computed token array " +
+    "DOES get the inferred split-bearing filter (the hazard is real)") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    // staged projection (the shape every operator here uses): the rule
+    // infers size(__toks)>0 on the ATTRIBUTE, then pushdown substitutes
+    // the defining expression through the projection — a direct
+    // explode(expr) is outside the restricted rule and would not trip
+    val plain = docs
+      .select(graft.scale.TextStats.tokens(col("text")).as("__toks"))
+      .select(explode(col("__toks")).as("t"))
+      .groupBy("t").count()
+    // If this ever starts passing empty, Spark fixed the rule upstream
+    // and the explode_outer hygiene (and this guard) can be retired.
+    assert(splitBearingFilters(plain).nonEmpty,
+      "expected InferFiltersFromGenerate to plant a split-bearing " +
+        "filter under plain explode — hazard gone, hygiene retirable?")
+  }
+
+  test("generate hygiene: no token/gram query re-evaluates its split " +
+    "inside a Filter predicate") {
+    val dir = SparkTestSession.sfDir
+    for (q <- Seq("q127_paragraph_dedup", "q118_bigram_surprisal",
+        "q138_bm25", "q46_token_stats", "q133_heavy_hitters",
+        "q42_minhash_lsh", "q48_lang_id")) {
+      val bad = splitBearingFilters(SparkEntry.queries(q)(spark, dir))
+      assert(bad.isEmpty,
+        s"$q: tokenization re-inlined into Filter predicate(s):\n" +
+          bad.mkString("\n"))
+    }
+  }
 }
