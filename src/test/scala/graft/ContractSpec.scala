@@ -16,6 +16,15 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("every ShuffleAudit entry names a live query and real tables") {
+    val known = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    ShuffleAudit.Audited.foreach { case (name, tables) =>
+      assert(SparkEntry.queries.contains(name), s"audit names unknown query $name")
+      tables.foreach(t => assert(known.contains(t), s"$name audits unknown table $t"))
+    }
+  }
+
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
