@@ -142,16 +142,25 @@ object ShuffleAudit {
       val fn = SparkEntry.queries(name)
       val src = tables.map(tableBytes(sfDir, _)).sum
       val (w0, s0) = settled()
+      // Progress to stderr: byte counts are deterministic, but a multi-
+      // decade corpus makes some queries run minutes — an operator
+      // watching the log needs to see WHICH query is grinding.
+      System.err.println(s"[audit] $name ...")
+      val t0 = System.nanoTime()
       fn(spark, sfDir).count()
+      val secs = (System.nanoTime() - t0) / 1e9
       val (w1, s1) = settled()
       val sh = w1 - w0
       val sp = s1 - s0
       val ratio = if (src > 0) sh.toDouble / src else 0.0
-      (name, src, sh, sp, ratio)
+      System.err.println(
+        f"[audit] $name done in $secs%.1f s: shuffle ${sh / 1e6}%.2f MB, " +
+        f"spill ${sp / 1e6}%.2f MB, ratio $ratio%.3f")
+      (name, src, sh, sp, ratio, secs)
     }
 
-    val qs = rows.map { case (n, src, sh, sp, r) =>
-      f""""$n":{"source_mb":${src / 1e6}%.2f,"shuffle_mb":${sh / 1e6}%.2f,"spill_mb":${sp / 1e6}%.2f,"shuffle_per_source":$r%.3f}"""
+    val qs = rows.map { case (n, src, sh, sp, r, secs) =>
+      f""""$n":{"source_mb":${src / 1e6}%.2f,"shuffle_mb":${sh / 1e6}%.2f,"spill_mb":${sp / 1e6}%.2f,"shuffle_per_source":$r%.3f,"wall_sec":$secs%.1f}"""
     }.mkString("{", ",", "}")
     val json =
       s"""{"queries":$qs,"n_queries":${rows.size},"metric":"shuffle_audit","sf":"$sfDir"}"""
