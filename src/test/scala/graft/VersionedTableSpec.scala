@@ -1179,11 +1179,12 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
-  test("four-way soak: restore, vacuum, a writer, and a cloner " +
-      "interleave freely (both backends): the head stays readable and " +
-      "metadata-consistent, base content is never silently mixed, every " +
-      "landed clone is complete, every aborted clone invisible, and a " +
-      "restore-rollback only ever lands directly on its own tombstone") {
+  test("five-way soak: restore, vacuum, a writer, a cloner, and an " +
+      "OPTIMIZE interleave freely (both backends): the head stays " +
+      "readable and metadata-consistent, base content is never silently " +
+      "mixed or torn by a packing rewrite, every landed clone is " +
+      "complete, every aborted clone invisible, and a restore-rollback " +
+      "only ever lands directly on its own tombstone") {
     for (backend <- Seq[graft.ingest.CommitBackend](
         graft.ingest.LocalLinkBackend,
         new graft.ingest.ConditionalPutBackend)) {
@@ -1251,11 +1252,32 @@ class VersionedTableSpec extends AnyFunSuite {
             }
           }
         })
+        // fifth party: OPTIMIZE packs the small appended dirs mid-churn.
+        // A landed compaction rewrites files but must never change
+        // CONTENT — the decomposition invariant below (one whole base +
+        // whole appended batches) is exactly the torn-compaction
+        // detector. Racing restore/vacuum may legitimately abort it
+        // loudly (stale base manifest mid-build); that is an allowed
+        // outcome, a crash of any OTHER kind is not.
+        val compactorErrs =
+          new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+        val compactorSession = spark.newSession()
+        val compactor = new Thread(() => {
+          for (_ <- 0 until 3)
+            try io.compactSmall(compactorSession, "t", minRows = 200L)
+            catch {
+              case _: IllegalArgumentException | _: IllegalStateException |
+                  _: java.io.UncheckedIOException | _: java.io.IOException =>
+                () // loud abort on a moved/vacuumed base: allowed
+              case scala.util.control.NonFatal(e) =>
+                compactorErrs.compareAndSet(null, e); ()
+            }
+        })
         // vary start order across rounds to widen interleaving coverage
         val ts = round % 3 match {
-          case 0 => Seq(writer, restorer, vacuumer, cloner)
-          case 1 => Seq(cloner, vacuumer, writer, restorer)
-          case _ => Seq(restorer, cloner, vacuumer, writer)
+          case 0 => Seq(writer, restorer, vacuumer, cloner, compactor)
+          case 1 => Seq(cloner, compactor, vacuumer, writer, restorer)
+          case _ => Seq(compactor, restorer, cloner, vacuumer, writer)
         }
         ts.foreach(_.start()); ts.foreach(_.join())
         cloneOutcomes.forEach { o =>
@@ -1270,6 +1292,9 @@ class VersionedTableSpec extends AnyFunSuite {
         }
         assert(writerErrs.get() == null,
           s"round $round: a concurrent append crashed: ${writerErrs.get()}")
+        assert(compactorErrs.get() == null,
+          s"round $round: a concurrent OPTIMIZE crashed non-loudly: " +
+            s"${compactorErrs.get()}")
         // head must be readable, and its count must agree with the
         // metadata-only rowCount AND decompose into exactly one base
         // content plus whole appended batches
