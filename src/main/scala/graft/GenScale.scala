@@ -14,8 +14,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Every value is a pure hash of (row id, salt) — no rand(), so output
   * is byte-stable across partitionings, re-runs, and Spark versions.
-  * Usage: runMain graft.GenScale <outDir> [multiplier-vs-sf0.1] [docWords]
-  * (default multiplier 10 = "sf1": 6M lineitem / 50k docs / 1M events).
+  * Usage: runMain graft.GenScale <outDir> [multiplier-vs-sf0.1] [docWords] [tables]
+  * (default multiplier 10 = "sf1": 6M lineitem / 50k docs / 1M events;
+  * `tables` is an optional comma list — e.g. `documents,embeddings` —
+  * for corpus-kernel-only audits where generating a 600M-row lineitem
+  * would waste most of the disk and wall-clock).
   * `docWords` scales words-per-document (default 1 = the driver's
   * 10-100 words ≈ 120 B/doc; 10 = 100-1000 words ≈ 1-6 KB/doc — the
   * realistic-web-document regime for shuffle-ratio evidence: the
@@ -35,6 +38,7 @@ object GenScale {
     val outDir = args.headOption.getOrElse("target/testdata_sf1")
     val mult = args.lift(1).map(_.toDouble).getOrElse(10.0)
     val docWords = args.lift(2).map(_.toInt).getOrElse(1)
+    val tables = args.lift(3).map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -45,12 +49,12 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, outDir, mult, docWords)
+    generate(spark, outDir, mult, docWords, tables)
     spark.stop()
   }
 
   def generate(spark: SparkSession, outDir: String, mult: Double,
-      docWords: Int = 1): Unit = {
+      docWords: Int = 1, tables: Option[Set[String]] = None): Unit = {
     // sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty — a
     // non-positive docWords would silently generate 2-word documents
     require(docWords >= 1, s"docWords must be >= 1, got $docWords")
@@ -68,8 +72,9 @@ object GenScale {
       math.max(1L, math.round(2000 * math.pow(mult, math.log10(4.0))))
 
     def write(df: DataFrame, table: String, parts: Int): Unit =
-      df.repartition(parts)
-        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+      if (tables.forall(_.contains(table)))
+        df.repartition(parts)
+          .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
 
     // fixed dimensions — identical at every SF, like TPC-H
     write(spark.createDataFrame(Seq(

@@ -66,7 +66,11 @@ object ShuffleAudit {
     "q133_heavy_hitters" -> Seq("documents"),
     "q137_top_grams_per_lang" -> Seq("documents"),
     "q138_bm25" -> Seq("documents"),
-    "q149_ann_pq" -> Seq("embeddings"))
+    "q149_ann_pq" -> Seq("embeddings"),
+    // the GUARDED q117 shape — at corpus scale its wall must stay
+    // linear where q117's in-bucket verify goes quadratic (sf100:
+    // alpha 2.0 under a flat shuffle ratio)
+    "q165_vector_hot_bucket" -> Seq("embeddings"))
 
   private final class Tally extends SparkListener {
     private val lock = new Object

@@ -959,6 +959,69 @@ object ScaleQueries {
       "doc_id", "text", minJaccard = 0.4, mhParams, maxBucket = Some(8))
   }
 
+  /** The sign-LSH hot-bucket guard in its BINDING regime — q164's
+    * pattern for vectors, motivated by a measured defect: at fixed
+    * nPlanes a clustered corpus concentrates in few sign-buckets, and
+    * the sf100 audit clocked q117's in-bucket verify at wall alpha
+    * ≈ 2.0 under a perfectly flat shuffle ratio (the quadratic the
+    * byte audit CANNOT see). Corpus: the full embeddings table plus
+    * two planted families — 20 clones of vec 1 (bucket ≥ 21 > cap in
+    * every band alongside its cluster mates, so its O(21²) pair blowup
+    * is dropped) and 5 clones of a synthetic checkerboard unit vector
+    * far from every centroid (its bucket holds just the family at
+    * driver SFs, under the cap, so its C(5,2) = 10 pairs at cosine 1.0
+    * MUST survive). The guard drops every dense cluster bucket too —
+    * at production thresholds those are exactly the buckets where
+    * 8-plane sign-LSH has stopped discriminating (the caller-owned
+    * alternative is more planes + more bands; Dedup scaladoc). The
+    * oracle replays families, banding, AND the bucket-population
+    * filter, so the miss semantics are hash-compared cross-engine. */
+  val qVectorHotBucket: QueryDef = {
+    val bandSelects = (0 until 2).map { bnd =>
+      s"SELECT vec_id, v, $bnd AS band, " +
+        s"${lshBucketSql(64, 8, 42L + bnd)} AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+    QueryDef(
+      "q165_vector_hot_bucket",
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |              FROM embeddings),
+         |fam_over AS (
+         |  SELECT CAST(9000 + g.i AS BIGINT) AS vec_id, b.v
+         |  FROM base b, generate_series(1, 20) g(i) WHERE b.vec_id = 1),
+         |fam_under AS (
+         |  SELECT CAST(9500 + g.i AS BIGINT) AS vec_id,
+         |    CAST(list_transform(range(0, 64),
+         |      j -> CASE WHEN j % 2 = 0 THEN 0.125 ELSE -0.125 END)
+         |      AS DOUBLE[]) AS v
+         |  FROM generate_series(1, 5) g(i)),
+         |e AS (SELECT * FROM base UNION ALL SELECT * FROM fam_over
+         |      UNION ALL SELECT * FROM fam_under),
+         |b AS ($bandSelects),
+         |g AS (SELECT vec_id, v, band, bucket FROM (
+         |        SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bn
+         |        FROM b) WHERE bn <= 16)
+         |SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+         |  round(list_cosine_similarity(a.v, c.v), 6) AS cosine
+         |FROM g a JOIN g c
+         |  ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.9""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val famOver = base.filter(col("vec_id") === 1)
+        .select(explode(sequence(lit(1), lit(20))).as("i"), col("embedding"))
+        .select((col("i").cast("long") + 9000L).as("vec_id"), col("embedding"))
+      val checker = array((0 until 64).map(j =>
+        lit(if (j % 2 == 0) 0.125d else -0.125d)): _*)
+      val famUnder = base.sparkSession.range(1, 6)
+        .select((col("id") + 9500L).as("vec_id"), checker.as("embedding"))
+      Dedup.embeddingNearDupsBucketed(
+        base.unionByName(famOver).unionByName(famUnder),
+        "vec_id", "embedding", minCosine = 0.9, dim = 64, nPlanes = 8,
+        bands = 2, maxBucket = Some(16))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh,
     qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qAnnRecall, qIvfRecall,
     qAnnPq, qAnnPqRecall,
@@ -966,6 +1029,6 @@ object ScaleQueries {
     qDedupEmbeddingLsh, qTokenStats, qQuality, qLangId,
     qFingerprint, qMultimodal, qTfidf, qApproxPercentile, qSplit, qStratified,
     qVectorQuantize, qFrameSample, qSurprisal, qBigramSurprisal,
-    qBigramSurprisalCapped, qMinhashHotBucket,
+    qBigramSurprisalCapped, qMinhashHotBucket, qVectorHotBucket,
     qVectorIndexDedup)
 }

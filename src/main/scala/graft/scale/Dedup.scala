@@ -270,11 +270,16 @@ object Dedup {
     * partial-agg counts, one feeding the join probe) and recompute
     * the signature aggregation for each; the window form shuffles the
     * stream once and the self-join reuses that exchange (measured on
-    * q100: the join form cost +50% wall at sf0.1). */
-  private def boundBuckets(banded: DataFrame, max: Int): DataFrame =
+    * q100: the join form cost +50% wall at sf0.1).
+    *
+    * Shared by the MinHash band stream (band/bucket) and the sign-LSH
+    * vector stream (__band/__bucket) — same guard, same exchange-reuse
+    * argument, both gate-checked in binding regimes (q164/q165). */
+  private def boundBuckets(banded: DataFrame, max: Int,
+      bandCol: String = "band", bucketCol: String = "bucket"): DataFrame =
     banded
       .withColumn("__bn", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bucket"))))
+        Window.partitionBy(col(bandCol), col(bucketCol))))
       .filter(col("__bn") <= max)
       .drop("__bn")
 
@@ -486,12 +491,31 @@ object Dedup {
     * (quadratic in bucket size) would cross the wire three times,
     * where this form generates and cosine-verifies them inside the
     * bucket join without ever shuffling them. Shuffle here scales
-    * with the corpus, never with the pair count. */
+    * with the corpus, never with the pair count.
+    *
+    * THE PAIR COUNT ITSELF does not: in-bucket verify work is
+    * Σ popᵢ² per band, and a clustered corpus at fixed `nPlanes`
+    * concentrates in few sign-buckets, so populations grow ∝ N — the
+    * sf100 shuffle audit measured wall-clock alpha ≈ 2.0 (9.6 → 149 s
+    * for 4.1× the vectors) UNDER a perfectly flat shuffle ratio. Two
+    * corpus-scale controls, both caller-owned: (1) scale `nPlanes`
+    * with the corpus (≈ log2(N / target bucket population); raises
+    * per-band miss rate for borderline pairs — compensate with more
+    * `bands`, whose cost is linear shuffle); (2) `maxBucket`, the same
+    * hot-bucket guard the MinHash path carries — drops (band, bucket)
+    * groups above the cap BEFORE the self-join, bounding verify work
+    * at bands × buckets × cap² whatever the skew. With only 2 bands a
+    * dropped bucket's true pairs survive at the other band's collision
+    * rate (p^nPlanes per band — lower insurance than MinHash's 16
+    * bands; raise `bands` when guarding aggressively). Gate-checked in
+    * its binding regime by q165 (the q164 pattern for vectors). */
   def embeddingNearDupsBucketed(df: DataFrame, idCol: String,
       vecCol: String, minCosine: Double, dim: Int, nPlanes: Int,
-      bands: Int = 1, seed: Long = 42L): DataFrame = {
-    val v = vecBanded(df, idCol, vecCol, "__id", "__v",
+      bands: Int = 1, seed: Long = 42L,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val all = vecBanded(df, idCol, vecCol, "__id", "__v",
       dim, nPlanes, bands, seed)
+    val v = maxBucket.fold(all)(boundBuckets(all, _, "__band", "__bucket"))
     val a = v.select(col("__band"), col("__bucket"),
       col("__id").as("id_a"), col("__v").as("va"))
     val b = v.select(col("__band"), col("__bucket"),
@@ -527,18 +551,26 @@ object Dedup {
     * Corpus raw data is never re-read; per-batch work is
     * O(batch + colliding buckets) like the text form, with the same
     * hot-bucket caveat (degenerate all-zero-ish regions — pre-filter
-    * zero vectors as [[graft.scale.KMeans]] consumers do).
+    * zero vectors as [[graft.scale.KMeans]] consumers do). `maxBucket`
+    * guards the INDEX side — the 100 TB-scale side where dense
+    * neighborhoods accumulate unboundedly over time (the
+    * [[dedupAgainstIndexSigs]] sizing argument; see
+    * [[embeddingNearDupsBucketed]] for the measured quadratic regime
+    * the guard bounds).
     *
     * Output: one row per batch vector —
     * (idCol, matched_id: lowest corpus id with cosine ≥ minCosine or
     *  NULL, kept, best_cosine). */
   def dedupVectorsAgainstIndex(batch: DataFrame, index: DataFrame,
       idCol: String, vecCol: String, minCosine: Double, dim: Int,
-      nPlanes: Int, bands: Int = 1, seed: Long = 42L): DataFrame = {
+      nPlanes: Int, bands: Int = 1, seed: Long = 42L,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val iAll = vecBanded(index, idCol, vecCol, "__iid", "__iv",
+      dim, nPlanes, bands, seed)
+    val iBand = maxBucket.fold(iAll)(boundBuckets(iAll, _, "__band", "__bucket"))
     val matches = vecBanded(batch, idCol, vecCol, "__bid", "__bv",
         dim, nPlanes, bands, seed)
-      .join(vecBanded(index, idCol, vecCol, "__iid", "__iv",
-          dim, nPlanes, bands, seed).hint("shuffle_hash"),
+      .join(iBand.hint("shuffle_hash"),
         Seq("__band", "__bucket"))
       .withColumn("__cos", round(Similarity.cosine(col("__bv"), col("__iv")), 6))
       .filter(col("__cos") >= minCosine)

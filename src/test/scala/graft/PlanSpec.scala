@@ -203,6 +203,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("vector hot-bucket guard: banded vec stream shuffles ONCE too") {
+    // the q165 form: the guard's COUNT window partitions on the same
+    // (__band, __bucket) the sign-LSH self-join shuffles on, so the
+    // window's exchange must BE the join's exchange (ReusedExchange on
+    // the second side) — the MinHash guard's one-exchange contract,
+    // mirrored for the vector path the sf100 audit caught quadratic.
+    import graft.scale.Dedup
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+      .limit(150)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val guarded = Dedup.embeddingNearDupsBucketed(emb, "vec_id",
+      "embedding", minCosine = 0.9, dim = 64, nPlanes = 8, bands = 2,
+      maxBucket = Some(16))
+    guarded.collect() // drive AQE to the final plan
+    // at spec scale AQE may plan the band exchange as SinglePartition
+    // (trivially satisfying the (__band, __bucket) clustering), so the
+    // contract asserted is structural: the WHOLE final plan contains
+    // exactly one real Exchange — the banded stream — and the second
+    // join side is a ReusedExchange of it
+    val plan = planOf(guarded).split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("+- Exchange ") && !l.contains("ReusedExchange"))
+    assert(plan.contains("isFinalPlan=true"), s"plan not final:\n$plan")
+    assert(exchanges == 1,
+      s"guarded vec plan has $exchanges real exchanges (want 1 — the " +
+        s"banded stream, reused by the second join side):\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"second join side did not reuse the band exchange:\n$plan")
+  }
+
   // ---- generate hygiene (Dedup.scala class doc) -----------------------
   // InferFiltersFromGenerate plants `size(arr)>0 AND isnotnull(arr)`
   // below a NON-outer explode, and pushdown substitutes the full array
