@@ -110,6 +110,11 @@ object Bench {
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
+    // Untimed warm-up: the first canary execution pays its own codegen/
+    // JIT compilation (measured ~0.5 s cold vs ~0.3 s warm on the r9
+    // host), which read as "pass-1 contention" in cross-round
+    // comparisons. canary_sec must measure the HOST, not the canary.
+    canary()
     val passes: Seq[Map[String, (Double, Boolean)]] = (1 to iters).map { _ =>
       canaries += canary()
       queryList.map { case (name, fn) => name -> timeQuery(fn) }.toMap
