@@ -574,6 +574,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastHashJoin [__band"), plan.take(2000))
   }
 
+  test("vector index dedup: maxBucket drops an overloaded index " +
+      "neighborhood; sparse-bucket matches survive untouched") {
+    // index: 30 identical vectors (one dense neighborhood — every band
+    // bucket holds all 30, over the cap) + 3 copies of a distinct
+    // checkerboard vector (sparse bucket, under the cap)
+    val dense = Seq.fill(30)(Array.fill(64)(0.125))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val sparse = (100 until 103).map(i => (i.toLong,
+      Array.tabulate(64)(j => if (j % 2 == 0) 0.125 else -0.125)))
+    val index = (dense ++ sparse).toDF("vec_id", "embedding")
+    // batch: one probe into each neighborhood
+    val batch = Seq(
+      (1000L, Array.fill(64)(0.125)),
+      (2000L, Array.tabulate(64)(j => if (j % 2 == 0) 0.125 else -0.125)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.dedupVectorsAgainstIndex(batch, index, "vec_id",
+      "embedding", minCosine = 0.9, dim = 64, nPlanes = 8, bands = 2,
+      maxBucket = Some(8)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the dense neighborhood is guard-dropped → its probe comes out KEPT
+    assert(out(1000L).getInt(2) == 1 && out(1000L).isNullAt(1),
+      s"over-cap index bucket was not dropped: ${out(1000L)}")
+    // the sparse neighborhood survives → its probe matches the lowest id
+    assert(out(2000L).getInt(2) == 0 && out(2000L).getLong(1) == 100L,
+      s"under-cap index bucket lost its match: ${out(2000L)}")
+  }
+
   test("hot-bucket guard: overloaded LSH buckets drop; small buckets and " +
       "their pairs survive untouched") {
     val p = Dedup.MinHashParams(k = 64, bands = 16, shingle = 2)
