@@ -496,8 +496,10 @@ object Dedup {
     * THE PAIR COUNT ITSELF does not: in-bucket verify work is
     * Σ popᵢ² per band, and a clustered corpus at fixed `nPlanes`
     * concentrates in few sign-buckets, so populations grow ∝ N — the
-    * sf100 shuffle audit measured wall-clock alpha ≈ 2.0 (9.6 → 149 s
-    * for 4.1× the vectors) UNDER a perfectly flat shuffle ratio. Two
+    * sf100 shuffle audit measured 9.6 → 149 s wall for just 2.06× the
+    * vectors (alpha ≈ 3.9: the quadratic verify compounded by the
+    * distinct over the quadratic pair output) UNDER a perfectly flat
+    * shuffle ratio. Two
     * corpus-scale controls, both caller-owned: (1) scale `nPlanes`
     * with the corpus (≈ log2(N / target bucket population); raises
     * per-band miss rate for borderline pairs — compensate with more
