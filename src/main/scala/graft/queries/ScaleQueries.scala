@@ -962,9 +962,9 @@ object ScaleQueries {
   /** The sign-LSH hot-bucket guard in its BINDING regime — q164's
     * pattern for vectors, motivated by a measured defect: at fixed
     * nPlanes a clustered corpus concentrates in few sign-buckets, and
-    * the sf100 audit clocked q117's in-bucket verify at wall alpha
-    * ≈ 2.0 under a perfectly flat shuffle ratio (the quadratic the
-    * byte audit CANNOT see). Corpus: the full embeddings table plus
+    * the sf100 audit clocked q117's in-bucket verify at 9.6 → 149 s
+    * for 2.06× the vectors (alpha ≈ 3.9) under a perfectly flat
+    * shuffle ratio (the blow-up the byte audit CANNOT see). Corpus: the full embeddings table plus
     * two planted families — 20 clones of vec 1 (bucket ≥ 21 > cap in
     * every band alongside its cluster mates, so its O(21²) pair blowup
     * is dropped) and 5 clones of a synthetic checkerboard unit vector
