@@ -145,6 +145,17 @@ object ShuffleAudit {
     val rows = audited.map { case (name, tables) =>
       val fn = SparkEntry.queries(name)
       val src = tables.map(tableBytes(sfDir, _)).sum
+      // Per-query isolation: the curation pipelines leave eagerly
+      // local-checkpointed blocks pinned in the block manager until a
+      // driver GC lets the ContextCleaner release them (unpersist()
+      // does not touch them — lineage is truncated, so the blocks are
+      // not evictable). Without this, whichever query FOLLOWS q100's
+      // multi-GB churn pays its memory pressure: q117 measured 149 s
+      // directly after q100 vs 31 s with distance, q110 183 s vs clean.
+      // Byte counts are unaffected either way; walls need isolation.
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(500)
       val (w0, s0) = settled()
       // Progress to stderr: byte counts are deterministic, but a multi-
       // decade corpus makes some queries run minutes — an operator
