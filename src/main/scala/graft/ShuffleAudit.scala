@@ -70,7 +70,21 @@ object ShuffleAudit {
     // the GUARDED q117 shape — at corpus scale its wall must stay
     // linear where q117's in-bucket verify goes quadratic (sf100:
     // alpha 2.0 under a flat shuffle ratio)
-    "q165_vector_hot_bucket" -> Seq("embeddings"))
+    "q165_vector_hot_bucket" -> Seq("embeddings"),
+    // round-9 second wave: span dedup shuffles only 8-byte hashes
+    // (ratio must stay ~constant); DSIR's model is ≤256 rows so only
+    // the per-doc fold may shuffle; embed-decontaminate's bench side
+    // broadcasts so its ratio must stay near zero.
+    "q166_span_dedup" -> Seq("documents"),
+    "q168_embed_decontaminate" -> Seq("embeddings"),
+    "q169_dsir_weights" -> Seq("documents"),
+    // excision reassembles docs, so ~2× compressed source is its floor
+    // (token stream + rebuilt text through the id-keyed exchanges) —
+    // what must NOT grow with duplication is the (id, pos) loser side
+    "q170_span_excise" -> Seq("documents"),
+    // the binned prefix must never funnel the corpus to one partition;
+    // its ratio is ~2× the (tiny) scored frame, constant in corpus size
+    "q171_budget_select" -> Seq("documents"))
 
   private final class Tally extends SparkListener {
     private val lock = new Object

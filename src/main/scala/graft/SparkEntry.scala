@@ -17,7 +17,7 @@ object SparkEntry {
       DqQueries.all ++ IngestQueries.all ++ StreamQueries.all ++
       ScaleQueries.all ++ SqlQueries.all ++ DomainQueries.all ++
       OlapQueries.all ++ CorpusQueries.all ++ SqlSurfaceQueries.all ++
-      VersionedQueries.all
+      VersionedQueries.all ++ SelectionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -40,4 +40,33 @@ object Decontaminate {
       .agg(count(col("g")).as("n_grams"), count(col("__hit")).as("overlap"))
       .withColumn("contaminated", (col("overlap") > 0).cast("int"))
   }
+
+  /** Embedding-space decontamination — the semantic complement of the
+    * n-gram [[overlap]] pass (paraphrased benchmark leakage has zero
+    * gram overlap but high embedding cosine). Per corpus vector:
+    * `idCol, max_sim` (best cosine against ANY benchmark vector, round
+    * 6), `n_close` (benchmark vectors at ≥ `minCosine`), `contaminated`.
+    *
+    * Scale shape: the benchmark embedding set is tiny relative to the
+    * corpus by construction, so it BROADCASTS into a nested-loop pass
+    * over the corpus and both statistics fold map-side in the partial
+    * aggregate — the corpus is scanned once and only one (id, max, cnt)
+    * row per corpus vector ever shuffles. A benchmark too large to
+    * broadcast needs the banded q117 shape instead; this operator's
+    * contract is the broadcast-dim regime (the real-world case:
+    * benchmarks are thousands of rows, corpora are billions). */
+  def embeddingOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+      vecCol: String, minCosine: Double): DataFrame = {
+    val b = bench.select(col(vecCol).cast("array<double>").as("__bv"))
+    corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
+      .crossJoin(broadcast(b))
+      .withColumn("__sim",
+        round(Similarity.cosine(col("__cv"), col("__bv")), 6))
+      .groupBy(idCol)
+      .agg(max(col("__sim")).as("max_sim"),
+        sum(when(col("__sim") >= minCosine, 1L).otherwise(0L))
+          .as("n_close"))
+      .withColumn("contaminated", (col("n_close") > 0).cast("int"))
+  }
 }

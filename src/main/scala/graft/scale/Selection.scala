@@ -1,0 +1,147 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data selection via hashed n-gram importance weights — the DSIR
+  * recipe (Xie et al. 2023, "Data Selection for Language Models via
+  * Importance Resampling"): featurize documents as hashed unigram +
+  * bigram counts, estimate per-bucket probabilities for a small target
+  * corpus and for the raw pool, and score each raw document by the
+  * log-likelihood ratio of its features under the two models. Raw
+  * documents that "look like the target" get positive weights and win
+  * selection.
+  *
+  * Scale shape: both probability models reduce to `buckets` rows
+  * (add-one smoothed counts) — vocabulary-sized state like the q163
+  * capped LM, broadcast by construction. The raw corpus explodes its
+  * grams once, joins the broadcast log-ratio table map-side, and folds
+  * per-doc sums in a partial aggregate — one narrow (id)-keyed shuffle
+  * carries the only data movement. Nothing is quadratic in corpus
+  * size; the target pass is a second scan of the (small) target set.
+  */
+object Selection {
+
+  /** Per-doc hashed feature stream `(idCol, __b)`: one row per unigram
+    * and per adjacent bigram (multiplicity kept), bucketed by the
+    * md5-60 hash (cross-engine reproducible — the q111 fold) mod
+    * `buckets`. Zero-gram docs surface one null `__b` row
+    * (explode_outer; generate hygiene — Dedup class doc). */
+  private def featureBuckets(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame =
+    df.select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode_outer(concat(
+        col("__toks"),
+        when(size(col("__toks")) >= 2,
+          transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => concat_ws(" ", element_at(col("__toks"), i),
+              element_at(col("__toks"), i + 1))))
+          .otherwise(array()))).as("__g"))
+      .select(col(idCol),
+        when(col("__g").isNotNull,
+          pmod(Dedup.md5Hash60(concat(col("__g"), lit(":dsir"))),
+            lit(buckets.toLong))).as("__b"))
+
+  /** Token-budget selection: order documents by (`scoreCol` DESC,
+    * `idCol` ASC) and select the maximal prefix whose cumulative
+    * token count stays under `budgetFraction` of the corpus total —
+    * "take the best N% of tokens" (data mixing / quality-pruning
+    * under a fixed training budget). A document is selected iff the
+    * EXACT sum of tokens over all strictly-preceding documents is
+    * below the budget (the boundary doc that crosses the budget is
+    * still taken).
+    *
+    * Output: `idCol, scoreCol, ntokCol, cum_before, selected`.
+    *
+    * Scale shape: the naive form is a GLOBAL cumulative-sum window —
+    * a single-partition sort of the corpus, the one shape that cannot
+    * distribute. This instead computes the exact same prefix in three
+    * linear pieces: (1) one tiny reduce row (score range + total →
+    * budget) broadcast back; (2) per-bin token sums over `bins`
+    * value-range buckets (≤ `bins` rows) with a cumulative offset
+    * window over that tiny frame; (3) ONE window partitioned BY BIN —
+    * B-way parallel, each bin sorting only its own slice — whose
+    * in-bin prefix plus the bin offset is the exact global
+    * `cum_before`. Binning is a monotone function of score, so
+    * bin-desc + in-bin order IS the global total order; equal scores
+    * always share a bin and break ties by id. Degenerate contract: a
+    * corpus whose scores are all equal collapses to one bin (a global
+    * window again) — callers with coarse scores should widen them
+    * (the q171 blend is continuous for exactly this reason). */
+  def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+      ntokCol: String, budgetFraction: Double, bins: Int = 256): DataFrame = {
+    require(budgetFraction > 0.0 && budgetFraction <= 1.0,
+      "budgetFraction must be in (0, 1]")
+    require(bins >= 1, "need at least one score bin")
+    val W = org.apache.spark.sql.expressions.Window
+    // persist the scored projection: the stats reduce, the bin-sum
+    // aggregate, and the final prefix pass all read it, and the
+    // caller's scoring expressions (typically a regex battery) must
+    // run ONCE, not once per consumer. ~24 B/doc narrow rows,
+    // MEMORY_AND_DISK, LRU-evictable (the Curation.scala lifecycle
+    // argument).
+    val base = df.select(col(idCol),
+      col(scoreCol).cast("double").as("__s"),
+      col(ntokCol).cast("long").as("__n")).persist()
+    val stats = base.agg(min(col("__s")).as("__lo"),
+      max(col("__s")).as("__hi"), sum(col("__n")).as("__tot"))
+    val binned = base.crossJoin(broadcast(stats))
+      .withColumn("__budget",
+        floor(lit(budgetFraction) * col("__tot")).cast("long"))
+      .withColumn("__bin",
+        when(col("__hi") <= col("__lo"), lit(0))
+          .otherwise(least(floor((col("__s") - col("__lo")) /
+              (col("__hi") - col("__lo")) * bins).cast("int"),
+            lit(bins - 1))))
+    val wBins = W.partitionBy(lit(1)).orderBy(col("__bin").desc)
+      .rowsBetween(Long.MinValue, -1)
+    val binOffsets = binned.groupBy(col("__bin"))
+      .agg(sum(col("__n")).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(wBins), lit(0L)))
+      .select(col("__bin"), col("__off"))
+    val wIn = W.partitionBy(col("__bin"))
+      .orderBy(col("__s").desc, col(idCol).asc)
+      .rowsBetween(Long.MinValue, -1)
+    binned.join(broadcast(binOffsets), Seq("__bin"))
+      .withColumn("__cb",
+        col("__off") + coalesce(sum(col("__n")).over(wIn), lit(0L)))
+      .select(col(idCol), col("__s").as(scoreCol), col("__n").as(ntokCol),
+        col("__cb").as("cum_before"),
+        (col("__cb") < col("__budget")).cast("int").as("selected"))
+  }
+
+  /** Importance weights for every `raw` document against the `target`
+    * distribution: `idCol, n_feats, logw_sum, logw_mean, selected`
+    * (mean log-ratio > 0 ⇔ the doc is more probable under the target
+    * model). Probabilities are add-one smoothed over `buckets` hashed
+    * unigram+bigram feature buckets. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, "need at least 2 feature buckets")
+    val rawFeats = featureBuckets(raw, idCol, textCol, buckets)
+    val targetCounts = featureBuckets(target, idCol, textCol, buckets)
+      .filter(col("__b").isNotNull)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val rawCounts = rawFeats.filter(col("__b").isNotNull)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    // ≤ buckets rows per side; totals via an all-rows window keeps the
+    // model a single small frame (no scalar collect)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    val logRatio = rawCounts.join(targetCounts, Seq("__b"), "full_outer")
+      .withColumn("__tt", sum(coalesce(col("__ct"), lit(0L))).over(all))
+      .withColumn("__tr", sum(coalesce(col("__cr"), lit(0L))).over(all))
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)) + lit(1L)).cast("double") /
+             (col("__tt") + buckets).cast("double")) -
+         log((coalesce(col("__cr"), lit(0L)) + lit(1L)).cast("double") /
+             (col("__tr") + buckets).cast("double"))).as("__lr"))
+    rawFeats
+      .join(broadcast(logRatio), Seq("__b"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__b")).as("n_feats"),
+        round(coalesce(sum(col("__lr")), lit(0.0)), 6).as("logw_sum"),
+        round(coalesce(avg(col("__lr")), lit(0.0)), 6).as("logw_mean"))
+      .withColumn("selected", (col("logw_mean") > 0).cast("int"))
+  }
+}

@@ -1,0 +1,275 @@
+package graft
+
+import graft.core.Tables
+import graft.scale.{Decontaminate, Selection, Spans, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 training-data additions: repeated-span detection, token
+  * chunking, embedding decontamination, DSIR importance weights. */
+class SelectionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- Spans.repeatedSpans ---------------------------------------------
+
+  test("repeatedSpans flags cross-doc shared spans, not intra-doc repeats") {
+    val boiler = (1 to 12).map(i => s"boiler$i").mkString(" ")
+    val selfRep = (1 to 8).map(i => s"own$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$boiler unique one two three four"),
+      (2L, s"$boiler other words entirely here now"),
+      // the same 8-token span twice WITHIN one doc, nowhere else
+      (3L, s"$selfRep $selfRep"),
+      (4L, "totally unrelated text with enough tokens to span")
+    ).toDF("doc_id", "text")
+    val out = Spans.repeatedSpans(df, "doc_id", "text", n = 8, stride = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // docs 1/2 share the 12-token boilerplate prefix → ≥1 aligned
+    // window each (shared length 12 ≥ n + stride − 1 = 11)
+    assert(out(1L)._2 >= 1, s"doc 1 should have dup spans: $out")
+    assert(out(2L)._2 >= 1, s"doc 2 should have dup spans: $out")
+    // intra-doc repetition is NOT cross-doc duplication
+    assert(out(3L)._2 === 0, s"doc 3 repeats only itself: $out")
+    assert(out(4L)._2 === 0)
+  }
+
+  test("repeatedSpans keeps short docs with zero spans; window math exact") {
+    val df = Seq(
+      (1L, "only three tokens"),                       // < n → 0 spans
+      (2L, (1 to 8).map("w" + _).mkString(" ")),       // exactly n → 1
+      (3L, (1 to 13).map("x" + _).mkString(" ")),      // 13 → k=2 (0,4)
+      (4L, "")                                          // no tokens
+    ).toDF("doc_id", "text")
+    val out = Spans.repeatedSpans(df, "doc_id", "text", n = 8, stride = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
+  }
+
+  test("repeatedSpans plan: exactly two narrow-key exchanges, text never shuffles") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val plan = Spans.repeatedSpans(docs, "doc_id", "text", 8, 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
+      s"expected span-hash window + per-doc agg exchanges only:\n$plan")
+    assert(plan.contains("hashpartitioning(__sh"),
+      "the window must partition on the 8-byte span hash")
+    assert(!plan.contains("hashpartitioning(text") &&
+      !plan.contains("hashpartitioning(__toks"),
+      "neither text nor token arrays may be a shuffle key")
+  }
+
+  // ---- Spans.chunk ------------------------------------------------------
+
+  test("chunk covers every token, minimal count, overlap exact") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .limit(200)
+    val size = 32; val overlap = 8; val stride = size - overlap
+    val toks = docs.select(col("doc_id"),
+      graft.scale.TextStats.tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    val chunks = Spans.chunk(docs, "doc_id", "text", size, overlap)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .groupBy(_._1)
+    for ((id, t) <- toks) {
+      val cs = chunks.getOrElse(id, Array.empty).sortBy(_._2)
+      if (t.isEmpty) assert(cs.isEmpty, s"doc $id: empty doc must not chunk")
+      else {
+        // minimal covering count
+        val expected = if (t.size <= size) 1
+          else 1 + math.ceil((t.size - size).toDouble / stride).toInt
+        assert(cs.length === expected, s"doc $id chunk count")
+        // every chunk is the exact token slice at its offset
+        for ((_, i, n, text) <- cs) {
+          val slice = t.slice(i * stride, i * stride + size)
+          assert(n === slice.size && text === slice.mkString(" "),
+            s"doc $id chunk $i content")
+        }
+        // full coverage: last chunk reaches the final token
+        assert((cs.last._2 * stride + size) >= t.size, s"doc $id coverage")
+      }
+    }
+  }
+
+  test("chunk plan is shuffle-free (pure Generate)") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val plan = Spans.chunk(docs, "doc_id", "text", 32, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  // ---- Spans.exciseRepeatedSpans ----------------------------------------
+
+  test("exciseRepeatedSpans cuts covered tokens from later docs only") {
+    // letter-only tokens: the tokenizer splits on [^a-z]+, digits vanish
+    val boiler = ('a' to 'l').map(c => s"b$c").mkString(" ")
+    val df = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, "nothing shared with anyone here at all eight")
+    ).toDF("doc_id", "text")
+    val out = Spans.exciseRepeatedSpans(df, "doc_id", "text", 8, 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // doc 1 owns the boilerplate (min id) — keeps everything
+    assert(out(1L) === ((16L, 0L, s"$boiler alpha beta gamma delta")))
+    // doc 2: windows at start 0 (toks 0-7) and 4 (4-11) match doc 1 →
+    // positions 0-11 cut; window at 8 mixes boiler+tail, no match
+    assert(out(2L) === ((16L, 12L, "epsilon zeta eta theta")))
+    assert(out(3L) === ((8L, 0L, "nothing shared with anyone here at all eight")))
+  }
+
+  test("exciseRepeatedSpans: full excision, short and empty docs survive") {
+    val same = ('a' to 'p').map(c => s"c$c").mkString(" ")
+    val df = Seq(
+      (1L, same), (2L, same),          // doc 2 fully covered (3 windows)
+      (3L, "short doc"),                // < n → no windows, untouched
+      (4L, "")                          // zero tokens
+    ).toDF("doc_id", "text")
+    val out = Spans.exciseRepeatedSpans(df, "doc_id", "text", 8, 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out(1L) === ((16L, 0L, same)))
+    assert(out(2L) === ((16L, 16L, "")))
+    assert(out(3L) === ((2L, 0L, "short doc")))
+    assert(out(4L) === ((0L, 0L, "")))
+  }
+
+  test("exciseRepeatedSpans keeps the winner's intra-doc repeats") {
+    val rep = ('a' to 'h').map(c => s"r$c").mkString(" ")
+    val df = Seq((1L, s"$rep $rep"), (2L, "unrelated words only"))
+      .toDF("doc_id", "text")
+    val out = Spans.exciseRepeatedSpans(df, "doc_id", "text", 8, 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // doc 1 is its own winner — repeats are NOT cross-doc duplication
+    assert(out(1L) === ((0L, s"$rep $rep")))
+  }
+
+  test("exciseRepeatedSpans plan: shuffles carry hashes and int positions, never text") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val plan = Spans.exciseRepeatedSpans(docs, "doc_id", "text", 8, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__sh"),
+      "the loser window must partition on the span hash")
+    assert(!plan.contains("hashpartitioning(text") &&
+      !plan.contains("hashpartitioning(__toks") &&
+      !plan.contains("hashpartitioning(__tok,"),
+      s"no text column may be a shuffle key:\n$plan")
+  }
+
+  // ---- Decontaminate.embeddingOverlap -----------------------------------
+
+  test("embeddingOverlap flags an exact benchmark copy and clears orthogonals") {
+    val bench = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f, 0.0f)),   // same direction → sim 1.0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal → sim 0.0
+      (3L, Array(0.9f, 0.1f, 0.0f, 0.0f))    // close → sim ≈ 0.9938
+    ).toDF("vec_id", "embedding")
+    val out = Decontaminate
+      .embeddingOverlap(corpus, bench, "vec_id", "embedding", 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(3))).toMap
+    assert(out(1L) === ((1.0, 1)))
+    assert(out(2L) === ((0.0, 0)))
+    assert(out(3L)._1 > 0.99 && out(3L)._2 === 1)
+  }
+
+  test("embeddingOverlap plan: bench broadcasts, corpus never shuffles pre-agg") {
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    val plan = Decontaminate.embeddingOverlap(
+      emb.filter(col("vec_id") % 50 =!= 0), emb.filter(col("vec_id") % 50 === 0),
+      "vec_id", "embedding", 0.9).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") &&
+      plan.contains("BroadcastExchange"), s"bench side must broadcast:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      "only the (vec_id, partial-agg) rows may shuffle")
+  }
+
+  // ---- Selection.dsirWeights -------------------------------------------
+
+  test("dsirWeights ranks target-like docs above disjoint-vocab docs") {
+    val target = (1 to 20).map(i =>
+      (100L + i, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "zzz qqq xxx vvv kkk jjj www yyy uuu ppp"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Selection.dsirWeights(raw, target, "doc_id", "text", 256)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3), r.getInt(4)))
+      .toMap
+    assert(out(1L)._2 > out(2L)._2, s"target-like must outrank: $out")
+    assert(out(1L)._3 === 1 && out(2L)._3 === 0)
+    assert(out(3L) === ((0L, 0.0, 0)), "zero-gram docs survive with weight 0")
+  }
+
+  // ---- Selection.budgetSelect ------------------------------------------
+
+  test("budgetSelect equals the naive global cumsum (exact prefix, ties by id)") {
+    // adversarial: duplicate scores straddling nothing (same bin by
+    // construction), a doc that exactly crosses the budget, varied sizes
+    val df = Seq(
+      (1L, 0.90, 100L), (2L, 0.80, 200L), (3L, 0.80, 50L),
+      (4L, 0.50, 300L), (5L, 0.10, 400L), (6L, 0.10, 10L),
+      (7L, 0.05, 500L)
+    ).toDF("doc_id", "score", "n_tokens")
+    // total 1560, budget = floor(0.5*1560) = 780
+    val out = Selection.budgetSelect(df, "doc_id", "score", "n_tokens", 0.5,
+      bins = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getInt(4))).toMap
+    // order: 1(cb 0) 2(100) 3(300) 4(350) 5(650) 6(1050) 7(1060)
+    assert(out === Map(
+      1L -> ((0L, 1)), 2L -> ((100L, 1)), 3L -> ((300L, 1)),
+      4L -> ((350L, 1)), 5L -> ((650L, 1)),   // crosses the budget: taken
+      6L -> ((1050L, 0)), 7L -> ((1060L, 0))))
+  }
+
+  test("budgetSelect: constant scores degrade to one bin, ids break ties") {
+    val df = (1L to 10L).map(i => (i, 0.5, 10L))
+      .toDF("doc_id", "score", "n_tokens")
+    val out = Selection.budgetSelect(df, "doc_id", "score", "n_tokens", 0.5,
+      bins = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    // budget 50 → docs 1-5 have cum_before 0..40 < 50; doc 6 cb=50 → out
+    assert((1L to 5L).forall(out(_) === 1) && (6L to 10L).forall(out(_) === 0))
+  }
+
+  test("budgetSelect plan: no global single-partition sort of the corpus") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select(col("doc_id"),
+        TextStats.stopwordRatio(col("text")).as("score"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+    val plan = Selection
+      .budgetSelect(docs, "doc_id", "score", "n_tokens", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__bin"),
+      s"the corpus prefix window must partition by bin:\n$plan")
+    // the only SinglePartition movements allowed are post-partial-agg
+    // tiny frames: the one-row stats reduce (evaluated for the main
+    // frame and again inside the bin-offset branch) and the ≤bins-row
+    // offset window — never the doc stream. Every one of them sits
+    // above a partial HashAggregate, so the corpus cannot be flowing
+    // through; the doc-stream window itself must partition by bin.
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single <= 3, s"corpus must not funnel to one partition:\n$plan")
+  }
+
+  test("dsirWeights plan: the log-ratio model broadcasts into the gram stream") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val plan = Selection.dsirWeights(
+      docs.filter(col("lang") =!= "en"), docs.filter(col("lang") === "en"),
+      "doc_id", "text", 256).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"the ≤256-row model must broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the gram-stream join must be map-side")
+  }
+}
