@@ -84,7 +84,14 @@ object ShuffleAudit {
     "q170_span_excise" -> Seq("documents"),
     // the binned prefix must never funnel the corpus to one partition;
     // its ratio is ~2× the (tiny) scored frame, constant in corpus size
-    "q171_budget_select" -> Seq("documents"))
+    "q171_budget_select" -> Seq("documents"),
+    // classifier scoring is a pure projection — its ratio must be
+    // EXACTLY zero at every SF (the inlined-weights contract)
+    "q173_quality_classifier" -> Seq("documents"),
+    // hybrid fusion: corpus work is the audited BM25 + brute-ANN
+    // shapes; the fusion itself joins two ≤ n_q·k ranked lists, so
+    // the ratio must match q138+q44's combined floor, not grow
+    "q172_hybrid_rrf" -> Seq("documents", "embeddings"))
 
   private final class Tally extends SparkListener {
     private val lock = new Object

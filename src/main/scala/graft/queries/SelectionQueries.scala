@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.QueryDef
 import graft.core.Tables
-import graft.scale.{Decontaminate, Selection, Spans, TextStats}
+import graft.scale.{Clusters, Decontaminate, Dedup, Retrieval, Selection,
+  Similarity, Spans, TextStats}
 import org.apache.spark.sql.functions._
 
 /** Round-9 training-data additions beyond the reference surface:
@@ -254,7 +255,179 @@ object SelectionQueries {
       budgetFraction = 0.5)
   }
 
+  /** Hybrid retrieval: three (text-terms, query-vector) queries — BM25
+    * top-20 per query fused with dense cosine top-20 per query by
+    * reciprocal-rank fusion (k0=60), top-10 fused results each. The
+    * oracle replays BOTH rankers bit-exactly (the q141 fixed-order
+    * pivot chain per query, the q44 cosine) and the fusion arithmetic
+    * (1/(k0+rank) sums need no rounding — single IEEE ops). */
+  val qHybridRrf: QueryDef = QueryDef(
+    "q172_hybrid_rrf", {
+      val specs = Seq(
+        0L -> Seq("join", "vector", "scan"),
+        1L -> Seq("stream", "window", "merge"),
+        2L -> Seq("filter", "sort", "hash"))
+      val allTerms = specs.flatMap(_._2).distinct
+      val termList = allTerms.map(t => s"'$t'").mkString(", ")
+      val perQuery = specs.map { case (qid, terms) =>
+        val inList = terms.map(t => s"'$t'").mkString(", ")
+        val chain = terms.map(t =>
+          s"coalesce(max(CASE WHEN tok = '$t' THEN score END), 0.0)")
+          .mkString(" +\n         |      ")
+        s"""  SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+           |    round($chain, 6) AS score
+           |  FROM sc WHERE tok IN ($inList) GROUP BY doc_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |    x -> x <> '') AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, toks, len(toks) AS dl FROM t),
+         |s AS (SELECT count(*) AS n,
+         |        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM d),
+         |tf AS (
+         |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+         |  WHERE tok IN ($termList) GROUP BY 1, 2, 3),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.tok,
+         |    round(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+         |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+         |  FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN s),
+         |lex AS (
+         |$perQuery),
+         |lexk AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id ASC) AS INT) AS lrank
+         |  FROM lex QUALIFY lrank <= 20),
+         |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings WHERE vec_id < 3),
+         |cv AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings),
+         |denk AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, doc_id ASC) AS INT) AS vrank
+         |  FROM (
+         |    SELECT q.query_id, c.doc_id,
+         |      round(list_cosine_similarity(q.v, c.v), 6) AS sim
+         |    FROM cv c CROSS JOIN qv q WHERE c.doc_id <> q.query_id)
+         |  QUALIFY vrank <= 20),
+         |f AS (
+         |  SELECT coalesce(l.query_id, r.query_id) AS query_id,
+         |    coalesce(l.doc_id, r.doc_id) AS doc_id,
+         |    l.lrank AS lex_rank, r.vrank AS vec_rank,
+         |    coalesce(CAST(1 AS DOUBLE) / (60 + l.lrank), 0.0) +
+         |    coalesce(CAST(1 AS DOUBLE) / (60 + r.vrank), 0.0) AS rrf_score
+         |  FROM lexk l FULL OUTER JOIN denk r
+         |    ON l.query_id = r.query_id AND l.doc_id = r.doc_id)
+         |SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
+         |FROM f
+         |QUALIFY rank <= 10""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val emb = Tables.load(s, dir, "embeddings")
+    val specs = Seq(
+      0L -> Seq("join", "vector", "scan"),
+      1L -> Seq("stream", "window", "merge"),
+      2L -> Seq("filter", "sort", "hash"))
+    val lex = Retrieval.bm25Queries(docs, "doc_id", "text", specs, k = 20)
+    val dense = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 20)
+      .withColumnRenamed("neighbor_id", "doc_id")
+    Retrieval.rrfFuse(
+      lex.select("query_id", "doc_id", "rank"),
+      dense.select("query_id", "doc_id", "rank"),
+      "query_id", "doc_id", "rank", k0 = 60, k = 10)
+  }
+
+  /** Hashed-feature linear quality classifier scored at scan speed —
+    * the oracle replays tokenization, the gram stream, the md5-60
+    * bucket hash, the deterministic weight table ((b % 1001) − 500),
+    * and the exact-long fold. */
+  val qQualityClassifier: QueryDef = QueryDef(
+    "q173_quality_classifier",
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_concat(toks,
+       |    list_transform(range(1, greatest(len(toks), 1)),
+       |      i -> toks[i] || ' ' || toks[i + 1]))) AS g
+       |  FROM t),
+       |fb AS (
+       |  SELECT doc_id,
+       |    ${md5Fold60Sql("g || ':qc'")} % 1024 AS b
+       |  FROM g),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |    CAST(sum((b % 1001) - 500) AS BIGINT) AS w_sum
+       |  FROM fb GROUP BY 1)
+       |SELECT t.doc_id,
+       |  coalesce(a.n_feats, 0) AS n_feats,
+       |  coalesce(a.w_sum, 0) AS w_sum,
+       |  CASE WHEN coalesce(a.n_feats, 0) = 0 THEN 0.0
+       |       ELSE CAST(a.w_sum AS DOUBLE) / a.n_feats END AS w_mean,
+       |  CAST(coalesce(a.w_sum, 0) > 0 AS INT) AS keep
+       |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin) { (s, dir) =>
+    Selection.classifierScore(Tables.load(s, dir, "documents"),
+      "doc_id", "text", buckets = 1024)
+  }
+
+  /** Leakage-safe split over near-dup clusters: the q84 cluster
+    * labels hashed to train/val/test — every member of a cluster
+    * shares its split, so near-duplicates can never straddle
+    * train/test. Oracle = the q84 recursive-CTE components + the same
+    * md5-60 label hash. */
+  val qLeakageSplit: QueryDef = QueryDef(
+    "q174_leakage_split",
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                  x -> x <> '')) AS toks
+       |  FROM documents WHERE doc_id < 60),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |  WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+       |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+       |        >= 0.7),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(node, lab) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+       |comp AS (SELECT node, min(lab) AS cid FROM reach GROUP BY node),
+       |assigned AS (
+       |  SELECT t.doc_id, coalesce(comp.cid, t.doc_id) AS cluster_id
+       |  FROM t LEFT JOIN comp ON t.doc_id = comp.node),
+       |h AS (
+       |  SELECT doc_id, cluster_id,
+       |    ${md5Fold60Sql("'split:' || CAST(cluster_id AS VARCHAR)")} % 100
+       |      AS hb
+       |  FROM assigned)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN hb < 80 THEN 'train'
+       |       WHEN hb < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM h""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 60)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.7)
+      .select("id_a", "id_b")
+    val labeled = Clusters.dedupClusters(docs.select("doc_id"), pairs, "doc_id")
+      .select("doc_id", "cluster_id")
+    Selection.leakageSafeSplit(labeled, "cluster_id",
+      trainPct = 80, valPct = 10)
+  }
+
   val all: Seq[QueryDef] =
     Seq(qSpanDedup, qChunk, qEmbedDecontaminate, qDsir, qSpanExcise,
-      qBudgetSelect)
+      qBudgetSelect, qHybridRrf, qQualityClassifier, qLeakageSplit)
 }

@@ -193,4 +193,87 @@ object Retrieval {
           .orderBy(col("score").desc, col(idCol).asc)))
       .filter(col("rank") <= k)
       .select(col("__t").as("term"), col(idCol), col("score"), col("rank"))
+
+  /** BATCH multi-query BM25: score a whole query WORKLOAD in one
+    * pass — the postings explode, document-frequency, and corpus
+    * stats are computed ONCE over the union of all query terms, then
+    * a broadcast (query, term) mapping fans each scored posting out
+    * to the queries that asked for it and a per-(query, doc)
+    * aggregate applies the q141 pivot chain. Versus one [[bm25Query]]
+    * plan per query, this is 2 corpus scans total instead of 2 per
+    * query, and the rank window is PARTITIONED by query (parallel,
+    * never a single-partition sort).
+    *
+    * Determinism: the pivot chain adds slots in the UNION term order;
+    * a query's absent terms contribute an exact `0.0` (coalesce), and
+    * `x + 0.0` is exact in IEEE arithmetic, so each query's total is
+    * bit-identical to its standalone [[bm25Query]] chain (its own
+    * terms keep their relative order — RetrievalSpec asserts
+    * equality). Output: `(query_id, idCol, score, rank ≤ k)`. */
+  def bm25Queries(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, Seq[String])], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    val allTerms = queries.flatMap(_._2).distinct
+    val toks = tokenized(docs, idCol, textCol)
+    val tf = postings(toks, idCol, allTerms)
+    val stats = toks.agg(count(lit(1)).as("__N"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val qt = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("__qid", "__t")
+    val perTerm: Seq[Column] = allTerms.map(t =>
+      coalesce(max(when(col("__t") === t, col("score"))), lit(0.0)))
+    val total = round(perTerm.reduce(_ + _), 6)
+    scoredPostings(tf, dfreq, stats, k1, b)
+      .join(broadcast(qt), Seq("__t"))
+      .groupBy(col("__qid"), col(idCol))
+      .agg(total.as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("__qid"))
+          .orderBy(col("score").desc, col(idCol).asc)).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col(idCol), col("score"),
+        col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of a lexical and a
+    * dense ranked list — the standard hybrid-retrieval combiner
+    * (Elasticsearch/Vespa/OpenSearch all ship exactly this):
+    * `rrf(d) = Σ_lists 1/(k0 + rank_list(d))`, with a document absent
+    * from a list contributing 0 for that list. Inputs are per-query
+    * ranked lists `(queryCol, idCol, rankCol)` — typically
+    * [[bm25Query]] output unioned per query and a per-query ANN top-k
+    * from [[Similarity]]. Output:
+    * `(queryCol, idCol, lex_rank, vec_rank, rrf_score, rank ≤ k)`.
+    *
+    * Scale shape: both inputs are ALREADY top-k-per-query lists —
+    * ≤ n_queries × k rows each, however large the corpus behind them —
+    * so the fusion join and the per-query rank window cost O(n_q · k)
+    * regardless of corpus size; the heavy lifting stays inside the
+    * audited BM25/ANN kernels. Determinism: ranks are exact ints,
+    * 1/(k0+rank) and the two-term sum are single correctly-rounded
+    * IEEE ops in a fixed order, so fused scores are bit-stable
+    * cross-engine with NO rounding step; ties break by id. */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, queryCol: String,
+      idCol: String, rankCol: String, k0: Int = 60,
+      k: Int = 10): DataFrame = {
+    require(k0 >= 1, "k0 must be >= 1")
+    val l = lex.select(col(queryCol).as("__q"), col(idCol).as("__id"),
+      col(rankCol).cast("int").as("lex_rank"))
+    val d = dense.select(col(queryCol).as("__q"), col(idCol).as("__id"),
+      col(rankCol).cast("int").as("vec_rank"))
+    l.join(d, Seq("__q", "__id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(k0) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(k0) + col("vec_rank")), lit(0.0)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("__q"))
+          .orderBy(col("rrf_score").desc, col("__id").asc)).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("__q").as(queryCol), col("__id").as(idCol),
+        col("lex_rank"), col("vec_rank"), col("rrf_score"), col("rank"))
+  }
 }

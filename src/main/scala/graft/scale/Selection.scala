@@ -110,6 +110,80 @@ object Selection {
         (col("__cb") < col("__budget")).cast("int").as("selected"))
   }
 
+  /** Deterministic weight table for [[classifierScore]]: integer
+    * weights in [-500, 500], one per hash bucket — the stand-in for a
+    * trained fastText/logistic-regression weight vector (the real
+    * model would load the same shape from a file; everything
+    * downstream is identical). */
+  private[graft] def classifierWeights(buckets: Int): Seq[Long] =
+    (0 until buckets).map(b => ((b % 1001) - 500).toLong)
+
+  /** Linear quality-classifier scoring over hashed unigram+bigram
+    * features — the fastText-style model-based filter every modern
+    * curation pipeline runs (CCNet, DCLM, FineWeb-Edu): each gram
+    * hashes to one of `buckets` weight slots, a document's score is
+    * the sum of its gram weights, and `keep = score_sum > 0`. The
+    * weight vector ships INLINED as an array literal (the PQ-codebook
+    * pattern — a few KB of plan constants), so scoring is a PURE
+    * PROJECTION: tokens, grams, hashes, the weight lookup, and the
+    * per-doc fold all run inside HOF lambdas over the token array —
+    * ZERO exchanges, the corpus is classified at scan speed
+    * (SelectionSpec asserts the exchange-free plan). Contrast q169
+    * DSIR, which must aggregate corpus-wide bucket counts first; a
+    * pre-trained classifier has no corpus-wide state at all.
+    *
+    * Output: `idCol, n_feats, w_sum, w_mean, keep`. Determinism: the
+    * hash is the md5-60 fold (cross-engine reproducible), weights and
+    * `w_sum` are exact longs folded in array order, and `w_mean` is
+    * one correctly-rounded IEEE division — bit-stable vs the oracle
+    * with no rounding step. */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, "need at least 2 weight buckets")
+    val weights = typedLit(classifierWeights(buckets))
+    val toks = TextStats.tokens(col(textCol))
+    val grams = concat(
+      toks,
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i),
+            element_at(toks, i + 1))))
+        .otherwise(array()))
+    df.select(col(idCol), grams.as("__g"))
+      .select(col(idCol),
+        size(col("__g")).cast("long").as("n_feats"),
+        aggregate(
+          transform(col("__g"), g => element_at(weights,
+            pmod(Dedup.md5Hash60(concat(g, lit(":qc"))),
+              lit(buckets.toLong)).cast("int") + 1)),
+          lit(0L), (acc, w) => acc + w).as("w_sum"))
+      .withColumn("w_mean",
+        when(col("n_feats") > 0,
+          col("w_sum").cast("double") / col("n_feats")).otherwise(lit(0.0)))
+      .withColumn("keep", (col("w_sum") > 0).cast("int"))
+  }
+
+  /** Leakage-safe train/val/test split: hash the CLUSTER label, not
+    * the document id, so every member of a near-dup cluster (the
+    * [[Clusters.dedupClusters]] output) lands in the SAME split —
+    * near-duplicate pairs can never straddle train/test and leak
+    * evaluation data into training. `trainPct`/`valPct` are integer
+    * percents; the rest is test. A pure projection over the labeled
+    * frame — zero additional data movement beyond the clustering that
+    * produced the labels. */
+  def leakageSafeSplit(labeled: DataFrame, labelCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct >= 1 && valPct >= 0 && trainPct + valPct <= 100,
+      "percents must satisfy 1 <= trainPct, 0 <= valPct, sum <= 100")
+    val h = pmod(Dedup.md5Hash60(
+      concat(lit("split:"), col(labelCol).cast("string"))), lit(100L))
+    labeled
+      .withColumn("split",
+        when(h < trainPct, lit("train"))
+          .when(h < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Importance weights for every `raw` document against the `target`
     * distribution: `idCol, n_feats, logw_sum, logw_mean, selected`
     * (mean log-ratio > 0 ⇔ the doc is more probable under the target

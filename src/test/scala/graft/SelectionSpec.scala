@@ -272,4 +272,107 @@ class SelectionSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       "the gram-stream join must be map-side")
   }
+
+  // ---- Retrieval.bm25Queries -------------------------------------------
+
+  test("bm25Queries is bit-identical to per-query bm25Query; window is " +
+      "partitioned by query") {
+    import graft.scale.Retrieval
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val specs = Seq(
+      0L -> Seq("join", "vector", "scan"),
+      1L -> Seq("stream", "window", "merge"))
+    val batch = Retrieval.bm25Queries(docs, "doc_id", "text", specs, k = 15)
+    val solo = specs.map { case (qid, terms) =>
+      Retrieval.bm25Query(docs, "doc_id", "text", terms, k = 15)
+        .withColumn("query_id", lit(qid))
+        .select("query_id", "doc_id", "score", "rank")
+    }.reduce(_ unionByName _)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    assert(batch.collect().map(key).sortBy(t => (t._1, t._4)).toSeq ===
+      solo.collect().map(key).sortBy(t => (t._1, t._4)).toSeq,
+      "the 0.0-padded union chain must reproduce each standalone chain")
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__qid"),
+      s"the rank window must partition by query, not run global:\n$plan")
+  }
+
+  // ---- Retrieval.rrfFuse ------------------------------------------------
+
+  test("rrfFuse: both-list docs outrank single-list, absences are null") {
+    import graft.scale.Retrieval
+    val lex = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("q", "id", "rank")
+    val den = Seq((0L, 11L, 1), (0L, 12L, 2)).toDF("q", "id", "rank")
+    val out = Retrieval.rrfFuse(lex, den, "q", "id", "rank", k0 = 60, k = 10)
+      .collect().sortBy(r => r.getInt(5))
+      .map(r => (r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+        r.getDouble(4)))
+    // doc 11 in both lists: 1/62 + 1/61 beats 10's 1/61 beats 12's 1/62
+    assert(out.map(_._1).toSeq === Seq(11L, 10L, 12L), out.mkString(","))
+    assert(out(0)._4 === 1.0 / 62 + 1.0 / 61)
+    assert(out(1) === ((10L, Some(1), None, 1.0 / 61)))
+    assert(out(2) === ((12L, None, Some(2), 1.0 / 62)))
+  }
+
+  test("rrfFuse: ties on fused score break by id; per-query partitions") {
+    import graft.scale.Retrieval
+    // two queries; in q1 docs 5 and 7 get identical mirrored ranks
+    val lex = Seq((1L, 5L, 1), (1L, 7L, 2), (2L, 9L, 1)).toDF("q", "id", "rank")
+    val den = Seq((1L, 5L, 2), (1L, 7L, 1)).toDF("q", "id", "rank")
+    val out = Retrieval.rrfFuse(lex, den, "q", "id", "rank", k0 = 60, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(5)))
+      .sortBy(t => (t._1, t._3))
+    assert(out.toSeq === Seq((1L, 5L, 1), (1L, 7L, 2), (2L, 9L, 1)))
+  }
+
+  // ---- Selection.classifierScore ---------------------------------------
+
+  test("classifierScore plan: ZERO exchanges — classification at scan speed") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val plan = Selection.classifierScore(docs, "doc_id", "text", 1024)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"classifier scoring must be a pure projection:\n$plan")
+  }
+
+  test("classifierScore: exact-long fold, mean arithmetic, empty docs") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Selection.classifierScore(df, "doc_id", "text", 1024)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    // 3 tokens → 3 unigrams + 2 bigrams = 5 features
+    assert(out(1L)._1 === 5L)
+    assert(out(2L) === ((0L, 0L, 0.0, 0)))
+    assert(out(3L)._1 === 1L)
+    for ((id, (n, s, m, keep)) <- out if n > 0) {
+      assert(s >= -500L * n && s <= 500L * n, s"doc $id weight bound")
+      assert(m === s.toDouble / n, s"doc $id mean must be the exact division")
+      assert(keep === (if (s > 0) 1 else 0))
+    }
+    // deterministic: a second run is bit-identical
+    val again = Selection.classifierScore(df, "doc_id", "text", 1024)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    assert(again === out)
+  }
+
+  // ---- Selection.leakageSafeSplit --------------------------------------
+
+  test("leakageSafeSplit: every cluster member shares one split; mix sane") {
+    val labeled = (0L until 3000L).map(i => (i, i % 500)).toDF("id", "cid")
+    val out = Selection.leakageSafeSplit(labeled, "cid", 80, 10)
+    val perCluster = out.groupBy("cid")
+      .agg(countDistinct(col("split")).as("n")).collect()
+    assert(perCluster.forall(_.getLong(1) === 1L),
+      "a near-dup cluster must never straddle splits")
+    val dist = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist.keySet === Set("train", "val", "test"),
+      s"all three splits should appear over 500 clusters: $dist")
+    assert(dist("train") > dist("val") && dist("train") > dist("test"),
+      s"train must dominate at 80pct: $dist")
+  }
 }
