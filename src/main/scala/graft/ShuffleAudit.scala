@@ -91,7 +91,11 @@ object ShuffleAudit {
     // hybrid fusion: corpus work is the audited BM25 + brute-ANN
     // shapes; the fusion itself joins two ≤ n_q·k ranked lists, so
     // the ratio must match q138+q44's combined floor, not grow
-    "q172_hybrid_rrf" -> Seq("documents", "embeddings"))
+    "q172_hybrid_rrf" -> Seq("documents", "embeddings"),
+    // the composed round-9 pipeline: its ratio must track the sum of
+    // its stages (classifier 0 + excision + budget + chunk 0), i.e.
+    // stay in the span-excision band, not multiply across stages
+    "q175_curation_v3" -> Seq("documents"))
 
   private final class Tally extends SparkListener {
     private val lock = new Object
@@ -183,7 +187,22 @@ object ShuffleAudit {
       // watching the log needs to see WHICH query is grinding.
       System.err.println(s"[audit] $name ...")
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      // Materialize EVERY output column via the noop sink. The old
+      // `.count()` action let Catalyst prune output columns a count
+      // does not need — which silently deleted the expensive part of
+      // text-REASSEMBLING operators from the measurement: q170's
+      // clean_text collect-aggregate (and its reassembly exchange
+      // payload) vanished entirely under count, reporting 0.38 MB at
+      // sf1 where a real consumer pays ~25 MB (caught when q175, which
+      // CONSUMES the excised text, measured 4.3× source against its
+      // component's 0.064). Narrow-output kernels are unaffected —
+      // their exchanges feed filters/aggregates the count still needs.
+      // SPARK_GRAFT_AUDIT_COUNT_ONLY=1 restores the old action for
+      // comparing against pre-correction artifacts.
+      if (sys.env.contains("SPARK_GRAFT_AUDIT_COUNT_ONLY"))
+        fn(spark, sfDir).count()
+      else
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
       val (w1, s1) = settled()
       val sh = w1 - w0

@@ -142,8 +142,8 @@ object SelectionQueries {
        |  FROM ct FULL OUTER JOIN cr ON ct.b = cr.b),
        |agg AS (
        |  SELECT fb.doc_id, count(*) AS n_feats,
-       |    round(sum(lr.lr), 6) AS logw_sum,
-       |    round(avg(lr.lr), 6) AS logw_mean
+       |    round(sum(lr.lr), 6) + 0.0 AS logw_sum,
+       |    round(avg(lr.lr), 6) + 0.0 AS logw_mean
        |  FROM fb JOIN lr ON fb.b = lr.b WHERE fb.lang <> 'en' GROUP BY 1)
        |SELECT t.doc_id, coalesce(a.n_feats, 0) AS n_feats,
        |  coalesce(a.logw_sum, 0.0) AS logw_sum,
@@ -427,7 +427,95 @@ object SelectionQueries {
       trainPct = 80, valPct = 10)
   }
 
+  /** The round-9 pipeline composed end to end (Curation.curateV3):
+    * classifier filter → span excision within the kept corpus →
+    * token-budget selection on surviving tokens scored by the
+    * classifier mean → chunking of the selected clean text. The
+    * oracle chains the q173, q170, q171, and q167 replay fragments
+    * into one CTE pipeline — the whole composition is hash-checked,
+    * not just its parts. */
+  val qCurateV3: QueryDef = QueryDef(
+    "q175_curation_v3",
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_concat(toks,
+       |    list_transform(range(1, greatest(len(toks), 1)),
+       |      i -> toks[i] || ' ' || toks[i + 1]))) AS g
+       |  FROM t),
+       |fb AS (
+       |  SELECT doc_id,
+       |    ${md5Fold60Sql("g || ':qc'")} % 1024 AS b
+       |  FROM g),
+       |cagg AS (
+       |  SELECT doc_id, count(*) AS n_feats,
+       |    CAST(sum((b % 1001) - 500) AS BIGINT) AS w_sum
+       |  FROM fb GROUP BY 1),
+       |cls AS (
+       |  SELECT doc_id, CAST(w_sum AS DOUBLE) / n_feats AS w_mean
+       |  FROM cagg WHERE w_sum > 0),
+       |kept AS (SELECT t.doc_id, t.toks FROM t JOIN cls USING (doc_id)),
+       |s AS (
+       |  SELECT doc_id, i * 4 AS start,
+       |    array_to_string(toks[i * 4 + 1 : i * 4 + 8], ' ') AS span
+       |  FROM kept, unnest(range(0, CASE WHEN len(toks) >= 8
+       |      THEN CAST(floor((len(toks) - 8) / 4.0) AS INT) + 1
+       |      ELSE 0 END)) AS u(i)),
+       |l AS (
+       |  SELECT doc_id, start FROM (
+       |    SELECT doc_id, start,
+       |      min(doc_id) OVER (PARTITION BY span) AS windoc
+       |    FROM s) WHERE doc_id <> windoc),
+       |rm AS (
+       |  SELECT DISTINCT doc_id, p
+       |  FROM l, unnest(range(start, start + 8)) AS r(p)),
+       |rml AS (
+       |  SELECT doc_id, count(*) AS n_removed, list(p) AS ps
+       |  FROM rm GROUP BY 1),
+       |ex AS (
+       |  SELECT kept.doc_id,
+       |    list_filter(list_transform(range(0, len(toks)),
+       |      i -> CASE WHEN r.ps IS NOT NULL AND list_contains(r.ps, i)
+       |           THEN NULL ELSE toks[i + 1] END),
+       |      x -> x IS NOT NULL) AS ctoks
+       |  FROM kept LEFT JOIN rml r USING (doc_id)),
+       |sc AS (
+       |  SELECT ex.doc_id, cls.w_mean,
+       |    CAST(len(ctoks) AS BIGINT) AS nl, ctoks
+       |  FROM ex JOIN cls USING (doc_id)),
+       |bud AS (SELECT CAST(floor(0.5 * sum(nl)) AS BIGINT) AS budget
+       |        FROM sc),
+       |c AS (
+       |  SELECT doc_id, ctoks,
+       |    CAST(coalesce(sum(nl) OVER (
+       |      ORDER BY w_mean DESC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cb
+       |  FROM sc),
+       |selc AS (
+       |  SELECT doc_id, ctoks AS toks FROM c
+       |  WHERE cb < (SELECT budget FROM bud)),
+       |k AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) = 0 THEN 0
+       |         WHEN len(toks) <= 32 THEN 1
+       |         ELSE CAST(floor((len(toks) - 32 + 23) / 24.0) AS INT) + 1
+       |    END AS n_chunks
+       |  FROM selc),
+       |e AS (
+       |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS i FROM k)
+       |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       |  CAST(len(toks[i * 24 + 1 : i * 24 + 32]) AS INT) AS chunk_toks,
+       |  array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
+       |FROM e""".stripMargin) { (s, dir) =>
+    graft.scale.Curation.curateV3(Tables.load(s, dir, "documents"),
+      "doc_id", "text")
+  }
+
   val all: Seq[QueryDef] =
     Seq(qSpanDedup, qChunk, qEmbedDecontaminate, qDsir, qSpanExcise,
-      qBudgetSelect, qHybridRrf, qQualityClassifier, qLeakageSplit)
+      qBudgetSelect, qHybridRrf, qQualityClassifier, qLeakageSplit,
+      qCurateV3)
 }

@@ -171,4 +171,80 @@ object Curation {
         col("shard"), col("shard_pos"), col("pack_id"), col("pack_pos"),
         col("pack_fill"))
   }
+
+  /** The ROUND-9 pipeline composed end to end — the four new operator
+    * families chained the way a modern pretraining-data build chains
+    * them (classifier filtering → substring-level dedup → budgeted
+    * selection → chunking for training):
+    *
+    *   1. model-based quality filter ([[Selection.classifierScore]],
+    *      keep = positive weight sum — a pure projection, so the gate
+    *      costs one scan);
+    *   2. cross-document span EXCISION within the kept corpus
+    *      ([[Spans.exciseRepeatedSpans]] — repeated boilerplate is cut
+    *      from every doc but the earliest, not thrown away whole-doc);
+    *   3. exact token-budget selection over SURVIVING tokens, scored
+    *      by the classifier mean ([[Selection.budgetSelect]] — "train
+    *      on the best `budgetFraction` of post-dedup tokens");
+    *   4. token-window chunking of the selected clean text
+    *      ([[Spans.chunk]] — zero-shuffle).
+    *
+    * Output: `idCol, chunk_id, chunk_toks, chunk_text` — the training
+    * chunks. Every stage is deterministic and SQL-replayable, so the
+    * WHOLE composition is one DuckDB oracle (q175).
+    *
+    * Scale shape: each stage inherits its component's audited plan
+    * (q173's zero exchanges, q166/q170's 8-byte span-hash windows,
+    * q171's bin-decomposed prefix, q167's pure Generate). `cls` and
+    * `excised` back two consumers each and are persisted
+    * MEMORY_AND_DISK (LRU-evictable — the [[Selection.budgetSelect]]
+    * lifecycle argument); both frames are narrow (ids + counts + the
+    * already-excised text), never the raw corpus. */
+  def curateV3(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 1024, spanN: Int = 8, spanStride: Int = 4,
+      budgetFraction: Double = 0.5, chunkSize: Int = 32,
+      overlap: Int = 8): DataFrame = {
+    // 1. classifier gate as an INLINE filter on the scored projection
+    // (classifierScoreAll keeps the text column) — scoring is a pure
+    // projection, so gating costs zero data movement; the
+    // score-ids-then-semi-join-back form re-keys the corpus text on
+    // id and measured 4.3× source at sf1
+    // persist: the classifier battery (two md5-60 evaluations per
+    // gram) is the pipeline's dominant CPU; downstream, excision
+    // alone reads `kept` from two subtrees (span pass + reassembly
+    // pass), so an unpersisted gate re-runs the whole battery per
+    // consumer (measured 95 s vs ~45 s at sf1). Corpus-text-sized,
+    // MEMORY_AND_DISK, LRU-evictable — the curateV2 `exact` lifecycle.
+    val kept = Selection
+      .classifierScoreAll(docs, idCol, textCol, buckets)
+      .filter(col("keep") === 1)
+      .select(col(idCol), col(textCol), col("w_mean"))
+      .persist()
+    val cls = kept.select(col(idCol), col("w_mean"))
+    // 2. span excision WITHIN the kept corpus (losers are decided
+    // against surviving docs only — a rejected doc cannot "win" a span)
+    val excised = Spans
+      .exciseRepeatedSpans(kept.select(col(idCol), col(textCol)),
+        idCol, textCol, spanN, spanStride)
+      .persist()
+    // 3. budget selection on tokens that remain after excision — all
+    // frames here are narrow (id, double, long) rows
+    val scored = excised
+      .select(col(idCol),
+        (col("n_tokens") - col("n_removed")).cast("long").as("__n_left"))
+      .join(cls, Seq(idCol))
+    val sel = Selection
+      .budgetSelect(scored, idCol, "w_mean", "__n_left", budgetFraction)
+      .filter(col("selected") === 1)
+      .select(col(idCol))
+    // 4. chunk the selected docs' clean text. excised is already
+    // hash-partitioned by id (its reassembly aggregate), so this semi
+    // join re-shuffles only the narrow selected-id side — the clean
+    // text stays where the reassembly put it. Re-tokenizing the
+    // normalized clean_text is the identity on its token list.
+    Spans.chunk(
+      excised.join(sel, Seq(idCol), "left_semi")
+        .select(col(idCol), col("clean_text")),
+      idCol, "clean_text", chunkSize, overlap)
+  }
 }

@@ -138,7 +138,31 @@ object Selection {
     * one correctly-rounded IEEE division — bit-stable vs the oracle
     * with no rounding step. */
   def classifierScore(df: DataFrame, idCol: String, textCol: String,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024, fastHash: Boolean = false): DataFrame =
+    classifierScoreAll(df, idCol, textCol, buckets, fastHash)
+      .select(col(idCol), col("n_feats"), col("w_sum"), col("w_mean"),
+        col("keep"))
+
+  /** [[classifierScore]] keeping EVERY input column — the form a
+    * pipeline composes with: because scoring is a pure projection,
+    * the gate is `.filter(col("keep") === 1)` on the scored frame
+    * itself, NEVER a score-ids-then-join-back (which would re-key
+    * the corpus TEXT on id — the exact shuffle the zero-exchange
+    * contract exists to avoid; curateV3's first draft measured that
+    * mistake at 4.3× source).
+    *
+    * `fastHash` swaps the md5-60 bucket hash for xxhash64 — the
+    * production choice (fastText itself hashes with a cheap
+    * multiplicative hash). md5 is the default ONLY because DuckDB can
+    * replay it, making the q173 gate bit-exact; it is also the
+    * operator's wall-clock cost (two md5 evaluations per gram — the
+    * sf1 audit measures 26.7 s for 50k docs where the whole exchange
+    * volume is ZERO). The fast path keeps the identical plan shape
+    * (pure projection, zero exchanges — spec-asserted) but its bucket
+    * assignments, and therefore its keep verdicts, differ from the
+    * md5 model's; it has no SQL oracle. */
+  def classifierScoreAll(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 1024, fastHash: Boolean = false): DataFrame = {
     require(buckets >= 2, "need at least 2 weight buckets")
     val weights = typedLit(classifierWeights(buckets))
     val toks = TextStats.tokens(col(textCol))
@@ -149,18 +173,21 @@ object Selection {
           i => concat_ws(" ", element_at(toks, i),
             element_at(toks, i + 1))))
         .otherwise(array()))
-    df.select(col(idCol), grams.as("__g"))
-      .select(col(idCol),
-        size(col("__g")).cast("long").as("n_feats"),
+    df.withColumn("__g", grams)
+      .withColumn("n_feats", size(col("__g")).cast("long"))
+      .withColumn("w_sum",
         aggregate(
           transform(col("__g"), g => element_at(weights,
-            pmod(Dedup.md5Hash60(concat(g, lit(":qc"))),
+            pmod(
+              if (fastHash) xxhash64(concat(g, lit(":qc")))
+              else Dedup.md5Hash60(concat(g, lit(":qc"))),
               lit(buckets.toLong)).cast("int") + 1)),
-          lit(0L), (acc, w) => acc + w).as("w_sum"))
+          lit(0L), (acc, w) => acc + w))
       .withColumn("w_mean",
         when(col("n_feats") > 0,
           col("w_sum").cast("double") / col("n_feats")).otherwise(lit(0.0)))
       .withColumn("keep", (col("w_sum") > 0).cast("int"))
+      .drop("__g")
   }
 
   /** Leakage-safe train/val/test split: hash the CLUSTER label, not
@@ -213,9 +240,16 @@ object Selection {
     rawFeats
       .join(broadcast(logRatio), Seq("__b"), "left")
       .groupBy(col(idCol))
+      // the trailing + 0.0 normalizes IEEE signed zero: a tiny
+      // negative sum rounds to -0.0 in DuckDB but +0.0 in Spark
+      // (BigDecimal HALF_UP drops the sign) — adding +0.0 maps both
+      // to +0.0 and changes no other value (first seen at sf1,
+      // 50k docs: a doc whose log-ratios cancel to -1e-9)
       .agg(count(col("__b")).as("n_feats"),
-        round(coalesce(sum(col("__lr")), lit(0.0)), 6).as("logw_sum"),
-        round(coalesce(avg(col("__lr")), lit(0.0)), 6).as("logw_mean"))
+        (round(coalesce(sum(col("__lr")), lit(0.0)), 6) + lit(0.0))
+          .as("logw_sum"),
+        (round(coalesce(avg(col("__lr")), lit(0.0)), 6) + lit(0.0))
+          .as("logw_mean"))
       .withColumn("selected", (col("logw_mean") > 0).cast("int"))
   }
 }

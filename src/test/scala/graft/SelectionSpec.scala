@@ -150,7 +150,15 @@ class SelectionSpec extends AnyFunSuite {
     assert(out(1L) === ((0L, s"$rep $rep")))
   }
 
-  test("exciseRepeatedSpans plan: shuffles carry hashes and int positions, never text") {
+  test("exciseRepeatedSpans plan: loser detection is hash-keyed; no text " +
+      "column is ever a shuffle KEY") {
+    // note the honest boundary: the loser window and the (id, pos)
+    // marks shuffle hashes and ints only, but the REASSEMBLY
+    // aggregate's partial state carries the surviving tokens — the
+    // one semantic text re-key every reassembling dedup pays (the
+    // q127 class; measured 7.3× compressed source at sf1 under full
+    // materialization). What this pins is that text is never a
+    // shuffle KEY and the loser side stays narrow.
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val plan = Spans.exciseRepeatedSpans(docs, "doc_id", "text", 8, 4)
       .queryExecution.executedPlan.toString
@@ -336,6 +344,18 @@ class SelectionSpec extends AnyFunSuite {
       s"classifier scoring must be a pure projection:\n$plan")
   }
 
+  test("classifierScore fastHash: same zero-exchange plan, same contract " +
+      "columns, different model") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val fast = Selection.classifierScore(docs, "doc_id", "text", 1024,
+      fastHash = true)
+    assert(!fast.queryExecution.executedPlan.toString.contains("Exchange"),
+      "the fast path must keep the pure-projection plan")
+    val rows = fast.limit(50).collect()
+    assert(rows.forall(r => r.getLong(2) >= -500L * r.getLong(1) &&
+      r.getLong(2) <= 500L * r.getLong(1)), "weight bounds hold")
+  }
+
   test("classifierScore: exact-long fold, mean arithmetic, empty docs") {
     val df = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "solo"))
       .toDF("doc_id", "text")
@@ -357,6 +377,31 @@ class SelectionSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
     assert(again === out)
+  }
+
+  // ---- Curation.curateV3 ------------------------------------------------
+
+  test("curateV3: only classifier-kept, budget-selected docs chunk; " +
+      "no text column is ever a shuffle key") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val out = graft.scale.Curation.curateV3(docs, "doc_id", "text")
+    val chunked = out.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    // every chunked doc passed the classifier gate
+    val keptIds = graft.scale.Selection
+      .classifierScore(docs, "doc_id", "text")
+      .filter(col("keep") === 1).select("doc_id").as[Long].collect().toSet
+    assert(chunked.subsetOf(keptIds),
+      "a classifier-rejected doc must never reach chunking")
+    assert(chunked.size < keptIds.size,
+      "the 50% token budget must exclude some kept docs")
+    // chunk contract holds through the composition
+    val bad = out.filter(col("chunk_toks") > 32 || col("chunk_toks") < 1)
+    assert(bad.isEmpty, "chunks must carry 1..chunkSize tokens")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(text") &&
+      !plan.contains("hashpartitioning(clean_text"),
+      s"raw or excised text must never be a shuffle key:\n$plan")
   }
 
   // ---- Selection.leakageSafeSplit --------------------------------------

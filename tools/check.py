@@ -67,10 +67,16 @@ def main():
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
         # driver SF dirs hold single files; GenScale writes Spark-style
-        # directories of part files — read_parquet takes either
+        # directories of part files — read_parquet takes either. A
+        # GenScale dir generated with a `tables` subset (e.g. only
+        # documents+embeddings at big mult) simply lacks the rest —
+        # skip those so subset re-checks work; an oracle that actually
+        # references a missing table still fails loudly at query time.
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
+        elif not os.path.exists(path):
+            continue
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     fails = 0
