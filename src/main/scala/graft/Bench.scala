@@ -148,7 +148,15 @@ object Bench {
     // transient; one that doesn't, with a clean canary → real
     // regression; with an inflated canary → host contention, labeled.
     val refTimes: Map[String, Double] = {
-      val f = new java.io.File("tools/bench_reference.json")
+      // action-matched anchor: the count-era anchor undercounts the
+      // queries whose output columns count() pruned (see the r9
+      // action correction), so a materializing run compared against
+      // it would retry those queries every round. Prefer the
+      // noop-action anchor when it exists and the action matches.
+      val noopRef = new java.io.File("tools/bench_reference_noop.json")
+      val f =
+        if (!countOnly && noopRef.exists()) noopRef
+        else new java.io.File("tools/bench_reference.json")
       if (!f.exists()) Map.empty
       else try {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
