@@ -237,11 +237,10 @@ object Curation {
       .budgetSelect(scored, idCol, "w_mean", "__n_left", budgetFraction)
       .filter(col("selected") === 1)
       .select(col(idCol))
-    // 4. chunk the selected docs' clean text. excised is already
-    // hash-partitioned by id (its reassembly aggregate), so this semi
-    // join re-shuffles only the narrow selected-id side — the clean
-    // text stays where the reassembly put it. Re-tokenizing the
-    // normalized clean_text is the identity on its token list.
+    // 4. chunk the selected docs' clean text. The semi join's non-id
+    // side is the narrow selected-id frame; the persisted excised
+    // frame re-reads from cache. Re-tokenizing the normalized
+    // clean_text is the identity on its token list.
     Spans.chunk(
       excised.join(sel, Seq(idCol), "left_semi")
         .select(col(idCol), col("clean_text")),

@@ -131,31 +131,52 @@ object Dedup {
     *
     * Output: (idCol, n_chunks, n_kept, dedup_text).
     *
-    * Scale: two shuffles — one window keyed on `xxhash64(unit)` (the
-    * same narrow-key discipline as [[exactDedup]]'s fingerprint
-    * grouping: real paragraphs are hundreds of bytes, so shuffling the
-    * 8-byte hash instead of the text keeps the exchange narrow; the
-    * unit text rides along as payload only), one groupBy(doc) to
-    * reassemble. A 2^-64 hash collision would merge two distinct
-    * units — below the oracle's noise floor, the same argument as
-    * [[hashedShingleSet]]. No collect, no all-pairs anything. */
+    * Scale: the unit text is hashed AT EXPLODE TIME and immediately
+    * projected away, so the first-occurrence window shuffles pure
+    * (id, pos, 8-byte hash) rows — the text never rides the window
+    * exchange at all. Survivor positions fold to one int array per
+    * doc (narrow (id)-keyed aggregate), and the rebuild is a single
+    * join of that frame back onto the units column plus an
+    * `element_at` projection: the corpus text crosses the wire at
+    * most once (the join's doc side under a shuffled join; zero times
+    * when the survivor frame broadcasts). The first form of this
+    * operator carried the unit text as window payload AND through a
+    * collect_list reassembly aggregate — two text-mass exchanges the
+    * KB-doc audit measured at ~4.8× compressed source, vs ~1× +
+    * narrow marks here. A 2^-64 hash collision would merge two
+    * distinct units — below the oracle's noise floor, the same
+    * argument as [[hashedShingleSet]]. No collect, no all-pairs
+    * anything. */
   def unitDedup(df: DataFrame, idCol: String, unitsCol: String): DataFrame = {
     val ex = df.select(col(idCol).as("__id"),
       posexplode_outer(col(unitsCol)).as(Seq("__pos", "__unit")))
       .filter(col("__unit").isNotNull) // generate hygiene — class doc
-      .withColumn("__uh", xxhash64(col("__unit")))
+      .select(col("__id"), col("__pos"), xxhash64(col("__unit")).as("__uh"))
     val w = Window.partitionBy(col("__uh"))
       .orderBy(col("__id"), col("__pos"))
-    ex.withColumn("__kept", (row_number().over(w) === 1).cast("int"))
+    // ONE narrow (id)-keyed aggregate: the unit count plus the
+    // surviving positions (ascending — document order; collect_list
+    // skips the non-kept rows' nulls, so a doc whose units are all
+    // later occurrences gets an EMPTY array, not a missing row).
+    // Unit-less docs (empty or null units) produce no exploded rows,
+    // so they are absent from this frame — the inner join below
+    // reproduces the original drop contract withOUT a filter on the
+    // computed units array (which pushdown would re-inline into a
+    // split-bearing Filter predicate — generate hygiene, class doc).
+    val kept = ex.withColumn("__rn", row_number().over(w))
       .groupBy(col("__id"))
-      .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(col("__kept")).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(
-            when(col("__kept") === 1, struct(col("__pos"), col("__unit"))))),
-          _.getField("__unit")), " ").as("dedup_text"))
-      .withColumnRenamed("__id", idCol)
+      .agg(count(lit(1)).as("__nc"),
+        sort_array(collect_list(when(col("__rn") === 1, col("__pos"))))
+          .as("__kps"))
+    df.select(col(idCol).as("__id"), col(unitsCol).as("__units"))
+      .join(kept, Seq("__id"))
+      .select(col("__id").as(idCol),
+        col("__nc").as("n_chunks"),
+        size(col("__kps")).cast("long").as("n_kept"),
+        when(size(col("__kps")) === 0, lit(""))
+          .otherwise(array_join(transform(col("__kps"),
+            p => element_at(col("__units"), p + 1)), " "))
+          .as("dedup_text"))
   }
 
   /** Exact jaccard between two pre-distinct token arrays. */

@@ -98,48 +98,56 @@ object Spans {
     * with empty text.
     *
     * Scale shape: the loser-window pass is [[repeatedSpans]]'s single
-    * span-hash window (8-byte keys); removed positions explode to
-    * (id, pos) int pairs — bounded by n × loser windows, never text;
-    * the distinct and the mark-join are (id)- or (id, pos)-keyed
-    * narrow exchanges. The REASSEMBLY aggregate's partial state does
-    * carry the surviving tokens — the one semantic text re-key every
-    * reassembling dedup pays (the q127 class; ~7× compressed source
-    * at 100-word docs, amortizing with document size like the KB
-    * audit's q127 row) — but no text column is ever a shuffle KEY,
-    * and nothing is quadratic: a fully-boilerplate corpus costs n
-    * narrow rows per loser window, linear in corpus size. */
+    * span-hash window (8-byte keys); removed positions fold to ONE
+    * int array per losing document (collect_set over an (id)-keyed
+    * aggregate — bounded by that doc's token count however heavy the
+    * boilerplate), and the rebuild is a single left join of that
+    * narrow frame onto the tokenized docs followed by a pure
+    * `array_except` projection. The corpus text crosses the wire AT
+    * MOST once (the join's doc side when AQE picks a shuffled join;
+    * zero times when the loser frame broadcasts) and never as a
+    * shuffle KEY. The first form of this operator posexploded every
+    * token into its own row and reassembled through a
+    * collect_list aggregate — per-TOKEN row overhead that cannot
+    * amortize with document size: the honest KB-doc audit measured it
+    * at 15× compressed source with 6.5 GB of spill inside a 48 GB
+    * heap, vs ~1× + narrow marks for this form. Nothing is quadratic:
+    * a fully-boilerplate corpus costs n ints per loser window,
+    * linear in corpus size. */
   def exciseRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int, stride: Int): DataFrame = {
     require(n >= 1 && stride >= 1, "span window and stride must be >= 1")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__sh"))
-    // loser occurrences: the span content exists in a smaller-id doc
-    val removedPos = spanStarts(df, idCol, textCol, n, stride)
+    // loser occurrences: the span content exists in a smaller-id doc.
+    // collect_set dedups the overlapping-window positions, so the
+    // explode+aggregate is ONE narrow (id)-keyed exchange of ints.
+    val removed = spanStarts(df, idCol, textCol, n, stride)
       .withColumn("__windoc", min(col(idCol)).over(w))
       .filter(col(idCol) =!= col("__windoc"))
-      // covered 0-based token positions; distinct because overlapping
-      // loser windows cover shared tokens
       .select(col(idCol),
         explode(sequence(col("__start"), col("__start") + (n - 1)))
           .as("__rm"))
-      .distinct()
-    // mark-join instead of anti-join + doc restoration: every (id,
-    // pos) token row survives to the reassembly (so zero-token and
-    // fully-excised docs keep their group for free) and the removal
-    // verdict is a null test on the joined marker. removedPos is
-    // distinct, so the left join cannot duplicate token rows.
-    df.select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol),
-        posexplode_outer(col("__toks")).as(Seq("__pos", "__tok")))
-      .join(removedPos.withColumnRenamed(idCol, "__rid"),
-        col(idCol) === col("__rid") && col("__pos") === col("__rm"),
-        "left")
       .groupBy(col(idCol))
-      .agg(count(col("__tok")).as("n_tokens"),
-        count(col("__rm")).as("n_removed"),
-        array_join(transform(array_sort(collect_list(
-            when(col("__tok").isNotNull && col("__rm").isNull,
-              struct(col("__pos"), col("__tok"))))),
-          _.getField("__tok")), " ").as("clean_text"))
+      .agg(collect_set(col("__rm")).as("__rms"))
+    // rebuild as a projection: surviving positions = positions \ __rms
+    // (array_except is hash-set based and keeps first-array order, and
+    // positions are distinct ascending — no sort, no per-token rows).
+    // A doc with loser windows has >= n tokens, so sequence(0, size-1)
+    // never hits the descending-sequence footgun; docs without an
+    // __rms row (no losers, short, empty, null text) take the
+    // untouched-text branch.
+    df.select(col(idCol), TextStats.tokens(col(textCol)).as("__toks"))
+      .join(removed.withColumnRenamed(idCol, "__rid"),
+        col(idCol) === col("__rid"), "left")
+      .select(col(idCol),
+        coalesce(size(col("__toks")).cast("long"), lit(0L)).as("n_tokens"),
+        coalesce(size(col("__rms")).cast("long"), lit(0L)).as("n_removed"),
+        when(col("__rms").isNull, concat_ws(" ", col("__toks")))
+          .otherwise(array_join(transform(
+            array_except(sequence(lit(0), size(col("__toks")) - 1),
+              col("__rms")),
+            i => element_at(col("__toks"), i + 1)), " "))
+          .as("clean_text"))
   }
 
   /** Span rows with their 0-based start positions:

@@ -152,13 +152,13 @@ class SelectionSpec extends AnyFunSuite {
 
   test("exciseRepeatedSpans plan: loser detection is hash-keyed; no text " +
       "column is ever a shuffle KEY") {
-    // note the honest boundary: the loser window and the (id, pos)
-    // marks shuffle hashes and ints only, but the REASSEMBLY
-    // aggregate's partial state carries the surviving tokens — the
-    // one semantic text re-key every reassembling dedup pays (the
-    // q127 class; measured 7.3× compressed source at sf1 under full
-    // materialization). What this pins is that text is never a
-    // shuffle KEY and the loser side stays narrow.
+    // the loser window and the per-doc removed-position fold shuffle
+    // hashes and ints only; the rebuild is one left join of that
+    // narrow frame onto the tokenized docs (text crosses the wire at
+    // most once, as join PAYLOAD — the per-token-row reassembly this
+    // replaced measured 15× compressed source + 6.5 GB spill at KB
+    // docs). What this pins is that text is never a shuffle KEY and
+    // the loser side stays narrow.
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
     val plan = Spans.exciseRepeatedSpans(docs, "doc_id", "text", 8, 4)
       .queryExecution.executedPlan.toString
