@@ -131,13 +131,30 @@ object ShuffleAudit {
     // The audit exposes the knob so that claim is measurable.
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
+    // Scan-split override, same posture as the partition-count knob:
+    // the synthetic corpora are a FEW large parquet files, so at the
+    // default 128 MB maxPartitionBytes a 545 MB corpus scans as ~4
+    // tasks and every scan-bound projection (the md5 classifier
+    // battery, tokenization) serializes 6-8x — a dev-file artifact; a
+    // real 100 TB corpus is thousands of files and saturates every
+    // core. A split cannot start inside a parquet ROW GROUP, so the
+    // effective ceiling is the corpus's row-group count (GenScale's
+    // writer emits ~128 MB groups — the 545 MB KB corpus exposes ~8
+    // tasks under this knob, vs 4-5 without; scan-bound projections
+    // speed up accordingly, not to full core count).
+    // Shuffle BYTES are split-invariant (data-determined; the
+    // map-task count only moves lz4 block boundaries) — spot-verified:
+    // q40's KB shuffle reproduces within 0.05% under 128 MB vs 16 MB
+    // splits (37.50 vs 37.48 MB). Declared in the artifact when set.
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+      .foreach(b => builder.config("spark.sql.files.maxPartitionBytes", b))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val tally = new Tally
@@ -217,8 +234,10 @@ object ShuffleAudit {
     val qs = rows.map { case (n, src, sh, sp, r, secs) =>
       f""""$n":{"source_mb":${src / 1e6}%.2f,"shuffle_mb":${sh / 1e6}%.2f,"spill_mb":${sp / 1e6}%.2f,"shuffle_per_source":$r%.3f,"wall_sec":$secs%.1f}"""
     }.mkString("{", ",", "}")
+    val splitTag = sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+      .map(b => s""""max_partition_bytes":"$b",""").getOrElse("")
     val json =
-      s"""{"queries":$qs,"n_queries":${rows.size},"metric":"shuffle_audit","sf":"$sfDir"}"""
+      s"""{"queries":$qs,$splitTag"n_queries":${rows.size},"metric":"shuffle_audit","sf":"$sfDir"}"""
     println(json)
     if (only.isEmpty) {
       val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9_.]", "_")
