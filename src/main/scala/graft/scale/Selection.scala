@@ -165,7 +165,17 @@ object Selection {
       buckets: Int = 1024, fastHash: Boolean = false): DataFrame = {
     require(buckets >= 2, "need at least 2 weight buckets")
     val weights = typedLit(classifierWeights(buckets))
-    val toks = TextStats.tokens(col(textCol))
+    // Tokenize into an ALIASED column first — the repo-wide hoisting
+    // rule (featureBuckets, spanHashes, the unitChunks callers). The
+    // first form of this function built the bigram stream over the raw
+    // tokenization EXPRESSION, and `element_at(toks, i)` inside the
+    // transform lambda re-ran the regex split TWICE PER BIGRAM —
+    // O(tokens²) work per document, masquerading as "the md5 price"
+    // (a KB-corpus jstack showed every busy core inside
+    // Pattern.split/toLowerCase, not md5). As a multi-referenced
+    // non-cheap alias, __qc_toks stays a real column under
+    // CollapseProject, so lambda references are attribute lookups.
+    val toks = col("__qc_toks")
     val grams = concat(
       toks,
       when(size(toks) >= 2,
@@ -173,7 +183,8 @@ object Selection {
           i => concat_ws(" ", element_at(toks, i),
             element_at(toks, i + 1))))
         .otherwise(array()))
-    df.withColumn("__g", grams)
+    df.withColumn("__qc_toks", TextStats.tokens(col(textCol)))
+      .withColumn("__g", grams)
       .withColumn("n_feats", size(col("__g")).cast("long"))
       .withColumn("w_sum",
         aggregate(
@@ -187,7 +198,7 @@ object Selection {
         when(col("n_feats") > 0,
           col("w_sum").cast("double") / col("n_feats")).otherwise(lit(0.0)))
       .withColumn("keep", (col("w_sum") > 0).cast("int"))
-      .drop("__g")
+      .drop("__g", "__qc_toks")
   }
 
   /** Leakage-safe train/val/test split: hash the CLUSTER label, not
