@@ -155,9 +155,10 @@ object Selection {
     * production choice (fastText itself hashes with a cheap
     * multiplicative hash). md5 is the default ONLY because DuckDB can
     * replay it, making the q173 gate bit-exact; it is also the
-    * operator's wall-clock cost (two md5 evaluations per gram — the
-    * sf1 audit measures 26.7 s for 50k docs where the whole exchange
-    * volume is ZERO). The fast path keeps the identical plan shape
+    * operator's remaining wall-clock cost (two md5 evaluations per
+    * gram — 4.9 s at sf1 for 50k docs once the tokenization hoist
+    * below removed the quadratic, where the whole exchange volume is
+    * ZERO). The fast path keeps the identical plan shape
     * (pure projection, zero exchanges — spec-asserted) but its bucket
     * assignments, and therefore its keep verdicts, differ from the
     * md5 model's; it has no SQL oracle. */
