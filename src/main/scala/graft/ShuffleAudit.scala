@@ -234,7 +234,11 @@ object ShuffleAudit {
     val qs = rows.map { case (n, src, sh, sp, r, secs) =>
       f""""$n":{"source_mb":${src / 1e6}%.2f,"shuffle_mb":${sh / 1e6}%.2f,"spill_mb":${sp / 1e6}%.2f,"shuffle_per_source":$r%.3f,"wall_sec":$secs%.1f}"""
     }.mkString("{", ",", "}")
+    // Only a size literal may reach the hand-built JSON — a value with
+    // a quote/backslash would corrupt the artifact downstream parsers
+    // read.
     val splitTag = sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+      .filter(_.matches("(?i)[0-9]+[bkmg]?b?"))
       .map(b => s""""max_partition_bytes":"$b",""").getOrElse("")
     val json =
       s"""{"queries":$qs,$splitTag"n_queries":${rows.size},"metric":"shuffle_audit","sf":"$sfDir"}"""

@@ -146,7 +146,11 @@ object Dedup {
     * narrow marks here. A 2^-64 hash collision would merge two
     * distinct units — below the oracle's noise floor, the same
     * argument as [[hashedShingleSet]]. No collect, no all-pairs
-    * anything. */
+    * anything.
+    *
+    * Precondition: `idCol` is unique per row (every caller feeds
+    * `doc_id`). The rebuild join fans out duplicate ids instead of
+    * collapsing them the way the earlier aggregate shape did. */
   def unitDedup(df: DataFrame, idCol: String, unitsCol: String): DataFrame = {
     val ex = df.select(col(idCol).as("__id"),
       posexplode_outer(col(unitsCol)).as(Seq("__pos", "__unit")))

@@ -204,12 +204,20 @@ object Retrieval {
     * query, and the rank window is PARTITIONED by query (parallel,
     * never a single-partition sort).
     *
-    * Determinism: the pivot chain adds slots in the UNION term order;
-    * a query's absent terms contribute an exact `0.0` (coalesce), and
-    * `x + 0.0` is exact in IEEE arithmetic, so each query's total is
-    * bit-identical to its standalone [[bm25Query]] chain (its own
-    * terms keep their relative order — RetrievalSpec asserts
-    * equality). Output: `(query_id, idCol, score, rank ≤ k)`. */
+    * Determinism: each query's total is a `when(__qid === q, chain_q)`
+    * slot whose chain adds the pivot slots in THAT QUERY'S OWN term
+    * order — not the union order, which would re-associate the float
+    * sum whenever two queries share a term at different relative
+    * positions (FP addition is non-associative; the union-order form
+    * this replaced was one ulp off across a round(·,6) boundary in
+    * that case). Absent terms contribute an exact `0.0` (coalesce) and
+    * `x + 0.0` is exact in IEEE arithmetic, so each total is
+    * bit-identical to its standalone [[bm25Query]] chain with no
+    * precondition on term overlap or order (SelectionSpec asserts
+    * equality on overlapping, differently-ordered specs). Catalyst
+    * dedupes the shared `max(when(__t = t, score))` aggregate slots
+    * across queries, so the aggregate still carries one slot per
+    * DISTINCT term. Output: `(query_id, idCol, score, rank ≤ k)`. */
   def bm25Queries(docs: DataFrame, idCol: String, textCol: String,
       queries: Seq[(Long, Seq[String])], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
@@ -224,9 +232,13 @@ object Retrieval {
     import sp.implicits._
     val qt = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("__qid", "__t")
-    val perTerm: Seq[Column] = allTerms.map(t =>
+    def chain(ts: Seq[String]): Column = ts.map(t =>
       coalesce(max(when(col("__t") === t, col("score"))), lit(0.0)))
-    val total = round(perTerm.reduce(_ + _), 6)
+      .reduce(_ + _)
+    val total = round(queries.tail.foldLeft(
+      when(col("__qid") === queries.head._1, chain(queries.head._2))) {
+        case (acc, (q, ts)) => acc.when(col("__qid") === q, chain(ts))
+      }, 6)
     scoredPostings(tf, dfreq, stats, k1, b)
       .join(broadcast(qt), Seq("__t"))
       .groupBy(col("__qid"), col(idCol))

@@ -287,9 +287,15 @@ class SelectionSpec extends AnyFunSuite {
       "partitioned by query") {
     import graft.scale.Retrieval
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    // q0 and q1 SHARE "scan" at different relative positions: a
+    // union-first-occurrence pivot chain would sum q1's terms as
+    // (scan+join)+vector instead of its standalone (join+vector)+scan
+    // — the FP re-association bm25Queries' per-query when-slots exist
+    // to prevent. q2 is disjoint (the original coverage).
     val specs = Seq(
-      0L -> Seq("join", "vector", "scan"),
-      1L -> Seq("stream", "window", "merge"))
+      0L -> Seq("scan"),
+      1L -> Seq("join", "vector", "scan"),
+      2L -> Seq("stream", "window", "merge"))
     val batch = Retrieval.bm25Queries(docs, "doc_id", "text", specs, k = 15)
     val solo = specs.map { case (qid, terms) =>
       Retrieval.bm25Query(docs, "doc_id", "text", terms, k = 15)
