@@ -760,16 +760,32 @@ object ScaleQueries {
       .select("doc_id", "split")
   }
 
-  /** Stratified mixing-ratio sample (seeded Bernoulli per stratum) —
-    * engine randomness → rows-only; the sampled-fraction contract is
-    * asserted in ScaleSpec. */
-  val qStratified: QueryDef =
-    QueryDef.rowsOnly("q73_stratified_sample") { (s, dir) =>
-      graft.scale.Sampling.stratifiedSample(
-        Tables.load(s, dir, "documents"), "lang",
+  /** Stratified mixing-ratio sample, deterministic form: per-stratum
+    * keep iff the salted md5-60 content fraction is below the
+    * stratum's target rate — membership is a pure content function
+    * both engines compute, so the FULL sample (not just counts) is
+    * hash-gated. (The seeded `sampleBy` wrapper remains as
+    * [[graft.scale.Sampling.stratifiedSample]] with its ScaleSpec
+    * contract; this query was rows-only while it used it.) */
+  val qStratified: QueryDef = QueryDef(
+    "q73_stratified_sample",
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(substring(md5('ss:' || text), 1, 15), ''),
+      |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+      |    (a, d) -> a * 16 + d) / 1152921504606846976.0 AS keep_frac
+      |  FROM documents),
+      |r AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 1.0), ('es', 0.1),
+      |                            ('zh', 0.25), ('fr', 0.0)) v(lang, rate))
+      |SELECT doc_id, lang, keep_frac
+      |FROM t JOIN r USING (lang) WHERE keep_frac < rate""".stripMargin) {
+    (s, dir) =>
+      graft.scale.Sampling.stratifiedDeterministic(
+        Tables.load(s, dir, "documents"), "lang", "text",
         Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.1, "zh" -> 0.25, "fr" -> 0.0))
-        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
-    }
+        .select("doc_id", "lang", "keep_frac")
+  }
 
   /** int8-quantized vs exact cosine over a bounded pair set — the
     * quantized dot products are integer-exact, so both engines agree

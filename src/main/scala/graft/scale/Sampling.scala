@@ -37,6 +37,30 @@ object Sampling {
       fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Deterministic stratified sampling — the mixing-ratio form of
+    * [[weightedSample]]: each row survives iff its content-hash
+    * fraction (salted, uniform in [0,1)) is below its STRATUM's
+    * target fraction. Fractions are catalog-sized (languages,
+    * sources) so the rate map broadcasts; membership is a pure
+    * function of content, hence reproducible across runs, clusters
+    * and engines — the cross-engine-replayable alternative to the
+    * seeded [[stratifiedSample]] when the keep/drop decisions
+    * themselves must be auditable. Adds `keep_frac`. */
+  def stratifiedDeterministic(df: DataFrame, stratumCol: String,
+      textCol: String, fractions: Map[String, Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val f = broadcast(fractions.toSeq.toDF(stratumCol, "__rate"))
+    // salt "ss:" keeps the draw independent of weightedSample's "ws:"
+    // stream and deterministicSplit's bucket byte
+    val frac = Dedup.md5Hash60(concat(lit("ss:"), col(textCol))) /
+      lit(1152921504606846976.0) // 2^60
+    df.withColumn("keep_frac", frac)
+      .join(f, Seq(stratumCol))
+      .filter(col("keep_frac") < col("__rate"))
+      .drop("__rate")
+  }
+
   /** Sequence packing: group documents into fixed-token-budget
     * training sequences. Contiguous packing in shard order — running
     * token total within each shard, bin = total-so-far ÷ budget — the

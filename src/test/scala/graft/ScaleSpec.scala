@@ -192,6 +192,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(de === docs.filter(col("lang") === "de").count())
   }
 
+  test("deterministic stratified sample: 0 → empty, 1 → all, " +
+      "repartition-stable membership") {
+    val fr = Map("en" -> 0.0, "de" -> 1.0, "es" -> 0.4, "zh" -> 0.4,
+      "fr" -> 0.4)
+    val s = graft.scale.Sampling.stratifiedDeterministic(
+      docs, "lang", "text", fr)
+    assert(s.filter(col("lang") === "en").count() === 0L)
+    assert(s.filter(col("lang") === "de").count() ===
+      docs.filter(col("lang") === "de").count())
+    val ids = s.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids2 = graft.scale.Sampling.stratifiedDeterministic(
+      docs.repartition(7), "lang", "text", fr)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === ids2.toSeq, "membership must be content-pure")
+  }
+
   test("lang-id picks the language with most marker hits; und when none") {
     val df = Seq("der hund und die katze ist da",
       "the cat and the dog is here", "xyzzy qwerty").toDF("t")
