@@ -119,8 +119,16 @@ object Bench {
     // inflated exactly the head + CPU-heavy queries 3× vs the clean
     // run an hour earlier).
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    // dev-loop filter: comma-separated query names
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // dev-loop filter: comma-separated query names; the token
+    // "@audited" expands to ShuffleAudit.Audited — the canonical
+    // text/dedup/ANN kernel set, so the KB-doc bench (BASELINE.md)
+    // times exactly the queries the shuffle audit covers without a
+    // hand-maintained name list drifting out of sync.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",")
+      .flatMap {
+        case "@audited" => ShuffleAudit.Audited.map(_._1)
+        case n => Seq(n)
+      }.toSet)
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val canaries = scala.collection.mutable.ArrayBuffer[Double]()
@@ -148,15 +156,13 @@ object Bench {
     // transient; one that doesn't, with a clean canary → real
     // regression; with an inflated canary → host contention, labeled.
     val refTimes: Map[String, Double] = {
-      // action-matched anchor: the count-era anchor undercounts the
-      // queries whose output columns count() pruned (see the r9
-      // action correction), so a materializing run compared against
-      // it would retry those queries every round. Prefer the
-      // noop-action anchor when it exists and the action matches.
-      val noopRef = new java.io.File("tools/bench_reference_noop.json")
-      val f =
-        if (!countOnly && noopRef.exists()) noopRef
-        else new java.io.File("tools/bench_reference.json")
+      // tools/bench_reference.json is the MATERIALIZE-action anchor
+      // since round 10 (the count-era anchor was retired with the r9
+      // action correction — its figures undercounted queries whose
+      // output columns count() pruned). A countOnly archaeology run
+      // compared against it can only under-read, so the 3× retry
+      // guard stays silent there — harmless.
+      val f = new java.io.File("tools/bench_reference.json")
       if (!f.exists()) Map.empty
       else try {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -224,12 +230,19 @@ object Bench {
     // per-query map head two rounds running; the file keeps every query
     // diffable between rounds. FULL runs only — a filtered dev-loop run
     // must not clobber the round artifact with a partial map.
-    if (only.isEmpty) {
-      val out = java.nio.file.Paths.get("tools/bench_latest.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
+    // SPARK_GRAFT_BENCH_OUT names an explicit artifact path for
+    // FILTERED runs (the KB-doc bench writes tools/bench_kbdoc_*.json
+    // through it); unset, full runs keep owning bench_latest.json.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(java.nio.file.Paths.get(_))
+      .orElse(if (only.isEmpty)
+        Some(java.nio.file.Paths.get("tools/bench_latest.json")) else None)
+      .foreach { out =>
+        if (out.getParent != null)
+          java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.write(out,
+          json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     spark.stop()
   }
 }

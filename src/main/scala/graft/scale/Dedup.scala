@@ -393,6 +393,57 @@ object Dedup {
     (result, () => { sets.unpersist(); cands.unpersist(); () })
   }
 
+  /** Hot-bucket-guard recall measurement — the tuning companion to
+    * [[boundBuckets]]. Output: every TRUE near-dup pair (exact,
+    * UNGUARDED LSH candidates verified by shingle jaccard ≥
+    * `minJaccard`) as `(id_a, id_b, jaccard, found)`, where `found`
+    * says the maxBucket-guarded candidate set still contains the
+    * pair. The guard's correctness story — a pair dropped from an
+    * overloaded bucket is still found through its other bands unless
+    * the two docs agree ONLY in overloaded bands (boundBuckets
+    * scaladoc) — becomes a measured number: `avg(found)` over a pair
+    * population of interest is recall at the chosen threshold.
+    *
+    * This is a MEASUREMENT tool, not a production operator: the
+    * exact-candidate side deliberately runs without the guard, i.e.
+    * it pays the O(population²) blowup the guard exists to prevent.
+    * Run it on a bounded sample (or a planted-duplicate synthetic
+    * corpus — ScaleSpec's usage, which gates the shipping
+    * maxBucket = 1000) to pick the cap; never on the full corpus.
+    * Both candidate sets are derived from ONE banded-bucket stream,
+    * so the guarded set is a subset of the exact set by construction
+    * and `found` is never spuriously false from hash drift. */
+  def guardRecallPairs(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, p: MinHashParams = MinHashParams(),
+      maxBucket: Int = 1000): DataFrame = {
+    val sets = df
+      .select(col(idCol).as("__id"),
+        shinglesFromTokens(TextStats.tokens(col(textCol)), p.shingle)
+          .as("__set")).persist()
+    val sigs = signaturesFromSets(
+      sets.select(col("__id").as(idCol), col("__set")), idCol, p)
+    val banded = bandedBuckets(sigs, idCol, p).persist()
+    def pairsOf(b: DataFrame): DataFrame = {
+      val l = b.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+      val r = b.select(col(idCol).as("id_b"), col("band"), col("bucket"))
+      l.join(r, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    }
+    val truth = pairsOf(banded)
+      .join(sets.select(col("__id").as("id_a"), col("__set").as("__sa")),
+        Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__set").as("__sb")),
+        Seq("id_b"))
+      .withColumn("jaccard", round(jaccard(col("__sa"), col("__sb")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+    val guarded = pairsOf(boundBuckets(banded, maxBucket))
+      .withColumn("found", lit(true))
+    truth.join(guarded, Seq("id_a", "id_b"), "left")
+      .withColumn("found", coalesce(col("found"), lit(false)))
+  }
+
   /** The persisted artifact for INCREMENTAL dedup: one row per corpus
     * document, (idCol, sig array<long> of k mins). At k=64 that is
     * ~0.5 KB/doc — a 100 TB corpus indexes into a few hundred GB that

@@ -35,6 +35,78 @@ class ScaleSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 9001L)) && pairs.contains((2L, 9002L)))
   }
 
+  test("hot-bucket guard recall at the shipping cap (1000): planted " +
+      "near-dups inside an overloaded bucket family are recovered via " +
+      "their private bands; in-family boilerplate pairs are dropped") {
+    // A 30-token template cloned 1050× overloads EVERY band bucket the
+    // family shares (population > 1000, the Curation pipelines' cap).
+    // 20 planted pairs are template+2 unique tokens, identical WITHIN
+    // the pair (jaccard 1.0): most of their bands collide with the hot
+    // family (dropped), but any band whose minhash samples a perturbed
+    // shingle forms a private 2-member bucket — the recovery path the
+    // boundBuckets scaladoc argues. This measures it.
+    val tmpl = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val clones = spark.range(1050)
+      .select((col("id") + 10000L).as("doc_id"), lit(tmpl).as("text"))
+    val planted = (0 until 20).flatMap { j =>
+      val t = s"$tmpl pa$j pb$j"
+      Seq((20000L + 2 * j, t), (20001L + 2 * j, t))
+    }.toDF("doc_id", "text")
+    // the degradation edge: pairs ONE token away from the boilerplate
+    // (a single new shingle) — each band escapes the hot bucket only
+    // if one of its 4 minhash rows samples that shingle, so some of
+    // these pairs are expected to agree with the family in all 16
+    // bands and be lost. This measures how sharp the cliff is.
+    val grazing = (0 until 20).flatMap { j =>
+      val t = s"$tmpl pz$j"
+      Seq((21000L + 2 * j, t), (21001L + 2 * j, t))
+    }.toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 200).select("doc_id", "text")
+      .unionByName(clones).unionByName(planted).unionByName(grazing)
+    val pairs = Dedup.guardRecallPairs(corpus, "doc_id", "text",
+      minJaccard = 0.4, Dedup.MinHashParams(), maxBucket = 1000)
+      .persist()
+    // the at-risk planted pairs: both ids in the planted range, same j
+    val plantedRecall = pairs
+      .filter(col("id_a") >= 20000L && col("id_a") < 21000L &&
+        col("id_b") === col("id_a") + 1 &&
+        (col("id_a") - 20000L) % 2 === 0)
+      .agg(count(lit(1)).as("n"), avg(col("found").cast("double")).as("r"))
+      .head()
+    assert(plantedRecall.getLong(0) === 20L,
+      "all 20 planted pairs must be true near-dups")
+    assert(plantedRecall.getDouble(1) >= 0.9,
+      s"planted-pair recall ${plantedRecall.getDouble(1)} under the floor")
+    val grazingRecall = pairs
+      .filter(col("id_a") >= 21000L && col("id_b") === col("id_a") + 1 &&
+        (col("id_a") - 21000L) % 2 === 0)
+      .agg(count(lit(1)).as("n"), avg(col("found").cast("double")).as("r"))
+      .head()
+    assert(grazingRecall.getLong(0) === 20L)
+    // the analytic expectation here is ~0.9 (per band, P(escape) =
+    // 1-(28/29)^4 ≈ 0.13; P(no private band in 16) ≈ 0.11); the
+    // deterministic seed-42 outcome measures 1.0 — floor well below
+    assert(grazingRecall.getDouble(1) >= 0.85,
+      s"grazing-pair recall ${grazingRecall.getDouble(1)} under the floor")
+    val overall = pairs
+      .agg(count(lit(1)).as("n"), avg(col("found").cast("double")).as("r"))
+      .head()
+    info(f"planted at-risk pair recall (2-token divergence): " +
+      f"${plantedRecall.getDouble(1)}%.3f (${plantedRecall.getLong(0)} pairs)")
+    info(f"grazing pair recall (1-token divergence): " +
+      f"${grazingRecall.getDouble(1)}%.3f (${grazingRecall.getLong(0)} pairs)")
+    info(f"overall recall incl. intentionally-dropped boilerplate pairs: " +
+      f"${overall.getDouble(1)}%.4f over ${overall.getLong(0)} true pairs")
+    // binding side: clone-family pairs agree ONLY in overloaded buckets
+    // and are dropped by design — zero survive
+    val famFound = pairs
+      .filter(col("id_a") >= 10000L && col("id_b") < 20000L && col("found"))
+      .count()
+    assert(famFound === 0L,
+      "boilerplate in-family pairs must not survive the guard")
+    pairs.unpersist()
+  }
+
   test("LSH candidates do not miss high-jaccard pairs (recall vs exact, j>=0.8)") {
     val sub = docs.filter(col("doc_id") < 100)
     val sets = sub.select(col("doc_id"), Dedup.shingleSet(col("text"), 2).as("t"))
