@@ -223,7 +223,56 @@ object IngestQueries {
       round(col("o_totalprice"), 2).as("price"))
   }
 
+  /** Delta Lake interop (read side): stage the documents table as a
+    * genuine `_delta_log` tree — v0 adds an en-partition file and a
+    * rest-partition file, v1 REMOVES the rest file — then snapshot it
+    * through [[graft.ingest.DeltaLakeRead]] (pure protocol replay, no
+    * delta jars). The oracle sees only the surviving file's rows, so
+    * the add/remove replay, path decoding, and file-list handoff are
+    * all hash-gated; time travel, checkpoints, partition
+    * reconstruction, and protocol rejection are specced
+    * (DeltaReadSpec). */
+  val qDeltaSnapshot: QueryDef = QueryDef(
+    "q176_delta_snapshot",
+    "SELECT doc_id, lang, text FROM documents WHERE lang = 'en'") {
+    (s, dir) =>
+    val t = tmp("graft_delta")
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "text")
+    def writeOne(df: org.apache.spark.sql.DataFrame, rel: String): Unit = {
+      val stage = tmp("graft_delta_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles().find(f =>
+        f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(t, rel).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    writeOne(docs.filter(col("lang") === "en"), "part-en.parquet")
+    writeOne(docs.filter(col("lang") =!= "en"), "part-rest.parquet")
+    // schemaString is a JSON document carried INSIDE a JSON string —
+    // Jackson does the escaping
+    val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(docs.schema.json)
+    val meta = s"""{"metaData":{"id":"q176","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":[],"configuration":{}}}"""
+    val log = new java.io.File(t, "_delta_log"); log.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(log, "00000000000000000000.json").toPath,
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        meta,
+        """{"add":{"path":"part-en.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+        """{"add":{"path":"part-rest.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      new java.io.File(log, "00000000000000000001.json").toPath,
+      """{"remove":{"path":"part-rest.parquet","deletionTimestamp":0,"dataChange":true}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.ingest.DeltaLakeRead.snapshot(s, t)
+  }
+
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonRoundtrip, qJsonMultiline,
     qBinaryFiles, qIncremental, qScd2, qOrcRoundtrip, qTextSource, qCdcApply,
-    qQuarantine, qPartitionOverwrite)
+    qQuarantine, qPartitionOverwrite, qDeltaSnapshot)
 }

@@ -1,0 +1,255 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.ingest.DeltaLakeRead
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[DeltaLakeRead]] against hand-built `_delta_log` trees — the
+  * public Delta protocol (PROTOCOL.md) crafted action by action, no
+  * delta-spark involved on either side. */
+class DeltaReadSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val om = new ObjectMapper()
+
+  private def newTable(): File = {
+    val d = Files.createTempDirectory("delta_read").toFile
+    d.deleteOnExit(); d
+  }
+
+  /** Write df as ONE parquet file at exactly `dest` (table-relative). */
+  private def writeOne(df: DataFrame, table: File, rel: String): Unit = {
+    val tmp = Files.createTempDirectory("dlr_stage").toFile
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val part = tmp.listFiles().find(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dest = new File(table, rel)
+    dest.getParentFile.mkdirs()
+    Files.move(part.toPath, dest.toPath, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  private def commit(table: File, v: Long, lines: Seq[String]): Unit = {
+    val log = new File(table, "_delta_log"); log.mkdirs()
+    Files.write(new File(log, f"$v%020d.json").toPath,
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def metaDataJson(schema: StructType, partCols: Seq[String],
+      conf: Map[String, String] = Map.empty): String = {
+    val n = om.createObjectNode(); val m = n.putObject("metaData")
+    m.put("id", "spec-table")
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    m.put("schemaString", schema.json)
+    val pc = m.putArray("partitionColumns"); partCols.foreach(pc.add)
+    val cf = m.putObject("configuration")
+    conf.foreach { case (k, v) => cf.put(k, v) }
+    om.writeValueAsString(n)
+  }
+
+  private def protocolJson(r: Int, w: Int,
+      feats: Seq[String] = Nil): String = {
+    val n = om.createObjectNode(); val p = n.putObject("protocol")
+    p.put("minReaderVersion", r); p.put("minWriterVersion", w)
+    if (feats.nonEmpty) {
+      val a = p.putArray("readerFeatures"); feats.foreach(a.add)
+    }
+    om.writeValueAsString(n)
+  }
+
+  private def addJson(path: String, pv: Map[String, Option[String]] =
+      Map.empty, dv: Boolean = false): String = {
+    val n = om.createObjectNode(); val a = n.putObject("add")
+    a.put("path", path)
+    val p = a.putObject("partitionValues")
+    pv.foreach { case (k, v) =>
+      v.fold { p.putNull(k); () } { s => p.put(k, s); () } }
+    a.put("size", 1L); a.put("modificationTime", 0L)
+    a.put("dataChange", true)
+    if (dv) {
+      val d = a.putObject("deletionVector")
+      d.put("storageType", "u"); d.put("pathOrInlineDv", "x")
+      d.put("offset", 0); d.put("sizeInBytes", 1); d.put("cardinality", 1L)
+    }
+    om.writeValueAsString(n)
+  }
+
+  private def removeJson(path: String): String = {
+    val n = om.createObjectNode(); val r = n.putObject("remove")
+    r.put("path", path); r.put("deletionTimestamp", 0L)
+    r.put("dataChange", true)
+    om.writeValueAsString(n)
+  }
+
+  private val flatSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  test("unpartitioned snapshot: add/add/remove replay + versionAsOf " +
+      "time travel") {
+    val t = newTable()
+    writeOne(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, "part-a.parquet")
+    writeOne(Seq((3L, "c")).toDF("id", "v"), t, "part-b.parquet")
+    commit(t, 0, Seq(protocolJson(1, 2), metaDataJson(flatSchema, Nil),
+      addJson("part-a.parquet")))
+    commit(t, 1, Seq(addJson("part-b.parquet")))
+    commit(t, 2, Seq(removeJson("part-a.parquet")))
+
+    assert(DeltaLakeRead.latestVersion(t.getPath) === 2L)
+    def ids(v: Option[Long]) =
+      DeltaLakeRead.snapshot(spark, t.getPath, v)
+        .select("id").as[Long].collect().sorted.toSeq
+    assert(ids(None) === Seq(3L))
+    assert(ids(Some(0L)) === Seq(1L, 2L))
+    assert(ids(Some(1L)) === Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException] { ids(Some(9L)) }
+  }
+
+  test("partitioned hive-style layout reads as one relation with " +
+      "partition columns restored from paths") {
+    val t = newTable()
+    val schema = StructType(flatSchema :+ StructField("lang", StringType))
+    writeOne(Seq((1L, "a")).toDF("id", "v"), t, "lang=en/part-a.parquet")
+    writeOne(Seq((2L, "b")).toDF("id", "v"), t, "lang=de/part-b.parquet")
+    commit(t, 0, Seq(protocolJson(1, 2),
+      metaDataJson(schema, Seq("lang")),
+      addJson("lang=en/part-a.parquet", Map("lang" -> Some("en"))),
+      addJson("lang=de/part-b.parquet", Map("lang" -> Some("de")))))
+    val got = DeltaLakeRead.snapshot(spark, t.getPath)
+      .select("id", "lang").as[(Long, String)].collect().sorted.toSeq
+    assert(got === Seq((1L, "en"), (2L, "de")).sorted)
+    // schema order follows the log's metaData, not the path layout
+    assert(DeltaLakeRead.snapshot(spark, t.getPath).columns.toSeq ===
+      Seq("id", "v", "lang"))
+  }
+
+  test("non-hive layout falls back to per-partition-value union; null " +
+      "partition value surfaces as SQL NULL") {
+    val t = newTable()
+    val schema = StructType(flatSchema :+ StructField("lang", StringType))
+    writeOne(Seq((1L, "a")).toDF("id", "v"), t, "pa.parquet")
+    writeOne(Seq((2L, "b")).toDF("id", "v"), t, "pb.parquet")
+    commit(t, 0, Seq(protocolJson(1, 2),
+      metaDataJson(schema, Seq("lang")),
+      addJson("pa.parquet", Map("lang" -> Some("en"))),
+      addJson("pb.parquet", Map("lang" -> None))))
+    val got = DeltaLakeRead.snapshot(spark, t.getPath)
+      .select("id", "lang").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sorted.toSeq
+    assert(got === Seq((1L, Some("en")), (2L, None)))
+  }
+
+  test("classic checkpoint seeds the replay; pre-checkpoint commits " +
+      "may be vacuumed away") {
+    val t = newTable()
+    writeOne(Seq((1L, "a")).toDF("id", "v"), t, "part-a.parquet")
+    writeOne(Seq((2L, "b")).toDF("id", "v"), t, "part-b.parquet")
+    // checkpoint at v1 carrying state {metaData, protocol, add(part-a)}
+    val cpSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType))))))
+    val cpRows = Seq(
+      Row(Row("part-a.parquet", Map.empty[String, String], 1L, 0L, true),
+        null, null),
+      Row(null, Row(flatSchema.json, Seq.empty[String],
+        Map.empty[String, String]), null),
+      Row(null, null, Row(1, 2)))
+    val cpDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(cpRows, 1), cpSchema)
+    writeOne(cpDf, t,
+      "_delta_log/00000000000000000001.checkpoint.parquet")
+    // only the post-checkpoint commit exists (0/1 vacuumed)
+    commit(t, 2, Seq(addJson("part-b.parquet")))
+    val ids = DeltaLakeRead.snapshot(spark, t.getPath)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L))
+  }
+
+  test("unsupported protocol/table features are rejected loudly, " +
+      "never misread") {
+    def tableWith(lines: Seq[String]): String = {
+      val t = newTable()
+      writeOne(Seq((1L, "a")).toDF("id", "v"), t, "part-a.parquet")
+      commit(t, 0, lines); t.getPath
+    }
+    // deletion vectors on an add
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaLakeRead.state(spark, tableWith(Seq(protocolJson(3, 7,
+        Seq("deletionVectors")), metaDataJson(flatSchema, Nil),
+        addJson("part-a.parquet", dv = true))))
+    }
+    assert(e1.getMessage.contains("deletion vector"))
+    // unknown reader feature
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLakeRead.state(spark, tableWith(Seq(protocolJson(3, 7,
+        Seq("deletionVectors")), metaDataJson(flatSchema, Nil),
+        addJson("part-a.parquet"))))
+    }
+    assert(e2.getMessage.contains("unsupported Delta reader features"))
+    // column mapping renames parquet columns
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaLakeRead.state(spark, tableWith(Seq(protocolJson(2, 5),
+        metaDataJson(flatSchema, Nil,
+          Map("delta.columnMapping.mode" -> "name")),
+        addJson("part-a.parquet"))))
+    }
+    assert(e3.getMessage.contains("columnMapping"))
+    // v2 UUID-named checkpoint
+    val t4 = newTable()
+    writeOne(Seq((1L, "a")).toDF("id", "v"), t4, "part-a.parquet")
+    commit(t4, 0, Seq(protocolJson(1, 2), metaDataJson(flatSchema, Nil),
+      addJson("part-a.parquet")))
+    Files.write(new File(t4,
+      "_delta_log/00000000000000000000.checkpoint.80a083e8-7026-4e79-" +
+      "81be-64bd76c43a11.parquet").toPath, Array.emptyByteArray)
+    val e4 = intercept[IllegalArgumentException] {
+      DeltaLakeRead.state(spark, t4.getPath)
+    }
+    assert(e4.getMessage.contains("v2"))
+    // supported reader-3 feature set passes
+    val ok = DeltaLakeRead.state(spark, tableWith(Seq(protocolJson(3, 7,
+      Seq("timestampNtz")), metaDataJson(flatSchema, Nil),
+      addJson("part-a.parquet"))))
+    assert(ok.files.map(_.path) === Seq("part-a.parquet"))
+  }
+
+  test("empty table (every add removed) yields an empty frame with " +
+      "the log schema") {
+    val t = newTable()
+    writeOne(Seq((1L, "a")).toDF("id", "v"), t, "part-a.parquet")
+    commit(t, 0, Seq(protocolJson(1, 2), metaDataJson(flatSchema, Nil),
+      addJson("part-a.parquet")))
+    commit(t, 1, Seq(removeJson("part-a.parquet")))
+    val df = DeltaLakeRead.snapshot(spark, t.getPath)
+    assert(df.columns.toSeq === Seq("id", "v"))
+    assert(df.count() === 0L)
+  }
+
+  test("percent-encoded add paths are decoded before reading") {
+    val t = newTable()
+    writeOne(Seq((7L, "x")).toDF("id", "v"), t, "part a.parquet")
+    commit(t, 0, Seq(protocolJson(1, 2), metaDataJson(flatSchema, Nil),
+      addJson("part%20a.parquet")))
+    val ids = DeltaLakeRead.snapshot(spark, t.getPath)
+      .select("id").as[Long].collect().toSeq
+    assert(ids === Seq(7L))
+  }
+}
