@@ -1,0 +1,159 @@
+package graft.ingest
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.DataFrame
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Append-only Delta Lake WRITER — the other half of the
+  * [[DeltaLakeRead]] interop story: tables this engine lands can be
+  * read back by `spark.read.format("delta")` on the reference's own
+  * stack (delta-spark), because what goes on disk is the public
+  * protocol and nothing else — parquet data files plus
+  * newline-delimited JSON `add`/`metaData`/`protocol` actions under
+  * `_delta_log/` (PROTOCOL.md). Honesty note: the harness classpath
+  * carries no delta jars, so cross-engine reads are verified against
+  * [[DeltaLakeRead]] plus the protocol document, not against
+  * delta-spark itself; the emitted log uses only protocol
+  * (1, 2) — the floor every Delta reader since 0.x accepts — and no
+  * optional feature, precisely to keep that surface trivially
+  * compatible.
+  *
+  * Scope: CREATE (version 0) and APPEND — the reference's own write
+  * pattern for bronze ingest (append + checkpointed stream sinks).
+  * Overwrite/MERGE/DELETE stay with the engine's native
+  * [[VersionedTableIO]]; this writer exists for interop hand-off, not
+  * as a second table format.
+  *
+  * Mechanics: data files are staged by a normal
+  * `df.write.partitionBy(...).parquet` into a dot-prefixed temp dir
+  * inside the table root (invisible to Delta readers and to Spark's
+  * own parquet listings), then MOVED — same filesystem, metadata-only
+  * rename — into place keeping Spark's unique part-file names; the
+  * commit claims version slot `%020d.json` with a hard link (atomic
+  * create-if-absent — the same conditional-put [[VersionedTableIO]]
+  * uses), so concurrent appenders serialize by retrying onto the next
+  * slot and never corrupt the log. Appends are add-only, hence
+  * trivially commutative — no conflict detection needed beyond the
+  * slot claim. */
+object DeltaLakeWrite {
+
+  private val om = new ObjectMapper()
+
+  /** Append `df` (creating the table at version 0 when absent).
+    * Returns the committed version. Partition VALUES are restricted
+    * to `[A-Za-z0-9._-]` — enough for the reference's `date=`/
+    * `symbol=` layouts — so hive-dir names, log partitionValues, and
+    * un-escaped paths all agree by construction; anything else is
+    * rejected rather than escaped three slightly different ways. */
+  def append(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    val root = new File(tablePath)
+    val log = new File(root, "_delta_log")
+    log.mkdirs()
+
+    val creating = Option(log.listFiles()).getOrElse(Array.empty)
+      .forall(f => !f.getName.matches("[0-9]{20}\\.json"))
+    if (!creating) {
+      val st = DeltaLakeRead.state(df.sparkSession, tablePath)
+      require(st.partitionColumns == partitionBy,
+        s"table is partitioned by ${st.partitionColumns.mkString(",")}, " +
+        s"append requested ${partitionBy.mkString(",")}")
+      val want = st.schema.map(f => (f.name, f.dataType))
+      val got = df.schema.map(f => (f.name, f.dataType))
+      require(want == got,
+        s"schema mismatch: table has $want, append has $got")
+    } else {
+      require(partitionBy.forall(df.columns.contains),
+        s"partition columns ${partitionBy.mkString(",")} missing from df")
+    }
+
+    // stage under a dot-dir: Delta readers only trust the log, and
+    // Spark/parquet listings skip dot-prefixed paths, so a crashed
+    // stage leaves garbage, never phantom rows
+    val stage = new File(root, s".stage-${java.util.UUID.randomUUID()}")
+    df.write.partitionBy(partitionBy: _*).parquet(stage.getPath)
+
+    final case class Staged(rel: String, pv: Map[String, String],
+        size: Long)
+    def walk(dir: File, relDir: String,
+        pv: Map[String, String]): Seq[Staged] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case d if d.isDirectory && d.getName.contains("=") =>
+          val Array(k, v) = d.getName.split("=", 2)
+          require(v.matches("[A-Za-z0-9._-]+"),
+            s"partition value '$v' needs escaping — unsupported " +
+            "(use [A-Za-z0-9._-])")
+          walk(d, s"$relDir${d.getName}/", pv + (k -> v))
+        case f if f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet") =>
+          val rel = s"$relDir${f.getName}"
+          val dest = new File(root, rel)
+          dest.getParentFile.mkdirs()
+          Files.move(f.toPath, dest.toPath,
+            StandardCopyOption.ATOMIC_MOVE)
+          Seq(Staged(rel, pv, dest.length()))
+        case _ => Nil
+      }
+    val staged = walk(stage, "", Map.empty)
+    rmTree(stage)
+
+    val now = System.currentTimeMillis()
+    val addLines = staged.map { s =>
+      val n = om.createObjectNode(); val a = n.putObject("add")
+      a.put("path", s.rel)
+      val p = a.putObject("partitionValues")
+      s.pv.foreach { case (k, v) => p.put(k, v) }
+      a.put("size", s.size)
+      a.put("modificationTime", now)
+      a.put("dataChange", true)
+      om.writeValueAsString(n)
+    }
+    val headerLines = if (creating) {
+      val proto = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      val m = om.createObjectNode(); val md = m.putObject("metaData")
+      md.put("id", java.util.UUID.randomUUID().toString)
+      val fmt = md.putObject("format")
+      fmt.put("provider", "parquet"); fmt.putObject("options")
+      md.put("schemaString", df.schema.json)
+      val pc = md.putArray("partitionColumns"); partitionBy.foreach(pc.add)
+      md.putObject("configuration")
+      md.put("createdTime", now)
+      Seq(proto, om.writeValueAsString(m))
+    } else Nil
+    val body = (headerLines ++ addLines).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8)
+
+    // claim the next slot: hard link = atomic create-if-absent
+    val tmp = Files.createTempFile(log.toPath, ".commit", ".tmp")
+    Files.write(tmp, body)
+    try {
+      var attempts = 0
+      while (attempts < 100) {
+        val next = 1L + Option(log.listFiles()).getOrElse(Array.empty)
+          .flatMap(f => "([0-9]{20})\\.json".r
+            .unapplySeq(f.getName).map(_.head.toLong))
+          .maxOption.getOrElse(-1L)
+        val slot = new File(log, f"$next%020d.json").toPath
+        try {
+          Files.createLink(slot, tmp)
+          return next
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => attempts += 1
+        }
+      }
+      throw new IllegalStateException(
+        s"could not claim a commit slot in $log after 100 attempts")
+    } finally {
+      Files.deleteIfExists(tmp); ()
+    }
+  }
+
+  private def rmTree(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
+}

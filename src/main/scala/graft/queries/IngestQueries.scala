@@ -272,7 +272,31 @@ object IngestQueries {
     graft.ingest.DeltaLakeRead.snapshot(s, t)
   }
 
+  /** Delta Lake interop (write→read loop): land the documents table
+    * as a PARTITIONED Delta table via [[graft.ingest.DeltaLakeWrite]]
+    * in two appends (en/de at v0, the rest at v1), then time-travel
+    * back to v0 through [[graft.ingest.DeltaLakeRead]]. The oracle
+    * sees only the first append's strata, so the hive-dir layout, the
+    * add actions' partitionValues, version-slot assignment, AND the
+    * reader's versionAsOf replay are all hash-gated in one loop. */
+  val qDeltaWriteRead: QueryDef = QueryDef(
+    "q177_delta_write_read",
+    """SELECT doc_id, lang, text FROM documents
+      |WHERE lang IN ('en', 'de')""".stripMargin) { (s, dir) =>
+    val t = tmp("graft_delta_w")
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "text")
+    graft.ingest.DeltaLakeWrite.append(
+      docs.filter(col("lang").isin("en", "de")), t,
+      partitionBy = Seq("lang"))
+    graft.ingest.DeltaLakeWrite.append(
+      docs.filter(!col("lang").isin("en", "de")), t,
+      partitionBy = Seq("lang"))
+    graft.ingest.DeltaLakeRead.snapshot(s, t, versionAsOf = Some(0L))
+      .select("doc_id", "lang", "text")
+  }
+
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonRoundtrip, qJsonMultiline,
     qBinaryFiles, qIncremental, qScd2, qOrcRoundtrip, qTextSource, qCdcApply,
-    qQuarantine, qPartitionOverwrite, qDeltaSnapshot)
+    qQuarantine, qPartitionOverwrite, qDeltaSnapshot, qDeltaWriteRead)
 }
