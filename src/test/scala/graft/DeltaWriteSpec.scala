@@ -72,6 +72,23 @@ class DeltaWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot reads stay plain parquet relations: data filters " +
+      "reach PushedFilters, partition filters prune the listing") {
+    val t = newTable()
+    DeltaLakeWrite.append(
+      (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+        .toDF("id", "lang"), t, partitionBy = Seq("lang"))
+    val df = DeltaLakeRead.snapshot(spark, t)
+      .filter($"lang" === "en" && $"id" > 50L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(id,50)"),
+      s"data predicate must reach the parquet scan:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"partition predicate must prune directories:\n$plan")
+    assert(df.count() === 25L)
+  }
+
   test("concurrent appends serialize on the slot claim — distinct " +
       "versions, no lost rows") {
     val t = newTable()
