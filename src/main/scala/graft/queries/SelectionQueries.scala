@@ -514,8 +514,84 @@ object SelectionQueries {
       "doc_id", "text")
   }
 
+  /** Sequence packing (q178): lay the corpus out in doc_id order and
+    * cut 256-token training sequences; one row per (sequence, doc)
+    * overlap. The oracle replays the layout with a single SQL cumsum
+    * window — the ENGINE computes the identical prefix through the
+    * decomposed per-bin form ([[graft.scale.Selection.packSequences]]),
+    * so the hash compare proves the decomposition exact, same as
+    * q171. */
+  val qSequencePack: QueryDef = QueryDef(
+    "q178_sequence_pack",
+    """WITH m AS (
+      |  SELECT doc_id, CAST(len(list_filter(
+      |      string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+      |    AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n,
+      |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS off
+      |  FROM m WHERE n > 0),
+      |e AS (
+      |  SELECT doc_id, n, off,
+      |    unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS s
+      |  FROM c)
+      |SELECT CAST(s AS BIGINT) AS seq_id, doc_id,
+      |  CAST(greatest(0, s * 256 - off) AS BIGINT) AS doc_off,
+      |  CAST(greatest(0, off - s * 256) AS BIGINT) AS seq_pos,
+      |  CAST(least(n, (s + 1) * 256 - off)
+      |     - greatest(0, s * 256 - off) AS BIGINT) AS seg_len
+      |FROM e""".stripMargin) { (s, dir) =>
+    Selection.packSequences(
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", 256L)
+  }
+
+  /** Packing manifest (q179): per-sequence fill stats over the q178
+    * segments — every sequence except the tail must be exactly full,
+    * which the is_full flag makes hash-checkable. */
+  val qPackManifest: QueryDef = QueryDef(
+    "q179_pack_manifest",
+    """WITH m AS (
+      |  SELECT doc_id, CAST(len(list_filter(
+      |      string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+      |    AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n,
+      |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS off
+      |  FROM m WHERE n > 0),
+      |e AS (
+      |  SELECT doc_id, n, off,
+      |    unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS s
+      |  FROM c),
+      |seg AS (
+      |  SELECT s AS seq_id,
+      |    least(n, (s + 1) * 256 - off)
+      |      - greatest(0, s * 256 - off) AS seg_len
+      |  FROM e)
+      |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(seg_len) AS BIGINT) AS n_tokens,
+      |  CAST(sum(seg_len) = 256 AS INT) AS is_full
+      |FROM seg GROUP BY 1""".stripMargin) { (s, dir) =>
+    Selection.packSequences(
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", 256L)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("seg_len")).cast("long").as("n_tokens"),
+        (sum(col("seg_len")) === 256L).cast("int").as("is_full"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(qSpanDedup, qChunk, qEmbedDecontaminate, qDsir, qSpanExcise,
       qBudgetSelect, qHybridRrf, qQualityClassifier, qLeakageSplit,
-      qCurateV3)
+      qCurateV3, qSequencePack, qPackManifest)
 }

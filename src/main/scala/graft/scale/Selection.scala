@@ -110,6 +110,78 @@ object Selection {
         (col("__cb") < col("__budget")).cast("int").as("selected"))
   }
 
+  /** Sequence packing, exact concat-and-chunk form — training-sample
+    * construction (the GPT-style "concatenate the corpus in a fixed
+    * order, then cut fixed-length sequences" recipe every LM
+    * pretraining pipeline runs after curation; docs may straddle a
+    * cut, so a doc emits one SEGMENT row per training sequence it
+    * touches). The complement of [[Sampling.packSequences]], which
+    * bins WHOLE documents shard-locally and lets the tail of each bin
+    * under/overflow — this form never splits across shards, always
+    * fills every non-tail sequence exactly, and splits documents at
+    * the cuts instead. Documents are laid out in `idCol` order; a doc
+    * whose exclusive token prefix is `off` and length `n` occupies
+    * global token interval [off, off+n), and sequence `s` holds
+    * tokens [s*seqLen, (s+1)*seqLen).
+    *
+    * Output, one row per (sequence, doc) overlap:
+    * `seq_id, idCol, doc_off` (first token of the segment WITHIN the
+    * doc), `seq_pos` (its position within the sequence), `seg_len`.
+    * Zero-token docs emit nothing. Segment rows reassemble both ways:
+    * per doc, doc_off partitions [0,n); per sequence, seq_pos
+    * partitions [0, seqLen) except the tail sequence.
+    *
+    * Scale shape: the only global state is the exclusive cumulative
+    * token count in id order — the same decomposition as
+    * [[budgetSelect]] (a global cumsum window would single-partition
+    * the corpus): one tiny id-range reduce broadcast back, per-bin
+    * token sums cumulated over a ≤ `bins`-row frame, then ONE window
+    * partitioned by bin, each bin sorting only its slice. Binning is
+    * monotone in `idCol`, so bin-asc + in-bin id order IS the global
+    * layout order. The explode emits ceil(n/seqLen)+1 ≤ rows per doc —
+    * output is Θ(corpus tokens / seqLen + docs), never quadratic. */
+  def packSequences(df: DataFrame, idCol: String, ntokCol: String,
+      seqLen: Long, bins: Int = 256): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    require(bins >= 1, "need at least one id bin")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      col(ntokCol).cast("long").as("__n"))
+      .filter(col("__n") > 0).persist()
+    val stats = base.agg(min(col("__id")).as("__lo"),
+      max(col("__id")).as("__hi"))
+    val binned = base.crossJoin(broadcast(stats))
+      .withColumn("__bin",
+        when(col("__hi") <= col("__lo"), lit(0))
+          .otherwise(least(
+            floor(((col("__id") - col("__lo")) * bins) /
+              (col("__hi") - col("__lo") + 1)).cast("int"),
+            lit(bins - 1))))
+    val wBins = W.partitionBy(lit(1)).orderBy(col("__bin").asc)
+      .rowsBetween(Long.MinValue, -1)
+    val binOffsets = binned.groupBy(col("__bin"))
+      .agg(sum(col("__n")).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(wBins), lit(0L)))
+      .select(col("__bin"), col("__off"))
+    val wIn = W.partitionBy(col("__bin")).orderBy(col("__id").asc)
+      .rowsBetween(Long.MinValue, -1)
+    val laid = binned.join(broadcast(binOffsets), Seq("__bin"))
+      .withColumn("__c",
+        col("__off") + coalesce(sum(col("__n")).over(wIn), lit(0L)))
+    laid
+      .withColumn("seq_id", explode(sequence(
+        floor(col("__c") / seqLen),
+        floor((col("__c") + col("__n") - 1) / seqLen))))
+      .select(col("seq_id"), col("__id").as(idCol),
+        greatest(lit(0L), col("seq_id") * seqLen - col("__c"))
+          .as("doc_off"),
+        greatest(lit(0L), col("__c") - col("seq_id") * seqLen)
+          .as("seq_pos"),
+        (least(col("__n"), (col("seq_id") + 1) * seqLen - col("__c")) -
+          greatest(lit(0L), col("seq_id") * seqLen - col("__c")))
+          .as("seg_len"))
+  }
+
   /** Deterministic weight table for [[classifierScore]]: integer
     * weights in [-500, 500], one per hash bucket — the stand-in for a
     * trained fastText/logistic-regression weight vector (the real

@@ -426,4 +426,63 @@ class SelectionSpec extends AnyFunSuite {
     assert(dist("train") > dist("val") && dist("train") > dist("test"),
       s"train must dominate at 80pct: $dist")
   }
+
+  // ---- Selection.packSequences ------------------------------------------
+
+  test("packSequences: exact segments, docs straddle cuts, empty docs drop") {
+    val df = Seq((1L, 5L), (2L, 3L), (3L, 10L), (4L, 0L))
+      .toDF("doc_id", "n_tokens")
+    // layout in id order: doc1 [0,5) doc2 [5,8) doc3 [8,18); seqLen 6
+    val out = Selection.packSequences(df, "doc_id", "n_tokens", 6L, bins = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(out === Set(
+      (0L, 1L, 0L, 0L, 5L),              // doc1 fully in seq 0
+      (0L, 2L, 0L, 5L, 1L),              // doc2 head fills seq 0
+      (1L, 2L, 1L, 0L, 2L),              // doc2 tail opens seq 1
+      (1L, 3L, 0L, 2L, 4L),              // doc3 head continues seq 1
+      (2L, 3L, 4L, 0L, 6L)))             // doc3 tail is all of seq 2
+  }
+
+  test("packSequences invariants on the corpus: both reassemblies exact") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select(col("doc_id"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+    val segs = Selection.packSequences(docs, "doc_id", "n_tokens", 64L)
+      .persist()
+    try {
+      // per doc: segments partition [0, n) — lengths sum back to n
+      val badDocs = segs.groupBy("doc_id")
+        .agg(sum("seg_len").as("got"), min("doc_off").as("first"))
+        .join(docs.filter(col("n_tokens") > 0), Seq("doc_id"))
+        .filter(col("got") =!= col("n_tokens") || col("first") =!= 0L)
+        .count()
+      assert(badDocs === 0L, "every doc must reassemble from its segments")
+      // per sequence: exactly seqLen tokens except the single tail
+      val fills = segs.groupBy("seq_id").agg(sum("seg_len").as("fill"),
+        min("seq_pos").as("pos0")).collect()
+      val maxSeq = fills.map(_.getLong(0)).max
+      assert(fills.forall(r => r.getLong(2) === 0L),
+        "every sequence must start at position 0")
+      assert(fills.filter(_.getLong(0) < maxSeq).forall(_.getLong(1) === 64L),
+        "every non-tail sequence must be exactly full")
+    } finally { segs.unpersist(); () }
+  }
+
+  test("packSequences plan: layout window partitions by bin, corpus never " +
+    "funnels to one partition") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select(col("doc_id"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+    val plan = Selection.packSequences(docs, "doc_id", "n_tokens", 256L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__bin"),
+      s"the layout prefix window must partition by bin:\n$plan")
+    // allowed SinglePartition moves are the tiny post-partial-agg frames
+    // only (id-range reduce ×2 evaluation sites, ≤bins-row offset
+    // window) — the doc stream itself must stay bin-partitioned
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single <= 3, s"corpus must not funnel to one partition:\n$plan")
+  }
 }
