@@ -530,6 +530,42 @@ object CorpusQueries {
       .select("doc_id", "lang", "keep_frac")
   }
 
+  /** Epoch mixing (q180): per-language replication factors exercise
+    * every regime in one query — pure downsample (en 0.5), identity
+    * (fr 1.0), exact replication (de 2.0), fractional upsample
+    * (es 2.5), drop (zh 0). The oracle replays the fractional-epoch
+    * draw and the per-copy position hash from the same md5-60
+    * stream. */
+  val qEpochMix: QueryDef = QueryDef(
+    "q180_epoch_mix",
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 1.0
+       |      WHEN 'de' THEN 2.0 WHEN 'es' THEN 2.5 ELSE 0.0 END
+       |      AS DOUBLE) AS ep,
+       |    ${md5Hash60Sql("em")} / 1152921504606846976.0 AS frac
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(floor(ep) +
+       |      CASE WHEN frac < ep - floor(ep) THEN 1 ELSE 0 END
+       |      AS INT) AS n_copies
+       |  FROM f),
+       |e AS (
+       |  SELECT doc_id, lang, n_copies, text,
+       |    unnest(range(0, n_copies)) AS copy_id
+       |  FROM c WHERE n_copies > 0)
+       |SELECT doc_id, lang, n_copies, CAST(copy_id AS INT) AS copy_id,
+       |  ${md5Hash60Of(
+            "'emh:' || CAST(copy_id AS VARCHAR) || ':' || text")} AS mix_hash
+       |FROM e""".stripMargin) { (s, dir) =>
+    graft.scale.Sampling.epochMix(
+      Tables.load(s, dir, "documents"), "lang", "text",
+      Map("en" -> 0.5, "fr" -> 1.0, "de" -> 2.0, "es" -> 2.5,
+        "zh" -> 0.0))
+      .select("doc_id", "lang", "n_copies", "copy_id", "mix_hash")
+  }
+
   /** DuckDB replay of [[graft.scale.Dedup.md5Hash60]] over an arbitrary
     * SQL expression (the salted-text form is [[md5Hash60Sql]]). */
   private def md5Hash60Of(expr: String): String =
@@ -1076,5 +1112,5 @@ object CorpusQueries {
       qCurationV2, qIncrementalDedup, qHeavyHitters, qIndexMaintenance,
       qStreamIndexDedup, qTopGramsPerLang, qBm25, qBm25Incremental,
       qBm25Query, qIncrementalClusters, qBm25QueryIncremental,
-      qStreamClusters)
+      qStreamClusters, qEpochMix)
 }

@@ -163,6 +163,50 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Epoch mixing — materialize a training mixture with per-stratum
+    * replication factors ("this source is seen 2.5 epochs"): every
+    * row of a stratum with factor f emits floor(f) copies, plus one
+    * more iff its content-hash fraction falls below frac(f), so the
+    * stratum's realized size is f× its corpus count in expectation
+    * with per-doc decisions deterministic. The UPsampling complement
+    * of [[temperatureMix]], whose rates cap at 1: factors above 1
+    * replicate (what LLaMA/DoReMi-style mixtures do to scarce
+    * high-quality sources); factors in (0,1) degrade to weighted
+    * downsampling on the same hash stream; factor 0 drops the
+    * stratum. Each copy carries `copy_id` (0-based) and `mix_hash`, a
+    * per-copy deterministic 60-bit hash distinct across copies — the
+    * sort key a downstream seeded shuffle uses so replicas of one doc
+    * scatter across shards/positions instead of training back-to-back.
+    *
+    * Scale shape: the factor table is catalog-sized and broadcasts;
+    * the explode emits at most ceil(f) rows per input row; the whole
+    * operator is a pure projection — ZERO exchanges, replication at
+    * scan speed (the consumer's shuffle is where copies scatter). */
+  def epochMix(df: DataFrame, stratumCol: String, textCol: String,
+      epochs: Map[String, Double]): DataFrame = {
+    require(epochs.nonEmpty, "need at least one stratum factor")
+    require(epochs.values.forall(f => f >= 0.0 && f <= 64.0),
+      "epoch factors must be in [0, 64] — higher is never a data mix")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = broadcast(epochs.toSeq.toDF(stratumCol, "__f"))
+    // salt "em:" keeps the fractional-epoch draw independent of the
+    // "ws:"/"ss:"/"tm:"/"qs:" streams
+    val frac = Dedup.md5Hash60(concat(lit("em:"), col(textCol))) /
+      lit(1152921504606846976.0) // 2^60
+    df.join(e, Seq(stratumCol))
+      .withColumn("n_copies",
+        (floor(col("__f")) +
+          when(frac < col("__f") - floor(col("__f")), 1L).otherwise(0L))
+          .cast("int"))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_id",
+        explode(sequence(lit(0), col("n_copies") - 1)))
+      .withColumn("mix_hash", Dedup.md5Hash60(concat(lit("emh:"),
+        col("copy_id").cast("string"), lit(":"), col(textCol))))
+      .drop("__f")
+  }
+
   /** Deterministic seeded shuffle + shard assignment — the global
     * training-data shuffle as a pure function of (id, seed): shard by
     * a 60-bit md5 hash, position within the shard by the same hash.

@@ -852,4 +852,52 @@ class ScaleSpec extends AnyFunSuite {
       .collect()
     assert(strangled.isEmpty)
   }
+
+  // ---- Sampling.epochMix --------------------------------------------------
+
+  test("epochMix: integer factors replicate exactly, zero drops, " +
+    "fractional copies bounded, per-copy hashes distinct") {
+    val docs = (0L until 200L).map(i =>
+      (i, Seq("a", "b", "c", "d")((i % 4).toInt), s"doc text nr $i"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.scale.Sampling.epochMix(docs, "lang", "text",
+      Map("a" -> 2.0, "b" -> 0.0, "c" -> 1.0, "d" -> 1.5)).persist()
+    try {
+      val perLang = out.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perLang("a") === 100L, "factor 2.0 = exactly 2 copies/doc")
+      assert(!perLang.contains("b"), "factor 0 drops the stratum")
+      assert(perLang("c") === 50L, "factor 1.0 = identity")
+      assert(perLang.getOrElse("d", 0L) > 50L && perLang("d") < 100L,
+        s"factor 1.5 lands strictly between 1 and 2 copies: $perLang")
+      val dCopies = out.filter(col("lang") === "d").groupBy("doc_id")
+        .count().collect().map(_.getLong(1))
+      assert(dCopies.forall(n => n == 1L || n == 2L),
+        "a 1.5-epoch doc gets exactly 1 or 2 copies")
+      // per-copy position hashes must differ, or replicas of a doc
+      // would sort adjacent in the downstream seeded shuffle
+      val clash = out.groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), countDistinct(col("mix_hash")).as("h"))
+        .filter(col("n") =!= col("h")).count()
+      assert(clash === 0L, "copies of one doc need distinct mix hashes")
+      // rerun is bit-identical (pure function of content)
+      val again = graft.scale.Sampling.epochMix(docs, "lang", "text",
+        Map("a" -> 2.0, "b" -> 0.0, "c" -> 1.0, "d" -> 1.5))
+      assert(out.exceptAll(again).count() === 0L &&
+        again.exceptAll(out).count() === 0L)
+    } finally { out.unpersist(); () }
+  }
+
+  test("epochMix plan: pure projection — the corpus never shuffles") {
+    val docs = graft.core.Tables.load(spark, SparkTestSession.sfDir,
+      "documents")
+    val plan = graft.scale.Sampling.epochMix(docs, "lang", "text",
+      Map("en" -> 2.5, "fr" -> 1.0, "de" -> 0.5, "es" -> 1.0,
+        "zh" -> 1.0))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange SinglePartition"),
+      s"replication must happen at scan speed (broadcast factors, " +
+        s"explode projection):\n$plan")
+  }
 }
