@@ -590,8 +590,70 @@ object SelectionQueries {
         (sum(col("seg_len")) === 256L).cast("int").as("is_full"))
   }
 
+  /** Training-mix assembly (q181): the composed post-curation chain —
+    * per-lang counts → UNCAPPED temperature epochs (scarce langs
+    * upsample past 1, en downsamples) → deterministic copy
+    * materialization → md5-60 shuffle order → exact 256-token packing
+    * with (doc_id, copy_id) tie-breaks. ONE oracle replays all four
+    * stages (the q130/q175 composition pattern), so replication
+    * factors, per-copy hashes, layout order, and cut arithmetic are
+    * hash-checked end to end. */
+  val qTrainingMix: QueryDef = QueryDef(
+    "q181_training_mix",
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |r AS (
+       |  SELECT lang,
+       |    CAST(2.0 AS DOUBLE) * CAST(sum(n) OVER () AS DOUBLE)
+       |      * pow(n, 0.5) / sum(pow(n, 0.5)) OVER () / n AS f
+       |  FROM c),
+       |h AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(len(list_filter(string_split_regex(lower(text),
+       |      '[^a-z]+'), x -> x <> '')) AS BIGINT) AS ntok,
+       |    ${md5Fold60Sql("'em:' || text")}
+       |      / 1152921504606846976.0 AS frac
+       |  FROM documents),
+       |cp AS (
+       |  SELECT doc_id, text, ntok,
+       |    CAST(floor(f) +
+       |      CASE WHEN frac < f - floor(f) THEN 1 ELSE 0 END
+       |      AS INT) AS n_copies
+       |  FROM h JOIN r USING (lang)),
+       |e AS (
+       |  SELECT doc_id, text, ntok,
+       |    unnest(range(0, n_copies)) AS copy_id
+       |  FROM cp WHERE n_copies > 0),
+       |m AS (
+       |  SELECT doc_id, CAST(copy_id AS INT) AS copy_id, ntok AS n,
+       |    ${md5Fold60Sql(
+              "'emh:' || CAST(copy_id AS VARCHAR) || ':' || text")}
+       |      AS mix_hash
+       |  FROM e),
+       |o AS (
+       |  SELECT mix_hash, doc_id, copy_id, n,
+       |    CAST(coalesce(sum(n) OVER (
+       |      ORDER BY mix_hash ASC, doc_id ASC, copy_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS off
+       |  FROM m WHERE n > 0),
+       |sg AS (
+       |  SELECT mix_hash, doc_id, copy_id, n, off,
+       |    unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS s
+       |  FROM o)
+       |SELECT CAST(s AS BIGINT) AS seq_id, mix_hash, doc_id, copy_id,
+       |  CAST(greatest(0, s * 256 - off) AS BIGINT) AS doc_off,
+       |  CAST(greatest(0, off - s * 256) AS BIGINT) AS seq_pos,
+       |  CAST(least(n, (s + 1) * 256 - off)
+       |     - greatest(0, s * 256 - off) AS BIGINT) AS seg_len
+       |FROM sg""".stripMargin) { (s, dir) =>
+    graft.scale.Curation.trainingMix(
+      Tables.load(s, dir, "documents"),
+      "doc_id", "lang", "text", tau = 0.5, budgetEpochs = 2.0,
+      seqLen = 256L)
+  }
+
   val all: Seq[QueryDef] =
     Seq(qSpanDedup, qChunk, qEmbedDecontaminate, qDsir, qSpanExcise,
       qBudgetSelect, qHybridRrf, qQualityClassifier, qLeakageSplit,
-      qCurateV3, qSequencePack, qPackManifest)
+      qCurateV3, qSequencePack, qPackManifest, qTrainingMix)
 }

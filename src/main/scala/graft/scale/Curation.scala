@@ -246,4 +246,53 @@ object Curation {
         .select(col(idCol), col("clean_text")),
       idCol, "clean_text", chunkSize, overlap)
   }
+
+  /** Training-mix assembly — the post-curation composition that turns
+    * a curated corpus into the exact token stream a trainer reads:
+    *
+    *   per-stratum counts → UNCAPPED temperature rates (epochs > 1
+    *   upsample scarce strata, < 1 downsample dominant ones) →
+    *   [[Sampling.epochMixFrom]] materializes the copies → the
+    *   per-copy md5-60 `mix_hash` IS the seeded global shuffle order →
+    *   [[Selection.packSequencesBy]] cuts exact `seqLen`-token
+    *   sequences along that order (ties broken by (id, copy_id)).
+    *
+    * Output: `seq_id, mix_hash, idCol, copy_id, doc_off, seq_pos,
+    * seg_len` — one row per (sequence, copy) overlap; every non-tail
+    * sequence exactly full. Fully deterministic (no rand()), so the
+    * four-stage composition is one hash-checkable oracle.
+    *
+    * Scale shape: counts reduce to a catalog-sized frame (broadcast
+    * back); replication is a zero-exchange projection; the only
+    * corpus-scale movement is the packer's bin-partitioned layout
+    * window — no global sort, no collect anywhere.
+    *
+    * `budgetEpochs` is the corpus-relative size of the mix (2.0 = the
+    * realized mix holds ~2× the corpus docs); `tau` the usual
+    * temperature exponent on stratum counts. */
+  def trainingMix(docs: DataFrame, idCol: String, stratumCol: String,
+      textCol: String, tau: Double, budgetEpochs: Double,
+      seqLen: Long): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    // uncapped temperature mixture: f_s = budget·N · w_s/Σw / n_s,
+    // w_s = n_s^tau — the q129 rate formula without the least(1.0)
+    // clamp, so scarce strata replicate instead of saturating
+    val factors = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("epochs",
+        lit(budgetEpochs) * sum(col("__n")).over(all) *
+          pow(col("__n").cast("double"), tau) /
+          sum(pow(col("__n").cast("double"), tau)).over(all) /
+          col("__n").cast("double"))
+      .select(col(stratumCol), col("epochs"))
+    val copies = Sampling.epochMixFrom(
+      docs.select(col(idCol), col(stratumCol), col(textCol),
+        size(TextStats.tokens(col(textCol))).cast("long").as("__ntok")),
+      stratumCol, textCol, factors)
+    Selection.packSequencesBy(
+      copies.select(col("mix_hash"), col(idCol), col("copy_id"),
+        col("__ntok")),
+      "mix_hash", Seq(idCol, "copy_id"), "__ntok", seqLen)
+  }
 }

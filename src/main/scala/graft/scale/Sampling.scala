@@ -189,7 +189,19 @@ object Sampling {
       "epoch factors must be in [0, 64] — higher is never a data mix")
     val spark = df.sparkSession
     import spark.implicits._
-    val e = broadcast(epochs.toSeq.toDF(stratumCol, "__f"))
+    epochMixFrom(df, stratumCol, textCol,
+      epochs.toSeq.toDF(stratumCol, "epochs"))
+  }
+
+  /** [[epochMix]] with the factor table as a FRAME `(stratumCol,
+    * epochs)` instead of a driver-side map — the composable form: a
+    * pipeline that derives its mixture from corpus statistics (e.g.
+    * uncapped temperature rates) feeds them in without any collect.
+    * The factor frame must be catalog-sized (strata), it broadcasts. */
+  def epochMixFrom(df: DataFrame, stratumCol: String, textCol: String,
+      factors: DataFrame): DataFrame = {
+    val e = broadcast(factors.select(col(stratumCol),
+      col("epochs").cast("double").as("__f")))
     // salt "em:" keeps the fractional-epoch draw independent of the
     // "ws:"/"ss:"/"tm:"/"qs:" streams
     val frac = Dedup.md5Hash60(concat(lit("em:"), col(textCol))) /

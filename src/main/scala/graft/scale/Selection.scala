@@ -141,21 +141,39 @@ object Selection {
     * layout order. The explode emits ceil(n/seqLen)+1 ≤ rows per doc —
     * output is Θ(corpus tokens / seqLen + docs), never quadratic. */
   def packSequences(df: DataFrame, idCol: String, ntokCol: String,
-      seqLen: Long, bins: Int = 256): DataFrame = {
+      seqLen: Long, bins: Int = 256): DataFrame =
+    packSequencesBy(df, idCol, Seq.empty, ntokCol, seqLen, bins)
+
+  /** [[packSequences]] over an arbitrary numeric layout key with
+    * tie-break columns — the form a SHUFFLED training layout needs:
+    * order by a per-copy position hash (ties broken deterministically
+    * by the carried id columns), not by document id. `tieCols` ride
+    * through to the output between `seq_id` and the packing columns.
+    * Bin choice only steers the decomposition, never the result: the
+    * exclusive prefix is exact for any binning, so the uniform
+    * layout-range split below is purely a parallelism knob. */
+  def packSequencesBy(df: DataFrame, layoutCol: String,
+      tieCols: Seq[String], ntokCol: String, seqLen: Long,
+      bins: Int = 256): DataFrame = {
     require(seqLen >= 1, "seqLen must be >= 1")
-    require(bins >= 1, "need at least one id bin")
+    require(bins >= 1, "need at least one layout bin")
     val W = org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol).cast("long").as("__id"),
-      col(ntokCol).cast("long").as("__n"))
+    val ties = tieCols.map(col)
+    val base = df.select(
+      (col(layoutCol).cast("long").as("__id") +: ties) :+
+        col(ntokCol).cast("long").as("__n"): _*)
       .filter(col("__n") > 0).persist()
     val stats = base.agg(min(col("__id")).as("__lo"),
       max(col("__id")).as("__hi"))
+    // overflow-safe range binning: width-divide, never value-multiply
+    // (a 60-bit hash layout key times 256 bins would overflow a long)
+    val width = greatest(lit(1L),
+      (col("__hi") - col("__lo")) / bins + lit(1L))
     val binned = base.crossJoin(broadcast(stats))
       .withColumn("__bin",
         when(col("__hi") <= col("__lo"), lit(0))
           .otherwise(least(
-            floor(((col("__id") - col("__lo")) * bins) /
-              (col("__hi") - col("__lo") + 1)).cast("int"),
+            floor((col("__id") - col("__lo")) / width).cast("int"),
             lit(bins - 1))))
     val wBins = W.partitionBy(lit(1)).orderBy(col("__bin").asc)
       .rowsBetween(Long.MinValue, -1)
@@ -163,7 +181,8 @@ object Selection {
       .agg(sum(col("__n")).as("__bn"))
       .withColumn("__off", coalesce(sum(col("__bn")).over(wBins), lit(0L)))
       .select(col("__bin"), col("__off"))
-    val wIn = W.partitionBy(col("__bin")).orderBy(col("__id").asc)
+    val wIn = W.partitionBy(col("__bin"))
+      .orderBy(col("__id").asc +: tieCols.map(col(_).asc): _*)
       .rowsBetween(Long.MinValue, -1)
     val laid = binned.join(broadcast(binOffsets), Seq("__bin"))
       .withColumn("__c",
@@ -172,14 +191,14 @@ object Selection {
       .withColumn("seq_id", explode(sequence(
         floor(col("__c") / seqLen),
         floor((col("__c") + col("__n") - 1) / seqLen))))
-      .select(col("seq_id"), col("__id").as(idCol),
+      .select((col("seq_id") +: col("__id").as(layoutCol) +: ties) ++ Seq(
         greatest(lit(0L), col("seq_id") * seqLen - col("__c"))
           .as("doc_off"),
         greatest(lit(0L), col("__c") - col("seq_id") * seqLen)
           .as("seq_pos"),
         (least(col("__n"), (col("seq_id") + 1) * seqLen - col("__c")) -
           greatest(lit(0L), col("seq_id") * seqLen - col("__c")))
-          .as("seg_len"))
+          .as("seg_len")): _*)
   }
 
   /** Deterministic weight table for [[classifierScore]]: integer

@@ -470,6 +470,41 @@ class SelectionSpec extends AnyFunSuite {
     } finally { segs.unpersist(); () }
   }
 
+  test("trainingMix: every non-tail sequence exactly full; copies of a " +
+    "doc scatter across sequences; no corpus-wide single partition") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val mix = graft.scale.Curation.trainingMix(docs, "doc_id", "lang",
+      "text", tau = 0.5, budgetEpochs = 2.0, seqLen = 128L).persist()
+    try {
+      val fills = mix.groupBy("seq_id").agg(sum("seg_len").as("fill"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val tail = fills.keys.max
+      assert(fills.filter(_._1 < tail).values.forall(_ === 128L),
+        "every non-tail sequence must hold exactly seqLen tokens")
+      // replicated docs (copy_id 1) must exist under a 2.0-epoch
+      // budget, and a doc's copies must scatter via mix_hash: sharing
+      // a sequence happens only by hash coincidence (~docs/seqs
+      // expected), never systematically
+      val multi = mix.filter(col("copy_id") >= 1)
+        .select(countDistinct(col("doc_id"))).head.getLong(0)
+      assert(multi > 0L, "a 2x budget must replicate some docs")
+      val together = mix.groupBy("doc_id", "seq_id")
+        .agg(countDistinct(col("copy_id")).as("k"))
+        .filter(col("k") > 1).count()
+      assert(together.toDouble / multi < 0.01,
+        s"copies of one doc should scatter: $together/$multi share")
+      // the corpus-scale layout window must partition by bin; the
+      // tiny-frame SinglePartition moves (counts, stats, bin offsets)
+      // are bounded per-operator in the packSequences/budgetSelect
+      // specs — here their TEXTUAL count multiplies because the
+      // pre-materialization AQE plan reprints the persisted base's
+      // lineage under every consumer branch, so it carries no signal
+      val plan = mix.queryExecution.executedPlan.toString
+      assert(plan.contains("hashpartitioning(__bin"),
+        s"the layout window must stay bin-partitioned:\n$plan")
+    } finally { mix.unpersist(); () }
+  }
+
   test("packSequences plan: layout window partitions by bin, corpus never " +
     "funnels to one partition") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
