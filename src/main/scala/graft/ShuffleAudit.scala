@@ -95,7 +95,19 @@ object ShuffleAudit {
     // the composed round-9 pipeline: its ratio must track the sum of
     // its stages (classifier 0 + excision + budget + chunk 0), i.e.
     // stay in the span-excision band, not multiply across stages
-    "q175_curation_v3" -> Seq("documents"))
+    "q175_curation_v3" -> Seq("documents"),
+    // round-10: exact packing shuffles ONLY narrow (key, ntok) rows
+    // through the bin-partitioned layout window — text never moves,
+    // so the ratio must stay a small constant regardless of doc size
+    "q178_sequence_pack" -> Seq("documents"),
+    // epoch mixing is a zero-exchange projection (broadcast factors +
+    // explode): its ratio must be EXACTLY zero at every SF
+    "q180_epoch_mix" -> Seq("documents"),
+    // composed mix→copies→shuffle→pack: the only corpus-scale
+    // movement is the packer's layout window over the REPLICATED
+    // narrow rows (~2× the q178 band under budgetEpochs=2), plus the
+    // catalog-sized counts reduce — still no text on the wire
+    "q181_training_mix" -> Seq("documents"))
 
   private final class Tally extends SparkListener {
     private val lock = new Object
