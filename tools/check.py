@@ -23,6 +23,10 @@ import tempfile
 
 import duckdb
 
+# line-buffer stdout so redirected runs (nohup long big-SF checks)
+# show per-query verdicts live instead of one block at exit
+sys.stdout.reconfigure(line_buffering=True)
+
 
 def norm(v):
     if isinstance(v, float):
