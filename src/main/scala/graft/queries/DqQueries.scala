@@ -158,5 +158,51 @@ object DqQueries {
         col("chk.n_violations").as("n_violations"), col("nr_status"))
   }
 
-  val all: Seq[QueryDef] = Seq(qDqAudit, qDqFact, qDqMultiTable)
+  /** Column profile (q182): the single-scan table summary a DQ audit
+    * config is derived from — per column: rows, nulls, exact distinct
+    * cardinality (HLL cross-checked within 5%, the q54 contract),
+    * typed min/max. The oracle recomputes every column's aggregates
+    * independently and the verdict column must equal literal TRUE. */
+  val qProfile: QueryDef = {
+    def num(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_num,
+         |  CAST(max($c) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str,
+         |  CAST(NULL AS VARCHAR) AS max_str,
+         |  TRUE AS sketch_ok
+         |FROM orders""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         |  min($c) AS min_str, max($c) AS max_str,
+         |  TRUE AS sketch_ok
+         |FROM orders""".stripMargin
+    def ts(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(epoch_us(min($c)) AS DOUBLE) AS min_num,
+         |  CAST(epoch_us(max($c)) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str,
+         |  CAST(NULL AS VARCHAR) AS max_str,
+         |  TRUE AS sketch_ok
+         |FROM orders""".stripMargin
+    QueryDef(
+      "q182_profile",
+      Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
+        num("o_totalprice"), ts("o_orderdate"), str("o_orderpriority"))
+        .mkString("\nUNION ALL\n")) { (s, dir) =>
+      Profile.profile(Tables.load(s, dir, "orders"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(qDqAudit, qDqFact, qDqMultiTable, qProfile)
 }

@@ -213,4 +213,35 @@ class DqSpec extends AnyFunSuite {
     val b = AuditExecutor.runRule(frame, cfg, at).first().getString(0)
     assert(a === b && a.length === 64)
   }
+
+  // ---- Profile -------------------------------------------------------
+
+  test("profile: per-column nulls/distinct/min-max exact; deployment " +
+    "mode is Expand-free and its estimate lands near the exact count") {
+    val df = graft.core.Tables.load(spark, SparkTestSession.sfDir, "orders")
+    val ex = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val key = ex("o_orderkey")
+    assert(key.getAs[Long]("n_nulls") === 0L)
+    assert(key.getAs[Long]("n_distinct") === key.getAs[Long]("n_rows"),
+      "o_orderkey is the PK: distinct must equal rows")
+    assert(ex("o_orderstatus").getAs[String]("min_str") !== null)
+    assert(ex("o_orderdate").getAs[Double]("min_num") > 0.0,
+      "timestamp columns profile on the micros axis")
+    assert(ex.values.forall(_.getAs[Boolean]("sketch_ok")),
+      "every HLL estimate must land within 5% of exact")
+    // deployment mode: no exact distinct => no Expand in the plan —
+    // the whole profile is one scan + a 1-row reduce
+    val est = Profile.profile(df, exact = false)
+    val plan = est.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"exact=false must not Expand the scan:\n$plan")
+    val estKey = est.collect().map(r => r.getString(0) -> r).toMap
+    val approx = estKey("o_orderkey").getAs[Long]("n_distinct").toDouble
+    val exact = key.getAs[Long]("n_distinct").toDouble
+    assert(math.abs(approx - exact) <= exact * 0.05)
+    assert(estKey("o_orderkey").isNullAt(
+      estKey("o_orderkey").fieldIndex("sketch_ok")),
+      "no verdict without an exact count")
+  }
 }
