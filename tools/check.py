@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local dev-loop mimic of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [onlyCsvNames]
 
 Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
 oracle SQL in DuckDB against the parquet tables in <sfDir>, loads the
@@ -13,6 +13,12 @@ Spark result parquet from <verifyOutDir>/<name>/, and compares:
 Oracles must avoid result types the driver renders differently from
 Spark (HUGEINT/DECIMAL — see BAD_ORACLE_TYPES); violations fail here.
 Exit code = number of failing queries.
+
+GRAFT_CHECK_JOBS=N parallelizes ACROSS queries with a process pool
+(each worker opens its own DuckDB connection + spill dir). The
+per-query verdict logic is byte-identical to the serial path; big-SF
+full-registry runs are Python-normalization-bound (repr per value,
+single-core), so the pool is the wall-clock lever. Default 1.
 """
 import glob
 import json
@@ -56,11 +62,7 @@ def table(rows, cols):
     return [cols[i] for i in order], out
 
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    # optional 3rd arg: comma-separated query names (re-check subset)
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
-    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+def connect(sf_dir):
     con = duckdb.connect()
     # big-SF oracles (MinHash CTE chains over 500k+ docs) exceed RAM in
     # a pure in-memory connection, which cannot spill; a per-run temp
@@ -83,7 +85,61 @@ def main():
             continue
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
-    fails = 0
+    return con
+
+
+def check_one(sf_dir, out_dir, name, oracle, con=None):
+    """Verdict for one query: (passed, message). Identical logic in the
+    serial and pooled paths."""
+    if con is None:
+        con = connect(sf_dir)
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        return False, f"FAIL {name}: no spark output"
+    got = con.execute(
+        f"SELECT * FROM read_parquet({files!r})").fetchall()
+    gcols = [d[0] for d in con.description]
+    if oracle is None:
+        return True, f"ROWS {name}: {len(got)} rows (no oracle)"
+    try:
+        rel = con.sql(oracle)
+        etypes = [str(t) for t in rel.types]
+        ecols = list(rel.columns)
+        exp = rel.fetchall()
+    except Exception as e:
+        return False, f"FAIL {name}: oracle error: {e}"
+    bad = [f"{c}:{t}" for c, t in zip(ecols, etypes)
+           if any(b in t for b in BAD_ORACLE_TYPES)]
+    if bad:
+        return False, (f"FAIL {name}: oracle column type(s) the driver "
+                       f"renders differently from Spark: {bad}")
+    gc, gt = table(got, gcols)
+    ec, et = table(exp, ecols)
+    if gc != ec:
+        return False, f"FAIL {name}: schema {gc} vs {ec}"
+    if len(gt) != len(et):
+        return False, f"FAIL {name}: rows {len(gt)} vs {len(et)}"
+    if gt != et:
+        diff = next(i for i in range(len(gt)) if gt[i] != et[i])
+        return False, (f"FAIL {name}: values differ, first diff row "
+                       f"{diff}:\n  spark: {gt[diff]}\n  duck:  {et[diff]}")
+    return True, f"PASS {name}: {len(gt)} rows"
+
+
+def _pool_task(args):
+    sf_dir, out_dir, name, oracle = args
+    try:
+        return check_one(sf_dir, out_dir, name, oracle)
+    except Exception as e:  # a worker crash must read as that query failing
+        return False, f"FAIL {name}: worker error: {e}"
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional 3rd arg: comma-separated query names (re-check subset)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    jobs = int(os.environ.get("GRAFT_CHECK_JOBS", "1"))
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(
         set(oracles) |
         {p.rstrip("/").split("/")[-1] for p in glob.glob(f"{out_dir}/*/")})
@@ -94,51 +150,25 @@ def main():
             print(f"FATAL: unknown query name(s): {sorted(unknown)}")
             sys.exit(120)
         names = [n for n in names if n in only]
-    for name in names:
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not files:
-            print(f"FAIL {name}: no spark output")
-            fails += 1
-            continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchall()
-        gcols = [d[0] for d in con.description]
-        if name not in oracles:
-            print(f"ROWS {name}: {len(got)} rows (no oracle)")
-            continue
-        try:
-            rel = con.sql(oracles[name])
-            etypes = [str(t) for t in rel.types]
-            ecols = list(rel.columns)
-            exp = rel.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
-            fails += 1
-            continue
-        bad = [f"{c}:{t}" for c, t in zip(ecols, etypes)
-               if any(b in t for b in BAD_ORACLE_TYPES)]
-        if bad:
-            print(f"FAIL {name}: oracle column type(s) the driver "
-                  f"renders differently from Spark: {bad}")
-            fails += 1
-            continue
-        gc, gt = table(got, gcols)
-        ec, et = table(exp, ecols)
-        if gc != ec:
-            print(f"FAIL {name}: schema {gc} vs {ec}")
-            fails += 1
-        elif len(gt) != len(et):
-            print(f"FAIL {name}: rows {len(gt)} vs {len(et)}")
-            fails += 1
-        elif gt != et:
-            diff = next(i for i in range(len(gt)) if gt[i] != et[i])
-            print(f"FAIL {name}: values differ, first diff row {diff}:\n"
-                  f"  spark: {gt[diff]}\n  duck:  {et[diff]}")
-            fails += 1
-        else:
-            print(f"PASS {name}: {len(gt)} rows")
+    fails = 0
+    if jobs > 1:
+        import multiprocessing as mp
+        tasks = [(sf_dir, out_dir, n, oracles.get(n)) for n in names]
+        with mp.Pool(jobs) as pool:
+            for ok, msg in pool.imap_unordered(_pool_task, tasks):
+                print(msg)
+                if not ok:
+                    fails += 1
+    else:
+        con = connect(sf_dir)
+        for name in names:
+            ok, msg = check_one(sf_dir, out_dir, name,
+                                oracles.get(name), con)
+            print(msg)
+            if not ok:
+                fails += 1
     print(f"== {len(names) - fails}/{len(names)} pass")
-    sys.exit(min(fails, 120))
+    sys.exit(min(fails, 99))
 
 
 if __name__ == "__main__":
