@@ -152,13 +152,31 @@ def main():
         names = [n for n in names if n in only]
     fails = 0
     if jobs > 1:
-        import multiprocessing as mp
-        tasks = [(sf_dir, out_dir, n, oracles.get(n)) for n in names]
-        with mp.Pool(jobs) as pool:
-            for ok, msg in pool.imap_unordered(_pool_task, tasks):
-                print(msg)
-                if not ok:
-                    fails += 1
+        # ProcessPoolExecutor, not mp.Pool: an OOM-killed worker (giant
+        # python compares can hit tens of GB) makes Pool.imap hang
+        # FOREVER on the lost task; the executor raises
+        # BrokenProcessPool instead, and per-future bookkeeping lets
+        # the dead query fail loudly while the rest still report.
+        from concurrent.futures import ProcessPoolExecutor, wait
+        from concurrent.futures import FIRST_COMPLETED
+        pending = {}
+        with ProcessPoolExecutor(jobs) as pool:
+            for n in names:
+                pending[pool.submit(_pool_task,
+                    (sf_dir, out_dir, n, oracles.get(n)))] = n
+            while pending:
+                done, _ = wait(pending, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    n = pending.pop(fut)
+                    try:
+                        ok, msg = fut.result()
+                    except Exception as e:
+                        ok, msg = False, (f"FAIL {n}: worker died "
+                                          f"({type(e).__name__}: {e}) — "
+                                          f"rerun serially")
+                    print(msg)
+                    if not ok:
+                        fails += 1
     else:
         con = connect(sf_dir)
         for name in names:
