@@ -652,8 +652,171 @@ object SelectionQueries {
       seqLen = 256L)
   }
 
+  /** The q171 continuous quality blend as a reusable oracle fragment:
+    * CTEs `t` (tokens + punctuation counts, with `lang` carried) and
+    * `m` (exact integer micro-unit score + token count) over
+    * `documents` — see q171's scaladoc for why the arithmetic is
+    * integer-exact until one final division. */
+  private val qualityBlendSql: String =
+    """t AS (
+      |  SELECT lang, doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |      x -> x <> '') AS toks,
+      |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS npunct,
+      |    length(text) AS nchars
+      |  FROM documents),
+      |m AS (
+      |  SELECT lang, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    (CAST(round(round(len(list_filter(toks, x -> list_contains(
+      |          ['the','a','an','and','or','of','to','in','is','was'], x)))
+      |        * 1.0 / greatest(len(toks), 1), 6) * 1000000) AS BIGINT) * 50
+      |     + CAST(round(least(round(coalesce(
+      |          list_sum(list_transform(toks, x -> length(x))), 0)
+      |        * 1.0 / greatest(len(toks), 1), 6), 10.0) * 1000000)
+      |        AS BIGINT) * 5
+      |     - CAST(round(round(npunct * 1.0 / greatest(nchars, 1), 6)
+      |        * 1000000) AS BIGINT) * 50) / 100000000.0 AS score
+      |  FROM t)""".stripMargin
+
+  /** The q171 blend as engine columns (same exact-integer-micro-unit
+    * contract; see q171). */
+  private def qualityBlend: org.apache.spark.sql.Column = {
+    val micro =
+      round(TextStats.stopwordRatio(col("text")) * 1000000).cast("long") * 50 +
+      round(least(TextStats.meanTokenLen(col("text")), lit(10.0)) * 1000000)
+        .cast("long") * 5 -
+      round(TextStats.punctRatio(col("text")) * 1000000).cast("long") * 50
+    micro.cast("double") / 100000000.0
+  }
+
+  /** Curriculum ordering: exact global difficulty rank (the q171
+    * blend, ascending = easiest first), four equal-size stages, and a
+    * seeded deterministic shuffle within each stage. The oracle
+    * computes the rank with the NAIVE global row_number the engine's
+    * bin decomposition must equal, then replays the stage arithmetic
+    * and the md5-60 in-stage order. */
+  val qCurriculum: QueryDef = QueryDef(
+    "q183_curriculum",
+    s"""WITH $qualityBlendSql,
+       |r AS (
+       |  SELECT doc_id, score,
+       |    CAST(row_number() OVER (ORDER BY score ASC, doc_id ASC) - 1
+       |      AS BIGINT) AS rank
+       |  FROM m),
+       |s AS (
+       |  SELECT doc_id, score, rank,
+       |    CAST(floor(rank * 4.0 / (SELECT count(*) FROM m)) AS INT)
+       |      AS stage
+       |  FROM r)
+       |SELECT doc_id, score, rank, stage,
+       |  CAST(row_number() OVER (PARTITION BY stage
+       |    ORDER BY ${md5Fold60Sql("'cur:' || CAST(doc_id AS VARCHAR)")}
+       |      ASC, doc_id ASC) AS INT) AS ord
+       |FROM s""".stripMargin) { (s, dir) =>
+    val scored = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), qualityBlend.as("score"))
+    Selection.curriculumOrder(scored, "doc_id", "score", stages = 4)
+  }
+
+  /** Per-language token budgets — "the best 50% of tokens of EACH
+    * language" (budget balancing a single global prefix cannot
+    * express). The oracle is the naive per-group cumsum window the
+    * engine's (group, bin)-decomposed windows must equal exactly. */
+  val qLangBudget: QueryDef = QueryDef(
+    "q184_lang_budget",
+    s"""WITH $qualityBlendSql,
+       |c AS (
+       |  SELECT lang, doc_id, score, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY score DESC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_before,
+       |    CAST(floor(0.5 * sum(n_tokens) OVER (PARTITION BY lang))
+       |      AS BIGINT) AS budget
+       |  FROM m)
+       |SELECT lang, doc_id, score, n_tokens, cum_before,
+       |  CAST(cum_before < budget AS INT) AS selected
+       |FROM c""".stripMargin) { (s, dir) =>
+    val scored = Tables.load(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), qualityBlend.as("score"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+    Selection.budgetSelectBy(scored, "lang", "doc_id", "score",
+      "n_tokens", budgetFraction = 0.5)
+  }
+
+  /** Duplicate-aware epoch mixing: near-dup clusters (the q174 CC
+    * slice) are replicated so the CLUSTER is seen ~3 epochs — each
+    * member at 3/cluster_size (singletons triplicate; a 6-member
+    * cluster's docs each carry f=0.5 and survive by content-hash
+    * draw). The oracle replays the q174 components, the cluster
+    * sizes, and the q180/q181 copy+mix_hash arithmetic. */
+  val qClusterMix: QueryDef = QueryDef(
+    "q185_cluster_mix",
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, text,
+       |    list_distinct(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                  x -> x <> '')) AS toks
+       |  FROM documents WHERE doc_id < 60),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |  WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+       |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 4)
+       |        >= 0.7),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(node, lab) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+       |comp AS (SELECT node, min(lab) AS cid FROM reach GROUP BY node),
+       |assigned AS (
+       |  SELECT t.doc_id, t.text, coalesce(comp.cid, t.doc_id) AS cluster_id
+       |  FROM t LEFT JOIN comp ON t.doc_id = comp.node),
+       |sz AS (
+       |  SELECT a.doc_id, a.text, a.cluster_id,
+       |    CAST(count(*) OVER (PARTITION BY a.cluster_id) AS BIGINT)
+       |      AS cluster_size
+       |  FROM assigned a),
+       |h AS (
+       |  SELECT doc_id, text, cluster_id, cluster_size,
+       |    3.0 / cluster_size AS f,
+       |    ${md5Fold60Sql("'em:' || text")}
+       |      / 1152921504606846976.0 AS frac
+       |  FROM sz),
+       |cp AS (
+       |  SELECT doc_id, text, cluster_id, cluster_size,
+       |    CAST(floor(f) +
+       |      CASE WHEN frac < f - floor(f) THEN 1 ELSE 0 END
+       |      AS INT) AS n_copies
+       |  FROM h),
+       |e AS (
+       |  SELECT doc_id, text, cluster_id, cluster_size,
+       |    unnest(range(0, n_copies)) AS copy_id
+       |  FROM cp WHERE n_copies > 0)
+       |SELECT doc_id, cluster_id, cluster_size,
+       |  CAST(copy_id AS INT) AS copy_id,
+       |  ${md5Fold60Sql(
+            "'emh:' || CAST(copy_id AS VARCHAR) || ':' || text")}
+       |    AS mix_hash
+       |FROM e""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 60).select("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.7)
+      .select("id_a", "id_b")
+    val labeled = Clusters.dedupClusters(docs, pairs, "doc_id")
+    graft.scale.Sampling.epochMixWeighted(
+        labeled.withColumn("__f", lit(3.0) / col("cluster_size")),
+        "__f", "text")
+      .select(col("doc_id"), col("cluster_id"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        col("copy_id"), col("mix_hash"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(qSpanDedup, qChunk, qEmbedDecontaminate, qDsir, qSpanExcise,
       qBudgetSelect, qHybridRrf, qQualityClassifier, qLeakageSplit,
-      qCurateV3, qSequencePack, qPackManifest, qTrainingMix)
+      qCurateV3, qSequencePack, qPackManifest, qTrainingMix,
+      qCurriculum, qLangBudget, qClusterMix)
 }

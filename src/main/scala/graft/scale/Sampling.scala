@@ -202,21 +202,39 @@ object Sampling {
       factors: DataFrame): DataFrame = {
     val e = broadcast(factors.select(col(stratumCol),
       col("epochs").cast("double").as("__f")))
-    // salt "em:" keeps the fractional-epoch draw independent of the
-    // "ws:"/"ss:"/"tm:"/"qs:" streams
+    epochMixWeighted(df.join(e, Seq(stratumCol)), "__f", textCol)
+      .drop("__f")
+  }
+
+  /** [[epochMixFrom]] with a PER-ROW replication factor column
+    * instead of a per-stratum table — the duplicate-aware form: a
+    * cluster of near-duplicate documents should be seen `epochs`
+    * times AS A CLUSTER, so each member replicates at
+    * epochs/cluster_size (the "count duplicates once" convention of
+    * Dolma/FineWeb-style mixtures), a per-doc quantity no
+    * catalog-sized stratum table can broadcast. Same copy semantics
+    * as [[epochMixFrom]]: floor(f) copies plus one iff the doc's
+    * content-hash fraction falls below frac(f), `copy_id` and the
+    * per-copy `mix_hash` identical — the two forms agree bit-for-bit
+    * when the factor column happens to be constant per stratum.
+    *
+    * Scale shape: a pure projection over whatever frame computed the
+    * factor (zero exchanges of its own — the clustering that derived
+    * cluster_size already paid its audited movement); the explode
+    * emits ≤ ceil(f) rows per input row. */
+  def epochMixWeighted(df: DataFrame, factorCol: String,
+      textCol: String): DataFrame = {
+    val f = col(factorCol).cast("double")
     val frac = Dedup.md5Hash60(concat(lit("em:"), col(textCol))) /
       lit(1152921504606846976.0) // 2^60
-    df.join(e, Seq(stratumCol))
-      .withColumn("n_copies",
-        (floor(col("__f")) +
-          when(frac < col("__f") - floor(col("__f")), 1L).otherwise(0L))
+    df.withColumn("n_copies",
+        (floor(f) + when(frac < f - floor(f), 1L).otherwise(0L))
           .cast("int"))
       .filter(col("n_copies") > 0)
       .withColumn("copy_id",
         explode(sequence(lit(0), col("n_copies") - 1)))
       .withColumn("mix_hash", Dedup.md5Hash60(concat(lit("emh:"),
         col("copy_id").cast("string"), lit(":"), col(textCol))))
-      .drop("__f")
   }
 
   /** Deterministic seeded shuffle + shard assignment — the global

@@ -110,6 +110,126 @@ object Selection {
         (col("__cb") < col("__budget")).cast("int").as("selected"))
   }
 
+  /** [[budgetSelect]] with an independent budget PER GROUP — the
+    * language/domain-balancing form ("keep the best 50% of tokens of
+    * EACH language"), which a single global budget cannot express: a
+    * global prefix starves low-resource strata because their docs
+    * compete against the majority language's score distribution.
+    *
+    * Output: `groupCol, idCol, scoreCol, ntokCol, cum_before`
+    * (exclusive token prefix WITHIN the group by (score DESC, id)),
+    * `selected` (1 iff cum_before < floor(budgetFraction × group
+    * total); the boundary doc is taken, per-group).
+    *
+    * Scale shape: the [[budgetSelect]] decomposition with every piece
+    * keyed by group — a ≤groups-row stats aggregate (broadcast back),
+    * a ≤groups×bins-row offset frame whose cumulative window
+    * partitions BY GROUP (parallel across groups), and ONE corpus
+    * window partitioned by (group, bin) — groups×B-way parallel; no
+    * stratum ever funnels the corpus to one partition, and a skewed
+    * majority language still spreads over its `bins` value-range
+    * buckets. Same degenerate contract as [[budgetSelect]]: a group
+    * whose scores are all equal collapses to one bin (that GROUP's
+    * slice in one partition — callers with coarse scores should
+    * widen them). Groups must be catalog-sized (languages, domains,
+    * sources): the stats and offset frames broadcast. */
+  def budgetSelectBy(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, ntokCol: String, budgetFraction: Double,
+      bins: Int = 256): DataFrame = {
+    require(budgetFraction > 0.0 && budgetFraction <= 1.0,
+      "budgetFraction must be in (0, 1]")
+    require(bins >= 1, "need at least one score bin")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol), col(idCol),
+      col(scoreCol).cast("double").as("__s"),
+      col(ntokCol).cast("long").as("__n")).persist()
+    val stats = base.groupBy(col(groupCol)).agg(min(col("__s")).as("__lo"),
+      max(col("__s")).as("__hi"), sum(col("__n")).as("__tot"))
+    val binned = base.join(broadcast(stats), Seq(groupCol))
+      .withColumn("__budget",
+        floor(lit(budgetFraction) * col("__tot")).cast("long"))
+      .withColumn("__bin",
+        when(col("__hi") <= col("__lo"), lit(0))
+          .otherwise(least(floor((col("__s") - col("__lo")) /
+              (col("__hi") - col("__lo")) * bins).cast("int"),
+            lit(bins - 1))))
+    val wBins = W.partitionBy(col(groupCol)).orderBy(col("__bin").desc)
+      .rowsBetween(Long.MinValue, -1)
+    val binOffsets = binned.groupBy(col(groupCol), col("__bin"))
+      .agg(sum(col("__n")).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(wBins), lit(0L)))
+      .select(col(groupCol), col("__bin"), col("__off"))
+    val wIn = W.partitionBy(col(groupCol), col("__bin"))
+      .orderBy(col("__s").desc, col(idCol).asc)
+      .rowsBetween(Long.MinValue, -1)
+    binned.join(broadcast(binOffsets), Seq(groupCol, "__bin"))
+      .withColumn("__cb",
+        col("__off") + coalesce(sum(col("__n")).over(wIn), lit(0L)))
+      .select(col(groupCol), col(idCol), col("__s").as(scoreCol),
+        col("__n").as(ntokCol), col("__cb").as("cum_before"),
+        (col("__cb") < col("__budget")).cast("int").as("selected"))
+  }
+
+  /** Curriculum ordering (Bengio et al. 2009 as a data op): assign
+    * every document its EXACT global difficulty rank, band ranks into
+    * `stages` equal-size curriculum stages (easy → hard; sizes differ
+    * by ≤ 1), and order deterministically WITHIN each stage by a
+    * seeded hash — training walks the stages in order but sees each
+    * stage's documents in a reproducible pseudo-random order.
+    *
+    * Output: `idCol, scoreCol, rank` (0-based global by (score ASC,
+    * id ASC)), `stage` (0-based, floor(rank·stages/N)), `ord`
+    * (1-based position within the stage by the seeded 60-bit hash,
+    * ties by id).
+    *
+    * Scale shape: the global rank is the [[budgetSelect]]
+    * decomposition with unit weights — one tiny stats reduce
+    * broadcast back, a ≤bins-row offset frame, ONE corpus window
+    * partitioned by value-range bin (in-bin row_number + bin offset
+    * IS the exact global rank); the in-stage shuffle is a second
+    * window partitioned by stage (stages-way parallel). The naive
+    * global row_number's single-partition corpus sort never appears.
+    * Stage arithmetic is exact while N·stages < 2^53 (double
+    * division of exact longs; the true quotient is ≥ 1/N from any
+    * other integer) — comfortably past any corpus. Same degenerate
+    * contract as [[budgetSelect]]: all-equal scores collapse to one
+    * bin; callers with coarse scores should widen them. */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: String,
+      stages: Int, bins: Int = 256, seed: String = "cur"): DataFrame = {
+    require(stages >= 1, "need at least one stage")
+    require(bins >= 1, "need at least one score bin")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol),
+      col(scoreCol).cast("double").as("__s")).persist()
+    val stats = base.agg(min(col("__s")).as("__lo"),
+      max(col("__s")).as("__hi"), count(lit(1)).as("__N"))
+    val binned = base.crossJoin(broadcast(stats))
+      .withColumn("__bin",
+        when(col("__hi") <= col("__lo"), lit(0))
+          .otherwise(least(floor((col("__s") - col("__lo")) /
+              (col("__hi") - col("__lo")) * bins).cast("int"),
+            lit(bins - 1))))
+    val wBins = W.partitionBy(lit(1)).orderBy(col("__bin").asc)
+      .rowsBetween(Long.MinValue, -1)
+    val binOffsets = binned.groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(wBins), lit(0L)))
+      .select(col("__bin"), col("__off"))
+    val wIn = W.partitionBy(col("__bin"))
+      .orderBy(col("__s").asc, col(idCol).asc)
+    val ranked = binned.join(broadcast(binOffsets), Seq("__bin"))
+      .withColumn("rank", col("__off") + row_number().over(wIn) - 1)
+      .withColumn("stage",
+        floor((col("rank") * stages).cast("double") / col("__N"))
+          .cast("int"))
+    val wStage = W.partitionBy(col("stage")).orderBy(
+      Dedup.md5Hash60(concat(lit(s"$seed:"), col(idCol).cast("string")))
+        .asc, col(idCol).asc)
+    ranked.withColumn("ord", row_number().over(wStage))
+      .select(col(idCol), col("__s").as(scoreCol), col("rank"),
+        col("stage"), col("ord"))
+  }
+
   /** Sequence packing, exact concat-and-chunk form — training-sample
     * construction (the GPT-style "concatenate the corpus in a fixed
     * order, then cut fixed-length sequences" recipe every LM

@@ -888,6 +888,30 @@ class ScaleSpec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  test("epochMixWeighted: constant per-row factors reproduce epochMixFrom " +
+    "bit-for-bit; plan stays a pure projection") {
+    val docs = (0L until 200L).map(i =>
+      (i, Seq("a", "b", "c", "d")((i % 4).toInt), s"doc text nr $i"))
+      .toDF("doc_id", "lang", "text")
+    val factors = Map("a" -> 2.0, "b" -> 0.0, "c" -> 1.0, "d" -> 1.5)
+    val viaStrata = graft.scale.Sampling.epochMix(docs, "lang", "text",
+      factors).select("doc_id", "copy_id", "mix_hash")
+    val factorCol = factors.foldLeft(lit(Double.NaN)) {
+      case (acc, (l, f)) => when(col("lang") === l, lit(f)).otherwise(acc)
+    }
+    val viaColumn = graft.scale.Sampling.epochMixWeighted(
+        docs.withColumn("__f", factorCol), "__f", "text")
+      .select("doc_id", "copy_id", "mix_hash")
+    assert(viaStrata.exceptAll(viaColumn).count() === 0L &&
+      viaColumn.exceptAll(viaStrata).count() === 0L,
+      "the per-row-factor form must agree with the stratum-table form")
+    val plan = graft.scale.Sampling.epochMixWeighted(
+        docs.withColumn("__f", factorCol), "__f", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"per-row-factor replication is a pure projection:\n$plan")
+  }
+
   test("epochMix plan: pure projection — the corpus never shuffles") {
     val docs = graft.core.Tables.load(spark, SparkTestSession.sfDir,
       "documents")

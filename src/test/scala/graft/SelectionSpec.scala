@@ -520,4 +520,88 @@ class SelectionSpec extends AnyFunSuite {
     val single = "Exchange SinglePartition".r.findAllIn(plan).size
     assert(single <= 3, s"corpus must not funnel to one partition:\n$plan")
   }
+
+  // ---- Selection.budgetSelectBy ------------------------------------------
+
+  test("budgetSelectBy equals the naive per-group cumsum; budgets are " +
+    "independent per group") {
+    // en: budget-crossing doc taken; fr: identical SCORES as en docs
+    // (cross-group isolation), last doc out
+    val df = Seq(
+      ("en", 1L, 0.90, 100L), ("en", 2L, 0.80, 200L),
+      ("en", 3L, 0.80, 50L), ("en", 4L, 0.50, 300L),
+      ("fr", 5L, 0.90, 10L), ("fr", 6L, 0.10, 400L),
+      ("fr", 7L, 0.05, 500L), ("fr", 8L, 0.01, 20L)
+    ).toDF("lang", "doc_id", "score", "n_tokens")
+    val out = Selection.budgetSelectBy(df, "lang", "doc_id", "score",
+      "n_tokens", 0.5, bins = 4)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(4), r.getInt(5))))
+      .toMap
+    // en: tot 650 budget 325, order 1,2,3,4 → cb 0,100,300,350
+    // fr: tot 930 budget 465, order 5,6,7,8 → cb 0,10,410,910
+    //     (doc 7 crosses its group's budget: taken)
+    assert(out === Map(
+      1L -> ((0L, 1)), 2L -> ((100L, 1)), 3L -> ((300L, 1)),
+      4L -> ((350L, 0)),
+      5L -> ((0L, 1)), 6L -> ((10L, 1)), 7L -> ((410L, 1)),
+      8L -> ((910L, 0))))
+  }
+
+  test("budgetSelectBy plan: corpus window partitions by (group, bin), " +
+    "never one partition") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select(col("lang"), col("doc_id"),
+        TextStats.stopwordRatio(col("text")).as("score"),
+        size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+    val plan = Selection.budgetSelectBy(docs, "lang", "doc_id", "score",
+      "n_tokens", 0.5).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(lang"),
+      s"every window/agg must be keyed by group (+bin):\n$plan")
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single === 0,
+      s"grouped form needs NO single-partition move at all:\n$plan")
+  }
+
+  // ---- Selection.curriculumOrder -----------------------------------------
+
+  test("curriculumOrder: decomposed rank equals the naive global rank; " +
+    "stages are equal-size ±1; in-stage ord is a permutation") {
+    val df = (0L until 23L).map(i => (i, (i % 5).toDouble * 0.1))
+      .toDF("doc_id", "score") // duplicate scores, id tiebreak
+    val out = Selection.curriculumOrder(df, "doc_id", "score",
+      stages = 4, bins = 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getInt(3), r.getInt(4)))
+    val expRank = (0L until 23L).map(i => (i, (i % 5).toDouble * 0.1))
+      .sortBy { case (id, s) => (s, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> i.toLong }.toMap
+    out.foreach { case (id, _, rank, stage, _) =>
+      assert(rank === expRank(id), s"doc $id rank")
+      assert(stage === (rank * 4 / 23).toInt, s"doc $id stage")
+    }
+    val sizes = out.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(sizes.values.max - sizes.values.min <= 1,
+      s"stage sizes must differ by <= 1: $sizes")
+    out.groupBy(_._4).foreach { case (stage, rows) =>
+      assert(rows.map(_._5).sorted.toSeq === (1 to rows.length),
+        s"stage $stage ord must be a 1..n permutation")
+    }
+  }
+
+  test("curriculumOrder plan: rank window by bin, shuffle window by " +
+    "stage — no global corpus sort") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .select(col("doc_id"),
+        TextStats.stopwordRatio(col("text")).as("score"))
+    val plan = Selection.curriculumOrder(docs, "doc_id", "score", 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__bin"),
+      s"the rank window must partition by bin:\n$plan")
+    assert(plan.contains("hashpartitioning(stage"),
+      s"the in-stage shuffle must partition by stage:\n$plan")
+    // tiny frames only: the one-row stats reduce (×2 evaluation
+    // sites) and the ≤bins-row offset window
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single <= 3, s"corpus must not funnel to one partition:\n$plan")
+  }
 }
