@@ -103,6 +103,13 @@ object ShuffleAudit {
     // epoch mixing is a zero-exchange projection (broadcast factors +
     // explode): its ratio must be EXACTLY zero at every SF
     "q180_epoch_mix" -> Seq("documents"),
+    // curriculum rank + stage windows move only narrow (id, score)
+    // rows — same band as q171's binned prefix, twice (rank window
+    // by bin, in-stage order window by stage)
+    "q183_curriculum" -> Seq("documents"),
+    // per-group budgets: the q171 band keyed by (lang, bin); a skewed
+    // majority language must spread over its bins, not one partition
+    "q184_lang_budget" -> Seq("documents"),
     // composed mix→copies→shuffle→pack: the only corpus-scale
     // movement is the packer's layout window over the REPLICATED
     // narrow rows (~2× the q178 band under budgetEpochs=2), plus the
