@@ -244,4 +244,24 @@ class DqSpec extends AnyFunSuite {
       estKey("o_orderkey").fieldIndex("sketch_ok")),
       "no verdict without an exact count")
   }
+
+  test("profile exact mode: no Expand, no SortAggregate — per-column " +
+    "pruned hash-agg passes, not the ×(N+1) expanded sort") {
+    // the round-10 sf10 gate measured the multi-countDistinct Expand
+    // plan at 40+ min on 15M rows where the pruned per-column passes
+    // take seconds; exact mode must never regress to Expand
+    val df = graft.core.Tables.load(spark, SparkTestSession.sfDir, "orders")
+    val plan = Profile.profile(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"exact mode must not Expand the full-width scan:\n$plan")
+    // keyless SortAggregate (the shared min/max/HLL fold — string agg
+    // buffers force it, and with key=[] it sorts nothing) is fine;
+    // what must never appear is the Expand-fed KEYED sort agg. Every
+    // count(distinct) pass must be an ordinary hash aggregate.
+    assert("HashAggregate[^\\n]*count\\(distinct".r
+        .findAllIn(plan).size >= df.schema.size,
+      s"each column's exact distinct must be its own hash-agg pass:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the <=N-row exact frame must broadcast onto the profile:\n$plan")
+  }
 }
