@@ -156,7 +156,15 @@ object Retrieval {
 
   /** Pivot per-term scores into fixed slots, add in the caller's term
     * order (deterministic float combine, unlike a `sum` aggregate),
-    * rank documents globally. */
+    * then take the global top-k WITHOUT a global rank window: an
+    * ordered limit plans as TakeOrderedAndProject — per-partition
+    * top-k heaps merged once — where the previous
+    * row_number-then-filter funneled every matched document to ONE
+    * partition first (a common query term's postings are a large
+    * corpus fraction, so that was a single-partition sort of
+    * corpus-scale rows; RetrievalSpec pins the new shape). The order
+    * is total (score desc, id asc), so the k-prefix is deterministic
+    * and the rank window that numbers it runs over ≤ k rows. */
   private def rankPerDoc(scored: DataFrame, idCol: String,
       terms: Seq[String], k: Int): DataFrame = {
     val perTerm: Seq[Column] = terms.map(t =>
@@ -164,9 +172,10 @@ object Retrieval {
     val total = round(perTerm.reduce(_ + _), 6)
     scored.groupBy(col(idCol))
       .agg(total.as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col(idCol).asc)).cast("int"))
-      .filter(col("rank") <= k)
       .select(col(idCol), col("score"), col("rank"))
   }
 

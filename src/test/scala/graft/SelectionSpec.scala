@@ -312,6 +312,20 @@ class SelectionSpec extends AnyFunSuite {
       s"the rank window must partition by query, not run global:\n$plan")
   }
 
+  test("bm25Query plan: global top-k is TakeOrderedAndProject, never a " +
+    "single-partition rank window over every matched document") {
+    import graft.scale.Retrieval
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val plan = Retrieval.bm25Query(docs, "doc_id", "text",
+      Seq("join", "vector", "scan"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps merged once:\n$plan")
+    // the only Window left numbers the <= k-row prefix
+    assert("Exchange SinglePartition".r.findAllIn(plan).size <= 1,
+      s"matched postings must never funnel to one partition:\n$plan")
+  }
+
   // ---- Retrieval.rrfFuse ------------------------------------------------
 
   test("rrfFuse: both-list docs outrank single-list, absences are null") {
