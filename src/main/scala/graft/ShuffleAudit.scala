@@ -110,6 +110,10 @@ object ShuffleAudit {
     // per-group budgets: the q171 band keyed by (lang, bin); a skewed
     // majority language must spread over its bins, not one partition
     "q184_lang_budget" -> Seq("documents"),
+    // exact quantiles: 8-byte value rows through the bin rank window,
+    // and only target-bearing bins pay the sort — the ratio must stay
+    // a small constant in corpus size
+    "q186_quantiles" -> Seq("orders"),
     // composed mix→copies→shuffle→pack: the only corpus-scale
     // movement is the packer's layout window over the REPLICATED
     // narrow rows (~2× the q178 band under budgetEpochs=2), plus the

@@ -204,5 +204,28 @@ object DqQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(qDqAudit, qDqFact, qDqMultiTable, qProfile)
+  /** Exact distributed quantiles (q186): the percentile half of the
+    * profile — value at 1-based sorted index ceil(p·N), the DISCRETE
+    * convention both engines can compare bit-exactly (a selected
+    * value, no interpolation arithmetic). The engine computes it via
+    * the bin-decomposed rank (no global sort — Quantiles scaladoc);
+    * the oracle is the naive global row_number the decomposition must
+    * equal, and the GK-sketch verdict must be literal TRUE. */
+  val qQuantiles: QueryDef = QueryDef(
+    "q186_quantiles",
+    """WITH v AS (
+      |  SELECT o_totalprice AS x FROM orders WHERE o_totalprice IS NOT NULL),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |r AS (SELECT x, row_number() OVER (ORDER BY x ASC) AS rk FROM v),
+      |p AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]::DOUBLE[]) AS p),
+      |t AS (SELECT p, CAST(ceil(p * n) AS BIGINT) AS idx
+      |      FROM p CROSS JOIN n)
+      |SELECT t.p, t.idx, r.x AS value, TRUE AS sketch_ok
+      |FROM t JOIN r ON r.rk = t.idx""".stripMargin) { (s, dir) =>
+    graft.scale.Quantiles.exactQuantiles(Tables.load(s, dir, "orders"),
+      "o_totalprice", Seq(0.25, 0.5, 0.75, 0.95))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(qDqAudit, qDqFact, qDqMultiTable, qProfile, qQuantiles)
 }

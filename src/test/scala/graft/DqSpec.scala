@@ -264,4 +264,50 @@ class DqSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"),
       s"the <=N-row exact frame must broadcast onto the profile:\n$plan")
   }
+
+  // ---- Quantiles ------------------------------------------------------
+
+  test("exactQuantiles equals the naive sorted index (ties, p=1.0 " +
+    "boundary, single-value degeneracy); sketch verdict holds") {
+    import graft.scale.Quantiles
+    import spark.implicits._
+    // duplicates straddling a target index + a skewed tail
+    val vals = Seq(5.0, 1.0, 3.0, 3.0, 3.0, 2.0, 8.0, 13.0, 21.0, 1.0)
+    val df = vals.toDF("x")
+    val ps = Seq(0.25, 0.5, 0.75, 1.0)
+    val out = Quantiles.exactQuantiles(df, "x", ps, bins = 4)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val sorted = vals.sorted
+    ps.foreach { p =>
+      val idx = math.ceil(p * vals.length).toLong
+      assert(out(p)._1 === idx, s"p=$p index")
+      assert(out(p)._2 === sorted((idx - 1).toInt), s"p=$p value")
+      assert(out(p)._3, s"p=$p sketch verdict")
+    }
+    // all-equal values collapse to one bin and still answer
+    val const = Quantiles.exactQuantiles(
+      Seq.fill(7)(4.2).toDF("x"), "x", Seq(0.5), bins = 8).collect()
+    assert(const.length === 1 && const(0).getDouble(2) === 4.2)
+  }
+
+  test("exactQuantiles plan: rank window partitions by value bin; only " +
+    "target-bearing bins are ranked; corpus never funnels") {
+    import graft.scale.Quantiles
+    val df = graft.core.Tables.load(spark, SparkTestSession.sfDir, "orders")
+    val plan = Quantiles.exactQuantiles(df, "o_totalprice",
+      Seq(0.25, 0.5, 0.75, 0.95)).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__bin"),
+      s"the rank window must partition by value bin:\n$plan")
+    // the tiny frames (1-row stats+sketch reduce, ≤bins-row offset
+    // window, ≤|ps|-row targets/verdicts) print once per consumer
+    // branch pre-materialization (the q181 AQE-printing note in
+    // PLANS.md), so the SinglePartition count is bounded but >3;
+    // every one sits above a partial aggregate — the 8-byte value
+    // stream itself only ever exchanges on __bin
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single <= 8, s"corpus must not funnel to one partition:\n$plan")
+    assert(!plan.contains("hashpartitioning(__v"),
+      s"the value stream must never re-key on the value itself:\n$plan")
+  }
 }
