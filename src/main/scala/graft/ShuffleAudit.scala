@@ -114,6 +114,9 @@ object ShuffleAudit {
     // and only target-bearing bins pay the sort — the ratio must stay
     // a small constant in corpus size
     "q186_quantiles" -> Seq("orders"),
+    // per-group quantiles: the q186 band keyed by (lang, bin); the
+    // tokenization feeding it is a pure projection
+    "q187_lang_token_quantiles" -> Seq("documents"),
     // composed mix→copies→shuffle→pack: the only corpus-scale
     // movement is the packer's layout window over the REPLICATED
     // narrow rows (~2× the q178 band under budgetEpochs=2), plus the

@@ -226,6 +226,35 @@ object DqQueries {
       "o_totalprice", Seq(0.25, 0.5, 0.75, 0.95))
   }
 
+  /** Per-group exact quantiles (q187): p50/p95 token counts PER
+    * LANGUAGE on the documents table — the chunk-sizing /
+    * length-threshold statistic a multilingual curation config derives
+    * per stratum. Oracle: the naive per-group row_number the
+    * (group, bin)-decomposed rank must equal. */
+  val qQuantilesBy: QueryDef = QueryDef(
+    "q187_lang_token_quantiles",
+    """WITH v AS (
+      |  SELECT lang,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |      x -> x <> '')) AS DOUBLE) AS x
+      |  FROM documents),
+      |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      |r AS (SELECT lang, x,
+      |        row_number() OVER (PARTITION BY lang ORDER BY x ASC) AS rk
+      |      FROM v),
+      |p AS (SELECT unnest([0.5, 0.95]::DOUBLE[]) AS p),
+      |t AS (SELECT lang, p, CAST(ceil(p * n) AS BIGINT) AS idx
+      |      FROM p CROSS JOIN n)
+      |SELECT t.lang, t.p, t.idx, r.x AS value
+      |FROM t JOIN r ON r.lang = t.lang AND r.rk = t.idx""".stripMargin) {
+    (s, dir) =>
+    import graft.scale.TextStats
+    val docs = Tables.load(s, dir, "documents").select(col("lang"),
+      size(TextStats.tokens(col("text"))).cast("double").as("n_tok"))
+    graft.scale.Quantiles.exactQuantilesBy(docs, "lang", "n_tok",
+      Seq(0.5, 0.95))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(qDqAudit, qDqFact, qDqMultiTable, qProfile, qQuantiles)
+    Seq(qDqAudit, qDqFact, qDqMultiTable, qProfile, qQuantiles, qQuantilesBy)
 }

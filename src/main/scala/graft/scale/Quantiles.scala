@@ -96,4 +96,62 @@ object Quantiles {
     atIdx.join(broadcast(verdicts), Seq("p", "idx"))
       .select(col("p"), col("idx"), col("value"), col("sketch_ok"))
   }
+
+  /** [[exactQuantiles]] with an independent answer PER GROUP — the
+    * per-language/per-source form ("p95 token count of EACH language"
+    * for chunk sizing and length-filter thresholds). Same discrete
+    * convention (value at ceil(p·N_g) within the group, zero FP
+    * interpolation). No sketch column: the per-group sketch verdict
+    * would need a per-(group, p) conditional pass the caller can run
+    * as [[exactQuantiles]] on one group when needed.
+    *
+    * Scale shape: the q184 treatment of the q186 decomposition —
+    * per-group stats (≤groups rows, broadcast), per-(group, bin)
+    * counts cumulated by a window PARTITIONED BY GROUP, target
+    * indexes computed per group, and the rank window partitioned by
+    * (group, bin) with the same target-bin pruning (only bins whose
+    * group-local rank interval contains one of that group's targets
+    * are ranked). Groups must be catalog-sized; the value stream
+    * moves as (group, 8-byte double) rows only.
+    *
+    * Output: `groupCol, p, idx, value`. */
+  def exactQuantilesBy(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double], bins: Int = 256): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      "fractions must be in (0, 1]")
+    require(bins >= 1, "need at least one value bin")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull).persist()
+    val stats = base.groupBy(col(groupCol)).agg(min(col("__v")).as("__lo"),
+      max(col("__v")).as("__hi"), count(lit(1)).as("__N"))
+    val targets = stats
+      .select(col(groupCol), col("__N"),
+        explode(array(ps.map(lit(_)): _*)).as("p"))
+      .select(col(groupCol), col("p"),
+        ceil(col("p") * col("__N")).as("idx"))
+    val binned = base.join(broadcast(stats), Seq(groupCol))
+      .withColumn("__bin",
+        when(col("__hi") <= col("__lo"), lit(0))
+          .otherwise(least(floor((col("__v") - col("__lo")) /
+              (col("__hi") - col("__lo")) * bins).cast("int"),
+            lit(bins - 1))))
+    val wBins = W.partitionBy(col(groupCol)).orderBy(col("__bin").asc)
+      .rowsBetween(Long.MinValue, -1)
+    val binOffsets = binned.groupBy(col(groupCol), col("__bin"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum(col("__bn")).over(wBins), lit(0L)))
+    val wantedBins = binOffsets
+      .join(targets.select(col(groupCol), col("idx")), Seq(groupCol))
+      .filter(col("idx") > col("__off") &&
+        col("idx") <= col("__off") + col("__bn"))
+      .select(col(groupCol), col("__bin"), col("__off")).distinct()
+    val wIn = W.partitionBy(col(groupCol), col("__bin"))
+      .orderBy(col("__v").asc)
+    binned.join(broadcast(wantedBins), Seq(groupCol, "__bin"))
+      .withColumn("__rk", col("__off") + row_number().over(wIn))
+      .join(broadcast(targets), Seq(groupCol))
+      .filter(col("__rk") === col("idx"))
+      .select(col(groupCol), col("p"), col("idx"), col("__v").as("value"))
+  }
 }

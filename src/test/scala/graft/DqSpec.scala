@@ -310,4 +310,28 @@ class DqSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(__v"),
       s"the value stream must never re-key on the value itself:\n$plan")
   }
+
+  test("exactQuantilesBy: per-group answers equal the naive per-group " +
+    "sorted index; groups are independent") {
+    import graft.scale.Quantiles
+    import spark.implicits._
+    val df = (Seq.tabulate(9)(i => ("a", (i + 1).toDouble)) ++
+      Seq(("b", 10.0), ("b", 30.0), ("b", 20.0))).toDF("g", "x")
+    val out = Quantiles.exactQuantilesBy(df, "g", "x", Seq(0.5, 1.0),
+      bins = 4).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("a", 0.5)) === ((5L, 5.0)))   // ceil(.5*9)=5 -> 5.0
+    assert(out(("a", 1.0)) === ((9L, 9.0)))
+    assert(out(("b", 0.5)) === ((2L, 20.0)))  // ceil(.5*3)=2 -> 20.0
+    assert(out(("b", 1.0)) === ((3L, 30.0)))
+    // grouped plan: every window keyed by group (+bin), zero
+    // SinglePartition moves anywhere
+    val plan = Quantiles.exactQuantilesBy(df, "g", "x", Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(g"),
+      s"windows must be keyed by group:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"grouped form needs NO single-partition move:\n$plan")
+  }
 }
