@@ -121,7 +121,19 @@ object ShuffleAudit {
     // movement is the packer's layout window over the REPLICATED
     // narrow rows (~2× the q178 band under budgetEpochs=2), plus the
     // catalog-sized counts reduce — still no text on the wire
-    "q181_training_mix" -> Seq("documents"))
+    "q181_training_mix" -> Seq("documents"),
+    // BPE training: ONE corpus-sized (word) exchange builds the
+    // word-frequency table; every merge iteration then moves only
+    // vocab-sized (l, r, count) rows — the ratio must FALL as the
+    // corpus grows past its vocabulary (word counts saturate)
+    "q188_bpe_train" -> Seq("documents"),
+    // BPE encode: training (above) + a pure-projection encode pass —
+    // the encode itself must add ZERO corpus-scale movement, so the
+    // ratio must track q188's, not the corpus
+    "q189_bpe_encode" -> Seq("documents"),
+    // random projection is a pure projection with an inlined sign
+    // matrix: its ratio must be EXACTLY zero at every SF
+    "q190_random_projection" -> Seq("embeddings"))
 
   private final class Tally extends SparkListener {
     private val lock = new Object

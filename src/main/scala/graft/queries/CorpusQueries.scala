@@ -1105,6 +1105,140 @@ object CorpusQueries {
       terms, k = 10)
   }
 
+  /** Exact proportional stratified sampling (q191): a 137-doc global
+    * budget allocated across languages by the largest-remainder
+    * method — all-integer allocation (Σ alloc == budget exactly,
+    * unlike the temperature mixer's in-expectation draws), then the
+    * deterministic per-stratum hash-order selection. */
+  val qProportionalSample: QueryDef = QueryDef(
+    "q191_proportional_sample",
+    s"""WITH c AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+       |  GROUP BY 1),
+       |t AS (SELECT lang, n, CAST(sum(n) OVER () AS BIGINT) AS nn FROM c),
+       |e AS (SELECT lang, n, nn, CAST(least(137, nn) AS BIGINT) AS b FROM t),
+       |a AS (SELECT lang, n, (b * n) // nn AS base, (b * n) % nn AS rem, b
+       |      FROM e),
+       |x AS (SELECT lang, base, rem, b,
+       |        CAST(sum(base) OVER () AS BIGINT) AS sb,
+       |        row_number() OVER (ORDER BY rem DESC, lang ASC) AS rr
+       |      FROM a),
+       |al AS (SELECT lang,
+       |         CAST(base + CASE WHEN rr <= b - sb THEN 1 ELSE 0 END
+       |              AS BIGINT) AS alloc
+       |       FROM x),
+       |h AS (SELECT doc_id, lang, ${md5Hash60Sql("ps")} AS h
+       |      FROM documents),
+       |rk AS (SELECT doc_id, lang,
+       |         CAST(row_number() OVER (PARTITION BY lang
+       |           ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rank
+       |       FROM h)
+       |SELECT rk.lang, rk.doc_id, rk.rank, al.alloc
+       |FROM rk JOIN al USING (lang) WHERE rank <= alloc""".stripMargin) {
+    (s, dir) =>
+      graft.scale.Sampling.proportionalSample(
+        Tables.load(s, dir, "documents"), "lang", "text", "doc_id", 137L)
+  }
+
+  // ---- BPE tokenizer training / application (scale.Bpe) ------------------
+
+  /** Number of merges both BPE queries learn — a literal so the oracle
+    * CTE chain can be unrolled to exactly this depth. */
+  private val BpeMerges = 8
+
+  /** DuckDB CTE fragment for BPE merge iteration `k`: weighted pair
+    * counts over vocab{k-1}, deterministic argmax, and the literal
+    * separator-wrapped replace that IS greedy merge application
+    * (Bpe.applyMerge scaladoc — each symbol carries its own U+001F
+    * delimiters, so non-overlapping left-to-right replace in both
+    * engines is exactly the greedy semantics). */
+  private def bpeStageSql(k: Int): String =
+    s"""pairs$k AS (
+       |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS pc
+       |  FROM (
+       |    SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+       |    FROM (SELECT cnt,
+       |            string_split(trim(w, chr(31)), chr(31)||chr(31)) AS syms
+       |          FROM vocab${k - 1}))
+       |  GROUP BY 1, 2),
+       |best$k AS (
+       |  SELECT l, r, pc FROM pairs$k ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+       |vocab$k AS (
+       |  SELECT replace(w, chr(31)||l||chr(31)||chr(31)||r||chr(31),
+       |                 chr(31)||l||r||chr(31)) AS w, cnt
+       |  FROM vocab${k - 1} CROSS JOIN best$k)""".stripMargin
+
+  /** Shared oracle prefix: corpus word-frequency table (each word's
+    * chars separator-wrapped) + the unrolled merge-iteration chain. */
+  private def bpeChainSql(n: Int): String =
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(
+       |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS w
+       |  FROM documents),
+       |vocab0 AS (
+       |  SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')
+       |           AS w,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM toks GROUP BY 1),
+       |${(1 to n).map(bpeStageSql).mkString(",\n")}""".stripMargin
+
+  /** Distributed BPE tokenizer TRAINING (q188): learn 8 merges from
+    * the corpus word-frequency table. The corpus is scanned once; each
+    * iteration is a narrow (l, r, count) aggregate over the
+    * distinct-word frame + a top-1 TakeOrderedAndProject + a broadcast
+    * merge projection — no driver collect in the loop (scale.Bpe
+    * scaladoc). Oracle: the identical algorithm unrolled as 8 CTE
+    * stages; merge 6+ reproducibly uses learned multi-char symbols,
+    * proving the iteration chain end to end. */
+  val qBpeTrain: QueryDef = QueryDef(
+    "q188_bpe_train",
+    s"""${bpeChainSql(BpeMerges)}
+       |${(1 to BpeMerges)
+        .map(k => s"SELECT CAST($k AS INT) AS step, l, r, l||r AS merged, " +
+          s"pc AS pair_count FROM best$k")
+        .mkString("\n UNION ALL ")}""".stripMargin) { (s, dir) =>
+    graft.scale.Bpe.train(Tables.load(s, dir, "documents"), "text",
+      BpeMerges)
+  }
+
+  /** BPE ENCODE (q189): train the 8-merge tokenizer, then tokenize the
+    * whole corpus with it — per-document subword stats. The merge
+    * table pivots to ONE broadcast row; encoding itself is a pure
+    * projection (wrap, fold the 8 replaces inline, split, count) —
+    * zero exchanges beyond the corpus scan. Oracle: the training chain
+    * plus a cross join of the 8 one-row bests, applying the same
+    * nested replace chain per token. */
+  val qBpeEncode: QueryDef = QueryDef(
+    "q189_bpe_encode", {
+      val wrapped = "regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')"
+      val chain = (1 to BpeMerges).foldLeft(wrapped)((acc, k) =>
+        s"replace($acc, chr(31)||b$k.l||chr(31)||chr(31)||b$k.r||chr(31), " +
+          s"chr(31)||b$k.l||b$k.r||chr(31))")
+      s"""${bpeChainSql(BpeMerges)},
+         |enc AS (
+         |  SELECT d.doc_id,
+         |    list_filter(string_split_regex(lower(d.text), '[^a-z]+'),
+         |      x -> x <> '') AS toks
+         |  FROM documents d),
+         |sub AS (
+         |  SELECT doc_id, toks,
+         |    flatten(list_transform(toks, w ->
+         |      string_split(trim($chain, chr(31)), chr(31)||chr(31)))) AS flat
+         |  FROM enc CROSS JOIN ${(1 to BpeMerges)
+          .map(k => s"best$k b$k").mkString(" CROSS JOIN ")})
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tok,
+         |  CAST(len(flat) AS BIGINT) AS n_sub,
+         |  CAST(len(list_distinct(flat)) AS BIGINT) AS n_distinct_sub,
+         |  round(CAST(len(array_to_string(toks, '')) AS DOUBLE) /
+         |        CAST(greatest(len(flat), 1) AS DOUBLE), 6) AS chars_per_sub
+         |FROM sub""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    graft.scale.Bpe.encode(docs, "doc_id", "text",
+      graft.scale.Bpe.train(docs, "text", BpeMerges), BpeMerges)
+  }
+
   val all: Seq[QueryDef] =
     Seq(qPiiRedact, qDocRepetition, qDedupClusters, qCuration,
       qDecontaminate, qShardAssign, qSequencePack, qWeightedSample,
@@ -1112,5 +1246,6 @@ object CorpusQueries {
       qCurationV2, qIncrementalDedup, qHeavyHitters, qIndexMaintenance,
       qStreamIndexDedup, qTopGramsPerLang, qBm25, qBm25Incremental,
       qBm25Query, qIncrementalClusters, qBm25QueryIncremental,
-      qStreamClusters, qEpochMix)
+      qStreamClusters, qEpochMix, qBpeTrain, qBpeEncode,
+      qProportionalSample)
 }

@@ -822,6 +822,50 @@ object ScaleQueries {
           round(Similarity.cosine(col("qa"), col("qb")), 6)), 6).as("abs_err"))
   }
 
+  /** Random-projection embedding compression (q190): 64 → 16 dims
+    * through a deterministic ±1 matrix (scale.Projection scaladoc) —
+    * a pure scan-speed projection, zero exchanges. The oracle derives
+    * the SAME sign matrix from md5-60 parity of "rp:i:j" (proving the
+    * driver-side literal table), quantizes with the same floor(v·2²⁰),
+    * and folds exact longs — bit-stable end to end. */
+  val qRandomProjection: QueryDef = QueryDef(
+    "q190_random_projection",
+    """WITH grid AS (
+      |  SELECT i.i, j.j,
+      |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(
+      |          substring(md5('rp:' || i.i || ':' || j.j), 1, 15), ''),
+      |          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+      |        (a, d) -> a * 16 + d) % 2 = 0
+      |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sgn
+      |  FROM (SELECT unnest(range(0, 16)) AS i) i
+      |  CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      v -> CAST(floor(v * 1048576) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id,
+      |        CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS onrm
+      |      FROM q),
+      |p AS (
+      |  SELECT vec_id, g.i AS i,
+      |    CAST(sum(g.sgn * qv[CAST(g.j AS INT)]) AS BIGINT) AS pl
+      |  FROM q CROSS JOIN grid g GROUP BY 1, 2),
+      |pn AS (SELECT vec_id, CAST(sum(pl * pl) AS BIGINT) AS pnrm
+      |       FROM p GROUP BY 1)
+      |SELECT p.vec_id, CAST(p.i AS INT) AS i,
+      |  CAST(pl AS DOUBLE) / 1048576.0 / 4.0 AS value,
+      |  CASE WHEN n.onrm = 0 THEN 0.0
+      |       ELSE round(sqrt(CAST(pn.pnrm AS DOUBLE) / 16.0) /
+      |                  sqrt(CAST(n.onrm AS DOUBLE)), 6) END AS dist_ratio
+      |FROM p JOIN n USING (vec_id) JOIN pn USING (vec_id)""".stripMargin) {
+    (s, dir) =>
+      graft.scale.Projection.randomProject(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+        dIn = 64, dOut = 16)
+  }
+
   /** Frame sampling over binary media (video-frame / audio-chunk
     * shape): first 4 × 256-byte windows per blob with checksums; the
     * ASCII corpus makes the byte math reproducible via ord() in SQL. */
@@ -1046,5 +1090,5 @@ object ScaleQueries {
     qFingerprint, qMultimodal, qTfidf, qApproxPercentile, qSplit, qStratified,
     qVectorQuantize, qFrameSample, qSurprisal, qBigramSurprisal,
     qBigramSurprisalCapped, qMinhashHotBucket, qVectorHotBucket,
-    qVectorIndexDedup)
+    qVectorIndexDedup, qRandomProjection)
 }

@@ -1,0 +1,155 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training + application (Sennrich et al.
+  * 2016) — the "train your tokenizer on your corpus" step of an LLM
+  * data pipeline, as a pure DataFrame program.
+  *
+  * Training operates on the WORD-FREQUENCY table, not the corpus:
+  * the corpus text is scanned exactly once (explode tokens → count by
+  * word — one narrow (word) exchange), and every merge iteration
+  * thereafter touches only the distinct-word frame, whose size is the
+  * vocabulary (~10⁶–10⁹ rows at 100 TB — still distributed, never
+  * collected), not the corpus. That is the real subword-nmt shape:
+  * pair statistics are weighted by word count, so the learned merges
+  * are identical to training on the raw corpus.
+  *
+  * Words are carried as SYMBOL STRINGS with every symbol individually
+  * wrapped in a `` separator pair: "hello" →
+  * `⟂h⟂⟂e⟂⟂l⟂⟂l⟂⟂o⟂`. This representation makes one merge step a
+  * single literal `replace`: merging (l, r) rewrites `⟂l⟂⟂r⟂` →
+  * `⟂lr⟂`, and because each symbol carries its OWN delimiters,
+  * left-to-right non-overlapping replacement — the semantics of both
+  * Spark's and DuckDB's `replace` — is exactly greedy BPE
+  * application: "aaaa" + (a,a) → [aa, aa] (the trailing delimiter of
+  * a consumed pair is the leading delimiter of the next match), and a
+  * multi-char symbol like `ab` (`⟂ab⟂`) can never false-match a
+  * single-char pattern `⟂a⟂`. The per-iteration argmax pair is a
+  * `TakeOrderedAndProject` over the (pair, count) aggregate with a
+  * deterministic (count DESC, l ASC, r ASC) tie-break, kept as a
+  * 1-row DATAFRAME and broadcast into the merge projection — no
+  * driver collect anywhere in the loop.
+  *
+  * Reference scope: the reference pipeline tokenizes with regexes
+  * only (see SURVEY §2 F-str rows); BPE training is part of the
+  * beyond-reference LLM-pipeline surface. */
+object Bpe {
+
+  /** Symbol separator — any char outside the [a-z] token alphabet. */
+  val Sep = "\u001f"
+
+  /** Wrap every char of a word in its own separator pair. */
+  def wrapWord(word: Column): Column =
+    regexp_replace(word, "(.)", s"$Sep$$1$Sep")
+
+  /** Symbol array of a wrapped word (inverse of the wrapping). The
+    * outer separators are stripped with an anchored regex — exactly
+    * one at each end by construction (the two-arg `trim` emits a
+    * deprecation warning on Spark 4). */
+  def symbols(wrapped: Column): Column =
+    split(regexp_replace(wrapped, s"^$Sep|$Sep$$$$", ""), s"$Sep$Sep")
+
+  /** One merge step applied to a wrapped word: `⟂l⟂⟂r⟂` → `⟂lr⟂`,
+    * literal left-to-right non-overlapping = greedy BPE. */
+  def applyMerge(wrapped: Column, l: Column, r: Column): Column =
+    replace(wrapped,
+      concat(lit(Sep), l, lit(Sep), lit(Sep), r, lit(Sep)),
+      concat(lit(Sep), l, r, lit(Sep)))
+
+  /** Corpus word-frequency table: (w = wrapped word, cnt). The single
+    * corpus-sized pass of the whole training run. */
+  def wordFreq(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextStats.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("cnt"))
+      .select(wrapWord(col("__w")).as("w"), col("cnt"))
+
+  /** Adjacent symbol pairs of the vocab, weighted by word count:
+    * (l, r, pc). Only (string, string, long) rows shuffle — the agg
+    * key is the pair, never the word. */
+  private[graft] def pairCounts(vocab: DataFrame): DataFrame = {
+    // __syms is an aliased column (repo hoisting rule): lambda
+    // references are attribute lookups, not re-split per element.
+    val syms = col("__syms")
+    vocab.withColumn("__syms", symbols(col("w")))
+      .select(col("cnt"), explode(
+        when(size(syms) >= 2,
+          transform(sequence(lit(1), size(syms) - 1),
+            i => struct(element_at(syms, i).as("l"),
+              element_at(syms, i + 1).as("r"))))
+          .otherwise(array().cast("array<struct<l:string,r:string>>")))
+        .as("__p"))
+      .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+      .agg(sum(col("cnt")).as("pc"))
+  }
+
+  /** Learn `merges` BPE merges from the corpus. Output: one row per
+    * merge — (step 1-based, l, r, merged = l||r, pair_count), in
+    * learning order.
+    *
+    * Per iteration: one (l, r) pair aggregate over the vocab (bytes ≈
+    * Σ|word| over DISTINCT words), a top-1 TakeOrderedAndProject, and
+    * a broadcast-join merge projection. Each new vocab is
+    * local-checkpointed (the q84 label-propagation pattern): plan
+    * size stays constant in the iteration count and the chain of
+    * replaces never re-executes. */
+  def train(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1, "need at least one merge step")
+    var vocab = wordFreq(df, textCol).localCheckpoint()
+    var learned: DataFrame = null
+    for (k <- 1 to merges) {
+      val best = pairCounts(vocab)
+        .orderBy(col("pc").desc, col("l").asc, col("r").asc).limit(1)
+        .select(lit(k).as("step"), col("l"), col("r"),
+          concat(col("l"), col("r")).as("merged"), col("pc").as("pair_count"))
+        .localCheckpoint()
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("l").as("__bl"),
+          col("r").as("__br"))))
+        .select(applyMerge(col("w"), col("__bl"), col("__br")).as("w"),
+          col("cnt"))
+        .localCheckpoint()
+      learned = if (learned == null) best else learned.unionByName(best)
+    }
+    learned
+  }
+
+  /** Encode the corpus with a learned merge table: per document,
+    * subword statistics after applying all `nMerges` merges in
+    * learning order. Output: (idCol, n_tok, n_sub, n_distinct_sub,
+    * chars_per_sub).
+    *
+    * Scale shape: the merge table pivots to ONE broadcast row
+    * (2·nMerges string columns); encoding is then a pure projection
+    * over the corpus — wrap each token, fold the replace chain
+    * inline, split and count — ZERO additional exchanges beyond the
+    * scan. `chars_per_sub` is one IEEE division of exact longs,
+    * rounded once — bit-stable cross-engine. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "need at least one merge step")
+    val one = merges.groupBy().agg(
+      max(when(col("step") === 1, col("l"))).as("__l1"),
+      (max(when(col("step") === 1, col("r"))).as("__r1") +:
+        (2 to nMerges).flatMap(k => Seq(
+          max(when(col("step") === k, col("l"))).as(s"__l$k"),
+          max(when(col("step") === k, col("r"))).as(s"__r$k")))): _*)
+    val toks = col("__toks")
+    val encodeWord: Column => Column = w =>
+      (1 to nMerges).foldLeft(wrapWord(w))((s, k) =>
+        applyMerge(s, col(s"__l$k"), col(s"__r$k")))
+    val subArrays = col("__sub")
+    docs.crossJoin(broadcast(one))
+      .withColumn("__toks", TextStats.tokens(col(textCol)))
+      .withColumn("__sub", transform(toks, w => symbols(encodeWord(w))))
+      .withColumn("__flat", flatten(subArrays))
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tok"),
+        size(col("__flat")).cast("long").as("n_sub"),
+        size(array_distinct(col("__flat"))).cast("long").as("n_distinct_sub"),
+        round(length(concat_ws("", toks)).cast("double") /
+          greatest(size(col("__flat")), lit(1)).cast("double"), 6)
+          .as("chars_per_sub"))
+  }
+}

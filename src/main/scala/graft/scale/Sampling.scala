@@ -138,6 +138,55 @@ object Sampling {
       .drop("__quota")
   }
 
+  /** Exact proportional stratified sampling via the largest-remainder
+    * (Hare quota) method: allocate a GLOBAL budget of `budgetDocs`
+    * docs across strata exactly proportionally — stratum g with n_g
+    * of N docs gets floor(B·n_g / N) plus at most one remainder
+    * unit, the extra units going to the largest integer remainders
+    * (B·n_g mod N, ties by stratum value ascending) — so
+    * Σ alloc_g == min(B, N) EXACTLY, where [[temperatureMix]]'s
+    * per-row draws hit the budget only in expectation. Every
+    * allocation quantity is 64-bit INTEGER arithmetic (`DIV` / `%` —
+    * no FP anywhere), so both engines agree bit-for-bit; exact while
+    * B·n_g fits a long. Selection within a stratum is the
+    * [[quotaSample]] machinery: the first alloc_g docs in
+    * deterministic (content-hash, id) order.
+    *
+    * Scale shape: one narrow (stratum) count aggregate; the
+    * allocation windows run over the CATALOG-SIZED strata frame
+    * (≤2 SinglePartition exchanges moving ≤|strata| rows — the q171
+    * tiny-frame contract); per-stratum selection is ONE corpus
+    * window partitioned by stratum ordered on (60-bit hash, id) —
+    * text never shuffles as a key. Output: stratumCol, idCol, rank,
+    * alloc. */
+  def proportionalSample(df: DataFrame, stratumCol: String,
+      textCol: String, idCol: String, budgetDocs: Long): DataFrame = {
+    require(budgetDocs >= 0, "budget must be non-negative")
+    val W = org.apache.spark.sql.expressions.Window
+    // "__tot", not "__N": withColumn replaces case-INsensitively, so a
+    // column named __N would silently overwrite __n
+    val alloc = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__tot", sum(col("__n")).over(W.partitionBy()))
+      .withColumn("__B", least(lit(budgetDocs), col("__tot")))
+      .withColumn("__base", expr("(__B * __n) DIV __tot"))
+      .withColumn("__rem", (col("__B") * col("__n")) % col("__tot"))
+      .withColumn("__extra",
+        col("__B") - sum(col("__base")).over(W.partitionBy()))
+      .withColumn("__rr", row_number().over(W.partitionBy()
+        .orderBy(col("__rem").desc, col(stratumCol).asc)))
+      .select(col(stratumCol),
+        (col("__base") +
+          when(col("__rr") <= col("__extra"), 1L).otherwise(0L))
+          .as("alloc"))
+    val h = Dedup.md5Hash60(concat(lit("ps:"), col(textCol)))
+    val w = W.partitionBy(col(stratumCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .join(broadcast(alloc), Seq(stratumCol))
+      .filter(col("rank") <= col("alloc"))
+      .select(col(stratumCol), col(idCol), col("rank"), col("alloc"))
+  }
+
   /** Temperature-scaled corpus mixing (the multilingual-sampling
     * standard): stratum d with n_d docs gets mass w_d = n_d^tau / Σ,
     * flattening the natural distribution toward uniform as tau → 0.

@@ -1,0 +1,110 @@
+package graft
+
+import graft.core.Tables
+import graft.scale.Bpe
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("train learns weighted greedy merges in order (hand-computed fixture)") {
+    // vocab: aaab×2, ab×1. Pairs r1: (a,a)=4, (a,b)=3 → merge (a,a).
+    // After: aaab=[aa,a,b], ab=[a,b]. Pairs r2: (aa,a)=2, (a,b)=3 →
+    // merge (a,b).
+    val df = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val m = Bpe.train(df, "text", 2)
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m.toSeq === Seq((1, "a", "a", "aa", 4L), (2, "a", "b", "ab", 3L)))
+  }
+
+  test("equal-count pairs break ties lexicographically (l ASC, r ASC)") {
+    val df = Seq((1L, "ab ab cd cd")).toDF("doc_id", "text")
+    val m = Bpe.train(df, "text", 1).collect().head
+    assert((m.getString(1), m.getString(2), m.getLong(4)) === ("a", "b", 2L))
+  }
+
+  test("applyMerge via literal replace IS greedy left-to-right BPE") {
+    // "aaaa" + (a,a) → [aa, aa]; "aaa" → [aa, a]; multi-char symbol
+    // "ab" never false-matches the single-char pattern "a".
+    val df = Seq("aaaa", "aaa", "ab").toDF("w")
+      .select(Bpe.symbols(Bpe.applyMerge(Bpe.wrapWord(col("w")),
+        lit("a"), lit("a"))).as("s"))
+    assert(df.as[Seq[String]].collect().toSeq ===
+      Seq(Seq("aa", "aa"), Seq("aa", "a"), Seq("a", "b")))
+    // learned multi-char symbols participate in later merges
+    val df2 = Seq("aaab").toDF("w")
+      .select(Bpe.symbols(
+        Bpe.applyMerge(Bpe.applyMerge(Bpe.wrapWord(col("w")),
+          lit("a"), lit("a")), lit("aa"), lit("a"))).as("s"))
+    assert(df2.as[Seq[String]].collect().head === Seq("aaa", "b"))
+  }
+
+  test("encode subword stats are exact on a hand fixture") {
+    val merges = Seq((1, "a", "a", "aa", 4L), (2, "a", "b", "ab", 3L))
+      .toDF("step", "l", "r", "merged", "pair_count")
+    val docs = Seq((7L, "aaaa aab")).toDF("doc_id", "text")
+    val out = Bpe.encode(docs, "doc_id", "text", merges, 2).collect().head
+    // aaaa → [aa, aa]; aab → [aa, b] ((aa,b) is not a learned pair)
+    assert(out.getLong(1) === 2L, "n_tok")
+    assert(out.getLong(2) === 4L, "n_sub")
+    assert(out.getLong(3) === 2L, "n_distinct_sub ({aa, b})")
+    assert(out.getDouble(4) === 1.75, "7 chars / 4 subwords")
+  }
+
+  test("plan: encode is a pure projection — zero hash exchanges beyond " +
+      "the broadcast of the one-row merge table") {
+    val merges = Seq((1, "a", "a", "aa", 4L), (2, "e", "r", "er", 3L))
+      .toDF("step", "l", "r", "merged", "pair_count")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val plan = Bpe.encode(docs, "doc_id", "text", merges, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"encode must not shuffle the corpus:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      "the merge row must arrive by broadcast")
+  }
+
+  test("plan: training pair counts shuffle (l, r) pairs, never words") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val vocab = Bpe.wordFreq(docs, "text")
+    val plan = Bpe.pairCounts(vocab).queryExecution.executedPlan.toString
+    // two exchanges total: the word-freq build on __w, and the pair agg
+    // on the extracted (l, r) grouping expressions — with a map-side
+    // partial BEFORE its exchange, so only (l, r, partial sum) rows move
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
+      s"expected word-count + pair-agg exchanges only:\n$plan")
+    assert(plan.contains("hashpartitioning(_groupingexpression"),
+      s"pair agg must key on the extracted (l, r):\n$plan")
+    assert(!plan.contains("hashpartitioning(w#") &&
+      !plan.contains("hashpartitioning(__syms"),
+      "neither the wrapped word nor the symbol array may key the pair agg")
+    assert(plan.contains("partial_sum"),
+      "pair counts must combine map-side before the exchange")
+  }
+
+  test("merges compound into multi-char symbols ((xy)+z after x+y)") {
+    val df = Seq((1L, "xy xy xyz")).toDF("doc_id", "text")
+    val m = Bpe.train(df, "text", 2).orderBy("step")
+      .collect().map(r => (r.getString(3), r.getLong(4)))
+    assert(m.toSeq === Seq(("xy", 3L), ("xyz", 1L)))
+  }
+
+  test("train on the documents table matches itself across runs " +
+      "(deterministic argmax); winning pair counts are non-increasing") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+      .limit(200)
+    val a = Bpe.train(docs, "text", 6).orderBy("step").collect().map(_.toSeq)
+    val b = Bpe.train(docs, "text", 6).orderBy("step").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    // greedy BPE invariant: the winning pair count never increases
+    // (new pairs created by a merge are bounded by the merged count)
+    val counts = a.map(r => r(4).asInstanceOf[Long])
+    assert(counts.zip(counts.tail).forall { case (x, y) => y <= x },
+      s"max pair count must be non-increasing: ${counts.toSeq}")
+  }
+}

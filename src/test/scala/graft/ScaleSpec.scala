@@ -924,4 +924,36 @@ class ScaleSpec extends AnyFunSuite {
       s"replication must happen at scan speed (broadcast factors, " +
         s"explode projection):\n$plan")
   }
+
+  test("proportionalSample hits the budget EXACTLY and allocates " +
+      "within one doc of true proportionality") {
+    val out = graft.scale.Sampling.proportionalSample(
+      docs, "lang", "text", "doc_id", 137L)
+    val perLang = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.values.sum === 137L, s"Σ alloc must equal B: $perLang")
+    val n = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = n.values.sum
+    for ((lang, k) <- perLang) {
+      val exact = 137.0 * n(lang) / total
+      assert(math.abs(k - exact) < 1.0,
+        s"$lang: alloc $k vs exact quota $exact")
+    }
+  }
+
+  test("proportionalSample with budget ≥ corpus returns every doc once") {
+    val out = graft.scale.Sampling.proportionalSample(
+      docs, "lang", "text", "doc_id", 10_000_000L)
+    assert(out.count() === docs.count())
+    assert(out.select("doc_id").distinct().count() === docs.count())
+  }
+
+  test("proportionalSample selection is deterministic (same ids twice)") {
+    def ids = graft.scale.Sampling.proportionalSample(
+      docs, "lang", "text", "doc_id", 49L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids === ids)
+    assert(ids.size === 49)
+  }
 }
