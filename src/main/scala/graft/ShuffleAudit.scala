@@ -133,7 +133,14 @@ object ShuffleAudit {
     "q189_bpe_encode" -> Seq("documents"),
     // random projection is a pure projection with an inlined sign
     // matrix: its ratio must be EXACTLY zero at every SF
-    "q190_random_projection" -> Seq("embeddings"))
+    "q190_random_projection" -> Seq("embeddings"),
+    // vocab coverage: the encode projection + ONE vocab-sized
+    // (subword, count) aggregate + a TakeOrdered top-k — the ratio
+    // must fall once the corpus outgrows its vocabulary, like q188
+    "q192_vocab_coverage" -> Seq("documents"),
+    // length buckets: pure projection + a ≤64-row aggregate — near
+    // zero at every SF
+    "q193_length_buckets" -> Seq("documents"))
 
   private final class Tally extends SparkListener {
     private val lock = new Object

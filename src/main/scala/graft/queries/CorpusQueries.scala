@@ -1208,12 +1208,21 @@ object CorpusQueries {
     * zero exchanges beyond the corpus scan. Oracle: the training chain
     * plus a cross join of the 8 one-row bests, applying the same
     * nested replace chain per token. */
+  /** The per-token encode replay (q189/q192): wrap, then the nested
+    * replace chain referencing the cross-joined one-row bests. */
+  private def bpeEncodeChainSql: String = {
+    val wrapped = "regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')"
+    (1 to BpeMerges).foldLeft(wrapped)((acc, k) =>
+      s"replace($acc, chr(31)||b$k.l||chr(31)||chr(31)||b$k.r||chr(31), " +
+        s"chr(31)||b$k.l||b$k.r||chr(31))")
+  }
+
+  private def bpeBestsJoinSql: String =
+    (1 to BpeMerges).map(k => s"best$k b$k").mkString(" CROSS JOIN ")
+
   val qBpeEncode: QueryDef = QueryDef(
     "q189_bpe_encode", {
-      val wrapped = "regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')"
-      val chain = (1 to BpeMerges).foldLeft(wrapped)((acc, k) =>
-        s"replace($acc, chr(31)||b$k.l||chr(31)||chr(31)||b$k.r||chr(31), " +
-          s"chr(31)||b$k.l||b$k.r||chr(31))")
+      val chain = bpeEncodeChainSql
       s"""${bpeChainSql(BpeMerges)},
          |enc AS (
          |  SELECT d.doc_id,
@@ -1224,8 +1233,7 @@ object CorpusQueries {
          |  SELECT doc_id, toks,
          |    flatten(list_transform(toks, w ->
          |      string_split(trim($chain, chr(31)), chr(31)||chr(31)))) AS flat
-         |  FROM enc CROSS JOIN ${(1 to BpeMerges)
-          .map(k => s"best$k b$k").mkString(" CROSS JOIN ")})
+         |  FROM enc CROSS JOIN $bpeBestsJoinSql)
          |SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_tok,
          |  CAST(len(flat) AS BIGINT) AS n_sub,
@@ -1239,6 +1247,46 @@ object CorpusQueries {
       graft.scale.Bpe.train(docs, "text", BpeMerges), BpeMerges)
   }
 
+  /** Vocabulary coverage curve (q192): after training + encoding, the
+    * top-64 subwords by corpus frequency with cumulative coverage —
+    * the statistic that sizes a production vocab ("V subwords cover
+    * X% of occurrences"). Top-k is a TakeOrderedAndProject (the vocab
+    * is never globally sorted); the cumsum window runs over the
+    * 64-row frame only, and is INTEGER — order-free, bit-exact. */
+  val qVocabCoverage: QueryDef = QueryDef(
+    "q192_vocab_coverage", {
+      val chain = bpeEncodeChainSql
+      s"""${bpeChainSql(BpeMerges)},
+         |enc AS (
+         |  SELECT list_filter(string_split_regex(lower(d.text), '[^a-z]+'),
+         |      x -> x <> '') AS toks
+         |  FROM documents d),
+         |subf AS (
+         |  SELECT flatten(list_transform(toks, w ->
+         |      string_split(trim($chain, chr(31)), chr(31)||chr(31)))) AS flat
+         |  FROM enc CROSS JOIN $bpeBestsJoinSql),
+         |sw AS (SELECT unnest(flat) AS subword FROM subf),
+         |c AS (SELECT subword, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM sw GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         |top AS (SELECT subword, cnt FROM c
+         |        ORDER BY cnt DESC, subword ASC LIMIT 64),
+         |r AS (SELECT subword, cnt,
+         |        CAST(row_number() OVER (ORDER BY cnt DESC, subword ASC)
+         |             AS INT) AS rank,
+         |        CAST(sum(cnt) OVER (ORDER BY cnt DESC, subword ASC
+         |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+         |      FROM top)
+         |SELECT rank, subword, cnt, cum_cnt,
+         |  round(CAST(cum_cnt AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         |    AS coverage
+         |FROM r CROSS JOIN tot""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    graft.scale.Bpe.vocabCoverage(docs, "text",
+      graft.scale.Bpe.train(docs, "text", BpeMerges), BpeMerges, topV = 64)
+  }
+
   val all: Seq[QueryDef] =
     Seq(qPiiRedact, qDocRepetition, qDedupClusters, qCuration,
       qDecontaminate, qShardAssign, qSequencePack, qWeightedSample,
@@ -1247,5 +1295,5 @@ object CorpusQueries {
       qStreamIndexDedup, qTopGramsPerLang, qBm25, qBm25Incremental,
       qBm25Query, qIncrementalClusters, qBm25QueryIncremental,
       qStreamClusters, qEpochMix, qBpeTrain, qBpeEncode,
-      qProportionalSample)
+      qProportionalSample, qVocabCoverage)
 }

@@ -814,9 +814,40 @@ object SelectionQueries {
         col("copy_id"), col("mix_hash"))
   }
 
+  /** Sequence-length bucketing / padding waste (q193): power-of-two
+    * length buckets with the padded-batching cost — the report that
+    * decides exact packing (q178) vs plain bucketed padding. The
+    * bucket is integer bit-length arithmetic (length(bin(n))−1), no
+    * FP log2 whose power-of-two boundaries engines could round apart;
+    * everything but the final waste division is exact longs. */
+  val qLengthBuckets: QueryDef = QueryDef(
+    "q193_length_buckets",
+    """WITH t AS (
+      |  SELECT CAST(len(list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''))
+      |    AS BIGINT) AS n
+      |  FROM documents),
+      |f AS (SELECT n, CASE WHEN n <= 0 THEN -1
+      |               ELSE CAST(length(bin(n)) - 1 AS INT) END AS bucket
+      |      FROM t),
+      |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(n) AS BIGINT) AS tok_sum
+      |      FROM f GROUP BY 1),
+      |c AS (SELECT *, CASE WHEN bucket < 0 THEN CAST(0 AS BIGINT)
+      |        ELSE (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END AS cap
+      |      FROM g)
+      |SELECT bucket, cap, n_docs, tok_sum,
+      |  CAST(n_docs * cap AS BIGINT) AS padded_tokens,
+      |  CASE WHEN bucket < 0 THEN 0.0
+      |       ELSE round(1.0 - CAST(tok_sum AS DOUBLE) /
+      |                  CAST(n_docs * cap AS DOUBLE), 6) END AS waste
+      |FROM c""".stripMargin) { (s, dir) =>
+    Selection.lengthBuckets(Tables.load(s, dir, "documents"), "text")
+  }
+
   val all: Seq[QueryDef] =
     Seq(qSpanDedup, qChunk, qEmbedDecontaminate, qDsir, qSpanExcise,
       qBudgetSelect, qHybridRrf, qQualityClassifier, qLeakageSplit,
       qCurateV3, qSequencePack, qPackManifest, qTrainingMix,
-      qCurriculum, qLangBudget, qClusterMix)
+      qCurriculum, qLangBudget, qClusterMix, qLengthBuckets)
 }

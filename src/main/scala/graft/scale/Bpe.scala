@@ -115,6 +115,30 @@ object Bpe {
     learned
   }
 
+  /** The shared encode pass: adds `__toks` (word tokens) and `__flat`
+    * (the document's subword stream after all `nMerges` merges) to
+    * the doc frame. The merge table pivots to ONE broadcast row
+    * (2·nMerges string columns); the wrap + replace-chain + split
+    * fold is a pure projection over the corpus scan. */
+  private[graft] def withSubwords(docs: DataFrame, textCol: String,
+      merges: DataFrame, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "need at least one merge step")
+    val one = merges.groupBy().agg(
+      max(when(col("step") === 1, col("l"))).as("__l1"),
+      (max(when(col("step") === 1, col("r"))).as("__r1") +:
+        (2 to nMerges).flatMap(k => Seq(
+          max(when(col("step") === k, col("l"))).as(s"__l$k"),
+          max(when(col("step") === k, col("r"))).as(s"__r$k")))): _*)
+    val toks = col("__toks")
+    val encodeWord: Column => Column = w =>
+      (1 to nMerges).foldLeft(wrapWord(w))((s, k) =>
+        applyMerge(s, col(s"__l$k"), col(s"__r$k")))
+    docs.crossJoin(broadcast(one))
+      .withColumn("__toks", TextStats.tokens(col(textCol)))
+      .withColumn("__sub", transform(toks, w => symbols(encodeWord(w))))
+      .withColumn("__flat", flatten(col("__sub")))
+  }
+
   /** Encode the corpus with a learned merge table: per document,
     * subword statistics after applying all `nMerges` merges in
     * learning order. Output: (idCol, n_tok, n_sub, n_distinct_sub,
@@ -128,22 +152,8 @@ object Bpe {
     * rounded once — bit-stable cross-engine. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       merges: DataFrame, nMerges: Int): DataFrame = {
-    require(nMerges >= 1, "need at least one merge step")
-    val one = merges.groupBy().agg(
-      max(when(col("step") === 1, col("l"))).as("__l1"),
-      (max(when(col("step") === 1, col("r"))).as("__r1") +:
-        (2 to nMerges).flatMap(k => Seq(
-          max(when(col("step") === k, col("l"))).as(s"__l$k"),
-          max(when(col("step") === k, col("r"))).as(s"__r$k")))): _*)
     val toks = col("__toks")
-    val encodeWord: Column => Column = w =>
-      (1 to nMerges).foldLeft(wrapWord(w))((s, k) =>
-        applyMerge(s, col(s"__l$k"), col(s"__r$k")))
-    val subArrays = col("__sub")
-    docs.crossJoin(broadcast(one))
-      .withColumn("__toks", TextStats.tokens(col(textCol)))
-      .withColumn("__sub", transform(toks, w => symbols(encodeWord(w))))
-      .withColumn("__flat", flatten(subArrays))
+    withSubwords(docs, textCol, merges, nMerges)
       .select(col(idCol),
         size(toks).cast("long").as("n_tok"),
         size(col("__flat")).cast("long").as("n_sub"),
@@ -151,5 +161,41 @@ object Bpe {
         round(length(concat_ws("", toks)).cast("double") /
           greatest(size(col("__flat")), lit(1)).cast("double"), 6)
           .as("chars_per_sub"))
+  }
+
+  /** Vocabulary coverage curve: after encoding with the learned
+    * merges, the top-`topV` subwords by corpus frequency with their
+    * cumulative coverage fraction — "what vocab size covers X% of all
+    * subword occurrences", the statistic that sizes a production
+    * vocabulary. Output: (rank, subword, cnt, cum_cnt, coverage).
+    *
+    * Scale shape: the encode projection (zero exchanges) feeds one
+    * vocab-sized (subword) count aggregate; the global top-`topV` is
+    * a TakeOrderedAndProject (per-partition top-k + driver merge —
+    * the full vocab is never globally sorted); the rank/cumsum window
+    * then runs over the ≤topV-row frame only (a tiny-frame
+    * SinglePartition — the q171 contract). The cumulative sum is
+    * INTEGER, so its value is order-free; `coverage` is one division
+    * of exact longs, rounded once. */
+  def vocabCoverage(docs: DataFrame, textCol: String, merges: DataFrame,
+      nMerges: Int, topV: Int = 256): DataFrame = {
+    require(topV >= 1, "need at least one vocab slot")
+    val counts = withSubwords(docs, textCol, merges, nMerges)
+      .select(explode(col("__flat")).as("subword"))
+      .groupBy(col("subword")).agg(count(lit(1)).as("cnt"))
+      .persist()
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    val top = counts.orderBy(col("cnt").desc, col("subword").asc)
+      .limit(topV)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("subword").asc)
+    top
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_cnt",
+        sum(col("cnt")).over(w.rowsBetween(Long.MinValue, 0)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("subword"), col("cnt"), col("cum_cnt"),
+        round(col("cum_cnt").cast("double") /
+          col("__total").cast("double"), 6).as("coverage"))
   }
 }

@@ -475,4 +475,39 @@ object Selection {
           .as("logw_mean"))
       .withColumn("selected", (col("logw_mean") > 0).cast("int"))
   }
+
+  /** Sequence-length bucketing / padding-waste report — the
+    * length-grouped-batching statistic: when batches pad every
+    * sequence to its bucket's cap, how much compute is padding?
+    * Docs land in power-of-two buckets (bucket b covers
+    * [2ᵇ, 2ᵇ⁺¹)); per bucket: doc count, true token sum, padded
+    * token cost (docs × cap, cap = 2ᵇ⁺¹−1) and the waste fraction.
+    * Guides whether [[packSequences]]' exact concat-and-chunk or
+    * plain bucketed padding serves a corpus better.
+    *
+    * Scale shape: a pure projection (the bucket is
+    * `length(bin(n))−1` — INTEGER bit-length arithmetic, no
+    * FP log2 whose boundary rounding engines could disagree on)
+    * feeding one ≤64-row (bucket) aggregate. The only FP is the
+    * final waste division, rounded once. Zero-token docs are
+    * reported in bucket −1 with zero cap/waste. */
+  def lengthBuckets(df: DataFrame, textCol: String): DataFrame = {
+    val n = col("__n")
+    val cap = col("__cap")
+    df.select(TextStats.tokens(col(textCol)).as("__toks"))
+      .select(size(col("__toks")).cast("long").as("__n"))
+      .withColumn("bucket",
+        when(n <= 0L, lit(-1)).otherwise(length(bin(n)) - 1).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(n).as("tok_sum"))
+      .withColumn("__cap",
+        when(col("bucket") < 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), bucket + 1) - 1")))
+      .select(col("bucket"), col("__cap").as("cap"), col("n_docs"),
+        col("tok_sum"),
+        (col("n_docs") * cap).as("padded_tokens"),
+        when(col("bucket") < 0, lit(0.0)).otherwise(
+          round(lit(1.0) - col("tok_sum").cast("double") /
+            (col("n_docs") * cap).cast("double"), 6)).as("waste"))
+  }
 }

@@ -94,6 +94,26 @@ class BpeSpec extends AnyFunSuite {
     assert(m.toSeq === Seq(("xy", 3L), ("xyz", 1L)))
   }
 
+  test("vocabCoverage: monotone integer cumsum, coverage ends ≤ 1, " +
+      "rank 1 is the modal subword; top-k is TakeOrdered not global sort") {
+    val merges = Seq((1, "a", "a", "aa", 4L), (2, "e", "r", "er", 3L))
+      .toDF("step", "l", "r", "merged", "pair_count")
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val cov = Bpe.vocabCoverage(docs, "text", merges, 2, topV = 16)
+    val rows = cov.orderBy("rank").collect()
+    assert(rows.nonEmpty && rows.head.getInt(0) === 1)
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => b <= a },
+      "counts must be ranked descending")
+    val cums = rows.map(_.getLong(3))
+    assert(cums.toSeq === cnts.scanLeft(0L)(_ + _).tail.toSeq,
+      "cum_cnt must be the exact integer prefix sum")
+    assert(rows.last.getDouble(4) <= 1.0 && rows.last.getDouble(4) > 0.0)
+    val plan = cov.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the vocab must never be globally sorted:\n$plan")
+  }
+
   test("train on the documents table matches itself across runs " +
       "(deterministic argmax); winning pair counts are non-increasing") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")

@@ -949,6 +949,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.select("doc_id").distinct().count() === docs.count())
   }
 
+  test("lengthBuckets: integer bit-length buckets, exact padded cost, " +
+      "zero-token docs isolated in bucket -1") {
+    val df = Seq(
+      (1L, "one"),                                  // n=1 → b=0, cap 1
+      (2L, "three little words"),                   // n=3 → b=1, cap 3
+      (3L, (1 to 8).map("w" + _).mkString(" ")),    // n=8 → b=3, cap 15
+      (4L, "!!!")                                   // n=0 → bucket -1
+    ).toDF("doc_id", "text")
+    val out = graft.scale.Selection.lengthBuckets(df, "text")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(out(-1) === ((0L, 1L, 0L, 0L, 0.0)))
+    assert(out(0) === ((1L, 1L, 1L, 1L, 0.0)))
+    assert(out(1) === ((3L, 1L, 3L, 3L, 0.0)))
+    assert(out(3) === ((15L, 1L, 8L, 15L,
+      math.rint((1.0 - 8.0 / 15.0) * 1e6) / 1e6)))
+  }
+
   test("proportionalSample selection is deterministic (same ids twice)") {
     def ids = graft.scale.Sampling.proportionalSample(
       docs, "lang", "text", "doc_id", 49L)
