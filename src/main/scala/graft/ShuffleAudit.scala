@@ -140,7 +140,11 @@ object ShuffleAudit {
     "q192_vocab_coverage" -> Seq("documents"),
     // length buckets: pure projection + a ≤64-row aggregate — near
     // zero at every SF
-    "q193_length_buckets" -> Seq("documents"))
+    "q193_length_buckets" -> Seq("documents"),
+    // subword budget: the BPE encode projection feeding the q171 bin
+    // decomposition — only narrow (id, score, n_sub) rows enter the
+    // budget windows, so the ratio must track q171's band
+    "q194_subword_budget" -> Seq("documents"))
 
   private final class Tally extends SparkListener {
     private val lock = new Object

@@ -1287,6 +1287,40 @@ object CorpusQueries {
       graft.scale.Bpe.train(docs, "text", BpeMerges), BpeMerges, topV = 64)
   }
 
+  /** Subword-exact token budget (q194): the composition the BPE wave
+    * exists for — encode the corpus with the corpus-trained tokenizer,
+    * then run the exact global budget selection (q171's bin-decomposed
+    * cumsum) on SUBWORD counts, which is what a training-token budget
+    * actually meters (whitespace counts under-price agglutinative
+    * text). Score = chars_per_sub (compression ratio — natural text
+    * compresses better than noise under its own corpus statistics).
+    * The chain stays zero-exchange until the budget windows: encode is
+    * a pure projection, and only narrow (id, score, n_sub) rows enter
+    * the binned prefix. Oracle: the full q189 replay nested as a
+    * subquery + the naive global cumsum the decomposition must equal. */
+  val qSubwordBudget: QueryDef = QueryDef(
+    "q194_subword_budget", {
+      s"""WITH e AS (SELECT * FROM (${qBpeEncode.oracle.get.apply()}) enc_out),
+         |b AS (SELECT CAST(floor(0.5 * sum(n_sub)) AS BIGINT) AS budget
+         |      FROM e),
+         |c AS (SELECT doc_id, chars_per_sub, n_sub,
+         |        CAST(coalesce(sum(n_sub) OVER (
+         |          ORDER BY chars_per_sub DESC, doc_id ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS cum_before
+         |      FROM e)
+         |SELECT doc_id, chars_per_sub, n_sub, cum_before,
+         |  CAST(cum_before < (SELECT budget FROM b) AS INT) AS selected
+         |FROM c""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val enc = graft.scale.Bpe.encode(docs, "doc_id", "text",
+      graft.scale.Bpe.train(docs, "text", BpeMerges), BpeMerges)
+    graft.scale.Selection.budgetSelect(
+      enc.select(col("doc_id"), col("chars_per_sub"), col("n_sub")),
+      "doc_id", "chars_per_sub", "n_sub", budgetFraction = 0.5)
+  }
+
   val all: Seq[QueryDef] =
     Seq(qPiiRedact, qDocRepetition, qDedupClusters, qCuration,
       qDecontaminate, qShardAssign, qSequencePack, qWeightedSample,
@@ -1295,5 +1329,5 @@ object CorpusQueries {
       qStreamIndexDedup, qTopGramsPerLang, qBm25, qBm25Incremental,
       qBm25Query, qIncrementalClusters, qBm25QueryIncremental,
       qStreamClusters, qEpochMix, qBpeTrain, qBpeEncode,
-      qProportionalSample, qVocabCoverage)
+      qProportionalSample, qVocabCoverage, qSubwordBudget)
 }

@@ -114,6 +114,22 @@ class BpeSpec extends AnyFunSuite {
       s"the vocab must never be globally sorted:\n$plan")
   }
 
+  test("composed subword budget (q194 shape): the corpus window is " +
+      "bin-partitioned, never a global single partition; text never keys") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val merges = Seq((1, "e", "r", "er", 4L), (2, "t", "h", "th", 3L))
+      .toDF("step", "l", "r", "merged", "pair_count")
+    val enc = Bpe.encode(docs, "doc_id", "text", merges, 2)
+    val plan = graft.scale.Selection.budgetSelect(
+      enc.select(col("doc_id"), col("chars_per_sub"), col("n_sub")),
+      "doc_id", "chars_per_sub", "n_sub", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__bin"),
+      s"the budget window must partition by score bin:\n$plan")
+    assert(!plan.contains("hashpartitioning(text"),
+      "text must never be a shuffle key")
+  }
+
   test("train on the documents table matches itself across runs " +
       "(deterministic argmax); winning pair counts are non-increasing") {
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
