@@ -144,7 +144,10 @@ object ShuffleAudit {
     // subword budget: the BPE encode projection feeding the q171 bin
     // decomposition — only narrow (id, score, n_sub) rows enter the
     // budget windows, so the ratio must track q171's band
-    "q194_subword_budget" -> Seq("documents"))
+    "q194_subword_budget" -> Seq("documents"),
+    // corpus drift: one conditional-agg pass, (term) exchange only —
+    // the ratio must fall once the corpus outgrows its vocabulary
+    "q195_corpus_drift" -> Seq("documents"))
 
   private final class Tally extends SparkListener {
     private val lock = new Object

@@ -1287,6 +1287,42 @@ object CorpusQueries {
       graft.scale.Bpe.train(docs, "text", BpeMerges), BpeMerges, topV = 64)
   }
 
+  /** Corpus drift between snapshots (q195): token-distribution shift
+    * of the even-id half vs the odd-id half (the deterministic
+    * two-snapshot split, the q139 trick) — top-64 terms by combined
+    * count with per-term probabilities and absolute drift. One
+    * conditional-agg corpus pass; per-row rounded divisions only (a
+    * scalar total divergence would need an ordered FP reduction —
+    * TextStats.tokenDrift scaladoc). */
+  val qCorpusDrift: QueryDef = QueryDef(
+    "q195_corpus_drift",
+    """WITH e AS (
+      |  SELECT doc_id % 2 = 0 AS a,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |      x -> x <> '')) AS t
+      |  FROM documents),
+      |c AS (SELECT t, CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+      |        AS cnt_a,
+      |        CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+      |      FROM e GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS ta,
+      |          CAST(sum(cnt_b) AS BIGINT) AS tb FROM c),
+      |top AS (SELECT t, cnt_a, cnt_b FROM c
+      |        ORDER BY cnt_a + cnt_b DESC, t ASC LIMIT 64)
+      |SELECT t AS term, cnt_a, cnt_b,
+      |  round(CAST(cnt_a AS DOUBLE) / CAST(greatest(ta, 1) AS DOUBLE), 6)
+      |    AS p_a,
+      |  round(CAST(cnt_b AS DOUBLE) / CAST(greatest(tb, 1) AS DOUBLE), 6)
+      |    AS p_b,
+      |  round(abs(
+      |    round(CAST(cnt_a AS DOUBLE) / CAST(greatest(ta, 1) AS DOUBLE), 6) -
+      |    round(CAST(cnt_b AS DOUBLE) / CAST(greatest(tb, 1) AS DOUBLE), 6)),
+      |    6) AS drift
+      |FROM top CROSS JOIN tot""".stripMargin) { (s, dir) =>
+    TextStats.tokenDrift(Tables.load(s, dir, "documents"), "text",
+      col("doc_id") % 2 === 0, topK = 64)
+  }
+
   /** Subword-exact token budget (q194): the composition the BPE wave
     * exists for — encode the corpus with the corpus-trained tokenizer,
     * then run the exact global budget selection (q171's bin-decomposed
@@ -1329,5 +1365,5 @@ object CorpusQueries {
       qStreamIndexDedup, qTopGramsPerLang, qBm25, qBm25Incremental,
       qBm25Query, qIncrementalClusters, qBm25QueryIncremental,
       qStreamClusters, qEpochMix, qBpeTrain, qBpeEncode,
-      qProportionalSample, qVocabCoverage, qSubwordBudget)
+      qProportionalSample, qVocabCoverage, qSubwordBudget, qCorpusDrift)
 }

@@ -238,6 +238,46 @@ object TextStats {
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+?[0-9][0-9() -]{6,}[0-9]"
 
+  /** Corpus drift report between two snapshots (the data-version QA
+    * check: did this ingest change the token distribution?): for the
+    * top-`topK` terms by combined count, each snapshot's term
+    * probability and the absolute drift. All counts are exact longs
+    * from ONE conditional-aggregate corpus pass (one narrow (term)
+    * exchange — the split flag rides the explode, so A and B are never
+    * scanned separately); probabilities and drift are single rounded
+    * IEEE divisions — bit-stable per row, no ordered-sum anywhere.
+    * Top-k is a TakeOrderedAndProject; the term table is never
+    * globally sorted. Output: (term, cnt_a, cnt_b, p_a, p_b, drift).
+    *
+    * A scalar total divergence is deliberately NOT emitted: it would
+    * need an ordered FP reduction over the unbounded term table.
+    * Consumers rank by per-term drift, which is what an alert keys on
+    * anyway. */
+  def tokenDrift(df: org.apache.spark.sql.DataFrame, textCol: String,
+      isA: Column, topK: Int = 64): org.apache.spark.sql.DataFrame = {
+    // persisted: the totals branch reads the cached vocab-sized frame
+    // instead of re-scanning the corpus (pre-materialization plans
+    // print the counts subtree once per consumer — the q181 note)
+    val counts = df
+      .select(isA.as("__a"), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("cnt_b"))
+      .persist()
+    val tot = counts.agg(sum(col("cnt_a")).as("__ta"),
+      sum(col("cnt_b")).as("__tb"))
+    val pa = round(col("cnt_a").cast("double") /
+      greatest(col("__ta"), lit(1L)).cast("double"), 6)
+    val pb = round(col("cnt_b").cast("double") /
+      greatest(col("__tb"), lit(1L)).cast("double"), 6)
+    counts.crossJoin(broadcast(tot))
+      .orderBy((col("cnt_a") + col("cnt_b")).desc, col("__t").asc)
+      .limit(topK)
+      .select(col("__t").as("term"), col("cnt_a"), col("cnt_b"),
+        pa.as("p_a"), pb.as("p_b"),
+        round(abs(pa - pb), 6).as("drift"))
+  }
+
   /** Mask emails then phones (in that order — emails contain digits, so
     * the phone pass must run on email-free text). */
   def redactPii(text: Column): Column =

@@ -968,6 +968,30 @@ class ScaleSpec extends AnyFunSuite {
       math.rint((1.0 - 8.0 / 15.0) * 1e6) / 1e6)))
   }
 
+  test("tokenDrift: exact counts, rounded per-term drift, one term " +
+      "exchange, TakeOrdered top-k") {
+    val df = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
+    val out = TextStats.tokenDrift(df, "text", col("doc_id") % 2 === 0)
+    val m = out.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(m("a") === ((2L, 1L, 0.666667, 0.5, 0.166667)))
+    assert(m("b") === ((1L, 0L, 0.333333, 0.0, 0.333333)))
+    assert(m("c") === ((0L, 1L, 0.0, 0.5, 0.5)))
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val plan = TextStats.tokenDrift(docs, "text",
+      col("doc_id") % 2 === 0).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the term table must never be globally sorted:\n$plan")
+    // the totals consumer prints the persisted counts subtree again
+    // pre-materialization (q181 note) — pin the KEY, not the count
+    assert(plan.contains("hashpartitioning(__t"),
+      s"the only exchange key must be the term:\n$plan")
+    assert(!plan.contains("hashpartitioning(text") &&
+      !plan.contains("hashpartitioning(doc_id"),
+      "neither text nor ids may be shuffle keys")
+  }
+
   test("proportionalSample selection is deterministic (same ids twice)") {
     def ids = graft.scale.Sampling.proportionalSample(
       docs, "lang", "text", "doc_id", 49L)
