@@ -115,28 +115,68 @@ object Bpe {
     learned
   }
 
-  /** The shared encode pass: adds `__toks` (word tokens) and `__flat`
-    * (the document's subword stream after all `nMerges` merges) to
-    * the doc frame. The merge table pivots to ONE broadcast row
-    * (2·nMerges string columns); the wrap + replace-chain + split
-    * fold is a pure projection over the corpus scan. */
-  private[graft] def withSubwords(docs: DataFrame, textCol: String,
-      merges: DataFrame, nMerges: Int): DataFrame = {
-    require(nMerges >= 1, "need at least one merge step")
-    val one = merges.groupBy().agg(
+  /** One-row frame carrying the merge table as 2·nMerges string
+    * columns, for broadcast into encode projections. */
+  private def mergeRow(merges: DataFrame, nMerges: Int): DataFrame =
+    merges.groupBy().agg(
       max(when(col("step") === 1, col("l"))).as("__l1"),
       (max(when(col("step") === 1, col("r"))).as("__r1") +:
         (2 to nMerges).flatMap(k => Seq(
           max(when(col("step") === k, col("l"))).as(s"__l$k"),
           max(when(col("step") === k, col("r"))).as(s"__r$k")))): _*)
+
+  private def encodeWordExpr(nMerges: Int): Column => Column = w =>
+    (1 to nMerges).foldLeft(wrapWord(w))((s, k) =>
+      applyMerge(s, col(s"__l$k"), col(s"__r$k")))
+
+  /** The shared encode pass: adds `__toks` (word tokens) and `__flat`
+    * (the document's subword stream after all `nMerges` merges) to
+    * the doc frame. Two bit-identical strategies (BpeSpec asserts the
+    * identity; encoding is a pure per-word function, so WHERE it runs
+    * cannot change results):
+    *
+    *  - `dict = false`: fully inline — the merge table broadcasts as
+    *    one row and every token occurrence pays the wrap + replace
+    *    chain + split. ZERO exchanges, but CPU is text-linear: the KB
+    *    audit measured 59 s for a 54 MB corpus (q189) — the chain is
+    *    the whole cost.
+    *  - `dict = true` (default): the standard tokenizer-cache shape
+    *    (HF tokenizers memoize word→ids for exactly this reason) —
+    *    DISTINCT words are encoded once (one narrow (word) exchange,
+    *    the q188 word-freq shape; vocab-sized work instead of
+    *    corpus-sized), folded into a single word→subwords map row,
+    *    and broadcast back into a pure projection that LOOKS UP each
+    *    token. Same KB corpus: 30 s (q192 104 -> 29 s). Contract: the vocab must fit in
+    *    a broadcast (the capped-vocab LM / PQ-codebook precedent); at
+    *    vocabularies past broadcast size fall back to `dict = false`,
+    *    which has no such bound. */
+  private[graft] def withSubwords(docs: DataFrame, textCol: String,
+      merges: DataFrame, nMerges: Int, dict: Boolean = true): DataFrame = {
+    require(nMerges >= 1, "need at least one merge step")
+    val one = mergeRow(merges, nMerges)
     val toks = col("__toks")
-    val encodeWord: Column => Column = w =>
-      (1 to nMerges).foldLeft(wrapWord(w))((s, k) =>
-        applyMerge(s, col(s"__l$k"), col(s"__r$k")))
-    docs.crossJoin(broadcast(one))
-      .withColumn("__toks", TextStats.tokens(col(textCol)))
-      .withColumn("__sub", transform(toks, w => symbols(encodeWord(w))))
-      .withColumn("__flat", flatten(col("__sub")))
+    if (!dict) {
+      docs.crossJoin(broadcast(one))
+        .withColumn("__toks", TextStats.tokens(col(textCol)))
+        .withColumn("__sub",
+          transform(toks, w => symbols(encodeWordExpr(nMerges)(w))))
+        .withColumn("__flat", flatten(col("__sub")))
+    } else {
+      val dictRow = docs
+        .select(explode(TextStats.tokens(col(textCol))).as("__w"))
+        .distinct()
+        .crossJoin(broadcast(one))
+        .select(col("__w"), symbols(encodeWordExpr(nMerges)(col("__w")))
+          .as("__s"))
+        .groupBy()
+        .agg(map_from_entries(collect_list(struct(col("__w"), col("__s"))))
+          .as("__dict"))
+      docs.crossJoin(broadcast(dictRow))
+        .withColumn("__toks", TextStats.tokens(col(textCol)))
+        .withColumn("__sub", transform(toks,
+          w => element_at(col("__dict"), w)))
+        .withColumn("__flat", flatten(col("__sub")))
+    }
   }
 
   /** Encode the corpus with a learned merge table: per document,
@@ -151,9 +191,9 @@ object Bpe {
     * scan. `chars_per_sub` is one IEEE division of exact longs,
     * rounded once — bit-stable cross-engine. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-      merges: DataFrame, nMerges: Int): DataFrame = {
+      merges: DataFrame, nMerges: Int, dict: Boolean = true): DataFrame = {
     val toks = col("__toks")
-    withSubwords(docs, textCol, merges, nMerges)
+    withSubwords(docs, textCol, merges, nMerges, dict)
       .select(col(idCol),
         size(toks).cast("long").as("n_tok"),
         size(col("__flat")).cast("long").as("n_sub"),
@@ -178,9 +218,9 @@ object Bpe {
     * INTEGER, so its value is order-free; `coverage` is one division
     * of exact longs, rounded once. */
   def vocabCoverage(docs: DataFrame, textCol: String, merges: DataFrame,
-      nMerges: Int, topV: Int = 256): DataFrame = {
+      nMerges: Int, topV: Int = 256, dict: Boolean = true): DataFrame = {
     require(topV >= 1, "need at least one vocab slot")
-    val counts = withSubwords(docs, textCol, merges, nMerges)
+    val counts = withSubwords(docs, textCol, merges, nMerges, dict)
       .select(explode(col("__flat")).as("subword"))
       .groupBy(col("subword")).agg(count(lit(1)).as("cnt"))
       .persist()

@@ -55,18 +55,36 @@ class BpeSpec extends AnyFunSuite {
     assert(out.getDouble(4) === 1.75, "7 chars / 4 subwords")
   }
 
-  test("plan: encode is a pure projection — zero hash exchanges beyond " +
-      "the broadcast of the one-row merge table") {
+  test("plan: inline encode is a pure projection — zero hash exchanges " +
+      "beyond the broadcast of the one-row merge table") {
     val merges = Seq((1, "a", "a", "aa", 4L), (2, "e", "r", "er", 3L))
       .toDF("step", "l", "r", "merged", "pair_count")
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
-    val plan = Bpe.encode(docs, "doc_id", "text", merges, 2)
+    val plan = Bpe.encode(docs, "doc_id", "text", merges, 2, dict = false)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"),
-      s"encode must not shuffle the corpus:\n$plan")
+      s"inline encode must not shuffle the corpus:\n$plan")
     assert(plan.contains("BroadcastExchange") ||
       plan.contains("BroadcastNestedLoopJoin"),
       "the merge row must arrive by broadcast")
+  }
+
+  test("dict encode is bit-identical to inline encode (the tokenizer " +
+      "cache cannot change results) and shuffles only distinct words") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val merges = Bpe.train(docs.limit(300), "text", 4)
+    val a = Bpe.encode(docs, "doc_id", "text", merges, 4, dict = false)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = Bpe.encode(docs, "doc_id", "text", merges, 4, dict = true)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    val plan = Bpe.encode(docs, "doc_id", "text", merges, 4, dict = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__w"),
+      s"the dict build shuffles distinct words:\n$plan")
+    assert(!plan.contains("hashpartitioning(text") &&
+      !plan.contains("hashpartitioning(doc_id"),
+      "neither text nor doc ids may be shuffle keys")
   }
 
   test("plan: training pair counts shuffle (l, r) pairs, never words") {
