@@ -147,7 +147,10 @@ object ShuffleAudit {
     "q194_subword_budget" -> Seq("documents"),
     // corpus drift: one conditional-agg pass, (term) exchange only —
     // the ratio must fall once the corpus outgrows its vocabulary
-    "q195_corpus_drift" -> Seq("documents"))
+    "q195_corpus_drift" -> Seq("documents"),
+    // novelty: (id, hash) rows through one hash agg + one hash join +
+    // one id agg — a small-constant ratio, never text
+    "q196_doc_novelty" -> Seq("documents"))
 
   private final class Tally extends SparkListener {
     private val lock = new Object

@@ -1287,6 +1287,98 @@ object CorpusQueries {
       graft.scale.Bpe.train(docs, "text", BpeMerges), BpeMerges, topV = 64)
   }
 
+  /** Document novelty (q196): fraction of each doc's distinct 3-gram
+    * shingles that appear in NO other document — the boilerplate
+    * detector dual to near-dup pair mining (Dedup.noveltyScore
+    * scaladoc). Hash-keyed end to end; md5-60 keeps it replayable. */
+  val qNovelty: QueryDef = QueryDef(
+    "q196_doc_novelty",
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+       |    '[^a-z]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_filter(
+       |    list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+       |      i -> array_to_string(toks[i + 1 : i + 3], ' ')),
+       |    x -> x <> '')) AS shingles
+       |  FROM t),
+       |e AS (SELECT doc_id, ${md5Hash60Of("s.s")} AS hh
+       |      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) s),
+       |c AS (SELECT hh, CAST(count(*) AS BIGINT) AS docs FROM e
+       |      GROUP BY 1),
+       |p AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+       |        CAST(sum(CASE WHEN c.docs = 1 THEN 1 ELSE 0 END)
+       |             AS BIGINT) AS n_novel
+       |      FROM e JOIN c USING (hh) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_sh, 0) AS n_shingles,
+       |  coalesce(p.n_novel, 0) AS n_novel,
+       |  round(CAST(coalesce(p.n_novel, 0) AS DOUBLE) /
+       |        CAST(greatest(coalesce(p.n_sh, 0), 1) AS DOUBLE), 6)
+       |    AS novelty
+       |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id""".stripMargin) {
+    (s, dir) =>
+      Dedup.noveltyScore(Tables.load(s, dir, "documents"), "doc_id",
+        "text", n = 3)
+  }
+
+  /** Score-weighted domain allocation (q197, the DoReMi artifact
+    * shape): a 1M-token budget split across sources proportionally to
+    * each source's total quality-score MASS (micro-unit integers), by
+    * the same exact largest-remainder arithmetic as q191 —
+    * Σ alloc == budget exactly. */
+  val qScoreWeightedAlloc: QueryDef = QueryDef(
+    "q197_domain_realloc",
+    s"""WITH t AS (
+       |  SELECT source,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |      x -> x <> '') AS toks,
+       |    len(list_filter(string_split_regex(text, '\\s+'),
+       |      x -> x <> '')) AS nws,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS npunct,
+       |    length(text) AS nchars
+       |  FROM documents),
+       |q AS (
+       |  SELECT source,
+       |    round(CAST(
+       |      (CASE WHEN nws >= 20 THEN 1.0 ELSE 0.0 END) * 0.3 +
+       |      (CASE WHEN round(list_sum(list_transform(toks,
+       |           x -> length(x))) * 1.0 / greatest(len(toks), 1), 6)
+       |           BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.2 +
+       |      (CASE WHEN round(npunct * 1.0 / greatest(nchars, 1), 6)
+       |           <= 0.1 THEN 1.0 ELSE 0.0 END) * 0.2 +
+       |      (CASE WHEN round(len(list_filter(toks, x -> list_contains(
+       |           ['the','a','an','and','or','of','to','in','is','was'],
+       |           x))) * 1.0 / greatest(len(toks), 1), 6) >= 0.05
+       |           THEN 1.0 ELSE 0.0 END) * 0.3 AS DOUBLE), 2) AS quality
+       |  FROM t),
+       |m AS (
+       |  SELECT source,
+       |    CAST(sum(CAST(round(quality * 100) AS BIGINT) * 10000)
+       |      AS BIGINT) AS score_mass
+       |  FROM q GROUP BY 1),
+      |w AS (SELECT m.*, CAST(sum(score_mass) OVER () AS BIGINT) AS tot
+      |      FROM m),
+      |e AS (SELECT w.*, CAST(least(1000000, tot) AS BIGINT) AS b FROM w),
+      |a AS (SELECT source, score_mass,
+      |        (b * score_mass) // tot AS base,
+      |        (b * score_mass) % tot AS rem, b
+      |      FROM e),
+      |x AS (SELECT a.*, CAST(sum(base) OVER () AS BIGINT) AS sb,
+      |        row_number() OVER (ORDER BY rem DESC, source ASC) AS rr
+      |      FROM a)
+      |SELECT source, score_mass,
+      |  CAST(base + CASE WHEN rr <= b - sb THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc
+      |FROM x""".stripMargin) { (s, dir) =>
+    graft.scale.Sampling.scoreWeightedAllocation(
+      Tables.load(s, dir, "documents"), "source",
+      round(TextStats.qualityScore(col("text")) * 100).cast("long")
+        * 10000L,
+      budget = 1000000L)
+  }
+
   /** Corpus drift between snapshots (q195): token-distribution shift
     * of the even-id half vs the odd-id half (the deterministic
     * two-snapshot split, the q139 trick) — top-64 terms by combined
@@ -1365,5 +1457,6 @@ object CorpusQueries {
       qStreamIndexDedup, qTopGramsPerLang, qBm25, qBm25Incremental,
       qBm25Query, qIncrementalClusters, qBm25QueryIncremental,
       qStreamClusters, qEpochMix, qBpeTrain, qBpeEncode,
-      qProportionalSample, qVocabCoverage, qSubwordBudget, qCorpusDrift)
+      qProportionalSample, qVocabCoverage, qSubwordBudget, qCorpusDrift,
+      qNovelty, qScoreWeightedAlloc)
 }

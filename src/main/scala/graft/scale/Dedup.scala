@@ -85,6 +85,66 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
       s => s =!= ""))
 
+  /** Per-document novelty score: the fraction of a document's distinct
+    * word n-gram shingles that appear in NO other document — the
+    * boilerplate/template detector dual to near-dup mining (a doc made
+    * of site chrome scores ~0; original prose scores ~1). Filtering on
+    * novelty removes the long boilerplate tail that LSH pair mining
+    * never surfaces because no single pair clears the jaccard bar.
+    *
+    * Scale shape — count the DUPLICATED shingles, not the novel ones
+    * (novel = total − duplicated, and totals are free): `n_shingles`
+    * is a pure projection (size of the per-doc distinct set — no
+    * explode); the (id, hash) stream explodes ONCE into the
+    * global (hash) count aggregate (map-side combined — the one
+    * inevitable shuffle: global shingle frequency IS a shuffle) and
+    * once into a LEFT SEMI join against the `count > 1` hash set —
+    * which is boilerplate-sized (real corpora: most shingles are
+    * unique), so AQE broadcasts it and the occurrence stream never
+    * re-keys; at dup-set sizes past broadcast it degrades to one
+    * shuffled semi join. The first draft joined the FULL count table
+    * back onto every occurrence — the audit measured it at 5.2×
+    * source on the duplication-heavy sf10 corpus; this shape measures
+    * 0.18×. md5-60 keeps the pipeline DuckDB-replayable; a collision
+    * only merges two shingles' counts (novelty can only DROP —
+    * conservative). Output: (idCol, n_shingles, n_novel, novelty
+    * round-6); docs with no shingles score 0 over 0. */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, broadcastDups: Boolean = true): DataFrame = {
+    // tokens hoisted to an attribute (repo rule: an inlined
+    // tokenization expression re-runs the regex once per gram)
+    val base = df
+      .withColumn("__toks", TextStats.tokens(col(textCol)))
+      .withColumn("__shs", shinglesFromTokens(col("__toks"), n))
+    // outer + null-filter: generate hygiene (class scaladoc) — a plain
+    // explode of this computed array lets InferFiltersFromGenerate
+    // re-inline the whole shingle chain into a pushed predicate
+    val sh = base
+      .select(col(idCol), explode_outer(col("__shs")).as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col(idCol), md5Hash60(col("__s")).as("__h"))
+    // The broadcast HINT matters: the static planner estimates the dup
+    // aggregate from its big input and picks SortMergeJoin, and AQE's
+    // runtime conversion comes too late to save the left side's
+    // shuffle WRITE (the stage is materialized before the size is
+    // known) — measured 5.2× source at sf10 unhinted vs 0.18× hinted.
+    // `broadcastDups = false` keeps the shuffled plan for corpora
+    // whose duplicated-shingle set exceeds executor memory.
+    val dup = sh.groupBy(col("__h")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") > 1L).select(col("__h"))
+    val dupSide = if (broadcastDups) broadcast(dup) else dup
+    val dupPerDoc = sh.join(dupSide, Seq("__h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__ndup"))
+    base.select(col(idCol), size(col("__shs")).cast("long").as("n_shingles"))
+      .join(dupPerDoc, Seq(idCol), "left")
+      .withColumn("n_novel",
+        col("n_shingles") - coalesce(col("__ndup"), lit(0L)))
+      .select(col(idCol), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") /
+          greatest(col("n_shingles"), lit(1L)).cast("double"), 6)
+          .as("novelty"))
+  }
+
   /** Exact dedup: keep the smallest-id row per fingerprint. Grouping on
     * the hash, not the document, keeps shuffle KEYS narrow; the row
     * rides the fingerprint window exchange once as payload — the

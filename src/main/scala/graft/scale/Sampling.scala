@@ -159,32 +159,72 @@ object Sampling {
     * window partitioned by stratum ordered on (60-bit hash, id) —
     * text never shuffles as a key. Output: stratumCol, idCol, rank,
     * alloc. */
-  def proportionalSample(df: DataFrame, stratumCol: String,
-      textCol: String, idCol: String, budgetDocs: Long): DataFrame = {
-    require(budgetDocs >= 0, "budget must be non-negative")
+  /** The largest-remainder core shared by [[proportionalSample]] and
+    * [[scoreWeightedAllocation]]: given a (stratum, `__n` weight)
+    * frame, allocate min(budget, Σ __n) units proportionally to the
+    * weights — floor(B·w_g / Σw) plus one remainder unit for the
+    * largest (B·w_g mod Σw), ties by stratum ascending. All 64-bit
+    * integer arithmetic; exact while B·w_g fits a long. The windows
+    * run over the catalog-sized strata frame only. */
+  private def largestRemainder(weights: DataFrame, stratumCol: String,
+      budget: Long): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     // "__tot", not "__N": withColumn replaces case-INsensitively, so a
     // column named __N would silently overwrite __n
-    val alloc = df.groupBy(col(stratumCol))
-      .agg(count(lit(1)).as("__n"))
+    weights
       .withColumn("__tot", sum(col("__n")).over(W.partitionBy()))
-      .withColumn("__B", least(lit(budgetDocs), col("__tot")))
+      .withColumn("__B", least(lit(budget), col("__tot")))
       .withColumn("__base", expr("(__B * __n) DIV __tot"))
       .withColumn("__rem", (col("__B") * col("__n")) % col("__tot"))
       .withColumn("__extra",
         col("__B") - sum(col("__base")).over(W.partitionBy()))
       .withColumn("__rr", row_number().over(W.partitionBy()
         .orderBy(col("__rem").desc, col(stratumCol).asc)))
-      .select(col(stratumCol),
+      .select(col(stratumCol), col("__n"),
         (col("__base") +
           when(col("__rr") <= col("__extra"), 1L).otherwise(0L))
           .as("alloc"))
+  }
+
+  def proportionalSample(df: DataFrame, stratumCol: String,
+      textCol: String, idCol: String, budgetDocs: Long): DataFrame = {
+    require(budgetDocs >= 0, "budget must be non-negative")
+    val W = org.apache.spark.sql.expressions.Window
+    val alloc = largestRemainder(
+      df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n")),
+      stratumCol, budgetDocs).drop("__n")
     val h = Dedup.md5Hash60(concat(lit("ps:"), col(textCol)))
     val w = W.partitionBy(col(stratumCol)).orderBy(h.asc, col(idCol).asc)
     df.withColumn("rank", row_number().over(w).cast("long"))
       .join(broadcast(alloc), Seq(stratumCol))
       .filter(col("rank") <= col("alloc"))
       .select(col(stratumCol), col(idCol), col("rank"), col("alloc"))
+  }
+
+  /** Score-weighted domain allocation (DoReMi's artifact shape —
+    * Xie et al. 2023 — without the proxy-model loop): split a global
+    * TOKEN budget across domains proportionally to each domain's
+    * total quality-score MASS, not its document count — domains whose
+    * documents score higher per doc get a super-proportional share,
+    * which is the "upweight the domains the model benefits from"
+    * reweighting as a one-pass data op. Weights must be exact
+    * integers (micro-unit scores — the q171 trick); the allocation is
+    * the same largest-remainder integer arithmetic as
+    * [[proportionalSample]], so Σ alloc == min(budget, Σ weight)
+    * EXACTLY and both engines agree bit-for-bit. The output frame
+    * (stratum, weight sum, alloc) is catalog-sized and feeds
+    * [[epochMixFrom]] or [[quotaSample]] as the factor/quota table.
+    *
+    * Scale shape: one narrow (stratum) aggregate over (stratum,
+    * micro-long) rows; everything after runs on the ≤|strata|-row
+    * frame. */
+  def scoreWeightedAllocation(df: DataFrame, stratumCol: String,
+      scoreMicro: Column, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    largestRemainder(
+      df.groupBy(col(stratumCol)).agg(sum(scoreMicro).as("__n")),
+      stratumCol, budget)
+      .select(col(stratumCol), col("__n").as("score_mass"), col("alloc"))
   }
 
   /** Temperature-scaled corpus mixing (the multilingual-sampling

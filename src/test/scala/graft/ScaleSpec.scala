@@ -968,6 +968,46 @@ class ScaleSpec extends AnyFunSuite {
       math.rint((1.0 - 8.0 / 15.0) * 1e6) / 1e6)))
   }
 
+  test("noveltyScore: shared shingles are not novel; short/empty docs " +
+      "score 0 over 0; text never shuffles") {
+    val df = Seq(
+      (1L, "a b c d e"),    // shares "a b c" with doc 2
+      (2L, "a b c x y"),
+      (3L, "zz qq ww rr"),  // fully novel
+      (4L, "")              // no shingles
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScore(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((3L, 2L, 0.666667)))
+    assert(out(2L) === ((3L, 2L, 0.666667)))
+    assert(out(3L) === ((2L, 2L, 1.0)))
+    assert(out(4L) === ((0L, 0L, 0.0)))
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    val plan = Dedup.noveltyScore(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__h"),
+      s"shingle counting must key on the 8-byte hash:\n$plan")
+    assert(!plan.contains("hashpartitioning(text") &&
+      !plan.contains("hashpartitioning(__s") &&
+      !plan.contains("hashpartitioning(__toks"),
+      "neither text, shingle strings, nor token arrays may key a shuffle")
+  }
+
+  test("scoreWeightedAllocation: Σ alloc == budget exactly, shares " +
+      "within one unit of score-proportional") {
+    val out = graft.scale.Sampling.scoreWeightedAllocation(
+      docs, "source",
+      round(TextStats.qualityScore(col("text")) * 100).cast("long"),
+      budget = 999L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).sum === 999L)
+    val tot = out.map(_._2).sum.toDouble
+    for ((s, w, a) <- out)
+      assert(math.abs(a - 999.0 * w / tot) < 1.0,
+        s"$s: alloc $a vs exact share ${999.0 * w / tot}")
+  }
+
   test("tokenDrift: exact counts, rounded per-term drift, one term " +
       "exchange, TakeOrdered top-k") {
     val df = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
