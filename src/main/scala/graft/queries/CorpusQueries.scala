@@ -1415,6 +1415,25 @@ object CorpusQueries {
       col("doc_id") % 2 === 0, topK = 64)
   }
 
+  /** Incrementally-maintained drift (q198): the q195 report computed
+    * from a count table maintained by per-batch deltas — four ingest
+    * batches (doc_id % 4; evens are snapshot A) each contribute a
+    * (term, cnt_a, cnt_b) delta, deltas fold by exact-long addition
+    * (associative — any fold order is bit-identical), and the final
+    * report must equal the from-scratch q195 scan EXACTLY: the oracle
+    * is literally q195's. The incremental shape is the q139/q155
+    * pattern: ingest pays one vocab-sized delta per batch, the
+    * monitor never re-scans history. */
+  val qDriftIncremental: QueryDef = QueryDef(
+    "q198_drift_incremental", qCorpusDrift.oracle.get.apply()) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val deltas = (0 to 3).map { b =>
+      TextStats.tokenCountDelta(docs.filter(col("doc_id") % 4 === b),
+        "text", isA = b % 2 == 0)
+    }.reduce(_.unionByName(_))
+    TextStats.driftFromCounts(TextStats.foldCountDeltas(deltas), topK = 64)
+  }
+
   /** Subword-exact token budget (q194): the composition the BPE wave
     * exists for — encode the corpus with the corpus-trained tokenizer,
     * then run the exact global budget selection (q171's bin-decomposed
@@ -1458,5 +1477,5 @@ object CorpusQueries {
       qBm25Query, qIncrementalClusters, qBm25QueryIncremental,
       qStreamClusters, qEpochMix, qBpeTrain, qBpeEncode,
       qProportionalSample, qVocabCoverage, qSubwordBudget, qCorpusDrift,
-      qNovelty, qScoreWeightedAlloc)
+      qNovelty, qScoreWeightedAlloc, qDriftIncremental)
 }

@@ -182,7 +182,9 @@ object Bpe {
   /** Encode the corpus with a learned merge table: per document,
     * subword statistics after applying all `nMerges` merges in
     * learning order. Output: (idCol, n_tok, n_sub, n_distinct_sub,
-    * chars_per_sub).
+    * chars_per_sub). Precondition: `merges` must contain one row for
+    * every step 1..nMerges (as [[train]] produces) — a missing step
+    * would pivot to a null literal and null out every encoding.
     *
     * Scale shape: the merge table pivots to ONE broadcast row
     * (2·nMerges string columns); encoding is then a pure projection

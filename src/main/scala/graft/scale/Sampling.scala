@@ -171,9 +171,14 @@ object Sampling {
     val W = org.apache.spark.sql.expressions.Window
     // "__tot", not "__N": withColumn replaces case-INsensitively, so a
     // column named __N would silently overwrite __n
+    // greatest(tot, 1): an all-zero weight frame (a corpus whose every
+    // doc scores 0) must allocate zeros, not raise ANSI
+    // division-by-zero — B is already 0 via least(budget, tot)
     weights
-      .withColumn("__tot", sum(col("__n")).over(W.partitionBy()))
-      .withColumn("__B", least(lit(budget), col("__tot")))
+      .withColumn("__tot",
+        greatest(sum(col("__n")).over(W.partitionBy()), lit(1L)))
+      .withColumn("__B",
+        least(lit(budget), sum(col("__n")).over(W.partitionBy())))
       .withColumn("__base", expr("(__B * __n) DIV __tot"))
       .withColumn("__rem", (col("__B") * col("__n")) % col("__tot"))
       .withColumn("__extra",

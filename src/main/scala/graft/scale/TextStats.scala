@@ -257,13 +257,28 @@ object TextStats {
       isA: Column, topK: Int = 64): org.apache.spark.sql.DataFrame = {
     // persisted: the totals branch reads the cached vocab-sized frame
     // instead of re-scanning the corpus (pre-materialization plans
-    // print the counts subtree once per consumer — the q181 note)
+    // print the counts subtree once per consumer — the q181 note);
+    // outer explode + null filter per the generate-hygiene rule
     val counts = df
-      .select(isA.as("__a"), explode(tokens(col(textCol))).as("__t"))
+      .select(isA.as("__a"),
+        explode_outer(tokens(col(textCol))).as("__t"))
+      .filter(col("__t").isNotNull)
       .groupBy(col("__t")).agg(
         sum(when(col("__a"), 1L).otherwise(0L)).as("cnt_a"),
         sum(when(!col("__a"), 1L).otherwise(0L)).as("cnt_b"))
       .persist()
+    driftFromCounts(counts, topK)
+  }
+
+  /** The comparison half of [[tokenDrift]], over an already-built
+    * (term `__t`, cnt_a, cnt_b) count table — the entry point for
+    * INCREMENTALLY maintained counts: per-batch [[tokenCountDelta]]
+    * frames fold by exact-long addition (associative — fold order
+    * cannot change a bit), so drift computed from a maintained table
+    * equals the from-scratch corpus scan bit-for-bit (q198's oracle
+    * is literally q195's). */
+  def driftFromCounts(counts: org.apache.spark.sql.DataFrame,
+      topK: Int): org.apache.spark.sql.DataFrame = {
     val tot = counts.agg(sum(col("cnt_a")).as("__ta"),
       sum(col("cnt_b")).as("__tb"))
     val pa = round(col("cnt_a").cast("double") /
@@ -277,6 +292,27 @@ object TextStats {
         pa.as("p_a"), pb.as("p_b"),
         round(abs(pa - pb), 6).as("drift"))
   }
+
+  /** One ingest batch's contribution to a maintained drift count
+    * table: (term `__t`, cnt_a, cnt_b), where the batch belongs
+    * entirely to side A or side B. Fold deltas with
+    * [[foldCountDeltas]]. */
+  def tokenCountDelta(df: org.apache.spark.sql.DataFrame,
+      textCol: String, isA: Boolean): org.apache.spark.sql.DataFrame =
+    df.select(explode_outer(tokens(col(textCol))).as("__t"))
+      .filter(col("__t").isNotNull)
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as(if (isA) "cnt_a" else "cnt_b"))
+      .withColumn(if (isA) "cnt_b" else "cnt_a", lit(0L))
+      .select(col("__t"), col("cnt_a"), col("cnt_b"))
+
+  /** Fold per-batch deltas into the maintained count table — exact
+    * long sums, associative and commutative: ANY fold order or batch
+    * grouping yields the identical table. */
+  def foldCountDeltas(deltas: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    deltas.groupBy(col("__t"))
+      .agg(sum(col("cnt_a")).as("cnt_a"), sum(col("cnt_b")).as("cnt_b"))
 
   /** Mask emails then phones (in that order — emails contain digits, so
     * the phone pass must run on email-free text). */

@@ -1008,6 +1008,15 @@ class ScaleSpec extends AnyFunSuite {
         s"$s: alloc $a vs exact share ${999.0 * w / tot}")
   }
 
+  test("scoreWeightedAllocation: an all-zero weight frame allocates " +
+      "zeros instead of raising ANSI division-by-zero") {
+    val df = Seq(("a", "x"), ("b", "y")).toDF("source", "text")
+    val out = graft.scale.Sampling.scoreWeightedAllocation(
+      df, "source", lit(0L), budget = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(out.toMap === Map("a" -> 0L, "b" -> 0L))
+  }
+
   test("tokenDrift: exact counts, rounded per-term drift, one term " +
       "exchange, TakeOrdered top-k") {
     val df = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
@@ -1030,6 +1039,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(text") &&
       !plan.contains("hashpartitioning(doc_id"),
       "neither text nor ids may be shuffle keys")
+  }
+
+  test("incremental drift: folded per-batch deltas equal the " +
+      "from-scratch scan bit-for-bit, under ANY batch grouping") {
+    val fromScratch = TextStats.tokenDrift(docs, "text",
+      col("doc_id") % 2 === 0, topK = 32).collect().map(_.toSeq).toSeq
+    def folded(nBatches: Int) = {
+      val deltas = (0 until nBatches).map { b =>
+        TextStats.tokenCountDelta(
+          docs.filter(col("doc_id") % nBatches === b), "text",
+          isA = b % 2 == 0)
+      }.reduce(_.unionByName(_))
+      TextStats.driftFromCounts(TextStats.foldCountDeltas(deltas), 32)
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(folded(4) === fromScratch)
+    assert(folded(8) === fromScratch)
   }
 
   test("proportionalSample selection is deterministic (same ids twice)") {
