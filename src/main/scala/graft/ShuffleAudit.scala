@@ -150,7 +150,11 @@ object ShuffleAudit {
     "q195_corpus_drift" -> Seq("documents"),
     // novelty: (id, hash) rows through one hash agg + one hash join +
     // one id agg — a small-constant ratio, never text
-    "q196_doc_novelty" -> Seq("documents"))
+    "q196_doc_novelty" -> Seq("documents"),
+    // incremental drift: four per-batch vocab-sized delta aggs + the
+    // fold — must track q195's band (the corpus is scanned once per
+    // batch partition, counts cross the wire vocab-sized)
+    "q198_drift_incremental" -> Seq("documents"))
 
   private final class Tally extends SparkListener {
     private val lock = new Object
