@@ -1434,6 +1434,39 @@ object CorpusQueries {
     TextStats.driftFromCounts(TextStats.foldCountDeltas(deltas), topK = 64)
   }
 
+  /** STREAMING drift maintenance (q199): the q198 fold run as a real
+    * Structured Streaming job — three staged parquet files drain as
+    * ordered micro-batches (the q135 staging trick), each folding its
+    * vocab-sized delta into a versioned counts table via
+    * appendIdempotent (exactly-once under foreachBatch replay); the
+    * monitor's report off the maintained table must equal the
+    * from-scratch q195 scan bit-for-bit — the oracle is again
+    * literally q195's. */
+  val qStreamDrift: QueryDef = QueryDef(
+    "q199_stream_drift", qCorpusDrift.oracle.get.apply()) { (s, dir) =>
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val srcDir = JFiles.createTempDirectory("graft_sdrift_src").toString
+    val t0 = System.currentTimeMillis() - 600000L
+    (0 to 2).foreach { r =>
+      val stage = JFiles.createTempDirectory(s"graft_sdrift_b$r").toString
+      docs.filter(col("doc_id") % 3 === r)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(srcDir, s"b$r.parquet")
+      JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(t0 + r * 120000L)
+    }
+    val io = new graft.ingest.VersionedTableIO(
+      JFiles.createTempDirectory("graft_sdrift_tbl").toString)
+    graft.stream.StreamDrift.run(s, srcDir,
+      JFiles.createTempDirectory("graft_sdrift_ck").toString, io,
+      "drift_counts", "text", col("doc_id") % 2 === 0, docs.schema,
+      maxFilesPerTrigger = Some(1))
+    graft.stream.StreamDrift.report(s, io, "drift_counts", topK = 64)
+  }
+
   /** Subword-exact token budget (q194): the composition the BPE wave
     * exists for — encode the corpus with the corpus-trained tokenizer,
     * then run the exact global budget selection (q171's bin-decomposed
@@ -1477,5 +1510,5 @@ object CorpusQueries {
       qBm25Query, qIncrementalClusters, qBm25QueryIncremental,
       qStreamClusters, qEpochMix, qBpeTrain, qBpeEncode,
       qProportionalSample, qVocabCoverage, qSubwordBudget, qCorpusDrift,
-      qNovelty, qScoreWeightedAlloc, qDriftIncremental)
+      qNovelty, qScoreWeightedAlloc, qDriftIncremental, qStreamDrift)
 }

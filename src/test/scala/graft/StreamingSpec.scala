@@ -353,4 +353,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(labels() === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 0L,
       6L -> 0L))
   }
+
+  test("stream drift: maintained counts are exactly-once under " +
+      "re-drain and equal the batch fold") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.scale.TextStats
+    val docs = Seq((0L, "alpha beta alpha"), (1L, "beta gamma"),
+      (2L, "alpha gamma gamma"), (3L, "beta beta"))
+      .toDF("doc_id", "text")
+    val srcDir = Files.createTempDirectory("sd_src").toString
+    val t0 = System.currentTimeMillis() - 600000L
+    (0 to 1).foreach { r =>
+      val stage = Files.createTempDirectory(s"sd_b$r").toString
+      docs.filter(col("doc_id") % 2 === r)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(srcDir, s"b$r.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(t0 + r * 120000L)
+    }
+    val io = new graft.ingest.VersionedTableIO(
+      Files.createTempDirectory("sd_tbl").toString)
+    val ck = Files.createTempDirectory("sd_ck").toString
+    def drain(c: String) = graft.stream.StreamDrift.run(spark, srcDir, c,
+      io, "counts", "text", col("doc_id") < 2, docs.schema,
+      maxFilesPerTrigger = Some(1))
+    drain(ck)
+    val report = graft.stream.StreamDrift
+      .report(spark, io, "counts", topK = 16)
+      .collect().map(_.toSeq).toSeq
+    // same-checkpoint re-drain: no new files, nothing double-counted
+    drain(ck)
+    assert(graft.stream.StreamDrift.report(spark, io, "counts", 16)
+      .collect().map(_.toSeq).toSeq === report)
+    // the maintained table equals the from-scratch scan bit-for-bit
+    val scratch = TextStats.tokenDrift(docs, "text", col("doc_id") < 2,
+      topK = 16).collect().map(_.toSeq).toSeq
+    assert(report === scratch)
+  }
 }
