@@ -154,7 +154,10 @@ object ShuffleAudit {
     // incremental drift: four per-batch vocab-sized delta aggs + the
     // fold — must track q195's band (the corpus is scanned once per
     // batch partition, counts cross the wire vocab-sized)
-    "q198_drift_incremental" -> Seq("documents"))
+    "q198_drift_incremental" -> Seq("documents"),
+    // dataset card: a handful of narrow aggregates + the audited
+    // quantile and novelty kernels — the sum of its parts' bands
+    "q200_dataset_card" -> Seq("documents"))
 
   private final class Tally extends SparkListener {
     private val lock = new Object

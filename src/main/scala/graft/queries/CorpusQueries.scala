@@ -1467,6 +1467,84 @@ object CorpusQueries {
     graft.stream.StreamDrift.report(s, io, "drift_counts", topK = 64)
   }
 
+  /** The dataset card (q200): one query, the whole-corpus health
+    * summary a training-data release ships with — volumes, exact
+    * token quantiles, exact-dup rate, novelty ratio, language count,
+    * quality keep-rate, in long (metric, value) format. Every number
+    * is exact-integer-derived with one final rounded division
+    * (DatasetCard scaladoc), so the card hash-compares bit-exactly;
+    * the oracle is an assembly of the proven q47/q40/q186/q196
+    * fragments. */
+  val qDatasetCard: QueryDef = QueryDef(
+    "q200_dataset_card",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, text,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |      x -> x <> '') AS toks,
+       |    len(list_filter(string_split_regex(text, '\\s+'),
+       |      x -> x <> '')) AS nws,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS npunct,
+       |    length(text) AS nchars
+       |  FROM documents),
+       |b AS (SELECT *, CAST(len(toks) AS BIGINT) AS ntok FROM t),
+       |qual AS (
+       |  SELECT round(CAST(
+       |    (CASE WHEN nws >= 20 THEN 1.0 ELSE 0.0 END) * 0.3 +
+       |    (CASE WHEN round(list_sum(list_transform(toks,
+       |         x -> length(x))) * 1.0 / greatest(len(toks), 1), 6)
+       |         BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END) * 0.2 +
+       |    (CASE WHEN round(npunct * 1.0 / greatest(nchars, 1), 6)
+       |         <= 0.1 THEN 1.0 ELSE 0.0 END) * 0.2 +
+       |    (CASE WHEN round(len(list_filter(toks, x -> list_contains(
+       |         ['the','a','an','and','or','of','to','in','is','was'],
+       |         x))) * 1.0 / greatest(len(toks), 1), 6) >= 0.05
+       |         THEN 1.0 ELSE 0.0 END) * 0.3 AS DOUBLE), 2) AS quality
+       |  FROM b),
+       |vol AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(ntok) AS BIGINT) AS tok,
+       |    CAST(count(DISTINCT sha256(trim(regexp_replace(lower(text),
+       |      '\\s+', ' ', 'g')))) AS BIGINT) AS fp,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS langs
+       |  FROM b),
+       |keepn AS (SELECT CAST(sum(CASE WHEN quality >= 0.5 THEN 1
+       |    ELSE 0 END) AS BIGINT) AS k FROM qual),
+       |v2 AS (SELECT CAST(ntok AS DOUBLE) AS x FROM b),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v2),
+       |r AS (SELECT x, row_number() OVER (ORDER BY x ASC) AS rk FROM v2),
+       |pp AS (SELECT unnest([0.5, 0.95]::DOUBLE[]) AS p),
+       |tq AS (SELECT p, CAST(ceil(p * n) AS BIGINT) AS idx
+       |       FROM pp CROSS JOIN nn),
+       |quant AS (SELECT 'p' || CAST(CAST(round(p * 100) AS INT)
+       |      AS VARCHAR) || '_tokens' AS metric, r.x AS value
+       |    FROM tq JOIN r ON r.rk = tq.idx),
+       |sh AS (SELECT doc_id, list_distinct(list_filter(
+       |    list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+       |      i -> array_to_string(toks[i + 1 : i + 3], ' ')),
+       |    x -> x <> '')) AS shingles FROM b),
+       |ex AS (SELECT doc_id, ${md5Hash60Of("s.s")} AS hh
+       |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) s),
+       |cc AS (SELECT hh, CAST(count(*) AS BIGINT) AS docs FROM ex
+       |       GROUP BY 1),
+       |nov AS (SELECT CAST(sum(CASE WHEN cc.docs = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nn2, CAST(count(*) AS BIGINT) AS ns
+       |    FROM ex JOIN cc USING (hh))
+       |SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM vol
+       |UNION ALL SELECT 'total_tokens', CAST(tok AS DOUBLE) FROM vol
+       |UNION ALL SELECT 'exact_dup_rate',
+       |  round(1.0 - CAST(fp AS DOUBLE) /
+       |    CAST(greatest(n, 1) AS DOUBLE), 6) FROM vol
+       |UNION ALL SELECT 'n_langs', CAST(langs AS DOUBLE) FROM vol
+       |UNION ALL SELECT 'quality_keep_rate',
+       |  round(CAST(k AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE), 6)
+       |  FROM keepn CROSS JOIN vol
+       |UNION ALL SELECT metric, value FROM quant
+       |UNION ALL SELECT 'novelty_ratio',
+       |  round(CAST(nn2 AS DOUBLE) / CAST(greatest(ns, 1) AS DOUBLE), 6)
+       |  FROM nov""".stripMargin) { (s, dir) =>
+    graft.scale.DatasetCard.card(Tables.load(s, dir, "documents"),
+      "doc_id", "text", "lang")
+  }
+
   /** Subword-exact token budget (q194): the composition the BPE wave
     * exists for — encode the corpus with the corpus-trained tokenizer,
     * then run the exact global budget selection (q171's bin-decomposed
@@ -1510,5 +1588,6 @@ object CorpusQueries {
       qBm25Query, qIncrementalClusters, qBm25QueryIncremental,
       qStreamClusters, qEpochMix, qBpeTrain, qBpeEncode,
       qProportionalSample, qVocabCoverage, qSubwordBudget, qCorpusDrift,
-      qNovelty, qScoreWeightedAlloc, qDriftIncremental, qStreamDrift)
+      qNovelty, qScoreWeightedAlloc, qDriftIncremental, qStreamDrift,
+      qDatasetCard)
 }
