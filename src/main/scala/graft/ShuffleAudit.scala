@@ -134,6 +134,11 @@ object ShuffleAudit {
     // random projection is a pure projection with an inlined sign
     // matrix: its ratio must be EXACTLY zero at every SF
     "q190_random_projection" -> Seq("embeddings"),
+    // proportional sample: a catalog-sized allocation + ONE corpus
+    // window partitioned BY STRATUM on (60-bit hash, id) — narrow
+    // (stratum, hash, id) rows move, text never a key, so the ratio
+    // must sit in the q72/q124 stratified-sampling band and stay flat
+    "q191_proportional_sample" -> Seq("documents"),
     // vocab coverage: the encode projection + ONE vocab-sized
     // (subword, count) aggregate + a TakeOrdered top-k — the ratio
     // must fall once the corpus outgrows its vocabulary, like q188
@@ -151,10 +156,19 @@ object ShuffleAudit {
     // novelty: (id, hash) rows through one hash agg + one hash join +
     // one id agg — a small-constant ratio, never text
     "q196_doc_novelty" -> Seq("documents"),
+    // score-weighted allocation: one narrow (stratum, micro-long)
+    // aggregate; the allocation windows run over the ≤|strata|-row
+    // frame only — a near-zero ratio like q193, flat at every SF
+    "q197_domain_realloc" -> Seq("documents"),
     // incremental drift: four per-batch vocab-sized delta aggs + the
     // fold — must track q195's band (the corpus is scanned once per
     // batch partition, counts cross the wire vocab-sized)
     "q198_drift_incremental" -> Seq("documents"),
+    // q199_stream_drift is deliberately NOT audited: it runs real
+    // Structured Streaming micro-batches through a foreachBatch sink —
+    // per-stage shuffle tallies there measure the harness's fixed
+    // micro-batch overhead, not the kernel (whose batch twin q195/q198
+    // IS audited and whose fold algebra makes the movement identical)
     // dataset card: a handful of narrow aggregates + the audited
     // quantile and novelty kernels — the sum of its parts' bands
     "q200_dataset_card" -> Seq("documents"))

@@ -1355,15 +1355,16 @@ object CorpusQueries {
        |  FROM t),
        |m AS (
        |  SELECT source,
-       |    CAST(sum(CAST(round(quality * 100) AS BIGINT) * 10000)
+       |    CAST(greatest(
+       |      sum(CAST(round(quality * 100) AS BIGINT) * 10000), 0)
        |      AS BIGINT) AS score_mass
        |  FROM q GROUP BY 1),
       |w AS (SELECT m.*, CAST(sum(score_mass) OVER () AS BIGINT) AS tot
       |      FROM m),
       |e AS (SELECT w.*, CAST(least(1000000, tot) AS BIGINT) AS b FROM w),
       |a AS (SELECT source, score_mass,
-      |        (b * score_mass) // tot AS base,
-      |        (b * score_mass) % tot AS rem, b
+      |        (b * score_mass) // greatest(tot, 1) AS base,
+      |        (b * score_mass) % greatest(tot, 1) AS rem, b
       |      FROM e),
       |x AS (SELECT a.*, CAST(sum(base) OVER () AS BIGINT) AS sb,
       |        row_number() OVER (ORDER BY rem DESC, source ASC) AS rr

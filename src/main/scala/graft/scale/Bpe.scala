@@ -93,7 +93,14 @@ object Bpe {
     * a broadcast-join merge projection. Each new vocab is
     * local-checkpointed (the q84 label-propagation pattern): plan
     * size stays constant in the iteration count and the chain of
-    * replaces never re-executes. */
+    * replaces never re-executes.
+    *
+    * Fails fast if the corpus runs out of distinct adjacent pairs
+    * before `merges` steps (every word fully merged): silently
+    * continuing would cross-join an EMPTY best frame into the vocab,
+    * emptying it, and [[encode]] would then null-chain every encoding
+    * — ask for at most as many merges as the corpus can support, or
+    * catch the error and retrain with the step count it reports. */
   def train(df: DataFrame, textCol: String, merges: Int): DataFrame = {
     require(merges >= 1, "need at least one merge step")
     var vocab = wordFreq(df, textCol).localCheckpoint()
@@ -104,6 +111,11 @@ object Bpe {
         .select(lit(k).as("step"), col("l"), col("r"),
           concat(col("l"), col("r")).as("merged"), col("pc").as("pair_count"))
         .localCheckpoint()
+      if (best.isEmpty)
+        throw new IllegalArgumentException(
+          s"BPE training exhausted the corpus at step $k of $merges: no " +
+          "adjacent symbol pairs remain (every word is fully merged). " +
+          s"Retrain with merges <= ${k - 1}.")
       vocab = vocab
         .crossJoin(broadcast(best.select(col("l").as("__bl"),
           col("r").as("__br"))))
@@ -220,7 +232,8 @@ object Bpe {
     * INTEGER, so its value is order-free; `coverage` is one division
     * of exact longs, rounded once. */
   def vocabCoverage(docs: DataFrame, textCol: String, merges: DataFrame,
-      nMerges: Int, topV: Int = 256, dict: Boolean = true): DataFrame = {
+      nMerges: Int, topV: Int = 256, dict: Boolean = true,
+      eager: Boolean = true): DataFrame = {
     require(topV >= 1, "need at least one vocab slot")
     val counts = withSubwords(docs, textCol, merges, nMerges, dict)
       .select(explode(col("__flat")).as("subword"))
@@ -231,7 +244,7 @@ object Bpe {
       .limit(topV)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("subword").asc)
-    top
+    val result = top
       .withColumn("rank", row_number().over(w))
       .withColumn("cum_cnt",
         sum(col("cnt")).over(w.rowsBetween(Long.MinValue, 0)))
@@ -239,5 +252,15 @@ object Bpe {
       .select(col("rank"), col("subword"), col("cnt"), col("cum_cnt"),
         round(col("cum_cnt").cast("double") /
           col("__total").cast("double"), 6).as("coverage"))
+    // eager (default): localCheckpoint the ≤topV-row result, then
+    // release the vocab-sized cache — repeated coverage calls in one
+    // session must not accumulate cached vocab frames. eager = false
+    // returns the lazy plan (for plan inspection / composition); the
+    // CALLER then owns the persisted counts' lifetime.
+    if (eager) {
+      val out = result.localCheckpoint()
+      counts.unpersist()
+      out
+    } else result
   }
 }

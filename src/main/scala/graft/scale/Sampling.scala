@@ -222,12 +222,20 @@ object Sampling {
     *
     * Scale shape: one narrow (stratum) aggregate over (stratum,
     * micro-long) rows; everything after runs on the ≤|strata|-row
-    * frame. */
+    * frame.
+    *
+    * A stratum whose aggregated mass comes out NEGATIVE (callers may
+    * pass signed scores) is clamped to 0 before allocation: the
+    * largest-remainder invariants (truncating DIV == floor,
+    * Σ alloc == B) only hold for non-negative weights, so a negative
+    * mass allocates nothing rather than silently corrupting every
+    * other stratum's share. `score_mass` reports the clamped value. */
   def scoreWeightedAllocation(df: DataFrame, stratumCol: String,
       scoreMicro: Column, budget: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     largestRemainder(
-      df.groupBy(col(stratumCol)).agg(sum(scoreMicro).as("__n")),
+      df.groupBy(col(stratumCol))
+        .agg(greatest(sum(scoreMicro), lit(0L)).as("__n")),
       stratumCol, budget)
       .select(col(stratumCol), col("__n").as("score_mass"), col("alloc"))
   }

@@ -21,6 +21,22 @@ class BpeSpec extends AnyFunSuite {
     assert(m.toSeq === Seq((1, "a", "a", "aa", 4L), (2, "a", "b", "ab", 3L)))
   }
 
+  test("train fails fast when the corpus exhausts distinct pairs " +
+      "before the requested merge count (instead of emptying the vocab)") {
+    // "ab" has exactly one pair: step 1 merges (a,b), after which no
+    // adjacent pairs remain — asking for 2 merges must throw, not
+    // silently cross-join an empty argmax into the vocab
+    val df = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.train(df, "text", 2)
+    }
+    assert(ex.getMessage.contains("step 2 of 2") &&
+      ex.getMessage.contains("merges <= 1"))
+    // the supportable count still trains fine
+    val m = Bpe.train(df, "text", 1).collect().head
+    assert((m.getString(1), m.getString(2)) === (("a", "b")))
+  }
+
   test("equal-count pairs break ties lexicographically (l ASC, r ASC)") {
     val df = Seq((1L, "ab ab cd cd")).toDF("doc_id", "text")
     val m = Bpe.train(df, "text", 1).collect().head
@@ -127,7 +143,12 @@ class BpeSpec extends AnyFunSuite {
     assert(cums.toSeq === cnts.scanLeft(0L)(_ + _).tail.toSeq,
       "cum_cnt must be the exact integer prefix sum")
     assert(rows.last.getDouble(4) <= 1.0 && rows.last.getDouble(4) > 0.0)
-    val plan = cov.queryExecution.executedPlan.toString
+    // plan inspected on the eager = false (lazy) form — the default
+    // eager path localCheckpoints the tiny result to release the
+    // vocab-sized cache, which hides the plan behind a Scan ExistingRDD
+    val plan = Bpe.vocabCoverage(docs, "text", merges, 2, topV = 16,
+      eager = false).queryExecution.executedPlan.toString
+    spark.sharedState.cacheManager.clearCache()
     assert(plan.contains("TakeOrderedAndProject"),
       s"the vocab must never be globally sorted:\n$plan")
   }

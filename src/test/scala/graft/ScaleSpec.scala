@@ -1017,6 +1017,22 @@ class ScaleSpec extends AnyFunSuite {
     assert(out.toMap === Map("a" -> 0L, "b" -> 0L))
   }
 
+  test("scoreWeightedAllocation: a NEGATIVE per-stratum mass clamps " +
+      "to 0 and the largest-remainder invariants survive") {
+    // stratum a sums to -5 (clamped 0), b to 30, c to 10: budget 20
+    // splits 15/5 over the positive masses, Σ alloc == budget exactly
+    val df = Seq(("a", -5L), ("b", 30L), ("c", 10L))
+      .toDF("source", "micro")
+    val out = graft.scale.Sampling.scoreWeightedAllocation(
+      df, "source", col("micro"), budget = 20L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map("a" -> ((0L, 0L)), "b" -> ((30L, 15L)),
+      "c" -> ((10L, 5L))))
+    val sum = out.values.map(_._2).sum
+    assert(sum === 20L, s"allocations must still sum to the budget: $sum")
+  }
+
   test("tokenDrift: exact counts, rounded per-term drift, one term " +
       "exchange, TakeOrdered top-k") {
     val df = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
@@ -1028,8 +1044,13 @@ class ScaleSpec extends AnyFunSuite {
     assert(m("b") === ((1L, 0L, 0.333333, 0.0, 0.333333)))
     assert(m("c") === ((0L, 1L, 0.0, 0.5, 0.5)))
     val docs = Tables.load(spark, SparkTestSession.sfDir, "documents")
+    // plan inspected on the eager = false (lazy) form — the default
+    // eager path localCheckpoints the tiny result to release the
+    // vocab-sized cache, which hides the plan behind a Scan ExistingRDD
     val plan = TextStats.tokenDrift(docs, "text",
-      col("doc_id") % 2 === 0).queryExecution.executedPlan.toString
+      col("doc_id") % 2 === 0, eager = false)
+      .queryExecution.executedPlan.toString
+    spark.sharedState.cacheManager.clearCache()
     assert(plan.contains("TakeOrderedAndProject"),
       s"the term table must never be globally sorted:\n$plan")
     // the totals consumer prints the persisted counts subtree again
