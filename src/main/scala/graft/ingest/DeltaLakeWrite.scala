@@ -47,9 +47,15 @@ object DeltaLakeWrite {
     * to `[A-Za-z0-9._-]` — enough for the reference's `date=`/
     * `symbol=` layouts — so hive-dir names, log partitionValues, and
     * un-escaped paths all agree by construction; anything else is
-    * rejected rather than escaped three slightly different ways. */
+    * rejected rather than escaped three slightly different ways.
+    *
+    * Every `checkpointInterval`-th version (the protocol's classic
+    * default, 10) additionally lands a classic checkpoint parquet +
+    * `_last_checkpoint`, so a table this engine keeps appending to
+    * stays cheap for EVERY Delta reader — without it each snapshot
+    * replays one JSON commit per append forever. 0 disables. */
   def append(df: DataFrame, tablePath: String,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil, checkpointInterval: Int = 10): Long = {
     val root = new File(tablePath)
     val log = new File(root, "_delta_log")
     log.mkdirs()
@@ -139,6 +145,14 @@ object DeltaLakeWrite {
         val slot = new File(log, f"$next%020d.json").toPath
         try {
           Files.createLink(slot, tmp)
+          if (checkpointInterval > 0 && next > 0 &&
+              next % checkpointInterval == 0) {
+            // best-effort: the commit is already durable, and a table
+            // without this checkpoint is merely slower to snapshot
+            try checkpoint(df.sparkSession, tablePath, next)
+            catch { case e: Exception => System.err.println(
+              s"delta checkpoint at $next failed (table stays valid): $e") }
+          }
           return next
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => attempts += 1
@@ -149,6 +163,100 @@ object DeltaLakeWrite {
     } finally {
       Files.deleteIfExists(tmp); ()
     }
+  }
+
+  /** Land a CLASSIC checkpoint for `version`: one parquet file
+    * `_delta_log/%020d.checkpoint.parquet` holding the replayed state
+    * (one `protocol` row, one `metaData` row, one `add` row per
+    * active file — raw log paths and deletion-vector descriptors
+    * reproduced verbatim, `dataChange` false per the protocol), plus
+    * `_last_checkpoint` so readers can skip the log listing. Both
+    * this engine's reader (checkpoint-seeded replay) and delta-spark
+    * consume it; pre-checkpoint commits become vacuumable.
+    *
+    * Concurrency: the parquet stages under a dot-dir and MOVES into
+    * the deterministic name — two racers write identical content, so
+    * whichever lands is correct; `_last_checkpoint` is a move-over
+    * (its readers tolerate staleness by design). */
+  def checkpoint(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, version: Long): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val st = DeltaLakeRead.state(spark, tablePath, Some(version))
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", dvType)))
+    val metaType = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val protoType = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)) ++
+      (if (st.readerFeatures.nonEmpty)
+        Seq(StructField("readerFeatures", ArrayType(StringType)))
+       else Nil) ++
+      (if (st.writerFeatures.nonEmpty)
+        Seq(StructField("writerFeatures", ArrayType(StringType)))
+       else Nil))
+    val cpSchema = StructType(Seq(
+      StructField("protocol", protoType),
+      StructField("metaData", metaType),
+      StructField("add", addType)))
+    val protoRow = Row.fromSeq(
+      Seq(st.minReader, st.minWriter) ++
+      (if (st.readerFeatures.nonEmpty) Seq(st.readerFeatures) else Nil) ++
+      (if (st.writerFeatures.nonEmpty) Seq(st.writerFeatures) else Nil))
+    val metaRow = Row(st.metaId, Row("parquet", Map.empty[String, String]),
+      st.schema.json, st.partitionColumns, st.config,
+      st.createdTime.map(Long.box).orNull)
+    val rows: Seq[Row] =
+      Seq(Row(protoRow, null, null), Row(null, metaRow, null)) ++
+      st.files.map { f =>
+        val pv = f.partitionValues.map { case (k, v) => k -> v.orNull }
+        val dv = f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+          d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality))
+          .orNull
+        Row(null, null,
+          Row(f.rawPath, pv, f.size, f.modificationTime, false, dv))
+      }
+    val root = new File(tablePath)
+    val log = new File(root, "_delta_log")
+    val stage = new File(root, s".cp-stage-${java.util.UUID.randomUUID()}")
+    spark.createDataFrame(rows.asJava, cpSchema).coalesce(1)
+      .write.parquet(stage.getPath)
+    val part = Option(stage.listFiles()).getOrElse(Array.empty)
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"checkpoint stage $stage produced no parquet part"))
+    val dest = new File(log, f"$version%020d.checkpoint.parquet")
+    Files.move(part.toPath, dest.toPath,
+      StandardCopyOption.REPLACE_EXISTING)
+    rmTree(stage)
+    val lcTmp = Files.createTempFile(log.toPath, ".lc", ".tmp")
+    Files.write(lcTmp,
+      s"""{"version":$version,"size":${rows.size}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    Files.move(lcTmp, new File(log, "_last_checkpoint").toPath,
+      StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    ()
   }
 
   private def rmTree(f: File): Unit = {

@@ -230,7 +230,9 @@ object IngestQueries {
     * delta jars). The oracle sees only the surviving file's rows, so
     * the add/remove replay, path decoding, and file-list handoff are
     * all hash-gated; time travel, checkpoints, partition
-    * reconstruction, and protocol rejection are specced
+    * reconstruction, column-mapping `name`-mode reads, deletion-vector
+    * subtraction (DeletionVectorSpec), and the rejection matrix (cm
+    * `id` mode, v2 checkpoints, unknown reader features) are specced
     * (DeltaReadSpec). */
   val qDeltaSnapshot: QueryDef = QueryDef(
     "q176_delta_snapshot",
@@ -296,7 +298,144 @@ object IngestQueries {
       .select("doc_id", "lang", "text")
   }
 
+  /** Write `df` as ONE parquet file at `root/rel`, rows in
+    * within-partition order (interop FIXTURE staging — a single file
+    * is the point here, so that row position is knowable; production
+    * appends go through [[graft.ingest.DeltaLakeWrite]]). */
+  private def stageOne(df: org.apache.spark.sql.DataFrame, root: String,
+      rel: String): Unit = {
+    val stage = tmp("graft_delta_stage")
+    df.write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles().find(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(root, rel)
+    dest.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  private def deltaCommit(root: String, v: Long,
+      lines: Seq[String]): Unit = {
+    val log = new java.io.File(root, "_delta_log"); log.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(log, f"$v%020d.json").toPath,
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def deltaMeta(schema: org.apache.spark.sql.types.StructType,
+      conf: String = "{}"): String = {
+    val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(schema.json)
+    s"""{"metaData":{"id":"graft-interop","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":[],"configuration":$conf}}"""
+  }
+
+  /** Delta Lake interop (deletion vectors): land the documents table
+    * as one row-position-ordered Delta file, attach a deletion vector
+    * marking every 7th POSITION deleted (the protocol's Roaring
+    * bitmap in a CRC-framed `.bin`, built by
+    * [[graft.ingest.DeletionVectors]]), and snapshot through
+    * [[graft.ingest.DeltaLakeRead]]. doc_id is contiguous 0..N-1 and
+    * the file is written in doc_id order, so position k IS doc_id k —
+    * which lets DuckDB express the position predicate as `doc_id % 7`
+    * and hash-gate the whole path: Z85 decode, bitmap deserialize,
+    * `_metadata.row_index` anti-join. */
+  val qDeltaDv: QueryDef = QueryDef(
+    "q201_delta_dv",
+    """SELECT doc_id, lang, text FROM documents
+      |WHERE doc_id % 7 <> 0""".stripMargin) { (s, dir) =>
+    val t = tmp("graft_delta_dv")
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "text")
+    stageOne(docs.repartition(1).sortWithinPartitions("doc_id"), t,
+      "part-all.parquet")
+    val n = docs.count()
+    val d = graft.ingest.DeletionVectors.writeFile(
+      new java.io.File(t), (0L until n by 7L).toArray)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val add = {
+      val node = om.createObjectNode(); val a = node.putObject("add")
+      a.put("path", "part-all.parquet"); a.putObject("partitionValues")
+      a.put("size", 1L); a.put("modificationTime", 0L)
+      a.put("dataChange", true)
+      val j = a.putObject("deletionVector")
+      j.put("storageType", d.storageType)
+      j.put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(o => j.put("offset", o))
+      j.put("sizeInBytes", d.sizeInBytes)
+      j.put("cardinality", d.cardinality)
+      om.writeValueAsString(node)
+    }
+    deltaCommit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      deltaMeta(docs.schema), add))
+    graft.ingest.DeltaLakeRead.snapshot(s, t)
+  }
+
+  /** Delta Lake interop (checkpoint emission): 12 engine appends land
+    * the documents table slice by slice; the 10th commit also lands a
+    * CLASSIC checkpoint + `_last_checkpoint`
+    * ([[graft.ingest.DeltaLakeWrite.checkpoint]]), and the query then
+    * DELETES every pre-checkpoint commit before snapshotting — so the
+    * hash gate proves the checkpoint alone reconstructs versions
+    * 0-10's state (delta-spark replays the same way). */
+  val qDeltaCheckpoint: QueryDef = QueryDef(
+    "q202_delta_checkpoint",
+    "SELECT doc_id, lang, text FROM documents") { (s, dir) =>
+    val t = tmp("graft_delta_cp")
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "text")
+    (0 until 12).foreach { i =>
+      graft.ingest.DeltaLakeWrite.append(
+        docs.filter(col("doc_id") % 12 === i), t)
+    }
+    val log = new java.io.File(t, "_delta_log")
+    require(new java.io.File(log,
+      "00000000000000000010.checkpoint.parquet").isFile,
+      "checkpoint must have landed at version 10")
+    (0 until 10).foreach { v =>
+      java.nio.file.Files.delete(
+        new java.io.File(log, f"$v%020d.json").toPath)
+    }
+    graft.ingest.DeltaLakeRead.snapshot(s, t)
+  }
+
+  /** Delta Lake interop (column mapping, `name` mode): the parquet
+    * file carries UUID-ish PHYSICAL column names; the log's
+    * schemaString maps them to logical names via
+    * `delta.columnMapping.physicalName` field metadata. The reader
+    * runs the scan against the physical schema and restores logical
+    * names — hash-gated against the plain documents table, so a
+    * rename-map slip anywhere (schema parse, scan, final cast) flips
+    * the hash. */
+  val qDeltaColumnMapping: QueryDef = QueryDef(
+    "q203_delta_cm",
+    "SELECT doc_id, lang, text FROM documents") { (s, dir) =>
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+    val t = tmp("graft_delta_cm")
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "lang", "text")
+    stageOne(docs.toDF("col-9f1", "col-9f2", "col-9f3"), t,
+      "part-all.parquet")
+    def cm(f: StructField, phys: String, id: Long): StructField =
+      f.copy(metadata = new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      cm(docs.schema("doc_id"), "col-9f1", 1L),
+      cm(docs.schema("lang"), "col-9f2", 2L),
+      cm(docs.schema("text"), "col-9f3", 3L)))
+    deltaCommit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      deltaMeta(logical,
+        """{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}"""),
+      """{"add":{"path":"part-all.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    graft.ingest.DeltaLakeRead.snapshot(s, t)
+  }
+
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonRoundtrip, qJsonMultiline,
     qBinaryFiles, qIncremental, qScd2, qOrcRoundtrip, qTextSource, qCdcApply,
-    qQuarantine, qPartitionOverwrite, qDeltaSnapshot, qDeltaWriteRead)
+    qQuarantine, qPartitionOverwrite, qDeltaSnapshot, qDeltaWriteRead,
+    qDeltaDv, qDeltaCheckpoint, qDeltaColumnMapping)
 }

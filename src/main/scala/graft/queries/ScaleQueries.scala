@@ -1082,6 +1082,72 @@ object ScaleQueries {
     }
   }
 
+  /** Perceptual MEDIA near-dup (q204): the dHash-analog pipeline over
+    * binary blobs — proportional-region byte profile ("resize"),
+    * 32-bit gradient signature, 4×8-bit banding, hot-bucket guard,
+    * exact Hamming verify — end-to-end on a corpus of the documents
+    * blobs plus a planted near-dup family (every 10th doc re-packed
+    * with its first two bytes replaced: the fixed-dimension re-encode
+    * shape, which moves only region 0's average). Every stage is
+    * exact-integer, so DuckDB replays the WHOLE pipeline from ord()
+    * byte sums to bit_count(xor) — a hash-gated guarantee that the
+    * signature, banding, guard, and verify all agree bit-for-bit.
+    * The ASCII corpus makes byte == code point. */
+  val qMediaNearDup: QueryDef = QueryDef(
+    "q204_media_neardup",
+    """WITH corpus AS (
+      |  SELECT doc_id AS media_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS media_id,
+      |    'zz' || substring(text, 3) AS text
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |t AS (SELECT media_id, text, length(text) AS n FROM corpus),
+      |r AS (
+      |  SELECT media_id, k,
+      |    CASE WHEN ((k+1)*n)//33 > (k*n)//33 THEN
+      |      CAST(list_sum(list_transform(
+      |        string_split(substring(text, (k*n)//33 + 1,
+      |          ((k+1)*n)//33 - (k*n)//33), ''), c -> ord(c))) AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS sm,
+      |    CAST(((k+1)*n)//33 - (k*n)//33 AS BIGINT) AS ln
+      |  FROM t, generate_series(0, 32) g(k)),
+      |w AS (
+      |  SELECT media_id, k, sm, ln,
+      |    lead(sm) OVER (PARTITION BY media_id ORDER BY k) AS sm2,
+      |    lead(ln) OVER (PARTITION BY media_id ORDER BY k) AS ln2
+      |  FROM r),
+      |sig AS (
+      |  SELECT media_id,
+      |    CAST(coalesce(sum(CASE WHEN k < 32 AND sm2 * ln > sm * ln2
+      |      THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END), 0)
+      |      AS BIGINT) AS sig
+      |  FROM w GROUP BY 1),
+      |bv AS (
+      |  SELECT media_id, sig, b, (sig >> (b * 8)) & 255 AS val
+      |  FROM sig, generate_series(0, 3) gb(b)),
+      |ok AS (SELECT b, val FROM bv GROUP BY 1, 2 HAVING count(*) <= 64),
+      |cand AS (
+      |  SELECT DISTINCT x.media_id AS media_id_a,
+      |    y.media_id AS media_id_b, x.sig AS sa, y.sig AS sb
+      |  FROM bv x
+      |  JOIN ok ON ok.b = x.b AND ok.val = x.val
+      |  JOIN bv y ON x.b = y.b AND x.val = y.val
+      |    AND x.media_id < y.media_id)
+      |SELECT media_id_a, media_id_b,
+      |  CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      |FROM cand WHERE bit_count(xor(sa, sb)) <= 6""".stripMargin) {
+    (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.select(col("doc_id").as("media_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("media_id"),
+            concat(lit("zz"), expr("substring(text, 3)")).as("text")))
+      Multimodal.mediaNearDup(
+        Multimodal.packText(corpus, "media_id", "text"),
+        regions = 33, bands = 4, maxHamming = 6, bucketCap = 64)
+  }
+
   val all: Seq[QueryDef] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh,
     qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qAnnRecall, qIvfRecall,
     qAnnPq, qAnnPqRecall,
@@ -1090,5 +1156,5 @@ object ScaleQueries {
     qFingerprint, qMultimodal, qTfidf, qApproxPercentile, qSplit, qStratified,
     qVectorQuantize, qFrameSample, qSurprisal, qBigramSurprisal,
     qBigramSurprisalCapped, qMinhashHotBucket, qVectorHotBucket,
-    qVectorIndexDedup, qRandomProjection)
+    qVectorIndexDedup, qRandomProjection, qMediaNearDup)
 }

@@ -75,6 +75,126 @@ object Multimodal {
     }(enc)
   }
 
+  /** The "resize" step of a perceptual hash: each blob's byte plane
+    * split into `regions` PROPORTIONAL windows (region k covers bytes
+    * [k·n/R, (k+1)·n/R) — floor arithmetic, so any two engines agree
+    * exactly), with the byte SUM and length of each window. This is
+    * dHash's grayscale-downsample analog on the opaque media bytes: a
+    * real codec would decode pixels and average grid cells here; the
+    * deterministic byte-plane stand-in keeps every downstream stage
+    * (gradient hash, banding, bucket join, Hamming verify) real and
+    * SQL-replayable. Same partition-batched decoder contract as
+    * [[decodeFeatures]]. Output: (media_id, sums array, lens array).
+    */
+  def regionProfile(media: DataFrame, regions: Int): DataFrame = {
+    require(regions >= 2, "need at least two regions")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sums", ArrayType(LongType, containsNull = false),
+        nullable = false),
+      StructField("lens", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.select("media_id", "media").mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]]("media")
+        val n = if (bytes == null) 0 else bytes.length
+        val sums = new Array[Long](regions)
+        val lens = new Array[Long](regions)
+        var k = 0
+        while (k < regions) {
+          val start = (k.toLong * n / regions).toInt
+          val end = ((k + 1).toLong * n / regions).toInt
+          var s = 0L
+          var i = start
+          while (i < end) { s += bytes(i) & 0xff; i += 1 }
+          sums(k) = s; lens(k) = (end - start).toLong
+          k += 1
+        }
+        Row(r.getAs[Long]("media_id"), sums.toSeq, lens.toSeq)
+      }
+    }(enc)
+  }
+
+  /** dHash-analog signature: bit k is 1 iff region k+1's AVERAGE byte
+    * value exceeds region k's — compared as the cross-product
+    * `sums[k+1]·lens[k] > sums[k]·lens[k+1]` so the arithmetic stays
+    * exact-integer (no FP division to disagree on). `regions` R gives
+    * an (R−1)-bit signature; near-duplicate blobs land within a few
+    * Hamming bits because small edits barely move proportional region
+    * averages. Output: (media_id, sig BIGINT). */
+  def dHash(media: DataFrame, regions: Int = 33): DataFrame = {
+    require(regions <= 64, "signature must fit a 64-bit long")
+    regionProfile(media, regions).select(
+      col("media_id"),
+      expr(s"aggregate(sequence(0, ${regions - 2}), 0L, (acc, k) -> " +
+        "acc + IF(sums[k+1] * lens[k] > sums[k] * lens[k+1], " +
+        "shiftleft(1L, k), 0L))").as("sig"))
+  }
+
+  /** Perceptual media near-duplicate pairs — the banded-signature
+    * pipeline (the q117 embedding shape, re-keyed on [[dHash]] bits):
+    *
+    *  1. signature: one narrow mapPartitions decode + a projection —
+    *     no corpus-sized exchange yet;
+    *  2. banding: the (R−1)-bit signature splits into `bands` bit
+    *     slices; blobs sharing ANY band value are candidates
+    *     (signatures within Hamming distance d < bands are GUARANTEED
+    *     to agree on some band — pigeonhole, same as SimHash/LSH);
+    *  3. hot-bucket guard: a band value shared by more than
+    *     `bucketCap` blobs (boilerplate/degenerate media) is dropped
+    *     BEFORE the self-join, bounding the worst bucket at
+    *     O(cap²) — the same guard the text near-dup kernels carry;
+    *  4. verify: exact Hamming distance via `bit_count(sig XOR sig)`
+    *     on the DISTINCT candidate pairs, keep ≤ `maxHamming`.
+    *
+    * Shuffle keys are (band, 8-to-16-bit value) ints and id pairs —
+    * media bytes NEVER shuffle; the blobs are read once by the
+    * decode. Every stage is exact-integer, so a SQL oracle replays
+    * the whole pipeline bit-for-bit (q204). Output:
+    * (media_id_a, media_id_b, hamming), a < b.
+    *
+    * Robustness honesty: with the byte-plane stub codec the signature
+    * is stable under LENGTH-PRESERVING edits (a point edit moves only
+    * the regions it touches — ScaleSpec pins recall ≥ 0.9 there, and
+    * hamming < bands pairs are pigeonhole-guaranteed), but length
+    * CHANGES shift every proportional boundary and text bytes are
+    * noisy enough that many gradient bits flip. A real pixel/sample
+    * codec plugged into [[regionProfile]] restores the smoothness
+    * dHash relies on; the pipeline around it is unchanged. */
+  def mediaNearDup(media: DataFrame, regions: Int = 33, bands: Int = 4,
+      maxHamming: Int = 6, bucketCap: Int = 64): DataFrame = {
+    require(bands >= 1 && (regions - 1) % bands == 0,
+      s"bands=$bands must divide the ${regions - 1}-bit signature")
+    val width = (regions - 1) / bands
+    val sig = dHash(media, regions)
+    val banded = sig.select(col("media_id"), col("sig"),
+      explode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"named_struct('band', b, 'val', " +
+        s"shiftright(sig, b * $width) & ${(1L << width) - 1}))")).as("bv"))
+      .select(col("media_id"), col("sig"),
+        col("bv.band").as("band"), col("bv.val").as("val"))
+    val guarded = banded.withColumn("__bn",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("val"))))
+      .filter(col("__bn") <= bucketCap)
+      .drop("__bn")
+    val a = guarded.select(col("band"), col("val"),
+      col("media_id").as("media_id_a"), col("sig").as("__sa"))
+    val b = guarded.select(col("band"), col("val"),
+      col("media_id").as("media_id_b"), col("sig").as("__sb"))
+    a.join(b, Seq("band", "val"))
+      .filter(col("media_id_a") < col("media_id_b"))
+      .select(col("media_id_a"), col("media_id_b"),
+        col("__sa"), col("__sb"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(__sa ^ __sb)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("media_id_a"), col("media_id_b"), col("hamming"))
+  }
+
   /** Partition-batched "decode": binary blobs → feature columns.
     * mapPartitions keeps one codec per partition (real codecs are
     * expensive to construct) and never materializes more than an

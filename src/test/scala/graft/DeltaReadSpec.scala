@@ -6,6 +6,7 @@ import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.{col, struct}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -190,28 +191,29 @@ class DeltaReadSpec extends AnyFunSuite {
       writeOne(Seq((1L, "a")).toDF("id", "v"), t, "part-a.parquet")
       commit(t, 0, lines); t.getPath
     }
-    // deletion vectors on an add
-    val e1 = intercept[IllegalArgumentException] {
-      DeltaLakeRead.state(spark, tableWith(Seq(protocolJson(3, 7,
-        Seq("deletionVectors")), metaDataJson(flatSchema, Nil),
-        addJson("part-a.parquet", dv = true))))
-    }
-    assert(e1.getMessage.contains("deletion vector"))
     // unknown reader feature
     val e2 = intercept[IllegalArgumentException] {
       DeltaLakeRead.state(spark, tableWith(Seq(protocolJson(3, 7,
-        Seq("deletionVectors")), metaDataJson(flatSchema, Nil),
+        Seq("v2Checkpoint")), metaDataJson(flatSchema, Nil),
         addJson("part-a.parquet"))))
     }
     assert(e2.getMessage.contains("unsupported Delta reader features"))
-    // column mapping renames parquet columns
+    // column mapping id mode needs parquet field-id resolution
     val e3 = intercept[IllegalArgumentException] {
+      DeltaLakeRead.state(spark, tableWith(Seq(protocolJson(2, 5),
+        metaDataJson(flatSchema, Nil,
+          Map("delta.columnMapping.mode" -> "id")),
+        addJson("part-a.parquet"))))
+    }
+    assert(e3.getMessage.contains("columnMapping.mode=id"))
+    // name mode without physicalName metadata must refuse, not guess
+    val e5 = intercept[IllegalArgumentException] {
       DeltaLakeRead.state(spark, tableWith(Seq(protocolJson(2, 5),
         metaDataJson(flatSchema, Nil,
           Map("delta.columnMapping.mode" -> "name")),
         addJson("part-a.parquet"))))
     }
-    assert(e3.getMessage.contains("columnMapping"))
+    assert(e5.getMessage.contains("physicalName"))
     // v2 UUID-named checkpoint
     val t4 = newTable()
     writeOne(Seq((1L, "a")).toDF("id", "v"), t4, "part-a.parquet")
@@ -251,5 +253,107 @@ class DeltaReadSpec extends AnyFunSuite {
     val ids = DeltaLakeRead.snapshot(spark, t.getPath)
       .select("id").as[Long].collect().toSeq
     assert(ids === Seq(7L))
+  }
+
+  test("a literal '+' in an add path stays a '+' (URI percent " +
+      "decoding, not form decoding)") {
+    val t = newTable()
+    writeOne(Seq((9L, "p")).toDF("id", "v"), t, "part+a.parquet")
+    commit(t, 0, Seq(protocolJson(1, 2), metaDataJson(flatSchema, Nil),
+      addJson("part+a.parquet")))
+    val ids = DeltaLakeRead.snapshot(spark, t.getPath)
+      .select("id").as[Long].collect().toSeq
+    assert(ids === Seq(9L))
+  }
+
+  // ---- column mapping (name mode) ----------------------------------------
+
+  /** Logical schema whose fields map to UUID-ish physical parquet
+    * names, nested struct fields included — the shape delta-spark
+    * writes once `delta.columnMapping.mode=name` is set. */
+  private def cmField(logical: String, dt: DataType,
+      physical: String): StructField =
+    StructField(logical, dt, nullable = true,
+      new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", physical)
+        .putLong("delta.columnMapping.id", 1L).build())
+
+  test("column mapping name mode: physical parquet names read back " +
+      "under logical names, nested struct fields included") {
+    val t = newTable()
+    val nestedPhys = StructType(Seq(
+      cmField("lat", DoubleType, "col-p3"),
+      cmField("lon", DoubleType, "col-p4")))
+    val logical = StructType(Seq(
+      cmField("id", LongType, "col-p1"),
+      cmField("name", StringType, "col-p2"),
+      StructField("loc", nestedPhys, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-p5")
+          .putLong("delta.columnMapping.id", 5L).build())))
+    // the parquet file carries ONLY physical names
+    val phys = Seq((1L, "a", 1.5, 2.5), (2L, "b", 3.5, 4.5))
+      .toDF("col-p1", "col-p2", "lat0", "lon0")
+      .select(col("`col-p1`"), col("`col-p2`"),
+        struct(col("lat0").as("col-p3"), col("lon0").as("col-p4"))
+          .as("col-p5"))
+    writeOne(phys, t, "part-a.parquet")
+    commit(t, 0, Seq(protocolJson(2, 5),
+      metaDataJson(logical, Nil,
+        Map("delta.columnMapping.mode" -> "name",
+            "delta.columnMapping.maxColumnId" -> "5")),
+      addJson("part-a.parquet")))
+    val df = DeltaLakeRead.snapshot(spark, t.getPath)
+    assert(df.columns.toSeq === Seq("id", "name", "loc"))
+    assert(df.select("loc.lat").as[Double].collect().sorted.toSeq ===
+      Seq(1.5, 3.5))
+    val rows = df.selectExpr("id", "name", "loc.lon")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "a", 2.5), (2L, "b", 4.5)))
+  }
+
+  test("column mapping name mode: hive-style partition dirs and " +
+      "partitionValues use PHYSICAL names; reader restores logical") {
+    val t = newTable()
+    val logical = StructType(Seq(
+      cmField("id", LongType, "col-x1"),
+      cmField("day", StringType, "col-x2")))
+    writeOne(Seq(Tuple1(1L)).toDF("col-x1"), t,
+      "col-x2=2024-01-01/part-a.parquet")
+    writeOne(Seq(Tuple1(2L)).toDF("col-x1"), t,
+      "col-x2=2024-01-02/part-b.parquet")
+    commit(t, 0, Seq(protocolJson(2, 5),
+      metaDataJson(logical, Seq("day"),
+        Map("delta.columnMapping.mode" -> "name")),
+      addJson("col-x2=2024-01-01/part-a.parquet",
+        Map("col-x2" -> Some("2024-01-01"))),
+      addJson("col-x2=2024-01-02/part-b.parquet",
+        Map("col-x2" -> Some("2024-01-02")))))
+    val df = DeltaLakeRead.snapshot(spark, t.getPath)
+    assert(df.columns.toSeq === Seq("id", "day"))
+    val got = df.as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "2024-01-01"), (2L, "2024-01-02")))
+    // logical-name filters prune to the physical partition dir
+    assert(df.filter(col("day") === "2024-01-02")
+      .select("id").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("column mapping name mode: non-hive layout unions with " +
+      "physical-keyed partitionValues (null included)") {
+    val t = newTable()
+    val logical = StructType(Seq(
+      cmField("id", LongType, "col-y1"),
+      cmField("src", StringType, "col-y2")))
+    writeOne(Seq(Tuple1(1L)).toDF("col-y1"), t, "blob1.parquet")
+    writeOne(Seq(Tuple1(2L)).toDF("col-y1"), t, "blob2.parquet")
+    commit(t, 0, Seq(protocolJson(2, 5),
+      metaDataJson(logical, Seq("src"),
+        Map("delta.columnMapping.mode" -> "name")),
+      addJson("blob1.parquet", Map("col-y2" -> Some("api"))),
+      addJson("blob2.parquet", Map("col-y2" -> None))))
+    val got = DeltaLakeRead.snapshot(spark, t.getPath)
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, Some("api")), (2L, None)))
   }
 }

@@ -89,6 +89,59 @@ class DeltaWriteSpec extends AnyFunSuite {
     assert(df.count() === 25L)
   }
 
+  test("checkpoint cadence: a 25-commit table lands classic " +
+      "checkpoints + _last_checkpoint, and snapshots survive the " +
+      "pre-checkpoint commits being vacuumed away") {
+    val t = newTable()
+    (0 until 25).foreach { i =>
+      DeltaLakeWrite.append(Seq((i.toLong, s"r$i")).toDF("id", "v"), t)
+    }
+    val log = new java.io.File(t, "_delta_log")
+    val names = log.listFiles().map(_.getName).toSet
+    assert(names.contains("00000000000000000010.checkpoint.parquet"))
+    assert(names.contains("00000000000000000020.checkpoint.parquet"))
+    assert(names.contains("_last_checkpoint"))
+    val lc = new String(Files.readAllBytes(
+      new java.io.File(log, "_last_checkpoint").toPath))
+    assert(lc.contains("\"version\":20"))
+    // vacuum every pre-checkpoint commit: replay must seed from cp 20
+    (0 until 20).foreach { v =>
+      Files.delete(new java.io.File(log, f"$v%020d.json").toPath)
+    }
+    val ids = DeltaLakeRead.snapshot(spark, t)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids === (0L until 25L).toSeq)
+    // the checkpoint reproduced metaData faithfully
+    val st = DeltaLakeRead.state(spark, t, Some(20L))
+    assert(st.schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(st.metaId.nonEmpty)
+    assert(st.files.size === 21)
+    assert(st.files.forall(_.size > 0L),
+      "checkpointed adds must carry real file sizes")
+  }
+
+  test("checkpoint preserves partition values and the snapshot " +
+      "still prunes after the log is truncated to the checkpoint") {
+    val t = newTable()
+    (0 until 12).foreach { i =>
+      DeltaLakeWrite.append(
+        Seq((i.toLong, if (i % 2 == 0) "en" else "de")).toDF("id", "lang"),
+        t, partitionBy = Seq("lang"))
+    }
+    val log = new java.io.File(t, "_delta_log")
+    assert(log.listFiles().map(_.getName)
+      .contains("00000000000000000010.checkpoint.parquet"))
+    (0 until 10).foreach { v =>
+      Files.delete(new java.io.File(log, f"$v%020d.json").toPath)
+    }
+    val df = DeltaLakeRead.snapshot(spark, t).filter($"lang" === "en")
+    assert(df.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(0L, 2L, 4L, 6L, 8L, 10L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"partition pruning must survive the checkpoint path:\n$plan")
+  }
+
   test("concurrent appends serialize on the slot claim — distinct " +
       "versions, no lost rows") {
     val t = newTable()

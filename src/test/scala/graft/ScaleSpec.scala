@@ -1086,4 +1086,77 @@ class ScaleSpec extends AnyFunSuite {
     assert(ids === ids)
     assert(ids.size === 49)
   }
+
+  // ---- Multimodal.mediaNearDup --------------------------------------------
+
+  test("mediaNearDup recall pin: every planted clone pair (hamming 0) " +
+      "surfaces; length-preserving point edits clear the 0.9 floor") {
+    import graft.scale.Multimodal
+    val base = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id").as("media_id"), col("text"))
+    // 20 exact clones (signatures identical → hamming 0, must ALL
+    // surface) + 20 LENGTH-PRESERVING point edits (first two bytes
+    // replaced — the fixed-dimension re-encode shape: only region 0's
+    // sum moves, so hamming ≤ ~2 < bands and the pigeonhole guarantee
+    // applies). Length-CHANGING edits shift every proportional region
+    // boundary, and on the noisy byte plane of the stub codec that
+    // flips many gradient bits — a documented limitation (a real
+    // pixel-plane codec is smooth where text bytes are not), so no
+    // recall is pinned for them.
+    val clones = base.filter(col("media_id") % 5 === 0)
+      .select((col("media_id") + 1000L).as("media_id"), col("text"))
+    val mutated = base.filter(col("media_id") % 5 === 1)
+      .select((col("media_id") + 2000L).as("media_id"),
+        concat(lit("zz"), expr("substring(text, 3)")).as("text"))
+    val corpus = base.unionByName(clones).unionByName(mutated)
+    val pairs = Multimodal.mediaNearDup(
+      Multimodal.packText(corpus, "media_id", "text"),
+      regions = 33, bands = 4, maxHamming = 6, bucketCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    // exact clones: guaranteed (identical sig → every band matches)
+    val wantClones = (0L until 100L by 5).map(i => (i, i + 1000L))
+    assert(wantClones.forall(got.contains),
+      s"missing clone pairs: ${wantClones.filterNot(got.contains)}")
+    assert(pairs.filter(p => wantClones.contains((p._1, p._2)))
+      .forall(_._3 === 0), "clone pairs must be at hamming 0")
+    // point edits: recall floor 0.9 (hamming ≤ 3 pairs are pigeonhole
+    // -guaranteed; anything past maxHamming is correctly absent)
+    val wantMut = (1L until 100L by 5).map(i => (i, i + 2000L))
+    val mutFound = wantMut.count(got.contains)
+    assert(mutFound.toDouble / wantMut.size >= 0.9,
+      s"point-edit recall ${mutFound}/${wantMut.size} below the 0.9 floor")
+  }
+
+  test("mediaNearDup hot-bucket guard drops a boilerplate mega-family " +
+      "but leaves honest pairs intact; plan never keys on media bytes " +
+      "and never goes cartesian") {
+    import graft.scale.Multimodal
+    val base = docs.filter(col("doc_id") < 40)
+      .select(col("doc_id").as("media_id"), col("text"))
+    // 80 clones of doc 0 — every band bucket the family lands in
+    // exceeds cap 16, so the guard must drop ALL its pairs (the text
+    // is collected driver-side so the fixture itself adds no join)
+    val text0 = base.filter(col("media_id") === 0L)
+      .select("text").as[String].head()
+    val family = (1 to 80).map(i => (i * 10000L, text0))
+      .toDF("media_id", "text")
+    val honest = base.filter(col("media_id") === 7L)
+      .select((col("media_id") + 500L).as("media_id"), col("text"))
+    val corpus = base.unionByName(family).unionByName(honest)
+    val out = Multimodal.mediaNearDup(
+      Multimodal.packText(corpus, "media_id", "text"),
+      regions = 33, bands = 4, maxHamming = 6, bucketCap = 16)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 >= 10000L || p._2 >= 10000L),
+      "guard must drop every mega-family pair")
+    assert(pairs.contains((7L, 507L)), "honest clone pair must survive")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded join must stay keyed:\n$plan")
+    assert(!plan.contains("hashpartitioning(media,") &&
+      !plan.contains("hashpartitioning(text"),
+      "media bytes must never be a shuffle key")
+  }
 }
