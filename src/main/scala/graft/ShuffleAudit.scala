@@ -171,7 +171,13 @@ object ShuffleAudit {
     // IS audited and whose fold algebra makes the movement identical)
     // dataset card: a handful of narrow aggregates + the audited
     // quantile and novelty kernels — the sum of its parts' bands
-    "q200_dataset_card" -> Seq("documents"))
+    "q200_dataset_card" -> Seq("documents"),
+    // media near-dup: the blobs are read once by the mapPartitions
+    // profile; after that only (media_id, sig, band, val) ints move —
+    // one window count + one banded self-join + one distinct, so the
+    // ratio must sit in the q42/q117 banded-dedup band and NEVER
+    // track blob bytes
+    "q204_media_neardup" -> Seq("documents"))
 
   private final class Tally extends SparkListener {
     private val lock = new Object

@@ -1084,7 +1084,9 @@ object ScaleQueries {
 
   /** Perceptual MEDIA near-dup (q204): the dHash-analog pipeline over
     * binary blobs — proportional-region byte profile ("resize"),
-    * 32-bit gradient signature, 4×8-bit banding, hot-bucket guard,
+    * 63-bit gradient signature, 3×21-bit banding (sized so buckets
+    * stay honest to ~10^8 blobs — the Multimodal scaladoc's
+    * saturation arithmetic), hot-bucket guard,
     * exact Hamming verify — end-to-end on a corpus of the documents
     * blobs plus a planted near-dup family (every 10th doc re-packed
     * with its first two bytes replaced: the fixed-dimension re-encode
@@ -1104,13 +1106,13 @@ object ScaleQueries {
       |t AS (SELECT media_id, text, length(text) AS n FROM corpus),
       |r AS (
       |  SELECT media_id, k,
-      |    CASE WHEN ((k+1)*n)//33 > (k*n)//33 THEN
+      |    CASE WHEN ((k+1)*n)//64 > (k*n)//64 THEN
       |      CAST(list_sum(list_transform(
-      |        string_split(substring(text, (k*n)//33 + 1,
-      |          ((k+1)*n)//33 - (k*n)//33), ''), c -> ord(c))) AS BIGINT)
+      |        string_split(substring(text, (k*n)//64 + 1,
+      |          ((k+1)*n)//64 - (k*n)//64), ''), c -> ord(c))) AS BIGINT)
       |    ELSE CAST(0 AS BIGINT) END AS sm,
-      |    CAST(((k+1)*n)//33 - (k*n)//33 AS BIGINT) AS ln
-      |  FROM t, generate_series(0, 32) g(k)),
+      |    CAST(((k+1)*n)//64 - (k*n)//64 AS BIGINT) AS ln
+      |  FROM t, generate_series(0, 63) g(k)),
       |w AS (
       |  SELECT media_id, k, sm, ln,
       |    lead(sm) OVER (PARTITION BY media_id ORDER BY k) AS sm2,
@@ -1118,13 +1120,13 @@ object ScaleQueries {
       |  FROM r),
       |sig AS (
       |  SELECT media_id,
-      |    CAST(coalesce(sum(CASE WHEN k < 32 AND sm2 * ln > sm * ln2
+      |    CAST(coalesce(sum(CASE WHEN k < 63 AND sm2 * ln > sm * ln2
       |      THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END), 0)
       |      AS BIGINT) AS sig
       |  FROM w GROUP BY 1),
       |bv AS (
-      |  SELECT media_id, sig, b, (sig >> (b * 8)) & 255 AS val
-      |  FROM sig, generate_series(0, 3) gb(b)),
+      |  SELECT media_id, sig, b, (sig >> (b * 21)) & 2097151 AS val
+      |  FROM sig, generate_series(0, 2) gb(b)),
       |ok AS (SELECT b, val FROM bv GROUP BY 1, 2 HAVING count(*) <= 64),
       |cand AS (
       |  SELECT DISTINCT x.media_id AS media_id_a,
@@ -1145,7 +1147,7 @@ object ScaleQueries {
             concat(lit("zz"), expr("substring(text, 3)")).as("text")))
       Multimodal.mediaNearDup(
         Multimodal.packText(corpus, "media_id", "text"),
-        regions = 33, bands = 4, maxHamming = 6, bucketCap = 64)
+        regions = 64, bands = 3, maxHamming = 6, bucketCap = 64)
   }
 
   val all: Seq[QueryDef] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh,

@@ -124,8 +124,12 @@ object Multimodal {
     * an (R−1)-bit signature; near-duplicate blobs land within a few
     * Hamming bits because small edits barely move proportional region
     * averages. Output: (media_id, sig BIGINT). */
-  def dHash(media: DataFrame, regions: Int = 33): DataFrame = {
-    require(regions <= 64, "signature must fit a 64-bit long")
+  def dHash(media: DataFrame, regions: Int = 64): DataFrame = {
+    // ≤ 64 regions = ≤ 63 signature bits: the sign bit stays clear, so
+    // neither engine ever sign-extends a shift or overflows a sum of
+    // bit powers (DuckDB sums promote to HUGEINT; 2^63 would not cast
+    // back)
+    require(regions <= 64, "signature must fit 63 bits of a long")
     regionProfile(media, regions).select(
       col("media_id"),
       expr(s"aggregate(sequence(0, ${regions - 2}), 0L, (acc, k) -> " +
@@ -162,8 +166,19 @@ object Multimodal {
     * CHANGES shift every proportional boundary and text bytes are
     * noisy enough that many gradient bits flip. A real pixel/sample
     * codec plugged into [[regionProfile]] restores the smoothness
-    * dHash relies on; the pipeline around it is unchanged. */
-  def mediaNearDup(media: DataFrame, regions: Int = 33, bands: Int = 4,
+    * dHash relies on; the pipeline around it is unchanged.
+    *
+    * Band-width sizing (why the defaults are 64 regions / 3 bands):
+    * a band of width w holds 2^w values, so buckets average
+    * corpus/2^w blobs and the guard starts dropping EVERYTHING once
+    * the corpus approaches 2^w·cap — 8-bit bands (the 33-region
+    * default's natural split) saturate at mere ~16k blobs, silently
+    * zeroing recall. The shipped 21-bit bands average one blob per
+    * bucket to ~2M and keep honest recall past 10^8 with the cap;
+    * past that, widen regions toward 64 or move to a multi-word
+    * signature — the guard makes saturation VISIBLE (pairs vanish),
+    * never quadratic. */
+  def mediaNearDup(media: DataFrame, regions: Int = 64, bands: Int = 3,
       maxHamming: Int = 6, bucketCap: Int = 64): DataFrame = {
     require(bands >= 1 && (regions - 1) % bands == 0,
       s"bands=$bands must divide the ${regions - 1}-bit signature")

@@ -1111,7 +1111,7 @@ class ScaleSpec extends AnyFunSuite {
     val corpus = base.unionByName(clones).unionByName(mutated)
     val pairs = Multimodal.mediaNearDup(
       Multimodal.packText(corpus, "media_id", "text"),
-      regions = 33, bands = 4, maxHamming = 6, bucketCap = 64)
+      regions = 64, bands = 3, maxHamming = 6, bucketCap = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     val got = pairs.map(p => (p._1, p._2)).toSet
     // exact clones: guaranteed (identical sig → every band matches)
@@ -1146,7 +1146,7 @@ class ScaleSpec extends AnyFunSuite {
     val corpus = base.unionByName(family).unionByName(honest)
     val out = Multimodal.mediaNearDup(
       Multimodal.packText(corpus, "media_id", "text"),
-      regions = 33, bands = 4, maxHamming = 6, bucketCap = 16)
+      regions = 64, bands = 3, maxHamming = 6, bucketCap = 16)
     val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!pairs.exists(p => p._1 >= 10000L || p._2 >= 10000L),
       "guard must drop every mega-family pair")
