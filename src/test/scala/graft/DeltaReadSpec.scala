@@ -184,6 +184,47 @@ class DeltaReadSpec extends AnyFunSuite {
     assert(ids === Seq(1L, 2L))
   }
 
+  test("MULTI-PART classic checkpoint: all parts contribute adds, " +
+      "replay seeds from the union") {
+    val t = newTable()
+    writeOne(Seq((1L, "a")).toDF("id", "v"), t, "part-a.parquet")
+    writeOne(Seq((2L, "b")).toDF("id", "v"), t, "part-b.parquet")
+    val addSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType))))))
+    def cpDf(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), addSchema)
+    // part 1 of 2: metaData + protocol + add(part-a)
+    writeOne(cpDf(Seq(
+      Row(Row("part-a.parquet", Map.empty[String, String], 1L, 0L, true),
+        null, null),
+      Row(null, Row(flatSchema.json, Seq.empty[String],
+        Map.empty[String, String]), null),
+      Row(null, null, Row(1, 2)))), t,
+      "_delta_log/00000000000000000003.checkpoint.0000000001.0000000002.parquet")
+    // part 2 of 2: add(part-b) only
+    writeOne(cpDf(Seq(
+      Row(Row("part-b.parquet", Map.empty[String, String], 1L, 0L, true),
+        null, null))), t,
+      "_delta_log/00000000000000000003.checkpoint.0000000002.0000000002.parquet")
+    // no JSON commits at all — state comes entirely from the parts
+    val ids = DeltaLakeRead.snapshot(spark, t.getPath)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L))
+    assert(DeltaLakeRead.state(spark, t.getPath).version === 3L)
+  }
+
   test("unsupported protocol/table features are rejected loudly, " +
       "never misread") {
     def tableWith(lines: Seq[String]): String = {
