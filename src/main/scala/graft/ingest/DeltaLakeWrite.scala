@@ -64,6 +64,14 @@ object DeltaLakeWrite {
       .forall(f => !f.getName.matches("[0-9]{20}\\.json"))
     if (!creating) {
       val st = DeltaLakeRead.state(df.sparkSession, tablePath)
+      // a column-mapped table's parquet files carry PHYSICAL names;
+      // this writer stages with logical names — appending would land
+      // files the table's own schema cannot resolve
+      val cm = st.config.getOrElse("delta.columnMapping.mode", "none")
+      require(cm == "none",
+        s"table has delta.columnMapping.mode=$cm — this append-only " +
+        "writer stages logical-named parquet and cannot append to a " +
+        "column-mapped table")
       require(st.partitionColumns == partitionBy,
         s"table is partitioned by ${st.partitionColumns.mkString(",")}, " +
         s"append requested ${partitionBy.mkString(",")}")

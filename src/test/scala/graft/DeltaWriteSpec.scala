@@ -72,6 +72,27 @@ class DeltaWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("append refuses a column-mapped table (its parquet carries " +
+      "physical names this writer does not stage)") {
+    import org.apache.spark.sql.types._
+    val t = newTable()
+    val log = new java.io.File(t, "_delta_log"); log.mkdirs()
+    val f = StructField("id", LongType, nullable = true,
+      new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", "col-z1")
+        .putLong("delta.columnMapping.id", 1L).build())
+    val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(StructType(Seq(f)).json)
+    Files.write(new java.io.File(log, "00000000000000000000.json").toPath,
+      (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"cm","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""")
+        .mkString("\n")).getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLakeWrite.append(Seq(Tuple1(1L)).toDF("id"), t)
+    }
+    assert(e.getMessage.contains("column-mapped"))
+  }
+
   test("snapshot reads stay plain parquet relations: data filters " +
       "reach PushedFilters, partition filters prune the listing") {
     val t = newTable()
