@@ -72,6 +72,37 @@ object DeltaLakeWrite {
         s"table has delta.columnMapping.mode=$cm — this append-only " +
         "writer stages logical-named parquet and cannot append to a " +
         "column-mapped table")
+      // writer-protocol honesty: a feature this writer does not
+      // implement but that CONSTRAINS writes (CHECK constraints,
+      // generated/identity columns, invariants) would be silently
+      // violated by a blind append — reject when one is actually in
+      // force. Feature flags that do not constrain an append
+      // (deletionVectors: appends create none; appendOnly: we only
+      // append; changeDataFeed: CDC of an append derives from the add
+      // actions) pass.
+      require(st.minWriter <= 7,
+        s"minWriterVersion ${st.minWriter} > 7 — protocol newer than " +
+        "this writer")
+      val unsupportedW = st.writerFeatures.toSet -- Set(
+        "deletionVectors", "appendOnly", "vacuumProtocolCheck",
+        "timestampNtz", "typeWidening", "typeWidening-preview",
+        "changeDataFeed", "invariants", "checkConstraints",
+        "generatedColumns", "identityColumns")
+      require(unsupportedW.isEmpty,
+        s"unsupported Delta writer features: ${unsupportedW.mkString(", ")}")
+      val constraintKeys = st.config.keys
+        .filter(_.startsWith("delta.constraints.")).toSeq
+      require(constraintKeys.isEmpty,
+        s"table carries CHECK constraints (${constraintKeys.mkString(", ")})" +
+        " — this writer does not evaluate them; appending would bypass " +
+        "enforcement")
+      st.schema.fields.foreach { f =>
+        Seq("delta.invariants", "delta.generationExpression",
+          "delta.identity.start").foreach(k =>
+          require(!f.metadata.contains(k),
+            s"column ${f.name} carries $k — this writer does not " +
+            "enforce it; appending would bypass it"))
+      }
       require(st.partitionColumns == partitionBy,
         s"table is partitioned by ${st.partitionColumns.mkString(",")}, " +
         s"append requested ${partitionBy.mkString(",")}")

@@ -236,6 +236,38 @@ class DeletionVectorSpec extends AnyFunSuite {
       20L, 21L, 23L, 24L))
   }
 
+  test("checkpoint emission over a DV-bearing table reproduces the " +
+      "descriptors: snapshots stay DV-masked after the pre-checkpoint " +
+      "log is vacuumed") {
+    val t = newTable()
+    val rows = (0L until 10L).map(i => (i, s"r$i"))
+    writeOne(rows.toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id"), t, "part-a.parquet")
+    val d = DeletionVectors.writeFile(t, Array(2L, 5L))
+    commit(t, 0, Seq(dvProtocol, metaDataJson(flatSchema),
+      addJson("part-a.parquet", Some(d))))
+    // ten engine appends → checkpoint lands at version 10
+    (100L until 110L).foreach { i =>
+      graft.ingest.DeltaLakeWrite.append(
+        Seq((i, s"x$i")).toDF("id", "v"), t.getPath)
+    }
+    val log = new File(t, "_delta_log")
+    assert(new File(log,
+      "00000000000000000010.checkpoint.parquet").isFile)
+    (0 until 10).foreach { v =>
+      Files.delete(new File(log, f"$v%020d.json").toPath)
+    }
+    val got = DeltaLakeRead.snapshot(spark, t.getPath)
+      .select("id").as[Long].collect().sorted.toSeq
+    // rows 2 and 5 stay deleted THROUGH the checkpoint replay
+    assert(got === (Seq(0L, 1L, 3L, 4L, 6L, 7L, 8L, 9L) ++
+      (100L until 110L)).sorted)
+    val st = DeltaLakeRead.state(spark, t.getPath)
+    val dvs = st.files.flatMap(_.dv)
+    assert(dvs.size === 1 && dvs.head.cardinality === 2L,
+      "the checkpoint must carry the DV descriptor verbatim")
+  }
+
   test("a DV covering every row of a file empties it without " +
       "touching its siblings") {
     val t = newTable()

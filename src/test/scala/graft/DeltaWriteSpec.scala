@@ -93,6 +93,51 @@ class DeltaWriteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("column-mapped"))
   }
 
+  test("append refuses tables whose write constraints it cannot " +
+      "enforce: unknown writer features, CHECK constraints, " +
+      "generated columns") {
+    import org.apache.spark.sql.types._
+    def mkTable(proto: String, conf: String, schema: StructType): String = {
+      val t = newTable()
+      val log = new java.io.File(t, "_delta_log"); log.mkdirs()
+      val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsString(schema.json)
+      Files.write(
+        new java.io.File(log, "00000000000000000000.json").toPath,
+        (Seq(proto,
+          s"""{"metaData":{"id":"w","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":[],"configuration":$conf}}""")
+          .mkString("\n")).getBytes("UTF-8"))
+      t
+    }
+    val plain = StructType(Seq(StructField("id", LongType)))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaLakeWrite.append(Seq(Tuple1(1L)).toDF("id"), mkTable(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
+        "{}", plain))
+    }
+    assert(e1.getMessage.contains("unsupported Delta writer features"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLakeWrite.append(Seq(Tuple1(1L)).toDF("id"), mkTable(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
+        """{"delta.constraints.idpos":"id > 0"}""", plain))
+    }
+    assert(e2.getMessage.contains("CHECK constraints"))
+    val gen = StructType(Seq(StructField("id", LongType, nullable = true,
+      new MetadataBuilder()
+        .putString("delta.generationExpression", "1 + 1").build())))
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaLakeWrite.append(Seq(Tuple1(1L)).toDF("id"), mkTable(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        "{}", gen))
+    }
+    assert(e3.getMessage.contains("generationExpression"))
+    // appendOnly + CDF constrain nothing an append violates → pass
+    val ok = mkTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","changeDataFeed"]}}""",
+      """{"delta.appendOnly":"true"}""", plain)
+    assert(DeltaLakeWrite.append(Seq(Tuple1(1L)).toDF("id"), ok) === 1L)
+  }
+
   test("snapshot reads stay plain parquet relations: data filters " +
       "reach PushedFilters, partition filters prune the listing") {
     val t = newTable()
