@@ -1,0 +1,255 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.io.File
+
+/** Row-level DML on REAL Delta tables — DELETE / UPDATE / MERGE-style
+  * upsert emitted as deletion vectors plus add/remove actions, per the
+  * public protocol (PROTOCOL.md § Deletion Vectors, § Add/Remove
+  * reconciliation). This is the write-side completion of the interop
+  * story: the reference's own pipelines MERGE into Delta tables
+  * (spark/jobs/alphavantage/bronze2_to_silver.py:142-152,
+  * spark/jobs/finance_news/finance_bronze2_to_silver.py:196-203,
+  * news_article_sentiment.py:174-184), so an engine that could only
+  * APPEND to the shared tables could not replace that workflow.
+  * [[DeltaLakeWrite]] stays the append/create surface; this object
+  * adds the mutating verbs on top of the same log primitives.
+  *
+  * How a mutation lands (the DV fast path — no data-file rewrite):
+  *  1. [[DeltaLakeRead.snapshotMeta]] reads the CURRENT rows with
+  *     `(__file, __pos)` provenance (already-deleted positions
+  *     subtracted, column mapping resolved — conditions are written
+  *     against LOGICAL columns).
+  *  2. ONE aggregation computes, per data file, the matched row
+  *     positions AND the live row count — so fully-emptied files are
+  *     detected in the same scan (they get a bare `remove`; no
+  *     degenerate all-rows DV is left behind to poison later scans).
+  *  3. Each affected file's new DV (existing DV positions ∪ matched
+  *     positions — descriptors are ABSOLUTE, not deltas) is
+  *     serialized and written ON AN EXECUTOR by [[DeletionVectors
+  *     .writeFile]]; the driver only ever holds one small descriptor
+  *     row per file, never position sets. (Executor-side `.bin`
+  *     writes assume a shared filesystem — the same deployment
+  *     posture as every staged write in this engine.)
+  *  4. Replacement/new rows (UPDATE's rewrites, upsert's source)
+  *     stage as ordinary parquet via [[DeltaLakeWrite.stageData]],
+  *     physical-named under column mapping.
+  *  5. One commit claims the next version slot: a protocol upgrade to
+  *     (3, 7) + `deletionVectors` features when the table does not
+  *     carry them yet (legacy-implied features preserved per the
+  *     protocol's upgrade rule), a metaData action pinning
+  *     `delta.enableDeletionVectors=true`, then per affected file
+  *     `remove(path, oldDv)` + `add(path, newDv)` — the (path, dvId)
+  *     pair delta readers reconcile by — and the staged adds.
+  *
+  * Concurrency: the slot claim serializes commits physically, but —
+  * like delta-spark under `Serializable` vs `WriteSerializable` —
+  * LOGICAL conflict detection between two racing row-level mutations
+  * is not implemented; run one mutator at a time per table (the
+  * reference's Airflow DAGs serialize exactly this way). Appends
+  * remain freely concurrent.
+  *
+  * Scale shape: the matched-position aggregation is one shuffle keyed
+  * by data file; DV encoding parallelizes per file across executors;
+  * the commit is O(affected files). A DELETE touching k of N files
+  * does work proportional to k, never N. */
+object DeltaLakeDml {
+
+  /** What one mutation did: the committed version (or the unchanged
+    * current version when nothing matched — no empty commits), rows
+    * newly masked by DVs, rows landed in new files, and how many data
+    * files gained a DV or were fully retired. */
+  final case class DmlResult(version: Long, rowsDeleted: Long,
+      rowsInserted: Long, filesChanged: Int)
+
+  /** DELETE FROM table WHERE `condition` (a SQL boolean over the
+    * table's logical columns). */
+  def delete(spark: SparkSession, tablePath: String,
+      condition: String): DmlResult = {
+    val st = gated(spark, tablePath)
+    val t = DeltaLakeRead.snapshotMeta(spark, tablePath)
+    mutate(spark, tablePath, st, t, expr(condition), None)
+  }
+
+  /** UPDATE table SET col = sqlExpr, ... WHERE `condition`. Matched
+    * rows are DV-deleted and re-landed in new files with the
+    * assignments applied (expressions see the OLD row, standard
+    * UPDATE semantics). */
+  def update(spark: SparkSession, tablePath: String, condition: String,
+      set: Map[String, String]): DmlResult = {
+    val st = gated(spark, tablePath)
+    val unknown = set.keySet -- st.schema.fieldNames.toSet
+    require(unknown.isEmpty,
+      s"SET targets ${unknown.mkString(", ")} not in the table schema")
+    val t = DeltaLakeRead.snapshotMeta(spark, tablePath)
+    val cond = expr(condition)
+    val rewritten = t.filter(cond).select(st.schema.fields.toSeq.map { f =>
+      set.get(f.name)
+        .map(e => expr(e).cast(DeltaLakeRead.stripType(f.dataType))
+          .as(f.name))
+        .getOrElse(col(DeltaLakeRead.quoted(f.name)))
+    }: _*)
+    mutate(spark, tablePath, st, t, cond, Some(rewritten))
+  }
+
+  /** MERGE-style upsert: WHEN MATCHED on `keys` UPDATE ALL, WHEN NOT
+    * MATCHED INSERT ALL — the reference pipelines' exact merge shape
+    * (alphavantage/bronze2_to_silver.py:142-152). `source` must carry
+    * the table's full logical column set; its keys must be unique
+    * (two source rows hitting one target row has no deterministic
+    * outcome — rejected, as delta-spark does). */
+  def upsert(spark: SparkSession, tablePath: String, source: DataFrame,
+      keys: Seq[String]): DmlResult = {
+    val st = gated(spark, tablePath)
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val logical = st.schema.fieldNames.toSet
+    require(source.columns.toSet == logical,
+      s"source columns ${source.columns.sorted.mkString(",")} != table " +
+      s"columns ${logical.toSeq.sorted.mkString(",")} (update-all/" +
+      "insert-all upsert needs the full column set)")
+    val dupKeys = source.groupBy(keys.map(c =>
+        col(DeltaLakeRead.quoted(c))): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      "source carries duplicate keys — one target row would receive " +
+      "two conflicting updates")
+    val newRows = source.select(st.schema.fields.toSeq.map(f =>
+      col(DeltaLakeRead.quoted(f.name))
+        .cast(DeltaLakeRead.stripType(f.dataType)).as(f.name)): _*)
+    val t = DeltaLakeRead.snapshotMeta(spark, tablePath)
+    val srcKeys = source
+      .select(keys.map(c => col(DeltaLakeRead.quoted(c))): _*)
+      .distinct().withColumn("__matched", lit(1))
+    val joined = t.join(srcKeys, keys, "left")
+    mutate(spark, tablePath, st, joined, col("__matched") === 1,
+      Some(newRows), forceInsert = true)
+  }
+
+  private def gated(spark: SparkSession,
+      tablePath: String): DeltaLakeRead.Snapshot = {
+    val st = DeltaLakeRead.state(spark, tablePath)
+    DeltaLakeWrite.writeGate(st)
+    // the appendOnly writer FEATURE only obliges writers to honor the
+    // property; the property is what forbids row-level mutation
+    require(!st.config.get("delta.appendOnly").contains("true"),
+      "table is delta.appendOnly — row-level DML is forbidden on it")
+    st
+  }
+
+  /** Legacy protocol versions imply feature sets; an upgrade to the
+    * table-features protocol must carry them forward explicitly
+    * (PROTOCOL.md § Table Features). */
+  private def impliedWriter(minWriter: Int): Seq[String] =
+    Seq(2 -> Seq("appendOnly", "invariants"),
+      3 -> Seq("checkConstraints"),
+      4 -> Seq("changeDataFeed", "generatedColumns"),
+      5 -> Seq("columnMapping"),
+      6 -> Seq("identityColumns"))
+      .filter(_._1 <= minWriter).flatMap(_._2)
+  private def impliedReader(minReader: Int): Seq[String] =
+    if (minReader >= 2) Seq("columnMapping") else Nil
+
+  /** The shared engine: DV-delete every row of `withCond` matching
+    * `cond`, land `newRows` as fresh files, commit atomically.
+    * `withCond` must be a [[DeltaLakeRead.snapshotMeta]] frame
+    * (possibly decorated with extra join columns — only `__file`/
+    * `__pos` and the condition's inputs are read here). */
+  private def mutate(spark: SparkSession, tablePath: String,
+      st: DeltaLakeRead.Snapshot, withCond: DataFrame,
+      cond: org.apache.spark.sql.Column, newRows: Option[DataFrame],
+      forceInsert: Boolean = false): DmlResult = {
+    import spark.implicits._
+    val rootAbs = new File(tablePath).getAbsolutePath
+
+    // one scan: per file, live row count + matched positions
+    // (collect_list skips the nulls the `when` leaves on non-matches;
+    // positions of one parquet file fit one executor by construction)
+    val perFile = withCond.groupBy(col("__file"))
+      .agg(count(lit(1)).as("__live"),
+        collect_list(when(cond, col("__pos"))).as("__dead"))
+      .filter(size(col("__dead")) > 0)
+      .select(col("__file"), col("__live"), col("__dead"))
+      .as[(String, Long, Seq[Long])]
+
+    val oldDvs: Map[String, DeletionVectors.Descriptor] =
+      st.files.flatMap(f => f.dv.map(d => s"$rootAbs/${f.path}" -> d)).toMap
+    val bcOld = spark.sparkContext.broadcast(oldDvs)
+
+    // DV serialization + .bin writes happen ON EXECUTORS; only the
+    // descriptor tuple (one short row per affected file) is collected
+    val written = perFile.mapPartitions { it =>
+      val root = new File(rootAbs)
+      it.map { case (file, live, dead) =>
+        val matched = dead.toArray.sorted
+        if (matched.length == live) {
+          // every remaining live row dies -> bare remove, no DV
+          (file, "", -1, 0, 0L, matched.length.toLong)
+        } else {
+          val oldPos = bcOld.value.get(file)
+            .map(d => DeletionVectors.positions(root, d))
+            .getOrElse(Array.empty[Long])
+          val d = DeletionVectors.writeFile(root, oldPos ++ matched)
+          (file, d.pathOrInlineDv, d.offset.getOrElse(1), d.sizeInBytes,
+            d.cardinality, matched.length.toLong)
+        }
+      }
+    }.collect()
+
+    val rowsDeleted = written.map(_._6).sum
+    val inserting = newRows.filter(_ => forceInsert || rowsDeleted > 0)
+    val staged = inserting.map { df =>
+      val phys = DeltaLakeWrite.toPhysical(df, st)
+      val physParts = st.partitionColumns.map(c =>
+        DeltaLakeRead.physFieldName(st.schema(c)))
+      DeltaLakeWrite.stageData(phys, new File(tablePath), physParts)
+    }.getOrElse(Nil)
+    val rowsInserted = if (staged.isEmpty) 0L else inserting.get.count()
+
+    if (written.isEmpty && staged.isEmpty)
+      return DmlResult(st.version, 0L, 0L, 0)
+
+    val now = System.currentTimeMillis()
+    val anyDv = written.exists(_._2.nonEmpty)
+    val needsUpgrade = anyDv && (st.minReader < 3 || st.minWriter < 7 ||
+      !st.readerFeatures.contains("deletionVectors") ||
+      !st.writerFeatures.contains("deletionVectors"))
+    val protoLine = Option.when(needsUpgrade)(
+      DeltaLakeWrite.protocolJson(math.max(3, st.minReader), 7,
+        impliedReader(st.minReader) ++ st.readerFeatures :+
+          "deletionVectors",
+        impliedWriter(st.minWriter) ++ st.writerFeatures :+
+          "deletionVectors"))
+    val metaLine = Option.when(anyDv &&
+        !st.config.get("delta.enableDeletionVectors").contains("true"))(
+      DeltaLakeWrite.metaDataJson(st.metaId, st.schema.json,
+        st.partitionColumns,
+        st.config + ("delta.enableDeletionVectors" -> "true"),
+        st.createdTime))
+
+    val byAbs = st.files.map(f => s"$rootAbs/${f.path}" -> f).toMap
+    val fileLines = written.toSeq.flatMap {
+      case (abs, dvPath, dvOff, dvSize, dvCard, _) =>
+        val f = byAbs.getOrElse(abs, throw new IllegalStateException(
+          s"matched file $abs not in the snapshot — path normalization " +
+          "drift between snapshotMeta and state"))
+        val rm = DeltaLakeWrite.removeJson(f.rawPath, f.partitionValues,
+          Some(f.size), now, dataChange = true, f.dv)
+        if (dvPath.isEmpty) Seq(rm)
+        else Seq(rm, DeltaLakeWrite.addJson(f.rawPath, f.partitionValues,
+          f.size, f.modificationTime, dataChange = true,
+          Some(DeletionVectors.Descriptor("u", dvPath, Some(dvOff),
+            dvSize, dvCard))))
+    }
+    val addLines = staged.map(s =>
+      DeltaLakeWrite.addJson(s.rel,
+        s.pv.map { case (k, v) => k -> Some(v) }, s.size, now,
+        dataChange = true, dv = None))
+
+    val body = (protoLine.toSeq ++ metaLine.toSeq ++ fileLines ++ addLines)
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val log = new File(new File(tablePath), "_delta_log")
+    val version = DeltaLakeWrite.commitSlot(log, body)
+    DmlResult(version, rowsDeleted, rowsInserted, written.length)
+  }
+}

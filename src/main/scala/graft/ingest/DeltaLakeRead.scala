@@ -2,11 +2,11 @@ package graft.ingest
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, expr, lit}
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
+import org.apache.spark.sql.functions.{broadcast, col, expr, lit, struct, to_json}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, Metadata, MetadataBuilder, StructField, StructType}
 import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 import scala.jdk.CollectionConverters._
 
 /** Read-only Delta Lake SNAPSHOT reader: `_delta_log` replay built on
@@ -23,32 +23,44 @@ import scala.jdk.CollectionConverters._
   * the PUBLIC Delta transaction-log protocol
   * (https://github.com/delta-io/delta/blob/master/PROTOCOL.md):
   * newline-delimited JSON commits of add/remove/metaData/protocol
-  * actions under `_delta_log/`, optionally compacted into classic
-  * (single- or multi-part) checkpoint parquet files.
+  * actions under `_delta_log/`, optionally compacted into checkpoint
+  * parquet files.
   *
   * Supported: snapshot reads at the latest or a `versionAsOf`
   * version; partitioned tables (hive-style directory layouts read
   * natively via `basePath` so partition pruning still works;
   * non-hive layouts fall back to a per-partition-value union);
-  * classic checkpoints; percent-encoded file paths; reader protocol
-  * versions 1-3 where every table feature is in the supported set;
-  * column mapping in `name` mode (each logical field carries
+  * classic single- and multi-part checkpoints; V2 (UUID-named)
+  * checkpoints, json or parquet, with their `_sidecars/` file-action
+  * parts; percent-encoded file paths; reader protocol versions 1-3
+  * where every table feature is in the supported set; column mapping
+  * in `name` mode (each logical field carries
   * `delta.columnMapping.physicalName` metadata naming the parquet
   * column — the read runs against the physical schema and a final
-  * positional cast restores logical names, nested fields included;
-  * `add.partitionValues` and hive directory names use PHYSICAL
-  * names per the protocol); deletion vectors (`u`/`p`/`i` storage,
-  * decoded by [[DeletionVectors]] — rows at deleted positions are
-  * subtracted via `_metadata.row_index` with a cardinality-guarded
-  * broadcast anti-join, the same size-guard posture as
-  * [[VersionedTableIO]]'s native DV reads).
+  * positional cast restores logical names, nested fields included)
+  * and in `id` mode (resolution by parquet field id: the physical
+  * read schema carries `parquet.field.id` metadata from
+  * `delta.columnMapping.id` and the scan runs with Spark's native
+  * field-id matching, `spark.sql.parquet.fieldId.read.enabled`);
+  * deletion vectors (`u`/`p`/`i` storage, decoded by
+  * [[DeletionVectors]] — rows at deleted positions are subtracted
+  * via `_metadata.row_index` with a cardinality-guarded broadcast
+  * anti-join, the same size-guard posture as [[VersionedTableIO]]'s
+  * native DV reads).
   *
-  * Rejected loudly rather than misread: column mapping `id` mode
-  * (parquet field-id resolution needs reader support plain
-  * `spark.read.parquet` does not expose), v2 checkpoints, and any
-  * unknown reader feature — the failure mode of a protocol
-  * under-read is silent wrong data, so anything not understood is an
-  * error by design.
+  * Log replay reconciles file actions by `(path, dvId)` — the
+  * protocol's reconciliation key — not by path alone: a DV update
+  * commits `remove(path, oldDv)` + `add(path, newDv)` whose intra-
+  * commit ORDER is unspecified, and path-only keying would let the
+  * remove cancel the fresh add when the add line happens to come
+  * first (silent row loss). Replay also carries remove TOMBSTONES,
+  * per-appId `txn` versions, and `domainMetadata` state so a
+  * checkpoint writer ([[DeltaLakeWrite.checkpoint]]) can re-emit
+  * them as the protocol requires.
+  *
+  * Rejected loudly rather than misread: any unknown reader feature —
+  * the failure mode of a protocol under-read is silent wrong data, so
+  * anything not understood is an error by design.
   *
   * Scale shape: log replay is driver-side (list + parse the JSON
   * commits after the newest checkpoint ≤ target — the same work
@@ -76,34 +88,99 @@ object DeltaLakeRead {
       size: Long, modificationTime: Long,
       dv: Option[DeletionVectors.Descriptor])
 
+  /** A `remove` action still in the tombstone window: checkpoints
+    * must re-emit these (VACUUM safety + concurrent-reader
+    * reconciliation) until `delta.deletedFileRetentionDuration`
+    * expires them. */
+  final case class RemoveTombstone(rawPath: String, path: String,
+      deletionTimestamp: Option[Long],
+      partitionValues: Map[String, Option[String]],
+      size: Option[Long], dv: Option[DeletionVectors.Descriptor])
+
+  /** The latest `domainMetadata` action per domain (configuration is
+    * the protocol's opaque string; removed tombstones kept — the
+    * checkpoint must carry both). */
+  final case class DomainMetadata(domain: String, configuration: String,
+      removed: Boolean)
+
   /** Replayed log state at one version. The protocol/metaData extras
-    * (config, id, createdTime, versions, feature sets) exist so a
-    * checkpoint writer ([[DeltaLakeWrite.checkpoint]]) can reproduce
-    * the table's actions faithfully. */
+    * (config, id, createdTime, versions, feature sets, tombstones,
+    * txns, domains) exist so a checkpoint writer
+    * ([[DeltaLakeWrite.checkpoint]]) can reproduce the table's
+    * actions faithfully. */
   final case class Snapshot(version: Long, schema: StructType,
       partitionColumns: Seq[String], files: Seq[AddFile],
       config: Map[String, String] = Map.empty,
       metaId: String = "", createdTime: Option[Long] = None,
       minReader: Int = 1, minWriter: Int = 2,
-      readerFeatures: Seq[String] = Nil, writerFeatures: Seq[String] = Nil)
+      readerFeatures: Seq[String] = Nil, writerFeatures: Seq[String] = Nil,
+      tombstones: Seq[RemoveTombstone] = Nil,
+      txns: Map[String, Long] = Map.empty,
+      domains: Seq[DomainMetadata] = Nil)
 
   /** Reader features this adapter implements. `timestampNtz` and
     * `typeWidening` only change column TYPES (carried in
     * schemaString, which Spark parses natively); `columnMapping` is
-    * the physical-rename path below (name mode only — id mode is
-    * still gated in [[state]]); `deletionVectors` is the
-    * position-subtract path below. */
+    * the physical-rename / field-id path below; `deletionVectors` is
+    * the position-subtract path below; `v2Checkpoint` is the
+    * UUID-named checkpoint + sidecar replay path in [[state]]. */
   private val SupportedReaderFeatures: Set[String] =
     Set("timestampNtz", "typeWidening", "typeWidening-preview",
-      "vacuumProtocolCheck", "columnMapping", "deletionVectors")
+      "vacuumProtocolCheck", "columnMapping", "deletionVectors",
+      "v2Checkpoint")
 
-  private val PhysicalNameKey = "delta.columnMapping.physicalName"
+  private[ingest] val PhysicalNameKey = "delta.columnMapping.physicalName"
+  private[ingest] val FieldIdKey = "delta.columnMapping.id"
+  /** Spark's parquet field-id resolution metadata key
+    * (SQLConf.PARQUET_FIELD_ID_READ_ENABLED / ParquetUtils). */
+  private[ingest] val ParquetFieldIdKey = "parquet.field.id"
+
+  /** The parquet (physical) name of one logical field — identity when
+    * the field carries no column-mapping metadata. */
+  private[ingest] def physFieldName(f: StructField): String =
+    if (f.metadata.contains(PhysicalNameKey))
+      f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  /** Rename logical field names to physical ones recursively;
+    * `fieldMeta` decides what metadata each renamed field carries
+    * (empty for name mode; `parquet.field.id` for id mode). */
+  private[ingest] def physicalizeType(dt: DataType,
+      fieldMeta: StructField => Metadata): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(physFieldName(f), physicalizeType(f.dataType, fieldMeta),
+        f.nullable, fieldMeta(f))))
+    case a: ArrayType =>
+      a.copy(elementType = physicalizeType(a.elementType, fieldMeta))
+    case m: MapType => m.copy(
+      keyType = physicalizeType(m.keyType, fieldMeta),
+      valueType = physicalizeType(m.valueType, fieldMeta))
+    case o => o
+  }
+
+  /** The metadata-free logical type (for rename casts and schema
+    * comparisons — StructField equality includes metadata, which a
+    * column-mapped table's nested fields carry). */
+  private[ingest] def stripType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, stripType(f.dataType), f.nullable)))
+    case a: ArrayType => a.copy(elementType = stripType(a.elementType))
+    case m: MapType => m.copy(keyType = stripType(m.keyType),
+      valueType = stripType(m.valueType))
+    case o => o
+  }
+
+  /** The protocol's DV "unique id" — the second half of the
+    * (path, dvId) file-action reconciliation key. */
+  private def dvUid(dv: Option[DeletionVectors.Descriptor]): String =
+    dv.map(d => d.storageType + d.pathOrInlineDv +
+      d.offset.map(o => s"@$o").getOrElse("")).getOrElse("")
 
   /** Latest committed version of the table (max commit/checkpoint
     * number in `_delta_log`). */
   def latestVersion(tablePath: String): Long = {
-    val (commits, checkpoints) = listLog(tablePath)
-    (commits.keySet ++ checkpoints.keySet).maxOption.getOrElse(
+    val (commits, checkpoints, v2) = listLog(tablePath)
+    (commits.keySet ++ checkpoints.keySet ++ v2.keySet).maxOption.getOrElse(
       throw new IllegalArgumentException(
         s"$tablePath/_delta_log holds no commits — not a Delta table"))
   }
@@ -111,34 +188,45 @@ object DeltaLakeRead {
   /** Snapshot the table as a DataFrame at `versionAsOf` (default:
     * latest). */
   def snapshot(spark: SparkSession, tablePath: String,
-      versionAsOf: Option[Long] = None): DataFrame = {
+      versionAsOf: Option[Long] = None): DataFrame =
+    snapshotImpl(spark, tablePath, versionAsOf, withMeta = false)
+
+  /** Snapshot plus row provenance: every row carries `__file` (the
+    * normalized absolute path of its data file, comparable to
+    * `tableRoot/addFile.path`) and `__pos` (its parquet row index) —
+    * the handles [[DeltaLakeDml]] needs to turn matched rows into
+    * deletion vectors. DV-deleted rows are already subtracted. */
+  private[ingest] def snapshotMeta(spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None): DataFrame =
+    snapshotImpl(spark, tablePath, versionAsOf, withMeta = true)
+
+  private def snapshotImpl(spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long], withMeta: Boolean): DataFrame = {
     val st = state(spark, tablePath, versionAsOf)
     val root = new File(tablePath).getAbsolutePath
-    val cmName = st.config.get("delta.columnMapping.mode").contains("name")
-
-    // logical field -> parquet (physical) name; identity without
-    // column mapping
+    val cmMode = st.config.getOrElse("delta.columnMapping.mode", "none")
+    val cm = cmMode != "none"
+    if (cmMode == "id") {
+      // Spark's field-id matching only engages when this session conf
+      // is on AND the read schema carries parquet.field.id metadata —
+      // which only this reader's id-mode schemas do, so leaving it set
+      // cannot change any other read's behavior.
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    }
     def physName(f: StructField): String =
-      if (cmName && f.metadata.contains(PhysicalNameKey))
-        f.metadata.getString(PhysicalNameKey)
-      else f.name
-    def physicalize(dt: DataType): DataType = dt match {
-      case s: StructType => StructType(s.fields.map(f =>
-        f.copy(name = physName(f), dataType = physicalize(f.dataType))))
-      case a: ArrayType => a.copy(elementType = physicalize(a.elementType))
-      case m: MapType => m.copy(keyType = physicalize(m.keyType),
-        valueType = physicalize(m.valueType))
-      case o => o
-    }
-    // the metadata-free logical type, for the positional rename cast
-    def strip(dt: DataType): DataType = dt match {
-      case s: StructType => StructType(s.fields.map(f =>
-        StructField(f.name, strip(f.dataType), f.nullable)))
-      case a: ArrayType => a.copy(elementType = strip(a.elementType))
-      case m: MapType => m.copy(keyType = strip(m.keyType),
-        valueType = strip(m.valueType))
-      case o => o
-    }
+      if (cm) physFieldName(f) else f.name
+    val fieldMeta: StructField => Metadata =
+      if (cmMode == "id") { f =>
+        require(f.metadata.contains(FieldIdKey),
+          s"column mapping is 'id' but field ${f.name} carries no " +
+          s"$FieldIdKey metadata — refusing to guess")
+        new MetadataBuilder()
+          .putLong(ParquetFieldIdKey, f.metadata.getLong(FieldIdKey))
+          .build()
+      } else _ => Metadata.empty
+    def physicalize(dt: DataType): DataType =
+      if (cm) physicalizeType(dt, fieldMeta) else stripType(dt)
+
     // resolve a metaData.partitionColumns entry (logical per the
     // protocol; physical accepted defensively) to its schema field
     def partField(name: String): StructField =
@@ -150,26 +238,27 @@ object DeltaLakeRead {
     val physPartNames = partFields.map(physName)
     val dataFieldsPhys = st.schema.fields
       .filterNot(f => partFields.exists(_.name == f.name))
-      .map(f => f.copy(name = physName(f),
-        dataType = physicalize(f.dataType), metadata =
-          org.apache.spark.sql.types.Metadata.empty))
+      .map(f => StructField(physName(f), physicalize(f.dataType),
+        f.nullable, fieldMeta(f)))
     val dataSchemaPhys = StructType(dataFieldsPhys)
     // final projection: physical columns back to logical names/types
     // (cast between structs matches POSITIONALLY, renaming nested
     // fields; types are identical so it is a rename-only no-op)
     def logicalSelect(extra: Seq[Column]): Seq[Column] =
       st.schema.fields.toSeq.map(f =>
-        col(quoted(physName(f))).cast(strip(f.dataType)).as(f.name)) ++ extra
+        col(quoted(physName(f))).cast(stripType(f.dataType)).as(f.name)) ++
+        extra
 
     def hiveLayout(files: Seq[AddFile]): Boolean =
       files.forall(f => physPartNames.forall(k =>
         f.path.split('/').exists(_.startsWith(s"$k="))))
 
     /** Read a subset of active files, optionally carrying
-      * `__file`/`__pos` parquet metadata columns for DV masking. */
-    def readFiles(files: Seq[AddFile], withMeta: Boolean): DataFrame = {
+      * `__file`/`__pos` parquet metadata columns (raw `__file`; the
+      * caller normalizes). */
+    def readFiles(files: Seq[AddFile], meta: Boolean): DataFrame = {
       val metaCols =
-        if (withMeta) Seq(col("_metadata.file_path").as("__file"),
+        if (meta) Seq(col("_metadata.file_path").as("__file"),
           col("_metadata.row_index").as("__pos"))
         else Nil
       val paths = files.map(f => s"$root/${f.path}")
@@ -184,8 +273,8 @@ object DeltaLakeRead {
         // declares).
         spark.read.option("basePath", root).schema(
           StructType(dataFieldsPhys ++ partFields.map(f =>
-            f.copy(name = physName(f), dataType = physicalize(f.dataType),
-              metadata = org.apache.spark.sql.types.Metadata.empty))))
+            StructField(physName(f), physicalize(f.dataType), f.nullable,
+              fieldMeta(f)))))
           .parquet(paths: _*)
           .select(logicalSelect(metaCols): _*)
       } else {
@@ -196,7 +285,7 @@ object DeltaLakeRead {
           val base = spark.read.schema(dataSchemaPhys)
             .parquet(fs.map(f => s"$root/${f.path}"): _*)
           partFields.foldLeft(base) { (df, f) =>
-            val t = strip(f.dataType)
+            val t = stripType(f.dataType)
             // partitionValues are keyed by PHYSICAL name under column
             // mapping (logical accepted defensively)
             val v = pv.get(physName(f)).orElse(pv.get(f.name)).flatten
@@ -209,18 +298,34 @@ object DeltaLakeRead {
 
     val (dvFiles, cleanFiles) = st.files.partition(_.dv.isDefined)
     val parts = Seq(
-      Option.when(cleanFiles.nonEmpty)(readFiles(cleanFiles,
-        withMeta = false)),
+      Option.when(cleanFiles.nonEmpty) {
+        val df = readFiles(cleanFiles, meta = withMeta)
+        if (withMeta) df.withColumn("__file", normFileExpr("__file"))
+        else df
+      },
       Option.when(dvFiles.nonEmpty)(
-        subtractDeleted(spark, root, readFiles(dvFiles, withMeta = true),
-          dvFiles))).flatten
-    if (parts.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        StructType(st.schema.fields.map(f =>
-          StructField(f.name, f.dataType, f.nullable))))
-    else parts.reduce(_ unionByName _)
+        subtractDeleted(spark, root, readFiles(dvFiles, meta = true),
+          dvFiles, keepMeta = withMeta))).flatten
+    if (parts.isEmpty) {
+      val base = StructType(st.schema.fields.map(f =>
+        StructField(f.name, stripType(f.dataType), f.nullable)))
+      val s2 =
+        if (withMeta) StructType(base.fields ++ Seq(
+          StructField("__file", org.apache.spark.sql.types.StringType),
+          StructField("__pos", org.apache.spark.sql.types.LongType)))
+        else base
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s2)
+    } else parts.reduce(_ unionByName _)
   }
+
+  /** `_metadata.file_path` is a URI ("file:///..."): strip the scheme
+    * and percent-decode — pre-escaping any literal `+` first, because
+    * `url_decode` is FORM decoding where a bare `+` means space (the
+    * same pitfall [[decode]] handles for log paths). A miss here
+    * would fail OPEN (anti-join keeps the row → deleted rows
+    * resurrect), so the decode convention must match exactly. */
+  private def normFileExpr(c: String): Column = expr(
+    s"url_decode(regexp_replace(replace($c, '+', '%2B'), '^[a-z]+:/+', '/'))")
 
   /** Filter out each file's DV positions: decode bitmaps on
     * EXECUTORS (one task per descriptor), anti-join on the
@@ -228,9 +333,13 @@ object DeltaLakeRead {
     * broadcast when the log-carried cardinality sum is small (the
     * common O(k)-delete case) and falls back to a shuffle anti-join
     * above `spark.graft.dv.broadcastMaxRows` (default 2^20) — the
-    * same guard [[VersionedTableIO]] applies to its native DVs. */
+    * same guard [[VersionedTableIO]] applies to its native DVs.
+    * With `spark.graft.dv.checkCardinality=true`, every decoded DV
+    * position must find its row (one extra semi-join job) — turning
+    * any silent fail-open path mismatch into a loud error. */
   private def subtractDeleted(spark: SparkSession, root: String,
-      df: DataFrame, dvFiles: Seq[AddFile]): DataFrame = {
+      df: DataFrame, dvFiles: Seq[AddFile],
+      keepMeta: Boolean = false): DataFrame = {
     val descs = dvFiles.map(f => (s"$root/${f.path}", f.dv.get))
     val totalCard = descs.map(_._2.cardinality).sum
     val rootStr = root
@@ -249,32 +358,52 @@ object DeltaLakeRead {
       .map(_.toLong).getOrElse(1L << 20)
     val deleted =
       if (totalCard <= maxBroadcast) broadcast(deletedRaw) else deletedRaw
-    // _metadata.file_path is a URI ("file:///..."); normalize both the
-    // scheme prefix and its percent-encoding to the plain decoded path
-    val normFile = expr(
-      "url_decode(regexp_replace(__file, '^[a-z]+:/+', '/'))")
-    df.withColumn("__nfile", normFile)
-      .join(deleted,
-        col("__nfile") === col("__dfile") && col("__pos") === col("__dpos"),
-        "left_anti")
-      .drop("__file", "__pos", "__nfile")
+    val withN = df.withColumn("__nfile", normFileExpr("__file"))
+    if (spark.conf.getOption("spark.graft.dv.checkCardinality")
+        .contains("true")) {
+      val hit = deletedRaw.join(
+        withN.select(col("__nfile"), col("__pos")),
+        col("__dfile") === col("__nfile") && col("__dpos") === col("__pos"),
+        "left_semi").count()
+      require(hit == totalCard,
+        s"deletion-vector positions matched $hit of $totalCard rows — " +
+        "path normalization mismatch or truncated data file; refusing " +
+        "to fail open")
+    }
+    val joined = withN.join(deleted,
+      col("__nfile") === col("__dfile") && col("__pos") === col("__dpos"),
+      "left_anti")
+    if (keepMeta)
+      joined.withColumn("__file", col("__nfile")).drop("__nfile")
+    else joined.drop("__file", "__pos", "__nfile")
   }
 
   /** Replay the log to `versionAsOf` (default latest) and return the
     * resolved state — exposed for specs and for callers that need the
     * file list (e.g. incremental ingestion watermarking, checkpoint
-    * emission). */
+    * emission, DML). */
   def state(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None): Snapshot = {
-    val (commits, checkpoints) = listLog(tablePath)
-    val latest = (commits.keySet ++ checkpoints.keySet).maxOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"$tablePath/_delta_log holds no commits — not a Delta table"))
+    val (commits, checkpoints, v2cps) = listLog(tablePath)
+    val latest =
+      (commits.keySet ++ checkpoints.keySet ++ v2cps.keySet).maxOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"$tablePath/_delta_log holds no commits — not a Delta table"))
     val target = versionAsOf.getOrElse(latest)
     require(target <= latest,
       s"versionAsOf $target > latest committed version $latest")
 
-    val active = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    // file-action state keyed by the protocol's (path, dvId)
+    // reconciliation key — see the class doc for why path alone loses
+    // rows on DV updates
+    val active =
+      scala.collection.mutable.LinkedHashMap[(String, String), AddFile]()
+    val tombs = scala.collection.mutable
+      .LinkedHashMap[(String, String), RemoveTombstone]()
+    val txns = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val domains =
+      scala.collection.mutable.LinkedHashMap[String, DomainMetadata]()
+    val sidecars = scala.collection.mutable.ArrayBuffer[String]()
     var schemaString: Option[String] = None
     var partCols: Seq[String] = Nil
     var config: Map[String, String] = Map.empty
@@ -285,91 +414,133 @@ object DeltaLakeRead {
     var readerFeatures: Seq[String] = Nil
     var writerFeatures: Seq[String] = Nil
 
-    def applyAdd(rawPath: String, pv: Map[String, Option[String]],
-        size: Long, modTime: Long,
-        dv: Option[DeletionVectors.Descriptor]): Unit = {
-      val p = decode(rawPath)
-      active.remove(p)
-      active.put(p, AddFile(p, rawPath, pv, size, modTime, dv)); ()
+    def parseDv(d: com.fasterxml.jackson.databind.JsonNode)
+        : DeletionVectors.Descriptor =
+      DeletionVectors.Descriptor(
+        d.get("storageType").asText(),
+        d.get("pathOrInlineDv").asText(),
+        Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+        d.get("sizeInBytes").asInt(),
+        d.get("cardinality").asLong())
+
+    def parsePv(n: com.fasterxml.jackson.databind.JsonNode)
+        : Map[String, Option[String]] =
+      Option(n).filterNot(_.isNull).map(pv =>
+        pv.properties().asScala.map(e => e.getKey ->
+          (if (e.getValue.isNull) None
+           else Some(e.getValue.asText()))).toMap)
+        .getOrElse(Map.empty)
+
+    /** ONE parser for every log surface: JSON commits, v2 json
+      * checkpoints, and (via a to_json re-encode) classic/v2/sidecar
+      * checkpoint parquet rows. */
+    def applyLine(line: String): Unit = {
+      val n = mapper.readTree(line)
+      def node(k: String) = Option(n.get(k)).filterNot(_.isNull)
+      node("metaData").foreach { m =>
+        schemaString = Some(m.get("schemaString").asText())
+        metaId = Option(m.get("id")).filterNot(_.isNull)
+          .map(_.asText()).getOrElse("")
+        createdTime = Option(m.get("createdTime"))
+          .filterNot(_.isNull).map(_.asLong())
+        partCols = Option(m.get("partitionColumns")).filterNot(_.isNull)
+          .toSeq.flatMap(_.elements().asScala.map(_.asText()))
+        config = Option(m.get("configuration")).filterNot(_.isNull)
+          .map(c => c.properties().asScala
+            .filterNot(_.getValue.isNull)
+            .map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty)
+      }
+      node("protocol").foreach { p =>
+        minReader = p.get("minReaderVersion").asInt()
+        minWriter = Option(p.get("minWriterVersion")).filterNot(_.isNull)
+          .map(_.asInt()).getOrElse(2)
+        def feats(k: String): Seq[String] =
+          Option(p.get(k)).filterNot(_.isNull)
+            .map(_.elements().asScala.map(_.asText()).toSeq)
+            .getOrElse(Nil)
+        readerFeatures = feats("readerFeatures")
+        writerFeatures = feats("writerFeatures")
+      }
+      node("add").foreach { a =>
+        val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
+          .map(parseDv)
+        val raw = a.get("path").asText()
+        val p = decode(raw)
+        val key = (p, dvUid(dv))
+        tombs.remove(key)
+        active.remove(key)
+        active.put(key, AddFile(p, raw, parsePv(a.get("partitionValues")),
+          Option(a.get("size")).filterNot(_.isNull).map(_.asLong())
+            .getOrElse(0L),
+          Option(a.get("modificationTime")).filterNot(_.isNull)
+            .map(_.asLong()).getOrElse(0L), dv))
+        ()
+      }
+      node("remove").foreach { r =>
+        val dv = Option(r.get("deletionVector")).filterNot(_.isNull)
+          .map(parseDv)
+        val raw = r.get("path").asText()
+        val p = decode(raw)
+        val key = (p, dvUid(dv))
+        active.remove(key)
+        tombs.put(key, RemoveTombstone(raw, p,
+          Option(r.get("deletionTimestamp")).filterNot(_.isNull)
+            .map(_.asLong()),
+          parsePv(r.get("partitionValues")),
+          Option(r.get("size")).filterNot(_.isNull).map(_.asLong()), dv))
+        ()
+      }
+      node("txn").foreach { t =>
+        txns.put(t.get("appId").asText(), t.get("version").asLong()); ()
+      }
+      node("domainMetadata").foreach { d =>
+        val dom = d.get("domain").asText()
+        domains.put(dom, DomainMetadata(dom,
+          Option(d.get("configuration")).filterNot(_.isNull)
+            .map(_.asText()).getOrElse(""),
+          Option(d.get("removed")).filterNot(_.isNull)
+            .exists(_.asBoolean()))); ()
+      }
+      node("sidecar").foreach { s =>
+        sidecars += s.get("path").asText(); ()
+      }
     }
 
-    val cp = checkpoints.keySet.filter(_ <= target).maxOption
+    /** Checkpoint/sidecar parquet rows → JSON lines → [[applyLine]].
+      * `ignoreNullFields=false` keeps null partition values and lets
+      * the parser's null filters decide — one parser for every
+      * surface beats three row-walkers that can drift. Driver memory
+      * is bounded by the action count, same as the raw replay. */
+    def applyParquet(files: Seq[File]): Unit = {
+      val df = spark.read.parquet(files.map(_.getPath): _*)
+      df.select(to_json(struct(df.columns.map(c => col(quoted(c))): _*),
+          Map("ignoreNullFields" -> "false").asJava).as("j"))
+        .collect().foreach(r => applyLine(r.getString(0)))
+    }
+
+    val cpClassic = checkpoints.keySet.filter(_ <= target).maxOption
+    val cpV2 = v2cps.keySet.filter(_ <= target).maxOption
+    val cp = (cpClassic.toSeq ++ cpV2.toSeq).maxOption
     cp.foreach { v =>
-      val df = spark.read.parquet(checkpoints(v).map(_.getPath): _*)
-      val names = df.schema.fieldNames.toSet
-      if (names.contains("metaData")) {
-        val mf = df.schema("metaData").dataType.asInstanceOf[StructType]
-          .fieldNames.toSet
-        val base = Seq("metaData.schemaString", "metaData.partitionColumns",
-          "metaData.configuration")
-        val extra = Seq("id", "createdTime").filter(mf.contains)
-          .map(c => s"metaData.$c")
-        val cols = base ++ extra
-        df.select(cols.head, cols.tail: _*)
-          .collect().find(_.get(0) != null).foreach { r =>
-            schemaString = Some(r.getString(0))
-            partCols = r.getSeq[String](1)
-            config = Option(r.getJavaMap[String, String](2))
-              .map(_.asScala.toMap).getOrElse(Map.empty)
-            extra.zipWithIndex.foreach { case (c, i) =>
-              if (!r.isNullAt(3 + i)) c match {
-                case "metaData.id" => metaId = r.getString(3 + i)
-                case _ => createdTime = Some(r.getLong(3 + i))
-              }
-            }
-          }
-      }
-      if (names.contains("protocol")) {
-        val pf = df.schema("protocol").dataType.asInstanceOf[StructType]
-          .fieldNames.toSet
-        val cols = Seq("protocol.minReaderVersion") ++
-          Seq("minWriterVersion", "readerFeatures", "writerFeatures")
-            .filter(pf.contains).map(c => s"protocol.$c")
-        df.select(cols.head, cols.tail: _*)
-          .collect().find(_.get(0) != null).foreach { r =>
-            minReader = r.getInt(0)
-            cols.drop(1).zipWithIndex.foreach { case (c, i) =>
-              if (!r.isNullAt(1 + i)) c match {
-                case "protocol.minWriterVersion" =>
-                  minWriter = r.getInt(1 + i)
-                case "protocol.readerFeatures" =>
-                  readerFeatures = r.getSeq[String](1 + i)
-                case _ => writerFeatures = r.getSeq[String](1 + i)
-              }
-            }
-          }
-      }
-      if (names.contains("add")) {
-        val af = df.schema("add").dataType.asInstanceOf[StructType]
-          .fieldNames.toSet
-        val dvCols =
-          if (af.contains("deletionVector"))
-            Seq("add.deletionVector.storageType",
-              "add.deletionVector.pathOrInlineDv",
-              "add.deletionVector.offset",
-              "add.deletionVector.sizeInBytes",
-              "add.deletionVector.cardinality")
-          else Nil
-        val cols = Seq("add.path", "add.partitionValues", "add.size",
-          "add.modificationTime") ++ dvCols
-        df.select(cols.head, cols.tail: _*)
-          .collect().foreach { r =>
-            if (!r.isNullAt(0)) {
-              val dv =
-                if (dvCols.nonEmpty && !r.isNullAt(4))
-                  Some(DeletionVectors.Descriptor(r.getString(4),
-                    r.getString(5),
-                    if (r.isNullAt(6)) None else Some(r.getInt(6)),
-                    r.getInt(7), r.getLong(8)))
-                else None
-              applyAdd(r.getString(0),
-                Option(r.getJavaMap[String, String](1))
-                  .map(_.asScala.toMap.map { case (k, v2) =>
-                    k -> Option(v2) }).getOrElse(Map.empty),
-                if (r.isNullAt(2)) 0L else r.getLong(2),
-                if (r.isNullAt(3)) 0L else r.getLong(3), dv)
-            }
-          }
+      if (cpClassic.contains(v)) applyParquet(checkpoints(v))
+      else {
+        val f = v2cps(v)
+        if (f.getName.endsWith(".json"))
+          Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
+            .filter(_.nonEmpty).foreach(applyLine)
+        else applyParquet(Seq(f))
+        // sidecar parts live under _delta_log/_sidecars/ and carry
+        // ONLY file actions (PROTOCOL.md § V2 checkpoints)
+        val scDir = new File(new File(tablePath, "_delta_log"), "_sidecars")
+        val scFiles = sidecars.toSeq.map { s =>
+          val name = decode(s)
+          val f2 = if (name.contains("/")) new File(name)
+                   else new File(scDir, name)
+          require(f2.isFile, s"v2-checkpoint sidecar $f2 missing")
+          f2
+        }
+        if (scFiles.nonEmpty) applyParquet(scFiles)
       }
     }
 
@@ -379,59 +550,7 @@ object DeltaLakeRead {
         s"commit $v missing from $tablePath/_delta_log (gap after " +
         s"checkpoint ${cp.getOrElse(-1L)}) — cannot replay to $target"))
       Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
-        .filter(_.nonEmpty).foreach { line =>
-          val n = mapper.readTree(line)
-          if (n.has("metaData")) {
-            val m = n.get("metaData")
-            schemaString = Some(m.get("schemaString").asText())
-            metaId = Option(m.get("id")).map(_.asText()).getOrElse("")
-            createdTime = Option(m.get("createdTime"))
-              .filterNot(_.isNull).map(_.asLong())
-            partCols = Option(m.get("partitionColumns")).toSeq
-              .flatMap(_.elements().asScala.map(_.asText()))
-            config = Option(m.get("configuration")).map(c =>
-              c.properties().asScala
-                .map(e => e.getKey -> e.getValue.asText()).toMap)
-              .getOrElse(Map.empty)
-          }
-          if (n.has("protocol")) {
-            val p = n.get("protocol")
-            minReader = p.get("minReaderVersion").asInt()
-            minWriter = Option(p.get("minWriterVersion"))
-              .map(_.asInt()).getOrElse(2)
-            def feats(k: String): Seq[String] =
-              Option(p.get(k)).filterNot(_.isNull)
-                .map(_.elements().asScala.map(_.asText()).toSeq)
-                .getOrElse(Nil)
-            readerFeatures = feats("readerFeatures")
-            writerFeatures = feats("writerFeatures")
-          }
-          if (n.has("add")) {
-            val a = n.get("add")
-            val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
-              .map { d =>
-                DeletionVectors.Descriptor(
-                  d.get("storageType").asText(),
-                  d.get("pathOrInlineDv").asText(),
-                  Option(d.get("offset")).filterNot(_.isNull)
-                    .map(_.asInt()),
-                  d.get("sizeInBytes").asInt(),
-                  d.get("cardinality").asLong())
-              }
-            applyAdd(a.get("path").asText(),
-              Option(a.get("partitionValues")).map(pv =>
-                pv.properties().asScala.map(e => e.getKey ->
-                  (if (e.getValue.isNull) None
-                   else Some(e.getValue.asText()))).toMap)
-                .getOrElse(Map.empty),
-              Option(a.get("size")).map(_.asLong()).getOrElse(0L),
-              Option(a.get("modificationTime")).map(_.asLong())
-                .getOrElse(0L), dv)
-          }
-          if (n.has("remove")) {
-            active.remove(decode(n.get("remove").get("path").asText())); ()
-          }
-        }
+        .filter(_.nonEmpty).foreach(applyLine)
     }
 
     require(minReader <= 3,
@@ -442,10 +561,8 @@ object DeltaLakeRead {
         s"unsupported Delta reader features: ${unsupported.mkString(", ")}")
     }
     val cmMode = config.getOrElse("delta.columnMapping.mode", "none")
-    require(cmMode == "none" || cmMode == "name",
-      s"delta.columnMapping.mode=$cmMode — only 'none' and 'name' are " +
-      "supported ('id' needs parquet field-id resolution this reader " +
-      "does not implement)")
+    require(Set("none", "name", "id").contains(cmMode),
+      s"delta.columnMapping.mode=$cmMode is not a protocol mode")
 
     val schema = DataType.fromJson(schemaString.getOrElse(
       throw new IllegalArgumentException(
@@ -456,22 +573,28 @@ object DeltaLakeRead {
         f.metadata.contains(PhysicalNameKey),
         s"column mapping is 'name' but field ${f.name} carries no " +
         s"$PhysicalNameKey metadata — refusing to guess"))
+    if (cmMode == "id")
+      schema.fields.foreach(f => require(
+        f.metadata.contains(FieldIdKey),
+        s"column mapping is 'id' but field ${f.name} carries no " +
+        s"$FieldIdKey metadata — refusing to guess"))
     Snapshot(target, schema, partCols, active.values.toSeq, config,
       metaId, createdTime, minReader, minWriter, readerFeatures,
-      writerFeatures)
+      writerFeatures, tombs.values.toSeq, txns.toMap, domains.values.toSeq)
   }
 
-  private def quoted(name: String): String = s"`$name`"
+  private[ingest] def quoted(name: String): String = s"`$name`"
 
   /** Percent-decode a log path. URLDecoder would also turn a literal
     * `+` into a space — the protocol's encoding is URI-style percent
     * escaping where `+` means `+`, so it is pre-escaped. */
-  private def decode(p: String): String =
+  private[ingest] def decode(p: String): String =
     java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
 
-  /** (commit version → file, checkpoint version → part files). */
+  /** (commit version → file, classic checkpoint version → part files,
+    * v2 checkpoint version → file). */
   private def listLog(tablePath: String)
-      : (Map[Long, File], Map[Long, Seq[File]]) = {
+      : (Map[Long, File], Map[Long, Seq[File]], Map[Long, File]) = {
     val dir = new File(tablePath, "_delta_log")
     require(dir.isDirectory, s"$dir does not exist — not a Delta table")
     val files = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
@@ -479,23 +602,21 @@ object DeltaLakeRead {
     val cpClassic = "([0-9]{20})\\.checkpoint\\.parquet".r
     val cpPart = "([0-9]{20})\\.checkpoint\\.[0-9]+\\.[0-9]+\\.parquet".r
     val cpV2 =
-      "([0-9]{20})\\.checkpoint\\.[-a-zA-Z0-9]+\\.(?:json|parquet)".r
+      "([0-9]{20})\\.checkpoint\\.[-a-zA-Z0-9]+\\.(json|parquet)".r
     val commits = files.flatMap(f => f.getName match {
       case commit(v) => Some(v.toLong -> f)
       case _ => None
     }).toMap
-    files.foreach(f => f.getName match {
-      case cpClassic(_) | cpPart(_) => ()
-      case cpV2(v) => throw new IllegalArgumentException(
-        s"v2 (UUID-named) checkpoint at version ${v.toLong} — " +
-        "unsupported by this reader")
-      case _ => ()
-    })
     val checkpoints = files.flatMap(f => f.getName match {
       case cpClassic(v) => Some(v.toLong -> f)
       case cpPart(v) => Some(v.toLong -> f)
       case _ => None
     }).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    (commits, checkpoints)
+    val v2 = files.flatMap(f => f.getName match {
+      case cpClassic(_) | cpPart(_) => None
+      case cpV2(v, _) => Some(v.toLong -> f)
+      case _ => None
+    }).toMap
+    (commits, checkpoints, v2)
   }
 }

@@ -2,30 +2,32 @@ package graft.ingest
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import java.nio.file.{Files, StandardCopyOption}
 
-/** Append-only Delta Lake WRITER — the other half of the
-  * [[DeltaLakeRead]] interop story: tables this engine lands can be
-  * read back by `spark.read.format("delta")` on the reference's own
-  * stack (delta-spark), because what goes on disk is the public
-  * protocol and nothing else — parquet data files plus
-  * newline-delimited JSON `add`/`metaData`/`protocol` actions under
-  * `_delta_log/` (PROTOCOL.md). Honesty note: the harness classpath
-  * carries no delta jars, so cross-engine reads are verified against
-  * [[DeltaLakeRead]] plus the protocol document, not against
-  * delta-spark itself; the emitted log uses only protocol
-  * (1, 2) — the floor every Delta reader since 0.x accepts — and no
-  * optional feature, precisely to keep that surface trivially
+/** Delta Lake WRITER — the other half of the [[DeltaLakeRead]]
+  * interop story: tables this engine lands can be read back by
+  * `spark.read.format("delta")` on the reference's own stack
+  * (delta-spark), because what goes on disk is the public protocol
+  * and nothing else — parquet data files plus newline-delimited JSON
+  * actions under `_delta_log/` (PROTOCOL.md). Honesty note: the
+  * harness classpath carries no delta jars, so cross-engine writes
+  * are verified against [[DeltaLakeRead]] plus the protocol document,
+  * not against delta-spark itself; a freshly created table uses only
+  * protocol (1, 2) — the floor every Delta reader since 0.x accepts —
+  * and no optional feature, precisely to keep that surface trivially
   * compatible.
   *
   * Scope: CREATE (version 0) and APPEND — the reference's own write
-  * pattern for bronze ingest (append + checkpointed stream sinks).
-  * Overwrite/MERGE/DELETE stay with the engine's native
-  * [[VersionedTableIO]]; this writer exists for interop hand-off, not
-  * as a second table format.
+  * pattern for bronze ingest — including appends to column-mapped
+  * (`name`-mode) tables, which stage parquet under the mapping's
+  * PHYSICAL names. Row-level DML (DELETE/UPDATE/MERGE via deletion
+  * vectors) lives in [[DeltaLakeDml]]; the engine's native format
+  * stays [[VersionedTableIO]] — this writer exists for interop
+  * hand-off, not as a second table format.
   *
   * Mechanics: data files are staged by a normal
   * `df.write.partitionBy(...).parquet` into a dot-prefixed temp dir
@@ -42,6 +44,9 @@ object DeltaLakeWrite {
 
   private val om = new ObjectMapper()
 
+  private[ingest] final case class Staged(rel: String,
+      pv: Map[String, String], size: Long)
+
   /** Append `df` (creating the table at version 0 when absent).
     * Returns the committed version. Partition VALUES are restricted
     * to `[A-Za-z0-9._-]` — enough for the reference's `date=`/
@@ -53,7 +58,10 @@ object DeltaLakeWrite {
     * default, 10) additionally lands a classic checkpoint parquet +
     * `_last_checkpoint`, so a table this engine keeps appending to
     * stays cheap for EVERY Delta reader — without it each snapshot
-    * replays one JSON commit per append forever. 0 disables. */
+    * replays one JSON commit per append forever. 0 disables; tables
+    * carrying the `v2Checkpoint` writer feature skip it too (that
+    * feature obliges writers to emit V2 checkpoints, which this
+    * writer does not — the table stays valid, just un-compacted). */
   def append(df: DataFrame, tablePath: String,
       partitionBy: Seq[String] = Nil, checkpointInterval: Int = 10): Long = {
     val root = new File(tablePath)
@@ -62,67 +70,128 @@ object DeltaLakeWrite {
 
     val creating = Option(log.listFiles()).getOrElse(Array.empty)
       .forall(f => !f.getName.matches("[0-9]{20}\\.json"))
+    var physDf = df
+    var physPartitionBy = partitionBy
+    var skipCheckpoint = false
     if (!creating) {
       val st = DeltaLakeRead.state(df.sparkSession, tablePath)
-      // a column-mapped table's parquet files carry PHYSICAL names;
-      // this writer stages with logical names — appending would land
-      // files the table's own schema cannot resolve
-      val cm = st.config.getOrElse("delta.columnMapping.mode", "none")
-      require(cm == "none",
-        s"table has delta.columnMapping.mode=$cm — this append-only " +
-        "writer stages logical-named parquet and cannot append to a " +
-        "column-mapped table")
-      // writer-protocol honesty: a feature this writer does not
-      // implement but that CONSTRAINS writes (CHECK constraints,
-      // generated/identity columns, invariants) would be silently
-      // violated by a blind append — reject when one is actually in
-      // force. Feature flags that do not constrain an append
-      // (deletionVectors: appends create none; appendOnly: we only
-      // append; changeDataFeed: CDC of an append derives from the add
-      // actions) pass.
-      require(st.minWriter <= 7,
-        s"minWriterVersion ${st.minWriter} > 7 — protocol newer than " +
-        "this writer")
-      val unsupportedW = st.writerFeatures.toSet -- Set(
-        "deletionVectors", "appendOnly", "vacuumProtocolCheck",
-        "timestampNtz", "typeWidening", "typeWidening-preview",
-        "changeDataFeed", "invariants", "checkConstraints",
-        "generatedColumns", "identityColumns")
-      require(unsupportedW.isEmpty,
-        s"unsupported Delta writer features: ${unsupportedW.mkString(", ")}")
-      val constraintKeys = st.config.keys
-        .filter(_.startsWith("delta.constraints.")).toSeq
-      require(constraintKeys.isEmpty,
-        s"table carries CHECK constraints (${constraintKeys.mkString(", ")})" +
-        " — this writer does not evaluate them; appending would bypass " +
-        "enforcement")
-      st.schema.fields.foreach { f =>
-        Seq("delta.invariants", "delta.generationExpression",
-          "delta.identity.start").foreach(k =>
-          require(!f.metadata.contains(k),
-            s"column ${f.name} carries $k — this writer does not " +
-            "enforce it; appending would bypass it"))
-      }
+      writeGate(st)
       require(st.partitionColumns == partitionBy,
         s"table is partitioned by ${st.partitionColumns.mkString(",")}, " +
         s"append requested ${partitionBy.mkString(",")}")
-      val want = st.schema.map(f => (f.name, f.dataType))
-      val got = df.schema.map(f => (f.name, f.dataType))
+      val want = st.schema.map(f =>
+        (f.name, DeltaLakeRead.stripType(f.dataType)))
+      val got = df.schema.map(f =>
+        (f.name, DeltaLakeRead.stripType(f.dataType)))
       require(want == got,
         s"schema mismatch: table has $want, append has $got")
+      physDf = toPhysical(df, st)
+      physPartitionBy = partitionBy.map(c =>
+        DeltaLakeRead.physFieldName(st.schema(c)))
+      skipCheckpoint = st.writerFeatures.contains("v2Checkpoint")
     } else {
       require(partitionBy.forall(df.columns.contains),
         s"partition columns ${partitionBy.mkString(",")} missing from df")
     }
 
-    // stage under a dot-dir: Delta readers only trust the log, and
-    // Spark/parquet listings skip dot-prefixed paths, so a crashed
-    // stage leaves garbage, never phantom rows
+    val staged = stageData(physDf, root, physPartitionBy)
+    val now = System.currentTimeMillis()
+    val addLines = staged.map(s =>
+      addJson(s.rel, s.pv.map { case (k, v) => k -> Some(v) }, s.size,
+        now, dataChange = true, dv = None))
+    val headerLines = if (creating) {
+      val proto = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      Seq(proto, metaDataJson(java.util.UUID.randomUUID().toString,
+        df.schema.json, partitionBy, Map.empty, Some(now)))
+    } else Nil
+    val body = (headerLines ++ addLines).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val version = commitSlot(log, body)
+    if (!skipCheckpoint && checkpointInterval > 0 && version > 0 &&
+        version % checkpointInterval == 0) {
+      // best-effort: the commit is already durable, and a table
+      // without this checkpoint is merely slower to snapshot
+      try checkpoint(df.sparkSession, tablePath, version)
+      catch { case e: Exception => System.err.println(
+        s"delta checkpoint at $version failed (table stays valid): $e") }
+    }
+    version
+  }
+
+  /** Writer-protocol honesty gate, shared by append and DML: a
+    * feature this writer does not implement but that CONSTRAINS
+    * writes (CHECK constraints, generated/identity columns,
+    * invariants — including on NESTED fields) would be silently
+    * violated by a blind write — reject when one is actually in
+    * force. Feature flags that do not constrain the write
+    * (deletionVectors, appendOnly for appends, changeDataFeed — CDC
+    * of an append derives from the add actions; columnMapping — the
+    * physical-name staging below; domainMetadata/v2Checkpoint — the
+    * checkpoint writer preserves/avoids them) pass. */
+  private[ingest] def writeGate(st: DeltaLakeRead.Snapshot): Unit = {
+    val cm = st.config.getOrElse("delta.columnMapping.mode", "none")
+    require(cm != "id",
+      "delta.columnMapping.mode=id — this writer stages by physical " +
+      "NAME and does not emit parquet field ids; id-mode files would " +
+      "be unresolvable (name mode is supported)")
+    require(st.minWriter <= 7,
+      s"minWriterVersion ${st.minWriter} > 7 — protocol newer than " +
+      "this writer")
+    val unsupportedW = st.writerFeatures.toSet -- Set(
+      "deletionVectors", "appendOnly", "vacuumProtocolCheck",
+      "timestampNtz", "typeWidening", "typeWidening-preview",
+      "changeDataFeed", "invariants", "checkConstraints",
+      "generatedColumns", "identityColumns", "columnMapping",
+      "domainMetadata", "v2Checkpoint")
+    require(unsupportedW.isEmpty,
+      s"unsupported Delta writer features: ${unsupportedW.mkString(", ")}")
+    val constraintKeys = st.config.keys
+      .filter(_.startsWith("delta.constraints.")).toSeq
+    require(constraintKeys.isEmpty,
+      s"table carries CHECK constraints (${constraintKeys.mkString(", ")})" +
+      " — this writer does not evaluate them; writing would bypass " +
+      "enforcement")
+    def gateFields(dt: DataType, at: String): Unit = dt match {
+      case s: StructType => s.fields.foreach { f =>
+        Seq("delta.invariants", "delta.generationExpression",
+          "delta.identity.start").foreach(k =>
+          require(!f.metadata.contains(k),
+            s"column $at${f.name} carries $k — this writer does not " +
+            "enforce it; writing would bypass it"))
+        gateFields(f.dataType, s"$at${f.name}.")
+      }
+      case a: ArrayType => gateFields(a.elementType, at)
+      case m: MapType =>
+        gateFields(m.keyType, at); gateFields(m.valueType, at)
+      case _ => ()
+    }
+    gateFields(st.schema, "")
+  }
+
+  /** Rename `df`'s logical columns (nested included) to the table's
+    * PHYSICAL names when it is column-mapped — what actually lands in
+    * parquet under `name` mode. Identity for unmapped tables. */
+  private[ingest] def toPhysical(df: DataFrame,
+      st: DeltaLakeRead.Snapshot): DataFrame = {
+    val cm = st.config.getOrElse("delta.columnMapping.mode", "none")
+    if (cm == "none") df
+    else df.select(st.schema.fields.toSeq.map { f =>
+      val physType = DeltaLakeRead.physicalizeType(f.dataType,
+        _ => org.apache.spark.sql.types.Metadata.empty)
+      col(DeltaLakeRead.quoted(f.name)).cast(physType)
+        .as(DeltaLakeRead.physFieldName(f))
+    }: _*)
+  }
+
+  /** Stage `df` as parquet under a dot-dir inside `root` (Delta
+    * readers only trust the log, and Spark/parquet listings skip
+    * dot-prefixed paths, so a crashed stage leaves garbage, never
+    * phantom rows), then MOVE each part file into place. Returns the
+    * landed files with their partition values. */
+  private[ingest] def stageData(df: DataFrame, root: File,
+      partitionBy: Seq[String]): Seq[Staged] = {
     val stage = new File(root, s".stage-${java.util.UUID.randomUUID()}")
     df.write.partitionBy(partitionBy: _*).parquet(stage.getPath)
-
-    final case class Staged(rel: String, pv: Map[String, String],
-        size: Long)
     def walk(dir: File, relDir: String,
         pv: Map[String, String]): Seq[Staged] =
       Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
@@ -144,34 +213,12 @@ object DeltaLakeWrite {
       }
     val staged = walk(stage, "", Map.empty)
     rmTree(stage)
+    staged
+  }
 
-    val now = System.currentTimeMillis()
-    val addLines = staged.map { s =>
-      val n = om.createObjectNode(); val a = n.putObject("add")
-      a.put("path", s.rel)
-      val p = a.putObject("partitionValues")
-      s.pv.foreach { case (k, v) => p.put(k, v) }
-      a.put("size", s.size)
-      a.put("modificationTime", now)
-      a.put("dataChange", true)
-      om.writeValueAsString(n)
-    }
-    val headerLines = if (creating) {
-      val proto = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-      val m = om.createObjectNode(); val md = m.putObject("metaData")
-      md.put("id", java.util.UUID.randomUUID().toString)
-      val fmt = md.putObject("format")
-      fmt.put("provider", "parquet"); fmt.putObject("options")
-      md.put("schemaString", df.schema.json)
-      val pc = md.putArray("partitionColumns"); partitionBy.foreach(pc.add)
-      md.putObject("configuration")
-      md.put("createdTime", now)
-      Seq(proto, om.writeValueAsString(m))
-    } else Nil
-    val body = (headerLines ++ addLines).mkString("\n")
-      .getBytes(StandardCharsets.UTF_8)
-
-    // claim the next slot: hard link = atomic create-if-absent
+  /** Claim the next version slot in `log` for `body`: hard link =
+    * atomic create-if-absent; racers retry onto the next slot. */
+  private[ingest] def commitSlot(log: File, body: Array[Byte]): Long = {
     val tmp = Files.createTempFile(log.toPath, ".commit", ".tmp")
     Files.write(tmp, body)
     try {
@@ -184,14 +231,6 @@ object DeltaLakeWrite {
         val slot = new File(log, f"$next%020d.json").toPath
         try {
           Files.createLink(slot, tmp)
-          if (checkpointInterval > 0 && next > 0 &&
-              next % checkpointInterval == 0) {
-            // best-effort: the commit is already durable, and a table
-            // without this checkpoint is merely slower to snapshot
-            try checkpoint(df.sparkSession, tablePath, next)
-            catch { case e: Exception => System.err.println(
-              s"delta checkpoint at $next failed (table stays valid): $e") }
-          }
           return next
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => attempts += 1
@@ -204,30 +243,154 @@ object DeltaLakeWrite {
     }
   }
 
-  /** Land a CLASSIC checkpoint for `version`: one parquet file
-    * `_delta_log/%020d.checkpoint.parquet` holding the replayed state
-    * (one `protocol` row, one `metaData` row, one `add` row per
-    * active file — raw log paths and deletion-vector descriptors
-    * reproduced verbatim, `dataChange` false per the protocol), plus
-    * `_last_checkpoint` so readers can skip the log listing. Both
-    * this engine's reader (checkpoint-seeded replay) and delta-spark
+  // ---- JSON action emitters (shared with DeltaLakeDml) ---------------------
+
+  private[ingest] def dvNode(
+      n: com.fasterxml.jackson.databind.node.ObjectNode,
+      dv: DeletionVectors.Descriptor): Unit = {
+    val j = n.putObject("deletionVector")
+    j.put("storageType", dv.storageType)
+    j.put("pathOrInlineDv", dv.pathOrInlineDv)
+    dv.offset.foreach(o => j.put("offset", o))
+    j.put("sizeInBytes", dv.sizeInBytes)
+    j.put("cardinality", dv.cardinality)
+    ()
+  }
+
+  private[ingest] def addJson(rawPath: String,
+      pv: Map[String, Option[String]], size: Long, modTime: Long,
+      dataChange: Boolean, dv: Option[DeletionVectors.Descriptor]): String = {
+    val n = om.createObjectNode(); val a = n.putObject("add")
+    a.put("path", rawPath)
+    val p = a.putObject("partitionValues")
+    pv.foreach { case (k, v) =>
+      v.fold { p.putNull(k); () } { s => p.put(k, s); () } }
+    a.put("size", size)
+    a.put("modificationTime", modTime)
+    a.put("dataChange", dataChange)
+    dv.foreach(dvNode(a, _))
+    om.writeValueAsString(n)
+  }
+
+  private[ingest] def removeJson(rawPath: String,
+      pv: Map[String, Option[String]], size: Option[Long],
+      deletionTimestamp: Long, dataChange: Boolean,
+      dv: Option[DeletionVectors.Descriptor]): String = {
+    val n = om.createObjectNode(); val r = n.putObject("remove")
+    r.put("path", rawPath)
+    r.put("deletionTimestamp", deletionTimestamp)
+    r.put("dataChange", dataChange)
+    r.put("extendedFileMetadata", true)
+    val p = r.putObject("partitionValues")
+    pv.foreach { case (k, v) =>
+      v.fold { p.putNull(k); () } { s => p.put(k, s); () } }
+    size.foreach(s => r.put("size", s))
+    dv.foreach(dvNode(r, _))
+    om.writeValueAsString(n)
+  }
+
+  private[graft] def metaDataJson(id: String, schemaJson: String,
+      partitionBy: Seq[String], config: Map[String, String],
+      createdTime: Option[Long]): String = {
+    val m = om.createObjectNode(); val md = m.putObject("metaData")
+    md.put("id", id)
+    val fmt = md.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    md.put("schemaString", schemaJson)
+    val pc = md.putArray("partitionColumns"); partitionBy.foreach(pc.add)
+    val cf = md.putObject("configuration")
+    config.foreach { case (k, v) => cf.put(k, v) }
+    createdTime.foreach(t => md.put("createdTime", t))
+    om.writeValueAsString(m)
+  }
+
+  private[ingest] def protocolJson(minReader: Int, minWriter: Int,
+      readerFeatures: Seq[String], writerFeatures: Seq[String]): String = {
+    val n = om.createObjectNode(); val p = n.putObject("protocol")
+    p.put("minReaderVersion", minReader)
+    p.put("minWriterVersion", minWriter)
+    if (minReader >= 3) {
+      val rf = p.putArray("readerFeatures")
+      readerFeatures.distinct.sorted.foreach(rf.add)
+    }
+    if (minWriter >= 7) {
+      val wf = p.putArray("writerFeatures")
+      writerFeatures.distinct.sorted.foreach(wf.add)
+    }
+    om.writeValueAsString(n)
+  }
+
+  // ---- checkpoints ----------------------------------------------------------
+
+  /** Default tombstone retention (`delta.deletedFileRetentionDuration`,
+    * "interval 1 week"): simple `interval N unit` forms parsed; the
+    * protocol default otherwise. */
+  private[graft] def tombstoneRetentionMs(
+      config: Map[String, String]): Long = {
+    val default = 7L * 24 * 3600 * 1000
+    config.get("delta.deletedFileRetentionDuration").map { s =>
+      val m = "(?i)\\s*interval\\s+(\\d+)\\s+(\\w+?)s?\\s*".r
+      s match {
+        case m(n, unit) =>
+          val per = unit.toLowerCase match {
+            case "millisecond" => 1L
+            case "second" => 1000L
+            case "minute" => 60L * 1000
+            case "hour" => 3600L * 1000
+            case "day" => 24L * 3600 * 1000
+            case "week" => 7L * 24 * 3600 * 1000
+            case u => throw new IllegalArgumentException(
+              s"unsupported retention unit '$u' in '$s'")
+          }
+          n.toLong * per
+        case _ => throw new IllegalArgumentException(
+          s"cannot parse delta.deletedFileRetentionDuration='$s'")
+      }
+    }.getOrElse(default)
+  }
+
+  /** Land a CLASSIC checkpoint for `version`: parquet file(s) holding
+    * the replayed state — one `protocol` row, one `metaData` row, one
+    * `add` row per active file (raw log paths and deletion-vector
+    * descriptors reproduced verbatim, `dataChange` false per the
+    * protocol), one `remove` row per NON-EXPIRED tombstone (dropping
+    * them would break VACUUM retention and concurrent-reader
+    * reconciliation), one `txn` row per appId (streaming writers'
+    * exactly-once state), and one `domainMetadata` row per domain.
+    * `_last_checkpoint` lets readers skip the log listing. Both this
+    * engine's reader (checkpoint-seeded replay) and delta-spark
     * consume it; pre-checkpoint commits become vacuumable.
     *
-    * Concurrency: the parquet stages under a dot-dir and MOVES into
-    * the deterministic name — two racers write identical content, so
+    * When the action count exceeds `maxActionsPerFile` (or `parts` is
+    * forced), the checkpoint lands MULTI-PART
+    * (`%020d.checkpoint.%010d.%010d.parquet` + a `parts` field in
+    * `_last_checkpoint`) — a wide table at scale should not funnel
+    * its whole file list through one parquet writer.
+    *
+    * Concurrency: parquet parts stage under a dot-dir and MOVE into
+    * the deterministic names — two racers write identical content, so
     * whichever lands is correct; `_last_checkpoint` is a move-over
     * (its readers tolerate staleness by design). */
   def checkpoint(spark: org.apache.spark.sql.SparkSession,
-      tablePath: String, version: Long): Unit = {
+      tablePath: String, version: Long,
+      maxActionsPerFile: Int = 1000000, parts: Option[Int] = None): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val st = DeltaLakeRead.state(spark, tablePath, Some(version))
+    val now = System.currentTimeMillis()
+    val liveTombs = st.tombstones.filter(t =>
+      t.deletionTimestamp.forall(ts =>
+        now - ts <= tombstoneRetentionMs(st.config)))
     val dvType = StructType(Seq(
       StructField("storageType", StringType),
       StructField("pathOrInlineDv", StringType),
       StructField("offset", IntegerType),
       StructField("sizeInBytes", IntegerType),
       StructField("cardinality", LongType)))
+    def dvRow(dv: Option[DeletionVectors.Descriptor]): Row =
+      dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality))
+        .orNull
     val addType = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
@@ -235,6 +398,21 @@ object DeltaLakeWrite {
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
       StructField("deletionVector", dvType)))
+    val removeType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("extendedFileMetadata", BooleanType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("deletionVector", dvType)))
+    val txnType = StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType)))
+    val domainType = StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType)))
     val metaType = StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(
@@ -256,7 +434,10 @@ object DeltaLakeWrite {
     val cpSchema = StructType(Seq(
       StructField("protocol", protoType),
       StructField("metaData", metaType),
-      StructField("add", addType)))
+      StructField("add", addType),
+      StructField("remove", removeType),
+      StructField("txn", txnType),
+      StructField("domainMetadata", domainType)))
     val protoRow = Row.fromSeq(
       Seq(st.minReader, st.minWriter) ++
       (if (st.readerFeatures.nonEmpty) Seq(st.readerFeatures) else Nil) ++
@@ -264,33 +445,59 @@ object DeltaLakeWrite {
     val metaRow = Row(st.metaId, Row("parquet", Map.empty[String, String]),
       st.schema.json, st.partitionColumns, st.config,
       st.createdTime.map(Long.box).orNull)
+    def pad(r: Row, at: Int): Row =
+      Row.fromSeq(Seq.tabulate(6)(i => if (i == at) r else null))
     val rows: Seq[Row] =
-      Seq(Row(protoRow, null, null), Row(null, metaRow, null)) ++
+      Seq(pad(protoRow, 0), pad(metaRow, 1)) ++
       st.files.map { f =>
         val pv = f.partitionValues.map { case (k, v) => k -> v.orNull }
-        val dv = f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
-          d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality))
-          .orNull
-        Row(null, null,
-          Row(f.rawPath, pv, f.size, f.modificationTime, false, dv))
-      }
+        pad(Row(f.rawPath, pv, f.size, f.modificationTime, false,
+          dvRow(f.dv)), 2)
+      } ++
+      liveTombs.map { t =>
+        val pv = t.partitionValues.map { case (k, v) => k -> v.orNull }
+        pad(Row(t.rawPath, t.deletionTimestamp.map(Long.box).orNull,
+          false, true, pv, t.size.map(Long.box).orNull, dvRow(t.dv)), 3)
+      } ++
+      st.txns.toSeq.map { case (appId, v) => pad(Row(appId, v), 4) } ++
+      st.domains.map(d =>
+        pad(Row(d.domain, d.configuration, d.removed), 5))
     val root = new File(tablePath)
     val log = new File(root, "_delta_log")
+    val nParts = parts.getOrElse(
+      math.max(1, math.ceil(rows.size.toDouble /
+        math.max(1, maxActionsPerFile)).toInt))
     val stage = new File(root, s".cp-stage-${java.util.UUID.randomUUID()}")
-    spark.createDataFrame(rows.asJava, cpSchema).coalesce(1)
-      .write.parquet(stage.getPath)
-    val part = Option(stage.listFiles()).getOrElse(Array.empty)
-      .find(f => f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(
-        s"checkpoint stage $stage produced no parquet part"))
-    val dest = new File(log, f"$version%020d.checkpoint.parquet")
-    Files.move(part.toPath, dest.toPath,
-      StandardCopyOption.REPLACE_EXISTING)
-    rmTree(stage)
+    import scala.jdk.CollectionConverters._
+    if (nParts == 1) {
+      spark.createDataFrame(rows.asJava, cpSchema).coalesce(1)
+        .write.parquet(stage.getPath)
+      val part = stagedPart(stage)
+      Files.move(part.toPath,
+        new File(log, f"$version%020d.checkpoint.parquet").toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+      rmTree(stage)
+    } else {
+      // deterministic round-robin split: every part self-contained
+      // parquet, protocol/metaData in part 1 (readers union all parts)
+      val grouped = rows.zipWithIndex.groupBy(_._2 % nParts)
+      (0 until nParts).foreach { p =>
+        val ps = new File(stage, s"p$p")
+        spark.createDataFrame(
+          grouped.getOrElse(p, Nil).map(_._1).asJava, cpSchema)
+          .coalesce(1).write.parquet(ps.getPath)
+        Files.move(stagedPart(ps).toPath,
+          new File(log,
+            f"$version%020d.checkpoint.${p + 1}%010d.$nParts%010d.parquet")
+            .toPath,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      rmTree(stage)
+    }
     val lcTmp = Files.createTempFile(log.toPath, ".lc", ".tmp")
+    val partsField = if (nParts > 1) s""","parts":$nParts""" else ""
     Files.write(lcTmp,
-      s"""{"version":$version,"size":${rows.size}}"""
+      s"""{"version":$version,"size":${rows.size}$partsField}"""
         .getBytes(StandardCharsets.UTF_8))
     Files.move(lcTmp, new File(log, "_last_checkpoint").toPath,
       StandardCopyOption.REPLACE_EXISTING,
@@ -298,7 +505,14 @@ object DeltaLakeWrite {
     ()
   }
 
-  private def rmTree(f: File): Unit = {
+  private def stagedPart(stage: File): File =
+    Option(stage.listFiles()).getOrElse(Array.empty)
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"checkpoint stage $stage produced no parquet part"))
+
+  private[ingest] def rmTree(f: File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
     f.delete(); ()

@@ -401,14 +401,15 @@ object IngestQueries {
     graft.ingest.DeltaLakeRead.snapshot(s, t)
   }
 
-  /** Delta Lake interop (column mapping, `name` mode): the parquet
-    * file carries UUID-ish PHYSICAL column names; the log's
-    * schemaString maps them to logical names via
-    * `delta.columnMapping.physicalName` field metadata. The reader
-    * runs the scan against the physical schema and restores logical
-    * names — hash-gated against the plain documents table, so a
-    * rename-map slip anywhere (schema parse, scan, final cast) flips
-    * the hash. */
+  /** Delta Lake interop (column mapping, `name` mode), BOTH
+    * directions: the fixture file carries UUID-ish PHYSICAL column
+    * names mapped to logical ones via
+    * `delta.columnMapping.physicalName` field metadata (non-'en'
+    * rows), then the ENGINE appends the 'en' slice through
+    * [[graft.ingest.DeltaLakeWrite]] — which must stage its parquet
+    * under the same physical names for the table to stay readable.
+    * The oracle sees the whole documents table, so a rename-map slip
+    * on either the read or the write path flips the hash. */
   val qDeltaColumnMapping: QueryDef = QueryDef(
     "q203_delta_cm",
     "SELECT doc_id, lang, text FROM documents") { (s, dir) =>
@@ -416,8 +417,8 @@ object IngestQueries {
     val t = tmp("graft_delta_cm")
     val docs = Tables.load(s, dir, "documents")
       .select("doc_id", "lang", "text")
-    stageOne(docs.toDF("col-9f1", "col-9f2", "col-9f3"), t,
-      "part-all.parquet")
+    stageOne(docs.filter(col("lang") =!= "en")
+      .toDF("col-9f1", "col-9f2", "col-9f3"), t, "part-rest.parquet")
     def cm(f: StructField, phys: String, id: Long): StructField =
       f.copy(metadata = new MetadataBuilder()
         .putString("delta.columnMapping.physicalName", phys)
@@ -430,12 +431,58 @@ object IngestQueries {
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       deltaMeta(logical,
         """{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}"""),
-      """{"add":{"path":"part-all.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+      """{"add":{"path":"part-rest.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    graft.ingest.DeltaLakeWrite.append(docs.filter(col("lang") === "en"), t)
     graft.ingest.DeltaLakeRead.snapshot(s, t)
+  }
+
+  /** Delta Lake interop (row-level DML): the orders table lands as a
+    * real Delta table, a DELETE masks every `%10=3` key behind an
+    * engine-emitted deletion vector (protocol upgrade to (3,7) +
+    * `deletionVectors` included), and a MERGE-style upsert
+    * ([[graft.ingest.DeltaLakeDml.upsert]]) update-alls the `%10=4`
+    * keys while inserting fresh `+1e9` keys — the reference's own
+    * bronze→silver MERGE shape
+    * (alphavantage/bronze2_to_silver.py:142-152). The final snapshot
+    * is read back through the engine's own DV-subtracting reader and
+    * hash-gated against the set algebra in DuckDB, so DV encoding,
+    * the (path, dvId) remove/add pair, the upsert join, and new-file
+    * staging are all on the hook at once. */
+  val qDeltaDml: QueryDef = QueryDef(
+    "q205_delta_dml",
+    """WITH src AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 4
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, o_custkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 5),
+      |base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 10 <> 3)
+      |SELECT b.o_orderkey, b.o_custkey, round(b.o_totalprice, 2) AS price
+      |FROM base b
+      |WHERE NOT EXISTS (SELECT 1 FROM src s
+      |                  WHERE s.o_orderkey = b.o_orderkey)
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) FROM src""".stripMargin) {
+    (s, dir) =>
+    val t = tmp("graft_delta_dml")
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    graft.ingest.DeltaLakeWrite.append(orders, t)
+    graft.ingest.DeltaLakeDml.delete(s, t, "o_orderkey % 10 = 3")
+    val src = orders.filter(col("o_orderkey") % 10 === 4)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .unionByName(orders.filter(col("o_orderkey") % 10 === 5)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+    graft.ingest.DeltaLakeDml.upsert(s, t, src, Seq("o_orderkey"))
+    graft.ingest.DeltaLakeRead.snapshot(s, t)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
   }
 
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonRoundtrip, qJsonMultiline,
     qBinaryFiles, qIncremental, qScd2, qOrcRoundtrip, qTextSource, qCdcApply,
     qQuarantine, qPartitionOverwrite, qDeltaSnapshot, qDeltaWriteRead,
-    qDeltaDv, qDeltaCheckpoint, qDeltaColumnMapping)
+    qDeltaDv, qDeltaCheckpoint, qDeltaColumnMapping, qDeltaDml)
 }

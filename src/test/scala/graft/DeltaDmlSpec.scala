@@ -1,0 +1,206 @@
+package graft
+
+import graft.ingest.{DeltaLakeDml, DeltaLakeRead, DeltaLakeWrite}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[DeltaLakeDml]] — DELETE/UPDATE/upsert on real Delta tables via
+  * deletion-vector emission, round-tripped through [[DeltaLakeRead]]
+  * and the checkpoint path (no delta-spark on the classpath; the
+  * on-disk shape is pinned to PROTOCOL.md instead). */
+class DeltaDmlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def newTable(): String = {
+    val d = Files.createTempDirectory("delta_dml").toFile
+    d.deleteOnExit(); d.getPath
+  }
+
+  private def ids(t: String): Seq[Long] =
+    DeltaLakeRead.snapshot(spark, t)
+      .select("id").as[Long].collect().sorted.toSeq
+
+  test("DELETE masks matching rows with a DV, upgrades the protocol " +
+      "to (3,7)+deletionVectors with legacy-implied features, and " +
+      "pins delta.enableDeletionVectors") {
+    val t = newTable()
+    DeltaLakeWrite.append((0L until 10L).map(i => (i, s"v$i"))
+      .toDF("id", "v"), t)
+    val r = DeltaLakeDml.delete(spark, t, "id % 3 = 0")
+    assert(r.version === 1L)
+    assert(r.rowsDeleted === 4L) // 0,3,6,9
+    assert(r.rowsInserted === 0L)
+    assert(ids(t) === Seq(1L, 2L, 4L, 5L, 7L, 8L))
+    val st = DeltaLakeRead.state(spark, t)
+    assert(st.minReader === 3 && st.minWriter === 7)
+    assert(st.readerFeatures.contains("deletionVectors"))
+    assert(st.writerFeatures.contains("deletionVectors"))
+    // legacy minWriter=2 implied features carried forward
+    assert(st.writerFeatures.contains("appendOnly"))
+    assert(st.writerFeatures.contains("invariants"))
+    assert(st.config.get("delta.enableDeletionVectors") === Some("true"))
+    assert(st.files.exists(_.dv.isDefined))
+    assert(st.tombstones.nonEmpty, "the pre-DV add must be tombstoned")
+    // no-match delete is a no-op, no empty commit
+    val r2 = DeltaLakeDml.delete(spark, t, "id > 100")
+    assert(r2.version === 1L && r2.rowsDeleted === 0L)
+    assert(DeltaLakeRead.latestVersion(t) === 1L)
+  }
+
+  test("a second DELETE on the same file UNIONS its DV (descriptors " +
+      "are absolute); checkCardinality read stays green") {
+    val t = newTable()
+    DeltaLakeWrite.append((0L until 8L).map(i => (i, "x"))
+      .toDF("id", "v").repartition(1), t)
+    DeltaLakeDml.delete(spark, t, "id = 1")
+    DeltaLakeDml.delete(spark, t, "id = 5")
+    val st = DeltaLakeRead.state(spark, t)
+    assert(st.files.map(_.dv.get.cardinality).sum === 2L)
+    spark.conf.set("spark.graft.dv.checkCardinality", "true")
+    try assert(ids(t) === Seq(0L, 2L, 3L, 4L, 6L, 7L))
+    finally spark.conf.unset("spark.graft.dv.checkCardinality")
+  }
+
+  test("a fully-emptied file gets a bare remove, not an all-rows DV") {
+    val t = newTable()
+    DeltaLakeWrite.append(Seq((1L, "en"), (2L, "en")).toDF("id", "lang")
+      .repartition(1), t, partitionBy = Seq("lang"))
+    DeltaLakeWrite.append(Seq((3L, "de")).toDF("id", "lang"), t,
+      partitionBy = Seq("lang"))
+    DeltaLakeDml.delete(spark, t, "lang = 'de'")
+    val st = DeltaLakeRead.state(spark, t)
+    assert(st.files.size === 1, "the de file must be gone entirely")
+    assert(st.files.head.dv.isEmpty)
+    assert(st.tombstones.exists(_.path.contains("lang=de")))
+    // tombstone carries partition values for checkpoint re-emission
+    assert(st.tombstones.find(_.path.contains("lang=de")).get
+      .partitionValues.get("lang").flatten === Some("de"))
+    assert(ids(t) === Seq(1L, 2L))
+  }
+
+  test("UPDATE rewrites matched rows into new files and DV-deletes " +
+      "the originals; expressions see the OLD row") {
+    val t = newTable()
+    DeltaLakeWrite.append((0L until 6L).map(i => (i, i * 10L))
+      .toDF("id", "amt"), t)
+    val r = DeltaLakeDml.update(spark, t, "id >= 4",
+      Map("amt" -> "amt + id"))
+    assert(r.rowsDeleted === 2L && r.rowsInserted === 2L)
+    val got = DeltaLakeRead.snapshot(spark, t)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((0L, 0L), (1L, 10L), (2L, 20L), (3L, 30L),
+      (4L, 44L), (5L, 55L)))
+  }
+
+  test("upsert: WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED INSERT " +
+      "ALL on keys; duplicate source keys reject") {
+    val t = newTable()
+    DeltaLakeWrite.append(Seq((1L, "a", 10L), (2L, "b", 20L),
+      (3L, "c", 30L)).toDF("id", "v", "amt"), t)
+    val src = Seq((2L, "B2", 200L), (9L, "NEW", 900L))
+      .toDF("id", "v", "amt")
+    val r = DeltaLakeDml.upsert(spark, t, src, Seq("id"))
+    assert(r.rowsDeleted === 1L && r.rowsInserted === 2L)
+    val got = DeltaLakeRead.snapshot(spark, t)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a", 10L), (2L, "B2", 200L), (3L, "c", 30L),
+      (9L, "NEW", 900L)))
+    val dup = Seq((1L, "x", 1L), (1L, "y", 2L)).toDF("id", "v", "amt")
+    val e = intercept[IllegalArgumentException] {
+      DeltaLakeDml.upsert(spark, t, dup, Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    // missing columns reject too (update-all needs the full set)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLakeDml.upsert(spark, t, Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    }
+    assert(e2.getMessage.contains("full column set"))
+  }
+
+  test("DML on a column-mapped (name mode) table: condition runs on " +
+      "LOGICAL columns, rewrites stage physical") {
+    import org.apache.spark.sql.types._
+    val t = newTable()
+    val log = new java.io.File(t, "_delta_log"); log.mkdirs()
+    def f(logical: String, dt: DataType, phys: String,
+        id: Long): StructField =
+      StructField(logical, dt, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys)
+          .putLong("delta.columnMapping.id", id).build())
+    val schema = StructType(Seq(
+      f("id", LongType, "col-m1", 1L),
+      f("v", StringType, "col-m2", 2L)))
+    val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(schema.json)
+    Files.write(new java.io.File(log, "00000000000000000000.json").toPath,
+      (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"cmdml","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""")
+        .mkString("\n")).getBytes("UTF-8"))
+    DeltaLakeWrite.append((0L until 6L).map(i => (i, s"v$i"))
+      .toDF("id", "v"), t)
+    DeltaLakeDml.delete(spark, t, "id IN (0, 2)")
+    DeltaLakeDml.upsert(spark, t,
+      Seq((4L, "UP"), (9L, "INS")).toDF("id", "v"), Seq("id"))
+    val got = DeltaLakeRead.snapshot(spark, t)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "v1"), (3L, "v3"), (4L, "UP"), (5L, "v5"),
+      (9L, "INS")))
+    // protocol upgrade preserved the columnMapping capability
+    val st = DeltaLakeRead.state(spark, t)
+    assert(st.readerFeatures.contains("columnMapping"))
+    assert(st.writerFeatures.contains("columnMapping"))
+  }
+
+  test("checkpoint AFTER DML: DV descriptors and tombstones survive " +
+      "the checkpoint; snapshot correct after vacuuming all commits") {
+    val t = newTable()
+    DeltaLakeWrite.append((0L until 10L).map(i => (i, s"v$i"))
+      .toDF("id", "v"), t)
+    DeltaLakeDml.delete(spark, t, "id % 2 = 1")
+    val v = DeltaLakeDml.upsert(spark, t,
+      Seq((4L, "UP"), (20L, "INS")).toDF("id", "v"), Seq("id")).version
+    DeltaLakeWrite.checkpoint(spark, t, v)
+    val log = new java.io.File(t, "_delta_log")
+    (0L to v).foreach { i =>
+      Files.delete(new java.io.File(log, f"$i%020d.json").toPath)
+    }
+    assert(ids(t) === Seq(0L, 2L, 4L, 6L, 8L, 20L))
+    val got = DeltaLakeRead.snapshot(spark, t).filter("id = 4")
+      .select("v").as[String].collect().toSeq
+    assert(got === Seq("UP"))
+    assert(DeltaLakeRead.state(spark, t).tombstones.nonEmpty)
+  }
+
+  test("DML on a partitioned table keeps partitionValues on the " +
+      "remove/add pair and appends respect partitioning") {
+    val t = newTable()
+    DeltaLakeWrite.append(
+      Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "de"))
+        .toDF("id", "lang").repartition(1), t, partitionBy = Seq("lang"))
+    DeltaLakeDml.update(spark, t, "id = 3", Map("id" -> "id + 100"))
+    val st = DeltaLakeRead.state(spark, t)
+    val dvFile = st.files.find(_.dv.isDefined).get
+    assert(dvFile.partitionValues.get("lang").flatten === Some("de"))
+    assert(ids(t) === Seq(1L, 2L, 4L, 103L))
+    // the rewritten row landed under its hive dir
+    assert(DeltaLakeRead.snapshot(spark, t)
+      .filter("lang = 'de'").select("id").as[Long].collect().sorted
+      .toSeq === Seq(4L, 103L))
+  }
+
+  test("appendOnly tables refuse DML") {
+    val t = newTable()
+    DeltaLakeWrite.append(Seq((1L, "a")).toDF("id", "v"), t)
+    val log = new java.io.File(t, "_delta_log")
+    val st0 = DeltaLakeRead.state(spark, t)
+    Files.write(new java.io.File(log, f"${1L}%020d.json").toPath,
+      DeltaLakeWrite.metaDataJson(st0.metaId, st0.schema.json, Nil,
+        Map("delta.appendOnly" -> "true"), None).getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLakeDml.delete(spark, t, "id = 1")
+    }
+    assert(e.getMessage.contains("appendOnly"))
+  }
+}

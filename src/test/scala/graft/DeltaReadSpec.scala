@@ -235,18 +235,18 @@ class DeltaReadSpec extends AnyFunSuite {
     // unknown reader feature
     val e2 = intercept[IllegalArgumentException] {
       DeltaLakeRead.state(spark, tableWith(Seq(protocolJson(3, 7,
-        Seq("v2Checkpoint")), metaDataJson(flatSchema, Nil),
+        Seq("someFutureFeature")), metaDataJson(flatSchema, Nil),
         addJson("part-a.parquet"))))
     }
     assert(e2.getMessage.contains("unsupported Delta reader features"))
-    // column mapping id mode needs parquet field-id resolution
+    // id mode without field-id metadata must refuse, not guess
     val e3 = intercept[IllegalArgumentException] {
       DeltaLakeRead.state(spark, tableWith(Seq(protocolJson(2, 5),
         metaDataJson(flatSchema, Nil,
           Map("delta.columnMapping.mode" -> "id")),
         addJson("part-a.parquet"))))
     }
-    assert(e3.getMessage.contains("columnMapping.mode=id"))
+    assert(e3.getMessage.contains("delta.columnMapping.id"))
     // name mode without physicalName metadata must refuse, not guess
     val e5 = intercept[IllegalArgumentException] {
       DeltaLakeRead.state(spark, tableWith(Seq(protocolJson(2, 5),
@@ -255,23 +255,226 @@ class DeltaReadSpec extends AnyFunSuite {
         addJson("part-a.parquet"))))
     }
     assert(e5.getMessage.contains("physicalName"))
-    // v2 UUID-named checkpoint
-    val t4 = newTable()
-    writeOne(Seq((1L, "a")).toDF("id", "v"), t4, "part-a.parquet")
-    commit(t4, 0, Seq(protocolJson(1, 2), metaDataJson(flatSchema, Nil),
-      addJson("part-a.parquet")))
-    Files.write(new File(t4,
-      "_delta_log/00000000000000000000.checkpoint.80a083e8-7026-4e79-" +
-      "81be-64bd76c43a11.parquet").toPath, Array.emptyByteArray)
-    val e4 = intercept[IllegalArgumentException] {
-      DeltaLakeRead.state(spark, t4.getPath)
-    }
-    assert(e4.getMessage.contains("v2"))
-    // supported reader-3 feature set passes
+    // supported reader-3 feature set passes (v2Checkpoint included)
     val ok = DeltaLakeRead.state(spark, tableWith(Seq(protocolJson(3, 7,
-      Seq("timestampNtz")), metaDataJson(flatSchema, Nil),
+      Seq("timestampNtz", "v2Checkpoint")), metaDataJson(flatSchema, Nil),
       addJson("part-a.parquet"))))
     assert(ok.files.map(_.path) === Seq("part-a.parquet"))
+  }
+
+  test("file actions reconcile by (path, dvId): a DV-update commit " +
+      "whose add line PRECEDES its remove line must not lose the file") {
+    val t = newTable()
+    writeOne(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id"), t, "part-a.parquet")
+    val dv1 = graft.ingest.DeletionVectors.writeFile(t, Array(0L))
+    val dv2 = graft.ingest.DeletionVectors.writeFile(t, Array(0L, 2L))
+    def dvJson(d: graft.ingest.DeletionVectors.Descriptor): String = {
+      val n = om.createObjectNode()
+      n.put("storageType", d.storageType)
+      n.put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(o => n.put("offset", o))
+      n.put("sizeInBytes", d.sizeInBytes)
+      n.put("cardinality", d.cardinality)
+      om.writeValueAsString(n)
+    }
+    def addDv(d: graft.ingest.DeletionVectors.Descriptor): String =
+      s"""{"add":{"path":"part-a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":${dvJson(d)}}}"""
+    def removeDv(d: graft.ingest.DeletionVectors.Descriptor): String =
+      s"""{"remove":{"path":"part-a.parquet","deletionTimestamp":0,"dataChange":true,"deletionVector":${dvJson(d)}}}"""
+    commit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaDataJson(flatSchema, Nil), addDv(dv1)))
+    // the protocol does not fix intra-commit order: add(newDv) FIRST
+    commit(t, 1, Seq(addDv(dv2), removeDv(dv1)))
+    val st = DeltaLakeRead.state(spark, t.getPath)
+    assert(st.files.size === 1, "path-only keying would drop the file")
+    assert(st.files.head.dv.map(_.cardinality) === Some(2L))
+    assert(st.tombstones.size === 1)
+    assert(st.tombstones.head.dv.map(_.cardinality) === Some(1L))
+    val ids = DeltaLakeRead.snapshot(spark, t.getPath)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(2L))
+  }
+
+  test("replay carries remove tombstones, txn app versions, and " +
+      "domainMetadata; a later re-add of the same (path, dvId) clears " +
+      "its tombstone") {
+    val t = newTable()
+    writeOne(Seq((1L, "a")).toDF("id", "v"), t, "part-a.parquet")
+    commit(t, 0, Seq(protocolJson(1, 2), metaDataJson(flatSchema, Nil),
+      addJson("part-a.parquet"),
+      """{"txn":{"appId":"stream-1","version":7}}""",
+      """{"domainMetadata":{"domain":"d1","configuration":"{\"k\":1}","removed":false}}"""))
+    commit(t, 1, Seq(removeJson("part-a.parquet"),
+      """{"txn":{"appId":"stream-1","version":8}}"""))
+    val st1 = DeltaLakeRead.state(spark, t.getPath)
+    assert(st1.files.isEmpty)
+    assert(st1.tombstones.map(_.path) === Seq("part-a.parquet"))
+    assert(st1.txns === Map("stream-1" -> 8L))
+    assert(st1.domains ===
+      Seq(DeltaLakeRead.DomainMetadata("d1", "{\"k\":1}", false)))
+    commit(t, 2, Seq(addJson("part-a.parquet")))
+    val st2 = DeltaLakeRead.state(spark, t.getPath)
+    assert(st2.files.map(_.path) === Seq("part-a.parquet"))
+    assert(st2.tombstones.isEmpty,
+      "re-adding the same (path, dvId) must clear the tombstone")
+  }
+
+  // ---- v2 (UUID-named) checkpoints ----------------------------------------
+
+  private def v2AddRowsParquet(dest: File, paths: Seq[String]): Unit = {
+    val addSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    val rows = paths.map(p =>
+      Row(Row(p, Map.empty[String, String], 1L, 0L, true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), addSchema)
+    val tmp = Files.createTempDirectory("v2sc").toFile
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val part = tmp.listFiles().find(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    dest.getParentFile.mkdirs()
+    Files.move(part.toPath, dest.toPath, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  test("v2 (UUID-named) JSON checkpoint with sidecar file actions " +
+      "seeds the replay; pre-checkpoint commits may be vacuumed") {
+    val t = newTable()
+    writeOne(Seq((1L, "a")).toDF("id", "v"), t, "part-a.parquet")
+    writeOne(Seq((2L, "b")).toDF("id", "v"), t, "part-b.parquet")
+    writeOne(Seq((3L, "c")).toDF("id", "v"), t, "part-c.parquet")
+    // sidecars carry the file actions (PROTOCOL.md § V2 spec files)
+    v2AddRowsParquet(new File(t, "_delta_log/_sidecars/sc-1.parquet"),
+      Seq("part-a.parquet"))
+    v2AddRowsParquet(new File(t, "_delta_log/_sidecars/sc-2.parquet"),
+      Seq("part-b.parquet"))
+    val cpLines = Seq(
+      protocolJson(3, 7, Seq("v2Checkpoint")),
+      metaDataJson(flatSchema, Nil),
+      """{"checkpointMetadata":{"version":1}}""",
+      """{"sidecar":{"path":"sc-1.parquet","sizeInBytes":1,"modificationTime":0}}""",
+      """{"sidecar":{"path":"sc-2.parquet","sizeInBytes":1,"modificationTime":0}}""")
+    Files.write(new File(t,
+      "_delta_log/00000000000000000001.checkpoint.80a083e8-7026-4e79-" +
+      "81be-64bd76c43a11.json").toPath,
+      cpLines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    // only the post-checkpoint commit survives
+    commit(t, 2, Seq(addJson("part-c.parquet")))
+    val ids = DeltaLakeRead.snapshot(spark, t.getPath)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+    assert(DeltaLakeRead.state(spark, t.getPath).version === 2L)
+  }
+
+  test("v2 PARQUET checkpoint carrying file actions inline (no " +
+      "sidecars) seeds the replay") {
+    val t = newTable()
+    writeOne(Seq((1L, "a")).toDF("id", "v"), t, "part-a.parquet")
+    val cpSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType)))))))
+    val rows = Seq(
+      Row(Row("part-a.parquet", Map.empty[String, String], 1L, 0L, true),
+        null, null),
+      Row(null, Row(flatSchema.json, Seq.empty[String],
+        Map.empty[String, String]), null),
+      Row(null, null, Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint"))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), cpSchema)
+    writeOne(df, t,
+      "_delta_log/00000000000000000000.checkpoint.11a083e8-7026-4e79-" +
+      "81be-64bd76c43a11.parquet")
+    // no JSON commits at all
+    val ids = DeltaLakeRead.snapshot(spark, t.getPath)
+      .select("id").as[Long].collect().toSeq
+    assert(ids === Seq(1L))
+  }
+
+  // ---- column mapping (id mode) -------------------------------------------
+
+  test("column mapping id mode resolves by parquet FIELD ID, not by " +
+      "name: file column names differ from both logical and physical") {
+    val t = newTable()
+    // parquet file columns named a/b, tagged with field ids 1/2
+    val fileSchema = StructType(Seq(
+      StructField("a", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("b", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    val fileDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, "x"), Row(2L, "y")), 1), fileSchema)
+    writeOne(fileDf, t, "part-a.parquet")
+    // log schema: logical id/v, physicalName col-zz1/col-zz2, ids 1/2
+    def idField(logical: String, dt: DataType, phys: String,
+        id: Long): StructField =
+      StructField(logical, dt, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys)
+          .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      idField("id", LongType, "col-zz1", 1L),
+      idField("v", StringType, "col-zz2", 2L)))
+    commit(t, 0, Seq(protocolJson(2, 5),
+      metaDataJson(logical, Nil,
+        Map("delta.columnMapping.mode" -> "id",
+            "delta.columnMapping.maxColumnId" -> "2")),
+      addJson("part-a.parquet")))
+    val df = DeltaLakeRead.snapshot(spark, t.getPath)
+    assert(df.columns.toSeq === Seq("id", "v"))
+    val got = df.as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("deletion-vector subtraction survives a literal '+' in the " +
+      "data-file name (form-decode would fail OPEN and resurrect " +
+      "deleted rows); checkCardinality turns mismatches loud") {
+    val t = newTable()
+    writeOne(Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id"), t, "part+x.parquet")
+    val dv = graft.ingest.DeletionVectors.writeFile(t, Array(1L))
+    val addLine = {
+      val n = om.createObjectNode(); val a = n.putObject("add")
+      a.put("path", "part+x.parquet"); a.putObject("partitionValues")
+      a.put("size", 1L); a.put("modificationTime", 0L)
+      a.put("dataChange", true)
+      val d = a.putObject("deletionVector")
+      d.put("storageType", dv.storageType)
+      d.put("pathOrInlineDv", dv.pathOrInlineDv)
+      dv.offset.foreach(o => d.put("offset", o))
+      d.put("sizeInBytes", dv.sizeInBytes)
+      d.put("cardinality", dv.cardinality)
+      om.writeValueAsString(n)
+    }
+    commit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaDataJson(flatSchema, Nil), addLine))
+    spark.conf.set("spark.graft.dv.checkCardinality", "true")
+    try {
+      val ids = DeltaLakeRead.snapshot(spark, t.getPath)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ids === Seq(0L, 2L))
+    } finally spark.conf.unset("spark.graft.dv.checkCardinality")
   }
 
   test("empty table (every add removed) yields an empty frame with " +

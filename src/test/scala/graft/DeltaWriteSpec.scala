@@ -72,25 +72,173 @@ class DeltaWriteSpec extends AnyFunSuite {
     }
   }
 
-  test("append refuses a column-mapped table (its parquet carries " +
-      "physical names this writer does not stage)") {
+  test("append to a column-mapped (name mode) table stages parquet " +
+      "under PHYSICAL names; id mode still refuses") {
+    import org.apache.spark.sql.types._
+    def cmTable(mode: String): String = {
+      val t = newTable()
+      val log = new java.io.File(t, "_delta_log"); log.mkdirs()
+      def f(logical: String, dt: DataType, phys: String,
+          id: Long): StructField =
+        StructField(logical, dt, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys)
+            .putLong("delta.columnMapping.id", id).build())
+      val schema = StructType(Seq(
+        f("id", LongType, "col-z1", 1L),
+        f("lang", StringType, "col-z2", 2L)))
+      val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsString(schema.json)
+      Files.write(
+        new java.io.File(log, "00000000000000000000.json").toPath,
+        (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"cm","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":["lang"],"configuration":{"delta.columnMapping.mode":"$mode"}}}""")
+          .mkString("\n")).getBytes("UTF-8"))
+      t
+    }
+    val t = cmTable("name")
+    import spark.implicits._
+    val v = DeltaLakeWrite.append(
+      Seq((1L, "en"), (2L, "de")).toDF("id", "lang"), t,
+      partitionBy = Seq("lang"))
+    assert(v === 1L)
+    // hive dirs use the PHYSICAL partition name
+    assert(new java.io.File(t, "col-z2=en").isDirectory)
+    // the staged parquet carries physical column names
+    val part = new java.io.File(t, "col-z2=en").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    assert(spark.read.parquet(part.getPath).columns.toSeq ===
+      Seq("col-z1"))
+    // and the reader restores logical names/values
+    val got = DeltaLakeRead.snapshot(spark, t)
+      .select("id", "lang").as[(Long, String)].collect().sorted.toSeq
+    assert(got === Seq((1L, "en"), (2L, "de")).sorted)
+    // a second append keeps working against the landed state
+    DeltaLakeWrite.append(Seq((3L, "en")).toDF("id", "lang"), t,
+      partitionBy = Seq("lang"))
+    assert(DeltaLakeRead.snapshot(spark, t).count() === 3L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLakeWrite.append(Seq((9L, "fr")).toDF("id", "lang"),
+        cmTable("id"), partitionBy = Seq("lang"))
+    }
+    assert(e.getMessage.contains("id"))
+  }
+
+  test("checkpoint preserves remove tombstones, txn state, and " +
+      "domainMetadata — appending to a table with delete history must " +
+      "not silently discard them") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLakeWrite.append(Seq((1L, "a")).toDF("id", "v"), t)
+    DeltaLakeWrite.append(Seq((2L, "b")).toDF("id", "v"), t)
+    // hand-commit a remove + txn + domainMetadata (as a foreign
+    // writer with delete history would have)
+    val st0 = DeltaLakeRead.state(spark, t)
+    val victim = st0.files.head
+    val log = new java.io.File(t, "_delta_log")
+    val now = System.currentTimeMillis()
+    Files.write(new java.io.File(log, f"${2L}%020d.json").toPath,
+      (Seq(
+        s"""{"remove":{"path":"${victim.rawPath}","deletionTimestamp":$now,"dataChange":true}}""",
+        """{"txn":{"appId":"job-42","version":11}}""",
+        """{"domainMetadata":{"domain":"owned","configuration":"cfg","removed":false}}""")
+        .mkString("\n")).getBytes("UTF-8"))
+    DeltaLakeWrite.checkpoint(spark, t, 2L)
+    // vacuum every pre-checkpoint commit: all state must come back
+    // from the checkpoint alone
+    (0 to 1).foreach(v => Files.delete(
+      new java.io.File(log, f"$v%020d.json").toPath))
+    val st = DeltaLakeRead.state(spark, t)
+    assert(st.files.size === 1)
+    assert(st.tombstones.map(_.path) === Seq(victim.path))
+    assert(st.tombstones.head.deletionTimestamp === Some(now))
+    assert(st.txns === Map("job-42" -> 11L))
+    assert(st.domains ===
+      Seq(DeltaLakeRead.DomainMetadata("owned", "cfg", false)))
+    // and the snapshot still reads the surviving file
+    assert(DeltaLakeRead.snapshot(spark, t).count() === 1L)
+  }
+
+  test("checkpoint EXPIRES tombstones past " +
+      "delta.deletedFileRetentionDuration but keeps fresh ones") {
+    import spark.implicits._
+    val t = newTable()
+    DeltaLakeWrite.append(Seq((1L, "a")).toDF("id", "v"), t)
+    val st0 = DeltaLakeRead.state(spark, t)
+    val log = new java.io.File(t, "_delta_log")
+    val old = System.currentTimeMillis() - 8L * 24 * 3600 * 1000
+    Files.write(new java.io.File(log, f"${1L}%020d.json").toPath,
+      s"""{"remove":{"path":"${st0.files.head.rawPath}","deletionTimestamp":$old,"dataChange":true}}"""
+        .getBytes("UTF-8"))
+    DeltaLakeWrite.checkpoint(spark, t, 1L)
+    Files.delete(new java.io.File(log, f"${0L}%020d.json").toPath)
+    assert(DeltaLakeRead.state(spark, t).tombstones.isEmpty,
+      "a week-old tombstone must not survive the default retention")
+    // retention parser: explicit config shapes
+    assert(DeltaLakeWrite.tombstoneRetentionMs(Map.empty) ===
+      7L * 24 * 3600 * 1000)
+    assert(DeltaLakeWrite.tombstoneRetentionMs(Map(
+      "delta.deletedFileRetentionDuration" -> "interval 2 days")) ===
+      2L * 24 * 3600 * 1000)
+    assert(DeltaLakeWrite.tombstoneRetentionMs(Map(
+      "delta.deletedFileRetentionDuration" -> "interval 1 hour")) ===
+      3600L * 1000)
+  }
+
+  test("MULTI-PART checkpoint write: parts land under the protocol " +
+      "names, _last_checkpoint records parts, reader unions them " +
+      "after vacuum") {
+    import spark.implicits._
+    val t = newTable()
+    (0 until 5).foreach { i =>
+      DeltaLakeWrite.append(Seq((i.toLong, s"r$i")).toDF("id", "v"), t,
+        checkpointInterval = 0)
+    }
+    DeltaLakeWrite.checkpoint(spark, t, 4L, parts = Some(3))
+    val log = new java.io.File(t, "_delta_log")
+    val names = log.listFiles().map(_.getName).toSet
+    (1 to 3).foreach { p =>
+      assert(names.contains(
+        f"${4L}%020d.checkpoint.$p%010d.${3}%010d.parquet"))
+    }
+    val lc = new String(Files.readAllBytes(
+      new java.io.File(log, "_last_checkpoint").toPath))
+    assert(lc.contains("\"parts\":3"))
+    (0 until 4).foreach(v => Files.delete(
+      new java.io.File(log, f"$v%020d.json").toPath))
+    val ids = DeltaLakeRead.snapshot(spark, t)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids === (0L until 5L).toSeq)
+  }
+
+  test("writer-honesty gate recurses into NESTED fields: an invariant " +
+      "on a struct member rejects the append") {
     import org.apache.spark.sql.types._
     val t = newTable()
     val log = new java.io.File(t, "_delta_log"); log.mkdirs()
-    val f = StructField("id", LongType, nullable = true,
-      new MetadataBuilder()
-        .putString("delta.columnMapping.physicalName", "col-z1")
-        .putLong("delta.columnMapping.id", 1L).build())
+    val nested = StructType(Seq(
+      StructField("x", LongType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.invariants", "x > 0").build())))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", nested)))
     val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
-      .writeValueAsString(StructType(Seq(f)).json)
+      .writeValueAsString(schema.json)
     Files.write(new java.io.File(log, "00000000000000000000.json").toPath,
-      (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-        s"""{"metaData":{"id":"cm","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""")
+      (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"n","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":[],"configuration":{}}}""")
         .mkString("\n")).getBytes("UTF-8"))
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("id", "x")
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("x")).as("payload"))
     val e = intercept[IllegalArgumentException] {
-      DeltaLakeWrite.append(Seq(Tuple1(1L)).toDF("id"), t)
+      DeltaLakeWrite.append(df, t)
     }
-    assert(e.getMessage.contains("column-mapped"))
+    assert(e.getMessage.contains("delta.invariants"))
+    assert(e.getMessage.contains("payload.x"))
   }
 
   test("append refuses tables whose write constraints it cannot " +
