@@ -1150,6 +1150,95 @@ object ScaleQueries {
         regions = 64, bands = 3, maxHamming = 6, bucketCap = 64)
   }
 
+  /** SHIFT-RESISTANT media near-dup (q206): content-defined chunk
+    * fingerprints ([[Multimodal.cdcChunkHashes]] — 8-byte windowed
+    * 131-polynomial, boundary ≡ 0 mod 32) + guarded fingerprint
+    * self-join + exact Jaccard verify. The planted families are
+    * exactly the edits q204's proportional-region signature CANNOT
+    * survive (its documented hole): a 16-byte PREFIX INSERTION
+    * (every `k·n/R` boundary shifts) and a 19-byte PREFIX DELETION —
+    * both re-synchronize under local chunking, and the sf0.01
+    * prototype measured 50/50 insert-edit and 48/50 delete-edit
+    * recall at Jaccard ≥ 0.5 (the misses are 1-2-chunk shorties,
+    * replayed identically by the oracle). Everything is
+    * exact-integer except the final Jaccard ratio (one IEEE divide,
+    * rounded like q165's cosine), so DuckDB replays boundary
+    * detection, chunking, fingerprints, the population guard, and
+    * the verify bit-for-bit. */
+  val qMediaCdcNearDup: QueryDef = QueryDef(
+    "q206_media_cdc_neardup",
+    """WITH corpus AS (
+      |  SELECT doc_id AS media_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS media_id, 'INSERTED PREFIX ' || text
+      |  FROM documents WHERE doc_id % 10 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 3000000 AS media_id, substring(text, 20)
+      |  FROM documents WHERE doc_id % 10 = 2),
+      |t AS (SELECT media_id, text, length(text) AS n FROM corpus),
+      |b AS (
+      |  SELECT media_id, i FROM t, generate_series(8, 1024) g(i)
+      |  WHERE i <= n AND (CAST(ord(substring(text, CAST(i AS INT), 1)) AS BIGINT)
+      |       + CAST(ord(substring(text, CAST(i-1 AS INT), 1)) AS BIGINT) * 131
+      |       + CAST(ord(substring(text, CAST(i-2 AS INT), 1)) AS BIGINT) * 17161
+      |       + CAST(ord(substring(text, CAST(i-3 AS INT), 1)) AS BIGINT) * 2248091
+      |       + CAST(ord(substring(text, CAST(i-4 AS INT), 1)) AS BIGINT) * 294499921
+      |       + CAST(ord(substring(text, CAST(i-5 AS INT), 1)) AS BIGINT) * 38579489651
+      |       + CAST(ord(substring(text, CAST(i-6 AS INT), 1)) AS BIGINT) * 5053913144281
+      |       + CAST(ord(substring(text, CAST(i-7 AS INT), 1)) AS BIGINT) * 662062621900811) % 32 = 0),
+      |c AS (
+      |  SELECT t.media_id, t.text, t.n,
+      |    list_sort(coalesce(list(b.i) FILTER (b.i IS NOT NULL),
+      |      CAST([] AS BIGINT[]))) AS bl
+      |  FROM t LEFT JOIN b ON b.media_id = t.media_id
+      |  GROUP BY t.media_id, t.text, t.n),
+      |c2 AS (
+      |  SELECT media_id, text,
+      |    CASE WHEN len(bl) = 0 OR bl[len(bl)] <> n
+      |         THEN bl || [CAST(n AS BIGINT)] ELSE bl END AS ends
+      |  FROM c),
+      |ch AS (
+      |  SELECT media_id, substring(text,
+      |      CAST(CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END AS INT),
+      |      CAST(ends[k] - CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END AS INT)) AS chunk
+      |  FROM c2, generate_series(1, 1024) g(k)
+      |  WHERE k <= len(ends) AND ends[k] > CASE WHEN k = 1 THEN 0 ELSE ends[k-1] END),
+      |h AS (
+      |  SELECT DISTINCT media_id,
+      |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(string_split(chunk, ''), cc -> CAST(ord(cc) AS BIGINT))),
+      |      (acc, x) -> (acc * 131 + x) % 1000000007) AS chunk_hash
+      |  FROM ch),
+      |ok AS (SELECT chunk_hash FROM h GROUP BY 1 HAVING count(*) <= 64),
+      |g AS (SELECT h.media_id, h.chunk_hash FROM h JOIN ok USING (chunk_hash)),
+      |gs AS (SELECT media_id, count(*) AS sz FROM g GROUP BY 1),
+      |inter AS (
+      |  SELECT a.media_id AS media_id_a, b2.media_id AS media_id_b,
+      |    count(*) AS ints
+      |  FROM g a JOIN g b2 ON a.chunk_hash = b2.chunk_hash
+      |    AND a.media_id < b2.media_id
+      |  GROUP BY 1, 2)
+      |SELECT media_id_a, media_id_b,
+      |  round(CAST(ints AS DOUBLE) / (sa.sz + sb.sz - ints), 6) AS jaccard
+      |FROM inter
+      |JOIN gs sa ON sa.media_id = inter.media_id_a
+      |JOIN gs sb ON sb.media_id = inter.media_id_b
+      |WHERE CAST(ints AS DOUBLE) / (sa.sz + sb.sz - ints) >= 0.5""".stripMargin) {
+    (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.select(col("doc_id").as("media_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 2000000L).as("media_id"),
+            concat(lit("INSERTED PREFIX "), col("text")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 2)
+          .select((col("doc_id") + 3000000L).as("media_id"),
+            expr("substring(text, 20)").as("text")))
+      Multimodal.mediaNearDupCdc(
+        Multimodal.packText(corpus, "media_id", "text"),
+        minJaccard = 0.5, chunkCap = 64, window = 8, divisor = 32L)
+  }
+
   val all: Seq[QueryDef] = Seq(qDedupExact, qNgramJaccard, qMinhashLsh,
     qSimhash, qAnnBrute, qAnnLsh, qAnnIvf, qAnnRecall, qIvfRecall,
     qAnnPq, qAnnPqRecall,
@@ -1158,5 +1247,5 @@ object ScaleQueries {
     qFingerprint, qMultimodal, qTfidf, qApproxPercentile, qSplit, qStratified,
     qVectorQuantize, qFrameSample, qSurprisal, qBigramSurprisal,
     qBigramSurprisalCapped, qMinhashHotBucket, qVectorHotBucket,
-    qVectorIndexDedup, qRandomProjection, qMediaNearDup)
+    qVectorIndexDedup, qRandomProjection, qMediaNearDup, qMediaCdcNearDup)
 }

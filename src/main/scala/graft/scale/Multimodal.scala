@@ -164,9 +164,12 @@ object Multimodal {
     * the regions it touches — ScaleSpec pins recall ≥ 0.9 there, and
     * hamming < bands pairs are pigeonhole-guaranteed), but length
     * CHANGES shift every proportional boundary and text bytes are
-    * noisy enough that many gradient bits flip. A real pixel/sample
-    * codec plugged into [[regionProfile]] restores the smoothness
-    * dHash relies on; the pipeline around it is unchanged.
+    * noisy enough that many gradient bits flip. For insert/delete
+    * edits use [[mediaNearDupCdc]] — content-defined chunk boundaries
+    * re-synchronize past the edit, which is exactly the recall this
+    * signature loses (ScaleSpec pins it). A real pixel/sample codec
+    * plugged into [[regionProfile]] restores the smoothness dHash
+    * relies on; the pipeline around it is unchanged.
     *
     * Band-width sizing (why the defaults are 64 regions / 3 bands):
     * a band of width w holds 2^w values, so buckets average
@@ -208,6 +211,116 @@ object Multimodal {
         expr("bit_count(__sa ^ __sb)").cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("media_id_a"), col("media_id_b"), col("hamming"))
+  }
+
+  /** Content-defined chunk fingerprints — the SHIFT-RESISTANT media
+    * signature [[mediaNearDup]]'s proportional regions cannot be (its
+    * documented hole: one inserted/deleted byte moves EVERY
+    * `k·n/R` boundary, flipping most gradient bits). Boundaries here
+    * depend only on LOCAL content: position i ends a chunk when the
+    * 8-byte windowed polynomial `Σ bytes[i-j]·131^j (j=0..7)` is
+    * ≡ 0 mod `divisor` — after an edit, windows past the edited
+    * region hash identically, so chunk boundaries RE-SYNCHRONIZE and
+    * all untouched chunks keep their fingerprints (the gear/Rabin CDC
+    * idea used by dedup stores, exact-integer so SQL replays it).
+    * Each chunk fingerprints as a mod-poly hash; output is the
+    * per-blob DISTINCT fingerprint set, one narrow (media_id, hash)
+    * row each — bytes never leave the decode task. `divisor` D gives
+    * ~D-byte average chunks: ~n/D fingerprints per blob. */
+  def cdcChunkHashes(media: DataFrame, window: Int = 8,
+      divisor: Long = 32L): DataFrame = {
+    require(window >= 2 && window <= 8,
+      "window must fit the 8-term exact-integer budget")
+    require(divisor >= 2, "divisor < 2 makes every position a boundary")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("chunk_hash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val w = window
+    val d = divisor
+    media.select("media_id", "media").mapPartitions { it =>
+      val pow = Array.iterate(1L, w)(_ * 131L)
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("media")
+        val id = r.getAs[Long]("media_id")
+        val n = if (bytes == null) 0 else bytes.length
+        val cuts = scala.collection.mutable.ArrayBuffer[Int]()
+        var i = w - 1
+        while (i < n) {
+          var h = 0L
+          var j = 0
+          while (j < w) { h += (bytes(i - j) & 0xffL) * pow(j); j += 1 }
+          if (h % d == 0L) cuts += (i + 1)
+          i += 1
+        }
+        if (cuts.isEmpty || cuts.last != n) cuts += n
+        val hashes = scala.collection.mutable.LinkedHashSet[Long]()
+        var start = 0
+        cuts.foreach { end =>
+          if (end > start) {
+            var h = 7L
+            var k = start
+            while (k < end) {
+              h = (h * 131L + (bytes(k) & 0xffL)) % 1000000007L
+              k += 1
+            }
+            hashes += h
+          }
+          start = end
+        }
+        hashes.iterator.map(h => Row(id, h))
+      }
+    }(enc)
+  }
+
+  /** Shift-resistant media near-duplicates over [[cdcChunkHashes]]
+    * fingerprint sets: blobs sharing any (population-guarded) chunk
+    * fingerprint are candidates; the verify is exact Jaccard over the
+    * guarded fingerprint sets — `|A∩B| / (|A|+|B|−|A∩B|)`. An
+    * insertion or deletion edit disturbs only the chunks overlapping
+    * the edit window, so edited copies keep Jaccard ≈ (k−1)/(k+1) of
+    * a k-chunk original — exactly the recall [[mediaNearDup]]'s
+    * proportional-region signature loses (Multimodal.scala's
+    * documented hole; that pipeline remains for length-PRESERVING
+    * re-encodes, this one covers length changes).
+    *
+    * Scale shape: one decode pass emits narrow fingerprint rows; the
+    * self-join shuffles (hash, id) ints keyed by fingerprint with the
+    * same hot-bucket guard as every band join here (`chunkCap` bounds
+    * any bucket at O(cap²) pairs — boilerplate chunks drop BEFORE the
+    * join and out of the verified sets, oracle-replayed); the verify
+    * is a pair-keyed count aggregation. Blob bytes never shuffle.
+    * Output: (media_id_a, media_id_b, jaccard), a < b. */
+  def mediaNearDupCdc(media: DataFrame, minJaccard: Double = 0.5,
+      chunkCap: Int = 64, window: Int = 8,
+      divisor: Long = 32L): DataFrame = {
+    val h = cdcChunkHashes(media, window, divisor)
+    val guarded = h.withColumn("__n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("chunk_hash"))))
+      .filter(col("__n") <= chunkCap)
+      .drop("__n")
+    val sizes = guarded.groupBy("media_id")
+      .agg(count(lit(1)).as("sz"))
+    val a = guarded.select(col("chunk_hash"),
+      col("media_id").as("media_id_a"))
+    val b = guarded.select(col("chunk_hash"),
+      col("media_id").as("media_id_b"))
+    val inter = a.join(b, Seq("chunk_hash"))
+      .filter(col("media_id_a") < col("media_id_b"))
+      .groupBy("media_id_a", "media_id_b")
+      .agg(count(lit(1)).as("ints"))
+    val sa = sizes.select(col("media_id").as("media_id_a"),
+      col("sz").as("__sa"))
+    val sb = sizes.select(col("media_id").as("media_id_b"),
+      col("sz").as("__sb"))
+    inter.join(sa, Seq("media_id_a")).join(sb, Seq("media_id_b"))
+      .withColumn("__j",
+        col("ints") / (col("__sa") + col("__sb") - col("ints")))
+      .filter(col("__j") >= minJaccard)
+      .select(col("media_id_a"), col("media_id_b"),
+        round(col("__j"), 6).as("jaccard"))
   }
 
   /** Partition-batched "decode": binary blobs → feature columns.

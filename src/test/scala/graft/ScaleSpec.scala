@@ -1159,4 +1159,74 @@ class ScaleSpec extends AnyFunSuite {
       !plan.contains("hashpartitioning(text"),
       "media bytes must never be a shuffle key")
   }
+
+  test("mediaNearDupCdc recall pin: INSERT and DELETE edits — the " +
+      "length changes mediaNearDup documents as its hole — clear the " +
+      "0.9 floor; chunk boundaries re-synchronize past the edit") {
+    import graft.scale.Multimodal
+    val base = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id").as("media_id"), col("text"))
+    val inserted = base.filter(col("media_id") % 5 === 0)
+      .select((col("media_id") + 1000L).as("media_id"),
+        concat(lit("INSERTED PREFIX "), col("text")).as("text"))
+    val deleted = base.filter(col("media_id") % 5 === 1)
+      .select((col("media_id") + 2000L).as("media_id"),
+        expr("substring(text, 20)").as("text"))
+    val corpus = base.unionByName(inserted).unionByName(deleted)
+    val out = Multimodal.mediaNearDupCdc(
+      Multimodal.packText(corpus, "media_id", "text"),
+      minJaccard = 0.5, chunkCap = 64)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantIns = (0L until 100L by 5).map(i => (i, i + 1000L))
+    val wantDel = (1L until 100L by 5).map(i => (i, i + 2000L))
+    val insFound = wantIns.count(got.contains)
+    val delFound = wantDel.count(got.contains)
+    assert(insFound.toDouble / wantIns.size >= 0.9,
+      s"insert-edit recall $insFound/${wantIns.size} below the 0.9 floor")
+    assert(delFound.toDouble / wantDel.size >= 0.9,
+      s"delete-edit recall $delFound/${wantDel.size} below the 0.9 floor")
+    // boundary re-sync, directly: an edited copy of one long doc
+    // keeps every chunk fingerprint except the edited region's
+    val longDoc = docs.filter(length(col("text")) >= 400)
+      .select(col("doc_id").as("media_id"), col("text")).limit(1)
+    val pairDf = longDoc.unionByName(longDoc
+      .select((col("media_id") + 9L).as("media_id"),
+        concat(lit("XYZ"), col("text")).as("text")))
+    val hashes = Multimodal.cdcChunkHashes(
+      Multimodal.packText(pairDf, "media_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byId = hashes.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val Seq(a, b) = byId.values.toSeq
+    assert((a intersect b).size >= math.max(a.size, b.size) - 2,
+      s"edit must disturb at most the boundary-adjacent chunks: " +
+      s"|a|=${a.size} |b|=${b.size} shared=${(a intersect b).size}")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"fingerprint join must stay keyed:\n$plan")
+    assert(!plan.contains("hashpartitioning(media,") &&
+      !plan.contains("hashpartitioning(text"),
+      "media bytes must never be a shuffle key")
+  }
+
+  test("mediaNearDupCdc hot-chunk guard: a boilerplate mega-family's " +
+      "shared chunks drop before the join; honest pairs survive") {
+    import graft.scale.Multimodal
+    val base = docs.filter(col("doc_id") < 40)
+      .select(col("doc_id").as("media_id"), col("text"))
+    val text0 = base.filter(col("media_id") === 0L)
+      .select("text").as[String].head()
+    val family = (1 to 80).map(i => (i * 10000L, text0))
+      .toDF("media_id", "text")
+    val honest = base.filter(col("media_id") === 7L)
+      .select((col("media_id") + 500L).as("media_id"), col("text"))
+    val corpus = base.unionByName(family).unionByName(honest)
+    val pairs = Multimodal.mediaNearDupCdc(
+      Multimodal.packText(corpus, "media_id", "text"),
+      minJaccard = 0.5, chunkCap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 >= 10000L || p._2 >= 10000L),
+      "guard must drop every mega-family pair")
+    assert(pairs.contains((7L, 507L)), "honest clone pair must survive")
+  }
 }
