@@ -95,6 +95,16 @@ object Bpe {
     * size stays constant in the iteration count and the chain of
     * replaces never re-executes.
     *
+    * Iteration-count ceiling (honesty): the per-merge WORK is
+    * vocab-sized and fully distributed, but the merge COUNT is a
+    * sequential driver loop — ~2 Spark jobs per merge, so with
+    * a 0.2-1 s job-launch floor the loop costs minutes at 10² merges
+    * (BpeSpec runs 120) and HOURS at a tokenizer-realistic 32k
+    * vocabulary, dominated by scheduling, not compute. Past ~10³
+    * merges use [[trainBatched]], which learns up to `batch`
+    * symbol-disjoint merges per round and divides the job count by
+    * ~batch.
+    *
     * Fails fast if the corpus runs out of distinct adjacent pairs
     * before `merges` steps (every word fully merged): silently
     * continuing would cross-join an EMPTY best frame into the vocab,
@@ -125,6 +135,73 @@ object Bpe {
       learned = if (learned == null) best else learned.unionByName(best)
     }
     learned
+  }
+
+  /** Batched BPE training: per round, ONE pair aggregate feeds up to
+    * `batch` merges — the accepted pairs are SYMBOL-DISJOINT (no two
+    * share an l/r symbol, and no accepted pair's merged name is
+    * another's operand), so their round-start counts are exact and
+    * their replaces commute; they apply in one fused projection.
+    * This divides the sequential loop's job count by ~`batch`, which
+    * is what makes tokenizer-realistic merge counts (32k) practical —
+    * see [[train]]'s ceiling note.
+    *
+    * Semantics: `batch = 1` is EXACTLY [[train]] (greedy argmax per
+    * round — BpeSpec pins the identity). For `batch > 1` the learned
+    * table can diverge from classic BPE in one documented way: a pair
+    * CREATED by an earlier merge of the same round (count ≤ the
+    * creating pair's) can in classic order outrank a later batch
+    * member; batching defers such pairs to the next round. That is
+    * the standard fast-BPE trade (count-preserving greedy batching) —
+    * the merge table is still a valid BPE table and every count in it
+    * is exact for its round-start vocab.
+    *
+    * The top-of-round candidate list (4·batch rows, min 32) is the
+    * one driver-side collect — bounded by `batch`, never vocab-sized;
+    * rounds that find fewer disjoint pairs than `batch` accept what
+    * they found and rescan. Fails fast like [[train]] when the corpus
+    * exhausts its pairs. */
+  def trainBatched(df: DataFrame, textCol: String, merges: Int,
+      batch: Int = 16): DataFrame = {
+    require(merges >= 1, "need at least one merge step")
+    require(batch >= 1, "batch must be positive")
+    val spark = df.sparkSession
+    var vocab = wordFreq(df, textCol).localCheckpoint()
+    val learned =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    while (learned.size < merges) {
+      val want = math.min(batch, merges - learned.size)
+      val top = pairCounts(vocab)
+        .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+        .limit(math.max(4 * want, 32))
+        .collect()
+      if (top.isEmpty)
+        throw new IllegalArgumentException(
+          s"BPE training exhausted the corpus at step ${learned.size + 1} " +
+          s"of $merges: no adjacent symbol pairs remain (every word is " +
+          s"fully merged). Retrain with merges <= ${learned.size}.")
+      val used = scala.collection.mutable.HashSet[String]()
+      val accepted =
+        scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      val it = top.iterator
+      while (accepted.size < want && it.hasNext) {
+        val r = it.next()
+        val (l, rr, pc) = (r.getString(0), r.getString(1), r.getLong(2))
+        if (!used(l) && !used(rr) && !used(l + rr)) {
+          accepted += ((l, rr, pc))
+          used += l; used += rr; used += (l + rr)
+        }
+      }
+      accepted.foreach { case (l, r, pc) =>
+        learned += ((learned.size + 1, l, r, l + r, pc))
+      }
+      vocab = vocab.select(
+        accepted.foldLeft(col("w")) { case (w, (l, r, _)) =>
+          applyMerge(w, lit(l), lit(r)) }.as("w"),
+        col("cnt")).localCheckpoint()
+    }
+    spark.createDataFrame(learned.toSeq)
+      .toDF("step", "l", "r", "merged", "pair_count")
   }
 
   /** One-row frame carrying the merge table as 2·nMerges string

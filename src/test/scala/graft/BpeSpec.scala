@@ -182,4 +182,71 @@ class BpeSpec extends AnyFunSuite {
     assert(counts.zip(counts.tail).forall { case (x, y) => y <= x },
       s"max pair count must be non-increasing: ${counts.toSeq}")
   }
+
+  /** Synthetic corpus with a pair space rich enough for 120+ merges —
+    * the generated documents table reuses ~40 distinct words and
+    * exhausts its adjacent-pair supply near 90. */
+  private def hexCorpus() = spark.range(0, 400)
+    .select(col("id").as("doc_id"),
+      concat_ws(" ",
+        expr("translate(lower(hex(id * 2654435761)), '0123456789', 'ghijklmnop')"),
+        expr("translate(lower(hex(id * 40503 + 17)), '0123456789', 'ghijklmnop')"),
+        expr("translate(reverse(lower(hex(id + 3))), '0123456789', 'ghijklmnop')")).as("text"))
+
+  test("the merge loop survives a 120-merge run (the iteration-count " +
+      "regime the scaladoc ceiling is about); invariants hold " +
+      "end-to-end and the table drives encode") {
+    val docs = hexCorpus()
+    val m = Bpe.train(docs, "text", 120).orderBy("step").collect()
+    assert(m.length === 120)
+    assert(m.map(_.getInt(0)).toSeq === (1 to 120))
+    val counts = m.map(_.getLong(4))
+    assert(counts.zip(counts.tail).forall { case (x, y) => y <= x },
+      s"winning pair count must be non-increasing across 120 steps")
+    // every (l, r) pair is learned at most once
+    val pairs = m.map(r => (r.getString(1), r.getString(2)))
+    assert(pairs.distinct.length === pairs.length)
+    // the 120-merge table drives a real encode (no null chains)
+    val merges = spark.createDataFrame(
+      m.map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq)
+      .toDF("step", "l", "r", "merged", "pair_count")
+    val enc = Bpe.encode(docs.limit(20), "doc_id", "text", merges, 120)
+    assert(enc.filter(col("n_sub").isNull ||
+      col("n_sub") <= 0).count() === 0L)
+  }
+
+  test("trainBatched(batch = 1) IS train — bit-identical table; " +
+      "larger batches learn symbol-disjoint rounds with exact counts") {
+    val docs = hexCorpus()
+    val seq = Bpe.train(docs, "text", 8).orderBy("step")
+      .collect().map(_.toSeq)
+    val b1 = Bpe.trainBatched(docs, "text", 8, batch = 1).orderBy("step")
+      .collect().map(_.toSeq)
+    assert(seq.toSeq === b1.toSeq,
+      "batch=1 must reproduce the sequential trainer exactly")
+    // batch=8, 120 merges: ~15 rounds instead of 120 sequential jobs
+    val fast = Bpe.trainBatched(docs, "text", 120, batch = 8)
+      .orderBy("step").collect()
+    assert(fast.length === 120)
+    val pairs = fast.map(r => (r.getString(1), r.getString(2)))
+    assert(pairs.distinct.length === pairs.length)
+    // step 1 is the global argmax — identical to classic BPE's first
+    // pick by construction
+    assert(fast.head.toSeq === seq.head.toSeq)
+    // the batched table drives encode too
+    val merges = spark.createDataFrame(
+      fast.map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq)
+      .toDF("step", "l", "r", "merged", "pair_count")
+    val enc = Bpe.encode(docs.limit(20), "doc_id", "text", merges, 120)
+    assert(enc.filter(col("n_sub").isNull ||
+      col("n_sub") <= 0).count() === 0L)
+    // batched fail-fast parity
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.trainBatched(tiny, "text", 3, batch = 2)
+    }
+    assert(ex.getMessage.contains("exhausted"))
+  }
 }
