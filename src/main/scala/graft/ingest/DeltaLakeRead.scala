@@ -191,6 +191,74 @@ object DeltaLakeRead {
       versionAsOf: Option[Long] = None): DataFrame =
     snapshotImpl(spark, tablePath, versionAsOf, withMeta = false)
 
+  /** Resolve a timestamp to a version — the newest commit whose
+    * timestamp is ≤ `ts` (delta's timestampAsOf rule). Commit time is
+    * the log file's modification time, exactly what delta-spark uses
+    * for tables without the inCommitTimestamp feature (and why both
+    * engines document it as only as reliable as the filesystem
+    * clock). */
+  def versionAtTimestamp(tablePath: String, ts: Long): Long = {
+    val (commits, _, _) = listLog(tablePath)
+    require(commits.nonEmpty,
+      s"$tablePath/_delta_log holds no commits — not a Delta table")
+    commits.toSeq.filter(_._2.lastModified() <= ts).map(_._1)
+      .maxOption.getOrElse(throw new IllegalArgumentException(
+        s"no commit at or before timestamp $ts (earliest commit is " +
+        s"${commits.toSeq.map(_._2.lastModified()).min})"))
+  }
+
+  /** Rows APPENDED strictly after `sinceVersion` — the incremental-
+    * consumption primitive for engine- or reference-written tables
+    * (the reference's checkpointed ingest reads "what landed since my
+    * watermark", coin_to_delta_w_cp.py's shape, with the table
+    * version as the watermark). Honest scope: every commit in
+    * `(sinceVersion, latest]` must be PURE APPEND (add actions with
+    * dataChange=true only — metaData/protocol/txn are fine); a
+    * remove or a DV re-add in the range means rows were deleted or
+    * rewritten, and pretending the adds are "the changes" would
+    * silently miss them — rejected loudly (resync with a full
+    * [[snapshot]], or use a table with change data feed for row-level
+    * diffs). One replay + one pruned multi-file read; cost is
+    * O(files added in range), never O(table). */
+  def appendsSince(spark: SparkSession, tablePath: String,
+      sinceVersion: Long): DataFrame = {
+    val (commits, checkpoints, v2cps) = listLog(tablePath)
+    val latest = (commits.keySet ++ checkpoints.keySet ++ v2cps.keySet)
+      .maxOption.getOrElse(throw new IllegalArgumentException(
+        s"$tablePath/_delta_log holds no commits — not a Delta table"))
+    require(sinceVersion <= latest,
+      s"sinceVersion $sinceVersion > latest committed version $latest")
+    val added = scala.collection.mutable.LinkedHashSet[String]()
+    ((sinceVersion + 1) to latest).foreach { v =>
+      val f = commits.getOrElse(v, throw new IllegalArgumentException(
+        s"commit $v is missing (vacuumed past a checkpoint?) — cannot " +
+        s"enumerate appends since $sinceVersion; resync with snapshot()"))
+      Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          val n = mapper.readTree(line)
+          def node(k: String) = Option(n.get(k)).filterNot(_.isNull)
+          node("remove").foreach { _ =>
+            throw new IllegalArgumentException(
+              s"commit $v is not a pure append (remove action present) — " +
+              "rows were deleted or rewritten in the range; appendsSince " +
+              "cannot represent that as appended rows. Resync with " +
+              "snapshot().")
+          }
+          node("add").foreach { a =>
+            require(
+              Option(a.get("deletionVector")).forall(_.isNull),
+              s"commit $v re-adds a file with a deletion vector — not a " +
+              "pure append; resync with snapshot()")
+            if (Option(a.get("dataChange")).forall(_.asBoolean(true)))
+              added += decode(a.get("path").asText())
+            ()
+          }
+        }
+    }
+    snapshotImpl(spark, tablePath, None, withMeta = false,
+      pathFilter = Some(added.toSet))
+  }
+
   /** Snapshot plus row provenance: every row carries `__file` (the
     * normalized absolute path of its data file, comparable to
     * `tableRoot/addFile.path`) and `__pos` (its parquet row index) —
@@ -201,8 +269,11 @@ object DeltaLakeRead {
     snapshotImpl(spark, tablePath, versionAsOf, withMeta = true)
 
   private def snapshotImpl(spark: SparkSession, tablePath: String,
-      versionAsOf: Option[Long], withMeta: Boolean): DataFrame = {
-    val st = state(spark, tablePath, versionAsOf)
+      versionAsOf: Option[Long], withMeta: Boolean,
+      pathFilter: Option[Set[String]] = None): DataFrame = {
+    val st0 = state(spark, tablePath, versionAsOf)
+    val st = pathFilter.fold(st0)(keep =>
+      st0.copy(files = st0.files.filter(f => keep.contains(f.path))))
     val root = new File(tablePath).getAbsolutePath
     val cmMode = st.config.getOrElse("delta.columnMapping.mode", "none")
     val cm = cmMode != "none"

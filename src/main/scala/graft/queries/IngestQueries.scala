@@ -481,8 +481,65 @@ object IngestQueries {
         round(col("o_totalprice"), 2).as("price"))
   }
 
+  /** Delta Lake interop (OPTIMIZE + VACUUM): the orders table lands
+    * as 8 small appends, a DELETE masks every `%7=0` key behind a DV,
+    * then [[graft.ingest.DeltaLakeMaintain.compact]] bin-packs the
+    * fragments and MATERIALIZES the DV away (dataChange=false per the
+    * protocol's OPTIMIZE convention) and vacuum(0) physically drops
+    * the retired originals. The final snapshot must be bit-identical
+    * to the logical content — compaction that changes a hash is
+    * corruption — and in-query requires pin the physical claims
+    * (fewer files, no DVs, originals gone). */
+  val qDeltaCompact: QueryDef = QueryDef(
+    "q207_delta_compact",
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin) { (s, dir) =>
+    val t = tmp("graft_delta_opt")
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    (0 until 8).foreach { i =>
+      graft.ingest.DeltaLakeWrite.append(
+        orders.filter(col("o_orderkey") % 8 === i), t)
+    }
+    graft.ingest.DeltaLakeDml.delete(s, t, "o_orderkey % 7 = 0")
+    val before = graft.ingest.DeltaLakeRead.state(s, t).files.size
+    val r = graft.ingest.DeltaLakeMaintain.compact(s, t)
+    val st = graft.ingest.DeltaLakeRead.state(s, t)
+    require(st.files.size < before, "compaction must shrink the file count")
+    require(st.files.forall(_.dv.isEmpty), "DVs must be materialized away")
+    Thread.sleep(10)
+    val swept = graft.ingest.DeltaLakeMaintain.vacuum(s, t,
+      retentionMs = Some(0L))
+    require(swept.nonEmpty, "vacuum must collect the retired fragments")
+    graft.ingest.DeltaLakeRead.snapshot(s, t)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+  }
+
+  /** Delta Lake interop (incremental consumption): the nation table
+    * lands in 4 version-stamped appends;
+    * [[graft.ingest.DeltaLakeRead.appendsSince]] reads exactly the
+    * rows that arrived after version 1 — the reference's checkpointed
+    * ingest shape (coin_to_delta_w_cp.py) with the TABLE VERSION as
+    * the watermark instead of a control-table timestamp. Cost is
+    * O(files added in range); the oracle is the slice algebra. */
+  val qDeltaAppendsSince: QueryDef = QueryDef(
+    "q208_delta_appends_since",
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |WHERE n_nationkey % 4 IN (2, 3)""".stripMargin) { (s, dir) =>
+    val t = tmp("graft_delta_inc")
+    val nation = Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    (0 until 4).foreach { i =>
+      graft.ingest.DeltaLakeWrite.append(
+        nation.filter(col("n_nationkey") % 4 === i), t)
+    }
+    graft.ingest.DeltaLakeRead.appendsSince(s, t, 1L)
+  }
+
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonRoundtrip, qJsonMultiline,
     qBinaryFiles, qIncremental, qScd2, qOrcRoundtrip, qTextSource, qCdcApply,
     qQuarantine, qPartitionOverwrite, qDeltaSnapshot, qDeltaWriteRead,
-    qDeltaDv, qDeltaCheckpoint, qDeltaColumnMapping, qDeltaDml)
+    qDeltaDv, qDeltaCheckpoint, qDeltaColumnMapping, qDeltaDml,
+    qDeltaCompact, qDeltaAppendsSince)
 }

@@ -1,0 +1,160 @@
+package graft
+
+import graft.ingest.{DeltaLakeDml, DeltaLakeMaintain, DeltaLakeRead, DeltaLakeWrite}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[DeltaLakeMaintain]] (compact/vacuum) + the incremental read
+  * surface ([[DeltaLakeRead.appendsSince]], versionAtTimestamp) —
+  * protocol-pinned round-trips through the engine's own reader. */
+class DeltaMaintainSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def newTable(): String = {
+    val d = Files.createTempDirectory("delta_maint").toFile
+    d.deleteOnExit(); d.getPath
+  }
+
+  private def ids(t: String): Seq[Long] =
+    DeltaLakeRead.snapshot(spark, t)
+      .select("id").as[Long].collect().sorted.toSeq
+
+  test("compact bin-packs small files and MATERIALIZES deletion " +
+      "vectors away; content is bit-identical, dataChange stays false") {
+    val t = newTable()
+    (0 until 6).foreach { i =>
+      DeltaLakeWrite.append(
+        (i * 10 until (i + 1) * 10).map(j => (j.toLong, s"v$j"))
+          .toDF("id", "v").repartition(1), t)
+    }
+    DeltaLakeDml.delete(spark, t, "id % 10 = 3")
+    val before = DeltaLakeRead.state(spark, t)
+    assert(before.files.size === 6)
+    assert(before.files.exists(_.dv.isDefined))
+    val want = ids(t)
+    val r = DeltaLakeMaintain.compact(spark, t)
+    assert(r.filesRemoved === 6)
+    assert(r.filesWritten < 6)
+    assert(r.dvRowsDropped === 6L)
+    assert(ids(t) === want, "OPTIMIZE must not change logical content")
+    val after = DeltaLakeRead.state(spark, t)
+    assert(after.files.size === r.filesWritten)
+    assert(after.files.forall(_.dv.isEmpty), "DVs must be materialized")
+    // the protocol convention: a compaction commit is dataChange=false
+    val commit = new String(Files.readAllBytes(new java.io.File(t,
+      f"_delta_log/${r.version}%020d.json").toPath))
+    assert(!commit.contains("\"dataChange\":true"))
+    // idempotence: a table with one fresh big-enough... here all files
+    // are tiny, but a second compact on a single clean file is a no-op
+    val r2 = DeltaLakeMaintain.compact(spark, t)
+    if (after.files.size == 1)
+      assert(r2.version === r.version, "lone clean file must not rewrite")
+  }
+
+  test("compact respects hive partitions: rewritten rows stay in " +
+      "their partition dirs, partitionValues intact") {
+    val t = newTable()
+    (0 until 4).foreach { i =>
+      DeltaLakeWrite.append(
+        Seq((i.toLong, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+          .repartition(1), t, partitionBy = Seq("lang"))
+    }
+    val want = DeltaLakeRead.snapshot(spark, t)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val r = DeltaLakeMaintain.compact(spark, t)
+    assert(r.filesRemoved === 4)
+    val st = DeltaLakeRead.state(spark, t)
+    assert(st.files.forall(f =>
+      f.partitionValues.get("lang").flatten.isDefined))
+    assert(st.files.forall(f => f.path.contains("lang=")))
+    assert(DeltaLakeRead.snapshot(spark, t)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq === want)
+  }
+
+  test("vacuum deletes tombstoned data files and orphaned DV bins " +
+      "past retention, never live files or the log; dryRun only lists") {
+    val t = newTable()
+    (0 until 3).foreach { i =>
+      DeltaLakeWrite.append(
+        Seq((i * 2L, s"v$i"), (i * 2L + 1, s"w$i")).toDF("id", "v")
+          .repartition(1), t)
+    }
+    DeltaLakeDml.delete(spark, t, "id = 2") // DV on one 2-row file
+    DeltaLakeMaintain.compact(spark, t)     // tombstones all, new file
+    val want = ids(t)
+    Thread.sleep(20)
+    val listed = DeltaLakeMaintain.vacuum(spark, t,
+      retentionMs = Some(0L), dryRun = true)
+    assert(listed.nonEmpty)
+    assert(listed.exists(_.endsWith(".bin")),
+      "the orphaned DV bin must be collected")
+    // dryRun deleted nothing
+    assert(listed.forall(p => new java.io.File(t, p).exists()))
+    val deleted = DeltaLakeMaintain.vacuum(spark, t,
+      retentionMs = Some(0L))
+    assert(deleted.toSet === listed.toSet)
+    assert(deleted.forall(p => !new java.io.File(t, p).exists()))
+    assert(ids(t) === want, "current snapshot must survive vacuum")
+    assert(new java.io.File(t, "_delta_log").isDirectory)
+    // default retention keeps everything fresh
+    val t2 = newTable()
+    DeltaLakeWrite.append(Seq((1L, "a")).toDF("id", "v"), t2)
+    DeltaLakeDml.delete(spark, t2, "id = 1")
+    assert(DeltaLakeMaintain.vacuum(spark, t2).isEmpty,
+      "week-default retention must keep fresh tombstones")
+  }
+
+  test("appendsSince returns exactly the rows of later pure-append " +
+      "commits; DML in the range rejects; vacuumed range rejects") {
+    val t = newTable()
+    (0 until 4).foreach { i =>
+      DeltaLakeWrite.append(
+        (i * 5 until (i + 1) * 5).map(j => (j.toLong, s"v$j"))
+          .toDF("id", "v"), t)
+    }
+    val inc = DeltaLakeRead.appendsSince(spark, t, 1L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(inc === (10L until 20L).toSeq)
+    assert(DeltaLakeRead.appendsSince(spark, t, 3L).count() === 0L)
+    DeltaLakeDml.delete(spark, t, "id = 2")
+    val e = intercept[IllegalArgumentException] {
+      DeltaLakeRead.appendsSince(spark, t, 1L)
+    }
+    assert(e.getMessage.contains("not a pure append"))
+    // appends after the delete slice cleanly again
+    DeltaLakeWrite.append(Seq((99L, "z")).toDF("id", "v"), t)
+    assert(DeltaLakeRead.appendsSince(spark, t, 4L)
+      .select("id").as[Long].collect().toSeq === Seq(99L))
+    // a vacuumed (missing) commit in the range is loud, not silent
+    Files.delete(new java.io.File(t,
+      f"_delta_log/${2L}%020d.json").toPath)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLakeRead.appendsSince(spark, t, 1L)
+    }
+    assert(e2.getMessage.contains("missing"))
+  }
+
+  test("versionAtTimestamp resolves by commit file mtime (newest " +
+      "commit at-or-before), rejects pre-history timestamps") {
+    val t = newTable()
+    DeltaLakeWrite.append(Seq((1L, "a")).toDF("id", "v"), t)
+    DeltaLakeWrite.append(Seq((2L, "b")).toDF("id", "v"), t)
+    DeltaLakeWrite.append(Seq((3L, "c")).toDF("id", "v"), t)
+    val log = new java.io.File(t, "_delta_log")
+    Seq(0L, 1L, 2L).foreach { v =>
+      assert(new java.io.File(log, f"$v%020d.json")
+        .setLastModified(100000L + v * 10000L))
+    }
+    assert(DeltaLakeRead.versionAtTimestamp(t, 100000L) === 0L)
+    assert(DeltaLakeRead.versionAtTimestamp(t, 115000L) === 1L)
+    assert(DeltaLakeRead.versionAtTimestamp(t, 999999999L) === 2L)
+    intercept[IllegalArgumentException] {
+      DeltaLakeRead.versionAtTimestamp(t, 99999L)
+    }
+    // the resolved version drives ordinary time travel
+    val v = DeltaLakeRead.versionAtTimestamp(t, 115000L)
+    assert(DeltaLakeRead.snapshot(spark, t, Some(v))
+      .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+}
