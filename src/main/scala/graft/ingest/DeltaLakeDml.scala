@@ -104,21 +104,25 @@ object DeltaLakeDml {
     val st = gated(spark, tablePath)
     require(keys.nonEmpty, "upsert needs at least one key column")
     val logical = st.schema.fieldNames.toSet
-    require(source.columns.toSet == logical,
+    // the source batch feeds THREE consumers (dup-key check, the match
+    // keys, the insert staging) — pin it once or the caller's frame
+    // recomputes per consumer
+    val src = source.localCheckpoint()
+    require(src.columns.toSet == logical,
       s"source columns ${source.columns.sorted.mkString(",")} != table " +
       s"columns ${logical.toSeq.sorted.mkString(",")} (update-all/" +
       "insert-all upsert needs the full column set)")
-    val dupKeys = source.groupBy(keys.map(c =>
+    val dupKeys = src.groupBy(keys.map(c =>
         col(DeltaLakeRead.quoted(c))): _*)
       .count().filter(col("count") > 1).limit(1).count()
     require(dupKeys == 0L,
       "source carries duplicate keys — one target row would receive " +
       "two conflicting updates")
-    val newRows = source.select(st.schema.fields.toSeq.map(f =>
+    val newRows = src.select(st.schema.fields.toSeq.map(f =>
       col(DeltaLakeRead.quoted(f.name))
         .cast(DeltaLakeRead.stripType(f.dataType)).as(f.name)): _*)
     val t = DeltaLakeRead.snapshotMeta(spark, tablePath)
-    val srcKeys = source
+    val srcKeys = src
       .select(keys.map(c => col(DeltaLakeRead.quoted(c))): _*)
       .distinct().withColumn("__matched", lit(1))
     val joined = t.join(srcKeys, keys, "left")

@@ -296,11 +296,15 @@ object Multimodal {
       chunkCap: Int = 64, window: Int = 8,
       divisor: Long = 32L): DataFrame = {
     val h = cdcChunkHashes(media, window, divisor)
+    // the guarded fingerprint frame feeds THREE consumers (both join
+    // sides + the size agg); localCheckpoint at this narrow point (two
+    // longs per row) or the blob decode re-runs once per consumer
     val guarded = h.withColumn("__n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("chunk_hash"))))
       .filter(col("__n") <= chunkCap)
       .drop("__n")
+      .localCheckpoint()
     val sizes = guarded.groupBy("media_id")
       .agg(count(lit(1)).as("sz"))
     val a = guarded.select(col("chunk_hash"),
