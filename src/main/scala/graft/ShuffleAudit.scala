@@ -177,7 +177,23 @@ object ShuffleAudit {
     // one window count + one banded self-join + one distinct, so the
     // ratio must sit in the q42/q117 banded-dedup band and NEVER
     // track blob bytes
-    "q204_media_neardup" -> Seq("documents"))
+    "q204_media_neardup" -> Seq("documents"),
+    // Delta DML: table build (appends), a DV delete (one file-keyed
+    // agg over the snapshot), and the upsert join + staging — shuffle
+    // is O(rows touched) with narrow keys (file path, order key); the
+    // ratio must stay a small constant of the source, never blow up
+    // with the version count
+    "q205_delta_dml" -> Seq("orders"),
+    // CDC media near-dup: blobs decode once (mapPartitions), then only
+    // (media_id, chunk_hash) longs move — one window count + one
+    // fingerprint self-join + one pair agg; the q204 posture with
+    // Jaccard instead of Hamming
+    "q206_media_cdc_neardup" -> Seq("documents"),
+    // compact+vacuum: 8 small appends, a DV delete, one pruned rewrite
+    // of the qualifying files (repartition exchange = the rewrite
+    // bytes), final snapshot — the ratio is a small constant of the
+    // table, dominated by the rewrite, never quadratic in versions
+    "q207_delta_compact" -> Seq("orders"))
 
   private final class Tally extends SparkListener {
     private val lock = new Object

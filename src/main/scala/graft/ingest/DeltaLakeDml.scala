@@ -125,7 +125,13 @@ object DeltaLakeDml {
     val srcKeys = src
       .select(keys.map(c => col(DeltaLakeRead.quoted(c))): _*)
       .distinct().withColumn("__matched", lit(1))
-    val joined = t.join(srcKeys, keys, "left")
+    // project the target to (keys, __file, __pos) BEFORE the match
+    // join: once srcKeys outgrows broadcast this join shuffles the
+    // target on the keys, and the sf10 audit measured the full-width
+    // snapshot paying 15x the bytes the match actually needs
+    val narrow = t.select((keys.map(c => col(DeltaLakeRead.quoted(c))) ++
+      Seq(col("__file"), col("__pos"))): _*)
+    val joined = narrow.join(srcKeys, keys, "left")
     mutate(spark, tablePath, st, joined, col("__matched") === 1,
       Some(newRows), forceInsert = true)
   }

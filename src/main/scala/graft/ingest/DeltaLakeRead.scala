@@ -2,7 +2,7 @@ package graft.ingest
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, expr, lit, struct, to_json}
+import org.apache.spark.sql.functions.{col, expr, lit, struct, to_json}
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, Metadata, MetadataBuilder, StructField, StructType}
 import java.io.File
 import java.nio.charset.StandardCharsets
@@ -43,10 +43,10 @@ import scala.jdk.CollectionConverters._
   * `delta.columnMapping.id` and the scan runs with Spark's native
   * field-id matching, `spark.sql.parquet.fieldId.read.enabled`);
   * deletion vectors (`u`/`p`/`i` storage, decoded by
-  * [[DeletionVectors]] — rows at deleted positions are subtracted
-  * via `_metadata.row_index` with a cardinality-guarded broadcast
-  * anti-join, the same size-guard posture as [[VersionedTableIO]]'s
-  * native DV reads).
+  * [[DeletionVectors]] — rows at deleted positions are filtered IN
+  * THE SCAN: each task binary-searches `_metadata.row_index` against
+  * its file's executor-cached bitmap, so DV masking never shuffles
+  * data rows at any cardinality).
   *
   * Log replay reconciles file actions by `(path, dvId)` — the
   * protocol's reconciliation key — not by path alone: a DV update
@@ -68,8 +68,8 @@ import scala.jdk.CollectionConverters._
   * the full active-file list in ONE `spark.read.parquet(files*)`
   * call, so scan parallelism, column pruning, and row-group pushdown
   * are untouched. DV-bearing files read as a SECOND relation whose
-  * bitmaps are decoded on EXECUTORS (one task per descriptor — the
-  * driver never holds position sets, only descriptors). Driver
+  * bitmaps are decoded lazily INSIDE the scan tasks ([[DvCache]] —
+  * the driver never holds position sets, only descriptors). Driver
   * memory is bounded by the active-file COUNT (path strings), not
   * data size — the delta-spark caveat at million-file tables applies
   * here identically. */
@@ -398,41 +398,69 @@ object DeltaLakeRead {
   private def normFileExpr(c: String): Column = expr(
     s"url_decode(regexp_replace(replace($c, '+', '%2B'), '^[a-z]+:/+', '/'))")
 
-  /** Filter out each file's DV positions: decode bitmaps on
-    * EXECUTORS (one task per descriptor), anti-join on the
-    * normalized file path + `_metadata.row_index`. The join side is
-    * broadcast when the log-carried cardinality sum is small (the
-    * common O(k)-delete case) and falls back to a shuffle anti-join
-    * above `spark.graft.dv.broadcastMaxRows` (default 2^20) — the
-    * same guard [[VersionedTableIO]] applies to its native DVs.
+  /** Executor-side DV bitmap cache: each task tests its rows against
+    * the (sorted) position array of ITS file, loaded once per
+    * executor and binary-searched per row — delta-spark's own scan-
+    * side filtering shape. Memory is bounded by the positions of the
+    * files an executor actually scans (8 B/position), with a crude
+    * full-clear once the cache holds many files — bitmaps reload
+    * cheaply, correctness never depends on residency. */
+  private object DvCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    private val MaxEntries = 1024
+    def positionsSorted(root: String,
+        d: DeletionVectors.Descriptor): Array[Long] = {
+      // keyed by the DV's own identity, NEVER the data-file path: a
+      // DML rewrite gives the same file a NEW descriptor, and a
+      // path-keyed cache would keep serving the superseded bitmap
+      val key = dvUid(Some(d))
+      var a = cache.get(key)
+      if (a == null) {
+        // deserialize() emits ascending positions by construction
+        a = DeletionVectors.positions(new File(root), d)
+        if (cache.size >= MaxEntries) cache.clear()
+        cache.put(key, a)
+        ()
+      }
+      a
+    }
+  }
+
+  /** Filter out each file's DV positions IN THE SCAN: a per-row
+    * filter binary-searches the row's `_metadata.row_index` against
+    * its file's decoded bitmap (executor-cached, loaded from shared
+    * storage once per executor per file — [[DvCache]]). ZERO
+    * shuffle: the previous broadcast-anti-join fallback shuffled the
+    * FULL-width snapshot once the DV cardinality outgrew the
+    * broadcast guard — the sf10 audit measured a DML table paying
+    * 748 MB of exchange for a 266 MB source on exactly that path.
+    * Only the descriptor MAP broadcasts (one small entry per file),
+    * never position sets.
+    *
     * With `spark.graft.dv.checkCardinality=true`, every decoded DV
-    * position must find its row (one extra semi-join job) — turning
-    * any silent fail-open path mismatch into a loud error. */
+    * position must find its row (one extra semi-join job over
+    * executor-decoded positions) — turning any silent fail-open path
+    * mismatch into a loud error. */
   private def subtractDeleted(spark: SparkSession, root: String,
       df: DataFrame, dvFiles: Seq[AddFile],
       keepMeta: Boolean = false): DataFrame = {
     val descs = dvFiles.map(f => (s"$root/${f.path}", f.dv.get))
-    val totalCard = descs.map(_._2.cardinality).sum
     val rootStr = root
-    val posRdd = spark.sparkContext
-      .parallelize(descs, math.max(1, math.min(descs.size, 32)))
-      .flatMap { case (p, d) =>
-        DeletionVectors.positions(new File(rootStr), d)
-          .map(pos => Row(p, pos))
-      }
-    val posSchema = StructType(Seq(
-      StructField("__dfile", org.apache.spark.sql.types.StringType),
-      StructField("__dpos", org.apache.spark.sql.types.LongType)))
-    val deletedRaw = spark.createDataFrame(posRdd, posSchema)
-    val maxBroadcast = spark.conf
-      .getOption("spark.graft.dv.broadcastMaxRows")
-      .map(_.toLong).getOrElse(1L << 20)
-    val deleted =
-      if (totalCard <= maxBroadcast) broadcast(deletedRaw) else deletedRaw
     val withN = df.withColumn("__nfile", normFileExpr("__file"))
     if (spark.conf.getOption("spark.graft.dv.checkCardinality")
         .contains("true")) {
-      val hit = deletedRaw.join(
+      val totalCard = descs.map(_._2.cardinality).sum
+      val posRdd = spark.sparkContext
+        .parallelize(descs, math.max(1, math.min(descs.size, 32)))
+        .flatMap { case (p, d) =>
+          DeletionVectors.positions(new File(rootStr), d)
+            .map(pos => Row(p, pos))
+        }
+      val posSchema = StructType(Seq(
+        StructField("__dfile", org.apache.spark.sql.types.StringType),
+        StructField("__dpos", org.apache.spark.sql.types.LongType)))
+      val hit = spark.createDataFrame(posRdd, posSchema).join(
         withN.select(col("__nfile"), col("__pos")),
         col("__dfile") === col("__nfile") && col("__dpos") === col("__pos"),
         "left_semi").count()
@@ -441,12 +469,19 @@ object DeltaLakeRead {
         "path normalization mismatch or truncated data file; refusing " +
         "to fail open")
     }
-    val joined = withN.join(deleted,
-      col("__nfile") === col("__dfile") && col("__pos") === col("__dpos"),
-      "left_anti")
+    val bcDesc = spark.sparkContext.broadcast(descs.toMap)
+    val live = org.apache.spark.sql.functions.udf {
+      (file: String, pos: Long) =>
+        bcDesc.value.get(file) match {
+          case Some(d) => java.util.Arrays.binarySearch(
+            DvCache.positionsSorted(rootStr, d), pos) < 0
+          case None => true
+        }
+    }
+    val filtered = withN.filter(live(col("__nfile"), col("__pos")))
     if (keepMeta)
-      joined.withColumn("__file", col("__nfile")).drop("__nfile")
-    else joined.drop("__file", "__pos", "__nfile")
+      filtered.withColumn("__file", col("__nfile")).drop("__nfile")
+    else filtered.drop("__file", "__pos", "__nfile")
   }
 
   /** Replay the log to `versionAsOf` (default latest) and return the
