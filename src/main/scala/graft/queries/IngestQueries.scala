@@ -417,7 +417,10 @@ object IngestQueries {
     val t = tmp("graft_delta_cm")
     val docs = Tables.load(s, dir, "documents")
       .select("doc_id", "lang", "text")
-    stageOne(docs.filter(col("lang") =!= "en")
+    // coalesce(1): stageOne moves exactly ONE part file — without it
+    // a big-SF slice writes several parts and the fixture silently
+    // truncates (caught by the sf10 gate)
+    stageOne(docs.filter(col("lang") =!= "en").coalesce(1)
       .toDF("col-9f1", "col-9f2", "col-9f3"), t, "part-rest.parquet")
     def cm(f: StructField, phys: String, id: Long): StructField =
       f.copy(metadata = new MetadataBuilder()
