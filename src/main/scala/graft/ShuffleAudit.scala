@@ -193,7 +193,11 @@ object ShuffleAudit {
     // of the qualifying files (repartition exchange = the rewrite
     // bytes), final snapshot — the ratio is a small constant of the
     // table, dominated by the rewrite, never quadratic in versions
-    "q207_delta_compact" -> Seq("orders"))
+    "q207_delta_compact" -> Seq("orders"),
+    // CDF: the q205 DML cycle + per-commit change-file staging and the
+    // pruned change read — O(rows changed), the q205 band plus the cdc
+    // write/read pass
+    "q209_delta_cdf" -> Seq("orders"))
 
   private final class Tally extends SparkListener {
     private val lock = new Object

@@ -69,8 +69,14 @@ object DeltaLakeDml {
       condition: String): DmlResult = {
     val st = gated(spark, tablePath)
     val t = DeltaLakeRead.snapshotMeta(spark, tablePath)
-    mutate(spark, tablePath, st, t, expr(condition), None)
+    val cond = expr(condition)
+    val cdc = t.filter(cond).select(logicalCols(st): _*)
+      .withColumn(DeltaLakeCdf.ChangeTypeCol, lit("delete"))
+    mutate(spark, tablePath, st, t, cond, None, cdcRows = Some(cdc))
   }
+
+  private def logicalCols(st: DeltaLakeRead.Snapshot) =
+    st.schema.fieldNames.toSeq.map(c => col(DeltaLakeRead.quoted(c)))
 
   /** UPDATE table SET col = sqlExpr, ... WHERE `condition`. Matched
     * rows are DV-deleted and re-landed in new files with the
@@ -90,7 +96,12 @@ object DeltaLakeDml {
           .as(f.name))
         .getOrElse(col(DeltaLakeRead.quoted(f.name)))
     }: _*)
-    mutate(spark, tablePath, st, t, cond, Some(rewritten))
+    val cdc = t.filter(cond).select(logicalCols(st): _*)
+      .withColumn(DeltaLakeCdf.ChangeTypeCol, lit("update_preimage"))
+      .unionByName(rewritten.withColumn(DeltaLakeCdf.ChangeTypeCol,
+        lit("update_postimage")))
+    mutate(spark, tablePath, st, t, cond, Some(rewritten),
+      cdcRows = Some(cdc))
   }
 
   /** MERGE-style upsert: WHEN MATCHED on `keys` UPDATE ALL, WHEN NOT
@@ -132,8 +143,18 @@ object DeltaLakeDml {
     val narrow = t.select((keys.map(c => col(DeltaLakeRead.quoted(c))) ++
       Seq(col("__file"), col("__pos"))): _*)
     val joined = narrow.join(srcKeys, keys, "left")
+    val srcKeyOnly = srcKeys.drop("__matched")
+    val tKeys = t.select(keys.map(c =>
+      col(DeltaLakeRead.quoted(c))): _*).distinct()
+    val cdc = t.join(srcKeyOnly, keys, "left_semi")
+      .select(logicalCols(st): _*)
+      .withColumn(DeltaLakeCdf.ChangeTypeCol, lit("update_preimage"))
+      .unionByName(newRows.join(tKeys, keys, "left_semi")
+        .withColumn(DeltaLakeCdf.ChangeTypeCol, lit("update_postimage")))
+      .unionByName(newRows.join(tKeys, keys, "left_anti")
+        .withColumn(DeltaLakeCdf.ChangeTypeCol, lit("insert")))
     mutate(spark, tablePath, st, joined, col("__matched") === 1,
-      Some(newRows), forceInsert = true)
+      Some(newRows), forceInsert = true, cdcRows = Some(cdc))
   }
 
   private def gated(spark: SparkSession,
@@ -168,7 +189,8 @@ object DeltaLakeDml {
   private def mutate(spark: SparkSession, tablePath: String,
       st: DeltaLakeRead.Snapshot, withCond: DataFrame,
       cond: org.apache.spark.sql.Column, newRows: Option[DataFrame],
-      forceInsert: Boolean = false): DmlResult = {
+      forceInsert: Boolean = false,
+      cdcRows: Option[DataFrame] = None): DmlResult = {
     import spark.implicits._
     val rootAbs = new File(tablePath).getAbsolutePath
 
@@ -219,6 +241,22 @@ object DeltaLakeDml {
     if (written.isEmpty && staged.isEmpty)
       return DmlResult(st.version, 0L, 0L, 0)
 
+    // change data feed: when the table asks for it, the SAME commit
+    // must carry the changed rows as _change_data files + cdc actions
+    // (authoritative for CDF readers; delta-spark's table_changes and
+    // [[DeltaLakeCdf.changes]] both consume them)
+    val physParts = st.partitionColumns.map(c =>
+      DeltaLakeRead.physFieldName(st.schema(c)))
+    val cdcStaged =
+      if (st.config.get("delta.enableChangeDataFeed").contains("true")) {
+        val rows = cdcRows.getOrElse(throw new IllegalStateException(
+          "CDF is enabled but this mutation built no change rows"))
+        DeltaLakeWrite.stageData(
+          DeltaLakeWrite.toPhysical(rows, st,
+            passthrough = Seq(DeltaLakeCdf.ChangeTypeCol)),
+          new File(tablePath), physParts, destPrefix = "_change_data/")
+      } else Nil
+
     val now = System.currentTimeMillis()
     val anyDv = written.exists(_._2.nonEmpty)
     val needsUpgrade = anyDv && (st.minReader < 3 || st.minWriter < 7 ||
@@ -255,8 +293,12 @@ object DeltaLakeDml {
       DeltaLakeWrite.addJson(s.rel,
         s.pv.map { case (k, v) => k -> Some(v) }, s.size, now,
         dataChange = true, dv = None))
+    val cdcLines = cdcStaged.map(s =>
+      DeltaLakeWrite.cdcJson(s.rel,
+        s.pv.map { case (k, v) => k -> Some(v) }, s.size))
 
-    val body = (protoLine.toSeq ++ metaLine.toSeq ++ fileLines ++ addLines)
+    val body = (protoLine.toSeq ++ metaLine.toSeq ++ fileLines ++
+      addLines ++ cdcLines)
       .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val log = new File(new File(tablePath), "_delta_log")
     val version = DeltaLakeWrite.commitSlot(log, body)

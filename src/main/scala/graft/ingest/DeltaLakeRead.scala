@@ -697,9 +697,63 @@ object DeltaLakeRead {
   private[ingest] def decode(p: String): String =
     java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
 
+  /** Read `(relPath, partitionValues)` files of table `root` against
+    * `st`'s schema — partition columns attached from the action's
+    * partitionValues (physical-keyed under column mapping), logical
+    * names restored, column mapping name/id handled like [[snapshot]].
+    * `extras` are passthrough STRING columns stored in the files
+    * themselves (e.g. `_change_type` in change-data files — exempt
+    * from column mapping per the protocol). The per-partition-value
+    * union shape: right for bounded file lists (CDC reads one
+    * commit's files at a time), not for full-table scans. */
+  private[ingest] def readLogical(spark: SparkSession, root: String,
+      st: Snapshot, files: Seq[(String, Map[String, Option[String]])],
+      extras: Seq[String] = Nil): DataFrame = {
+    val cmMode = st.config.getOrElse("delta.columnMapping.mode", "none")
+    val cm = cmMode != "none"
+    if (cmMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    def physName(f: StructField): String =
+      if (cm) physFieldName(f) else f.name
+    val fieldMeta: StructField => Metadata =
+      if (cmMode == "id") { f =>
+        new MetadataBuilder()
+          .putLong(ParquetFieldIdKey, f.metadata.getLong(FieldIdKey))
+          .build()
+      } else _ => Metadata.empty
+    def physicalize(dt: DataType): DataType =
+      if (cm) physicalizeType(dt, fieldMeta) else stripType(dt)
+    val partFields = st.partitionColumns.map(c => st.schema(c))
+    val dataFields = st.schema.fields
+      .filterNot(f => partFields.exists(_.name == f.name))
+      .map(f => StructField(physName(f), physicalize(f.dataType),
+        f.nullable, fieldMeta(f)))
+    val extraFields = extras.map(e =>
+      StructField(e, org.apache.spark.sql.types.StringType))
+    val readSchema = StructType(dataFields ++ extraFields)
+    val out = st.schema.fields.toSeq.map(f =>
+      col(quoted(physName(f))).cast(stripType(f.dataType)).as(f.name)) ++
+      extras.map(e => col(quoted(e)))
+    files.groupBy(_._2).map { case (pv, fs) =>
+      val base = spark.read.schema(readSchema)
+        .parquet(fs.map(f => s"$root/${f._1}"): _*)
+      partFields.foldLeft(base) { (df, f) =>
+        val t = stripType(f.dataType)
+        val v = pv.get(physName(f)).orElse(pv.get(f.name)).flatten
+        df.withColumn(physName(f),
+          v.map(s => lit(s).cast(t)).getOrElse(lit(null).cast(t)))
+      }.select(out: _*)
+    }.reduceOption(_ unionByName _).getOrElse {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(st.schema.fields.map(f =>
+          StructField(f.name, stripType(f.dataType), f.nullable)) ++
+          extraFields))
+    }
+  }
+
   /** (commit version → file, classic checkpoint version → part files,
     * v2 checkpoint version → file). */
-  private def listLog(tablePath: String)
+  private[ingest] def listLog(tablePath: String)
       : (Map[Long, File], Map[Long, Seq[File]], Map[Long, File]) = {
     val dir = new File(tablePath, "_delta_log")
     require(dir.isDirectory, s"$dir does not exist — not a Delta table")

@@ -63,7 +63,8 @@ object DeltaLakeWrite {
     * feature obliges writers to emit V2 checkpoints, which this
     * writer does not — the table stays valid, just un-compacted). */
   def append(df: DataFrame, tablePath: String,
-      partitionBy: Seq[String] = Nil, checkpointInterval: Int = 10): Long = {
+      partitionBy: Seq[String] = Nil, checkpointInterval: Int = 10,
+      tableConfig: Map[String, String] = Map.empty): Long = {
     val root = new File(tablePath)
     val log = new File(root, "_delta_log")
     log.mkdirs()
@@ -102,7 +103,7 @@ object DeltaLakeWrite {
     val headerLines = if (creating) {
       val proto = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       Seq(proto, metaDataJson(java.util.UUID.randomUUID().toString,
-        df.schema.json, partitionBy, Map.empty, Some(now)))
+        df.schema.json, partitionBy, tableConfig, Some(now)))
     } else Nil
     val body = (headerLines ++ addLines).mkString("\n")
       .getBytes(StandardCharsets.UTF_8)
@@ -172,7 +173,8 @@ object DeltaLakeWrite {
     * PHYSICAL names when it is column-mapped — what actually lands in
     * parquet under `name` mode. Identity for unmapped tables. */
   private[ingest] def toPhysical(df: DataFrame,
-      st: DeltaLakeRead.Snapshot): DataFrame = {
+      st: DeltaLakeRead.Snapshot,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val cm = st.config.getOrElse("delta.columnMapping.mode", "none")
     if (cm == "none") df
     else df.select(st.schema.fields.toSeq.map { f =>
@@ -180,7 +182,7 @@ object DeltaLakeWrite {
         _ => org.apache.spark.sql.types.Metadata.empty)
       col(DeltaLakeRead.quoted(f.name)).cast(physType)
         .as(DeltaLakeRead.physFieldName(f))
-    }: _*)
+    } ++ passthrough.map(c => col(DeltaLakeRead.quoted(c))): _*)
   }
 
   /** Stage `df` as parquet under a dot-dir inside `root` (Delta
@@ -189,7 +191,7 @@ object DeltaLakeWrite {
     * phantom rows), then MOVE each part file into place. Returns the
     * landed files with their partition values. */
   private[ingest] def stageData(df: DataFrame, root: File,
-      partitionBy: Seq[String]): Seq[Staged] = {
+      partitionBy: Seq[String], destPrefix: String = ""): Seq[Staged] = {
     val stage = new File(root, s".stage-${java.util.UUID.randomUUID()}")
     df.write.partitionBy(partitionBy: _*).parquet(stage.getPath)
     def walk(dir: File, relDir: String,
@@ -203,7 +205,7 @@ object DeltaLakeWrite {
           walk(d, s"$relDir${d.getName}/", pv + (k -> v))
         case f if f.getName.startsWith("part-") &&
             f.getName.endsWith(".parquet") =>
-          val rel = s"$relDir${f.getName}"
+          val rel = s"$destPrefix$relDir${f.getName}"
           val dest = new File(root, rel)
           dest.getParentFile.mkdirs()
           Files.move(f.toPath, dest.toPath,
@@ -269,6 +271,18 @@ object DeltaLakeWrite {
     a.put("modificationTime", modTime)
     a.put("dataChange", dataChange)
     dv.foreach(dvNode(a, _))
+    om.writeValueAsString(n)
+  }
+
+  private[ingest] def cdcJson(rawPath: String,
+      pv: Map[String, Option[String]], size: Long): String = {
+    val n = om.createObjectNode(); val c = n.putObject("cdc")
+    c.put("path", rawPath)
+    val p = c.putObject("partitionValues")
+    pv.foreach { case (k, v) =>
+      v.fold { p.putNull(k); () } { s => p.put(k, s); () } }
+    c.put("size", size)
+    c.put("dataChange", false)
     om.writeValueAsString(n)
   }
 

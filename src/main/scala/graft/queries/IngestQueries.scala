@@ -540,9 +540,54 @@ object IngestQueries {
     graft.ingest.DeltaLakeRead.appendsSince(s, t, 1L)
   }
 
+  /** Delta Lake interop (change data feed): q205's DML cycle on a
+    * table created with `delta.enableChangeDataFeed=true` — the DML
+    * commits now ALSO land `_change_data/` parquet + cdc actions, and
+    * [[graft.ingest.DeltaLakeCdf.changes]] reads the row-level diff
+    * back: the DELETE's victims, the upsert's pre/postimage pairs,
+    * and its inserts, each stamped with its commit version. The
+    * oracle reconstructs the exact change set from the source table,
+    * so the cdc staging, the authoritative-cdc reconciliation rule,
+    * and the typed change rows are all hash-gated. */
+  val qDeltaCdf: QueryDef = QueryDef(
+    "q209_delta_cdf",
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+      |  'delete' AS change_type, CAST(1 AS BIGINT) AS commit_version
+      |FROM orders WHERE o_orderkey % 10 = 3
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, round(o_totalprice, 2),
+      |  'update_preimage', CAST(2 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 10 = 4
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, round(o_totalprice + 1000, 2),
+      |  'update_postimage', CAST(2 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 10 = 4
+      |UNION ALL
+      |SELECT o_orderkey + 1000000000, o_custkey, round(o_totalprice, 2),
+      |  'insert', CAST(2 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 10 = 5""".stripMargin) { (s, dir) =>
+    val t = tmp("graft_delta_cdf")
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    graft.ingest.DeltaLakeWrite.append(orders, t,
+      tableConfig = Map("delta.enableChangeDataFeed" -> "true"))
+    graft.ingest.DeltaLakeDml.delete(s, t, "o_orderkey % 10 = 3")
+    val src = orders.filter(col("o_orderkey") % 10 === 4)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .unionByName(orders.filter(col("o_orderkey") % 10 === 5)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+    graft.ingest.DeltaLakeDml.upsert(s, t, src, Seq("o_orderkey"))
+    graft.ingest.DeltaLakeCdf.changes(s, t, 1L)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col(graft.ingest.DeltaLakeCdf.ChangeTypeCol).as("change_type"),
+        col(graft.ingest.DeltaLakeCdf.CommitVersionCol)
+          .as("commit_version"))
+  }
+
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonRoundtrip, qJsonMultiline,
     qBinaryFiles, qIncremental, qScd2, qOrcRoundtrip, qTextSource, qCdcApply,
     qQuarantine, qPartitionOverwrite, qDeltaSnapshot, qDeltaWriteRead,
     qDeltaDv, qDeltaCheckpoint, qDeltaColumnMapping, qDeltaDml,
-    qDeltaCompact, qDeltaAppendsSince)
+    qDeltaCompact, qDeltaAppendsSince, qDeltaCdf)
 }
