@@ -193,18 +193,35 @@ object DeltaLakeRead {
 
   /** Resolve a timestamp to a version — the newest commit whose
     * timestamp is ≤ `ts` (delta's timestampAsOf rule). Commit time is
-    * the log file's modification time, exactly what delta-spark uses
-    * for tables without the inCommitTimestamp feature (and why both
-    * engines document it as only as reliable as the filesystem
-    * clock). */
+    * `commitInfo.inCommitTimestamp` when the commit carries one (the
+    * protocol's monotonic in-log clock — per its spec the commitInfo
+    * action is the FIRST line of such commits, so only one line is
+    * read), falling back to the log file's modification time — what
+    * delta-spark uses for tables without the feature (and why both
+    * engines document mtime resolution as only as reliable as the
+    * filesystem clock). */
   def versionAtTimestamp(tablePath: String, ts: Long): Long = {
     val (commits, _, _) = listLog(tablePath)
     require(commits.nonEmpty,
       s"$tablePath/_delta_log holds no commits — not a Delta table")
-    commits.toSeq.filter(_._2.lastModified() <= ts).map(_._1)
+    def commitTime(f: File): Long = {
+      val ict =
+        scala.util.Using(java.nio.file.Files.newBufferedReader(f.toPath,
+            StandardCharsets.UTF_8)) { r =>
+          Option(r.readLine()).flatMap { line =>
+            val n = mapper.readTree(line)
+            Option(n.get("commitInfo")).filterNot(_.isNull)
+              .flatMap(ci => Option(ci.get("inCommitTimestamp"))
+                .filterNot(_.isNull).map(_.asLong()))
+          }
+        }.toOption.flatten
+      ict.getOrElse(f.lastModified())
+    }
+    val times = commits.toSeq.map { case (v, f) => (v, commitTime(f)) }
+    times.filter(_._2 <= ts).map(_._1)
       .maxOption.getOrElse(throw new IllegalArgumentException(
         s"no commit at or before timestamp $ts (earliest commit is " +
-        s"${commits.toSeq.map(_._2.lastModified()).min})"))
+        s"${times.map(_._2).min})"))
   }
 
   /** Rows APPENDED strictly after `sinceVersion` — the incremental-

@@ -157,4 +157,25 @@ class DeltaMaintainSpec extends AnyFunSuite {
     assert(DeltaLakeRead.snapshot(spark, t, Some(v))
       .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
+
+  test("versionAtTimestamp prefers commitInfo.inCommitTimestamp over " +
+      "file mtime when a commit carries one (the ICT monotonic clock)") {
+    val t = newTable()
+    DeltaLakeWrite.append(Seq((1L, "a")).toDF("id", "v"), t)
+    val log = new java.io.File(t, "_delta_log")
+    // hand-commit v1 whose FIRST line is commitInfo with an ICT far in
+    // the future, while its file mtime is set far in the past — the
+    // resolver must believe the in-log clock, not the filesystem
+    Files.write(new java.io.File(log, f"${1L}%020d.json").toPath,
+      (Seq("""{"commitInfo":{"inCommitTimestamp":900000000000000}}""",
+        """{"txn":{"appId":"x","version":1}}""")
+        .mkString("\n")).getBytes("UTF-8"))
+    assert(new java.io.File(log, f"${0L}%020d.json")
+      .setLastModified(500000L))
+    assert(new java.io.File(log, f"${1L}%020d.json")
+      .setLastModified(600000L))
+    assert(DeltaLakeRead.versionAtTimestamp(t, 700000L) === 0L,
+      "v1's ICT is in the future — mtime must not be consulted")
+    assert(DeltaLakeRead.versionAtTimestamp(t, 900000000000001L) === 1L)
+  }
 }
