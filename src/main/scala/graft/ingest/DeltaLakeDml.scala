@@ -109,7 +109,11 @@ object DeltaLakeDml {
     * (alphavantage/bronze2_to_silver.py:142-152). `source` must carry
     * the table's full logical column set; its keys must be unique
     * (two source rows hitting one target row has no deterministic
-    * outcome — rejected, as delta-spark does). */
+    * outcome — rejected, as delta-spark does). Duplicate keys on the
+    * TARGET side are legal and follow delta-spark's UPDATE ALL
+    * semantics: every matched target row is updated, so a source key
+    * matching n target rows DV-deletes n rows and lands n postimage
+    * copies — the table's row count is preserved, not shrunk. */
   def upsert(spark: SparkSession, tablePath: String, source: DataFrame,
       keys: Seq[String]): DmlResult = {
     val st = gated(spark, tablePath)
@@ -144,17 +148,27 @@ object DeltaLakeDml {
       Seq(col("__file"), col("__pos"))): _*)
     val joined = narrow.join(srcKeys, keys, "left")
     val srcKeyOnly = srcKeys.drop("__matched")
-    val tKeys = t.select(keys.map(c =>
-      col(DeltaLakeRead.quoted(c))): _*).distinct()
+    // per-key target multiplicity: a source key matching n target
+    // rows must land n postimage copies (all n were DV-deleted) —
+    // collapsing to one would shrink the table vs delta-spark MERGE.
+    // One shuffle keyed by `keys`, same as the match join above.
+    val tKeyCounts = t.groupBy(keys.map(c =>
+        col(DeltaLakeRead.quoted(c))): _*)
+      .agg(count(lit(1)).as("__tn"))
+    val matchedRepl = newRows.join(tKeyCounts, keys, "inner")
+      .withColumn("__i", explode(sequence(lit(1L), col("__tn"))))
+      .select(logicalCols(st): _*)
+    val freshIns = newRows.join(tKeyCounts, keys, "left_anti")
+    val replacement = matchedRepl.unionByName(freshIns)
     val cdc = t.join(srcKeyOnly, keys, "left_semi")
       .select(logicalCols(st): _*)
       .withColumn(DeltaLakeCdf.ChangeTypeCol, lit("update_preimage"))
-      .unionByName(newRows.join(tKeys, keys, "left_semi")
+      .unionByName(matchedRepl
         .withColumn(DeltaLakeCdf.ChangeTypeCol, lit("update_postimage")))
-      .unionByName(newRows.join(tKeys, keys, "left_anti")
+      .unionByName(freshIns
         .withColumn(DeltaLakeCdf.ChangeTypeCol, lit("insert")))
     mutate(spark, tablePath, st, joined, col("__matched") === 1,
-      Some(newRows), forceInsert = true, cdcRows = Some(cdc))
+      Some(replacement), forceInsert = true, cdcRows = Some(cdc))
   }
 
   private def gated(spark: SparkSession,
@@ -262,12 +276,18 @@ object DeltaLakeDml {
     val needsUpgrade = anyDv && (st.minReader < 3 || st.minWriter < 7 ||
       !st.readerFeatures.contains("deletionVectors") ||
       !st.writerFeatures.contains("deletionVectors"))
+    // legacy-implied features are carried forward ONLY when actually
+    // crossing from a legacy version to the table-features protocol;
+    // a table already on (3, 7) declared exactly the features it
+    // uses, and re-implying the legacy sets would permanently oblige
+    // every future reader/writer to support features the table never
+    // had (PROTOCOL.md § Table Features upgrade rule)
     val protoLine = Option.when(needsUpgrade)(
       DeltaLakeWrite.protocolJson(math.max(3, st.minReader), 7,
-        impliedReader(st.minReader) ++ st.readerFeatures :+
-          "deletionVectors",
-        impliedWriter(st.minWriter) ++ st.writerFeatures :+
-          "deletionVectors"))
+        (if (st.minReader < 3) impliedReader(st.minReader) else Nil) ++
+          st.readerFeatures :+ "deletionVectors",
+        (if (st.minWriter < 7) impliedWriter(st.minWriter) else Nil) ++
+          st.writerFeatures :+ "deletionVectors"))
     val metaLine = Option.when(anyDv &&
         !st.config.get("delta.enableDeletionVectors").contains("true"))(
       DeltaLakeWrite.metaDataJson(st.metaId, st.schema.json,

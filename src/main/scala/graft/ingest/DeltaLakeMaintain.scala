@@ -122,9 +122,25 @@ object DeltaLakeMaintain {
           d.storageType == "p")
         .map(d => DeletionVectors.resolvePath(root, d).getAbsolutePath)
     ).toSet
+    // a tombstone ages BOTH its data file and its deletion-vector
+    // .bin by the tombstone's deletionTimestamp — a DV superseded by
+    // a DML update an hour ago must survive the retention window
+    // (versionAsOf / concurrent readers of the pre-update snapshot
+    // still resolve it), and its file mtime is its CREATION time, so
+    // aging by mtime would delete a long-lived DV immediately. Two
+    // tombstones can share one DV path (same file updated twice in
+    // the window) — the newest deletion wins, the conservative age.
     val tombTime: Map[String, Long] = st.tombstones
-      .flatMap(t => t.deletionTimestamp.map(ts =>
-        s"$rootAbs/${t.path}" -> ts)).toMap
+      .flatMap { t =>
+        t.deletionTimestamp.toSeq.flatMap { ts =>
+          (s"$rootAbs/${t.path}" -> ts) +:
+            t.dv.filter(d => d.storageType == "u" ||
+                d.storageType == "p")
+              .map(d => DeletionVectors.resolvePath(root, d)
+                .getAbsolutePath -> ts).toSeq
+        }
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
     def walk(dir: File): Seq[File] =
       Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
         case d if d.isDirectory && d.getName == "_delta_log" => Nil

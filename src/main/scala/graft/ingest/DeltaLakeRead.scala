@@ -235,8 +235,14 @@ object DeltaLakeRead {
     * rewritten, and pretending the adds are "the changes" would
     * silently miss them — rejected loudly (resync with a full
     * [[snapshot]], or use a table with change data feed for row-level
-    * diffs). One replay + one pruned multi-file read; cost is
-    * O(files added in range), never O(table). */
+    * diffs). Actions with dataChange=false are SKIPPED, not rejected:
+    * that is the protocol's OPTIMIZE convention ([[DeltaLakeMaintain
+    * .compact]] emits them) — the commit rearranges bytes without
+    * changing logical content, so it is a no-op for an appends
+    * consumer, and rejecting it would permanently break every
+    * watermark-based reader of a compacted table. One replay + one
+    * pruned multi-file read; cost is O(files added in range), never
+    * O(table). */
   def appendsSince(spark: SparkSession, tablePath: String,
       sinceVersion: Long): DataFrame = {
     val (commits, checkpoints, v2cps) = listLog(tablePath)
@@ -254,20 +260,37 @@ object DeltaLakeRead {
         .filter(_.nonEmpty).foreach { line =>
           val n = mapper.readTree(line)
           def node(k: String) = Option(n.get(k)).filterNot(_.isNull)
-          node("remove").foreach { _ =>
-            throw new IllegalArgumentException(
-              s"commit $v is not a pure append (remove action present) — " +
-              "rows were deleted or rewritten in the range; appendsSince " +
-              "cannot represent that as appended rows. Resync with " +
-              "snapshot().")
+          def dataChange(a: com.fasterxml.jackson.databind.JsonNode) =
+            Option(a.get("dataChange")).filterNot(_.isNull)
+              .forall(_.asBoolean(true))
+          node("remove").foreach { r =>
+            if (dataChange(r))
+              throw new IllegalArgumentException(
+                s"commit $v is not a pure append (remove action with " +
+                "dataChange=true) — rows were deleted or rewritten in " +
+                "the range; appendsSince cannot represent that as " +
+                "appended rows. Resync with snapshot().")
+            // an OPTIMIZE that swallows a file APPENDED IN THE RANGE
+            // re-lands its rows mixed into files holding pre-range
+            // rows — the path-filtered snapshot read can no longer
+            // separate them. Compaction of pre-range files only (the
+            // production shape) stays a clean skip.
+            val p = decode(r.get("path").asText())
+            if (added.contains(p))
+              throw new IllegalArgumentException(
+                s"commit $v compacted away file $p that was appended " +
+                s"after version $sinceVersion — its rows are now mixed " +
+                "with pre-range rows; resync with snapshot() or read " +
+                "appends before compacting them.")
           }
           node("add").foreach { a =>
-            require(
-              Option(a.get("deletionVector")).forall(_.isNull),
-              s"commit $v re-adds a file with a deletion vector — not a " +
-              "pure append; resync with snapshot()")
-            if (Option(a.get("dataChange")).forall(_.asBoolean(true)))
+            if (dataChange(a)) {
+              require(
+                Option(a.get("deletionVector")).forall(_.isNull),
+                s"commit $v re-adds a file with a deletion vector — not " +
+                "a pure append; resync with snapshot()")
               added += decode(a.get("path").asText())
+            }
             ()
           }
         }
@@ -769,7 +792,19 @@ object DeltaLakeRead {
   }
 
   /** (commit version → file, classic checkpoint version → part files,
-    * v2 checkpoint version → file). */
+    * v2 checkpoint version → file).
+    *
+    * Multi-part checkpoints are only usable COMPLETE: the filename
+    * encodes part-N-of-M (`%020d.checkpoint.%010d.%010d.parquet`),
+    * and a crashed writer (parts move into `_delta_log` one at a
+    * time) or interrupted copy leaves a partial set whose replay
+    * would silently drop every add action in the missing parts.
+    * delta-spark's rule: require all M parts with one consistent M;
+    * otherwise the version is dropped here so [[state]] falls back
+    * to an older complete checkpoint or pure commit replay. A classic
+    * single-file checkpoint at the same version is complete on its
+    * own and wins over a part set (never unioned — that would
+    * double-count actions). */
   private[ingest] def listLog(tablePath: String)
       : (Map[Long, File], Map[Long, Seq[File]], Map[Long, File]) = {
     val dir = new File(tablePath, "_delta_log")
@@ -777,20 +812,33 @@ object DeltaLakeRead {
     val files = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
     val commit = "([0-9]{20})\\.json".r
     val cpClassic = "([0-9]{20})\\.checkpoint\\.parquet".r
-    val cpPart = "([0-9]{20})\\.checkpoint\\.[0-9]+\\.[0-9]+\\.parquet".r
+    val cpPart =
+      "([0-9]{20})\\.checkpoint\\.([0-9]+)\\.([0-9]+)\\.parquet".r
     val cpV2 =
       "([0-9]{20})\\.checkpoint\\.[-a-zA-Z0-9]+\\.(json|parquet)".r
     val commits = files.flatMap(f => f.getName match {
       case commit(v) => Some(v.toLong -> f)
       case _ => None
     }).toMap
-    val checkpoints = files.flatMap(f => f.getName match {
+    val singles = files.flatMap(f => f.getName match {
       case cpClassic(v) => Some(v.toLong -> f)
-      case cpPart(v) => Some(v.toLong -> f)
       case _ => None
-    }).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    }).toMap
+    val partSets = files.flatMap(f => f.getName match {
+      case cpPart(v, n, m) => Some((v.toLong, n.toInt, m.toInt, f))
+      case _ => None
+    }).groupBy(_._1).flatMap { case (v, ps) =>
+      val totals = ps.map(_._3).distinct
+      val complete = totals.sizeIs == 1 &&
+        ps.map(_._2).toSet == (1 to totals.head).toSet
+      // part 1 sorts first so protocol/metaData replay before file
+      // actions, matching the writer's layout
+      if (complete) Some(v -> ps.sortBy(_._2).map(_._4)) else None
+    }
+    val checkpoints = (partSets ++
+      singles.view.mapValues(Seq(_))).toMap
     val v2 = files.flatMap(f => f.getName match {
-      case cpClassic(_) | cpPart(_) => None
+      case cpClassic(_) | cpPart(_, _, _) => None
       case cpV2(v, _) => Some(v.toLong -> f)
       case _ => None
     }).toMap

@@ -190,6 +190,45 @@ class DeltaDmlSpec extends AnyFunSuite {
       .toSeq === Seq(4L, 103L))
   }
 
+  test("upsert on duplicate TARGET keys follows MERGE UPDATE ALL: " +
+      "every matched target row lands a postimage copy, count kept") {
+    val t = newTable()
+    DeltaLakeWrite.append(Seq((1L, "a", 10L), (2L, "b", 20L),
+      (2L, "b2", 21L), (3L, "c", 30L)).toDF("id", "v", "amt"), t)
+    val src = Seq((2L, "U", 200L), (9L, "N", 900L))
+      .toDF("id", "v", "amt")
+    val r = DeltaLakeDml.upsert(spark, t, src, Seq("id"))
+    // both id=2 target rows DV-deleted, BOTH replaced (not collapsed)
+    assert(r.rowsDeleted === 2L)
+    assert(r.rowsInserted === 3L) // 2 postimages for id=2 + 1 insert
+    val got = DeltaLakeRead.snapshot(spark, t)
+      .as[(Long, String, Long)].collect().sortBy(x => (x._1, x._2)).toSeq
+    assert(got === Seq((1L, "a", 10L), (2L, "U", 200L), (2L, "U", 200L),
+      (3L, "c", 30L), (9L, "N", 900L)))
+  }
+
+  test("protocol upgrade on a table ALREADY at table-features does " +
+      "not re-imply legacy feature sets, only adds deletionVectors") {
+    val t = newTable()
+    DeltaLakeWrite.append((0L until 4L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartition(1), t)
+    // hand-commit v1: the table moves to minWriter=7 declaring ONLY
+    // invariants — the features it actually uses
+    val log = new java.io.File(t, "_delta_log")
+    Files.write(new java.io.File(log, f"${1L}%020d.json").toPath,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["invariants"]}}"""
+        .getBytes("UTF-8"))
+    DeltaLakeDml.delete(spark, t, "id = 0")
+    val st = DeltaLakeRead.state(spark, t)
+    assert(st.minReader === 3 && st.minWriter === 7)
+    assert(st.writerFeatures.toSet ===
+      Set("invariants", "deletionVectors"),
+      "legacy-implied features (checkConstraints, columnMapping, ...) " +
+      "must NOT appear — the table never declared them")
+    assert(st.readerFeatures.toSet === Set("deletionVectors"))
+    assert(ids(t) === Seq(1L, 2L, 3L))
+  }
+
   test("appendOnly tables refuse DML") {
     val t = newTable()
     DeltaLakeWrite.append(Seq((1L, "a")).toDF("id", "v"), t)

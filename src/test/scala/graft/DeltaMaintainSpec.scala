@@ -105,6 +105,74 @@ class DeltaMaintainSpec extends AnyFunSuite {
       "week-default retention must keep fresh tombstones")
   }
 
+  test("vacuum ages a SUPERSEDED deletion vector by its tombstone's " +
+      "deletionTimestamp, not file mtime — pre-update time travel " +
+      "survives the retention window") {
+    val t = newTable()
+    DeltaLakeWrite.append((0L until 10L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartition(1), t)
+    DeltaLakeDml.delete(spark, t, "id = 1") // v1: DV1
+    def bins(): Set[java.io.File] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+          case x if x.isDirectory && x.getName == "_delta_log" => Nil
+          case x if x.isDirectory => walk(x)
+          case f if f.getName.endsWith(".bin") => Seq(f)
+          case _ => Nil
+        }
+      walk(new java.io.File(t)).toSet
+    }
+    val dv1 = bins()
+    assert(dv1.size === 1)
+    DeltaLakeDml.delete(spark, t, "id = 3") // v2: DV2 supersedes DV1
+    assert(bins().size === 2)
+    // a long-lived DV replaced JUST NOW: its mtime (= creation time)
+    // is ancient, but the tombstone that retired it is fresh
+    assert(dv1.head.setLastModified(
+      System.currentTimeMillis() - 10L * 3600 * 1000))
+    val listed = DeltaLakeMaintain.vacuum(spark, t,
+      retentionMs = Some(3600 * 1000L), dryRun = true)
+    assert(!listed.exists(_.endsWith(dv1.head.getName)),
+      "the superseded DV is inside the tombstone retention window")
+    DeltaLakeMaintain.vacuum(spark, t, retentionMs = Some(3600 * 1000L))
+    // pre-update snapshot still resolves its DV
+    assert(DeltaLakeRead.snapshot(spark, t, Some(1L))
+      .select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 10L).filterNot(_ == 1L))
+    // past retention it IS collected
+    Thread.sleep(20)
+    val gone = DeltaLakeMaintain.vacuum(spark, t, retentionMs = Some(0L))
+    assert(gone.exists(_.endsWith(dv1.head.getName)))
+    assert(ids(t) === (0L until 10L).filterNot(i => i == 1L || i == 3L))
+  }
+
+  test("appendsSince SKIPS dataChange=false compaction commits for " +
+      "pre-range files, but is loud when compaction swallowed an " +
+      "in-range append") {
+    val t = newTable()
+    DeltaLakeWrite.append((0L until 5L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartition(1), t) // v0
+    DeltaLakeWrite.append((5L until 10L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartition(1), t) // v1
+    val c = DeltaLakeMaintain.compact(spark, t) // v2, dataChange=false
+    assert(c.version === 2L && c.filesRemoved === 2)
+    DeltaLakeWrite.append((10L until 15L).map(i => (i, s"v$i"))
+      .toDF("id", "v"), t) // v3
+    // the OPTIMIZE commit is a logical no-op for an appends consumer
+    assert(DeltaLakeRead.appendsSince(spark, t, 1L)
+      .select("id").as[Long].collect().sorted.toSeq ===
+      (10L until 15L).toSeq)
+    assert(DeltaLakeRead.appendsSince(spark, t, 2L)
+      .select("id").as[Long].collect().sorted.toSeq ===
+      (10L until 15L).toSeq)
+    // v1's file was compacted away INSIDE the range — its rows are
+    // now mixed with v0's; silence would be row loss
+    val e = intercept[IllegalArgumentException] {
+      DeltaLakeRead.appendsSince(spark, t, 0L)
+    }
+    assert(e.getMessage.contains("compacted away"))
+  }
+
   test("appendsSince returns exactly the rows of later pure-append " +
       "commits; DML in the range rejects; vacuumed range rejects") {
     val t = newTable()

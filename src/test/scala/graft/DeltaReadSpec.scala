@@ -225,6 +225,39 @@ class DeltaReadSpec extends AnyFunSuite {
     assert(DeltaLakeRead.state(spark, t.getPath).version === 3L)
   }
 
+  test("INCOMPLETE multi-part checkpoint is never replayed: missing " +
+      "part falls back to commit replay, and is loud when commits " +
+      "were vacuumed — silent row loss is not an option") {
+    val t = newTable()
+    (0 until 3).foreach { i =>
+      graft.ingest.DeltaLakeWrite.append(
+        Seq((i.toLong, s"v$i")).toDF("id", "v"), t.getPath)
+    }
+    graft.ingest.DeltaLakeWrite.checkpoint(spark, t.getPath, 2L,
+      parts = Some(2))
+    val log = new File(t, "_delta_log")
+    val partRx = ".*\\.checkpoint\\.\\d+\\.\\d+\\.parquet".r
+    val parts = log.listFiles()
+      .filter(f => partRx.matches(f.getName)).sortBy(_.getName)
+    assert(parts.length === 2)
+    // complete set seeds replay (sanity)
+    assert(DeltaLakeRead.snapshot(spark, t.getPath)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(0L, 1L, 2L))
+    // a crashed writer's partial set: part 2 of 2 missing — the
+    // checkpoint must be ignored, commit replay still yields all rows
+    Files.delete(parts.last.toPath)
+    assert(DeltaLakeRead.snapshot(spark, t.getPath)
+      .select("id").as[Long].collect().sorted.toSeq === Seq(0L, 1L, 2L))
+    assert(DeltaLakeRead.latestVersion(t.getPath) === 2L)
+    // commits vacuumed too → no complete seed exists; must throw,
+    // never replay the partial part as the full state
+    Files.delete(new File(log, f"${0L}%020d.json").toPath)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLakeRead.snapshot(spark, t.getPath).collect()
+    }
+    assert(e.getMessage.contains("missing"))
+  }
+
   test("unsupported protocol/table features are rejected loudly, " +
       "never misread") {
     def tableWith(lines: Seq[String]): String = {
