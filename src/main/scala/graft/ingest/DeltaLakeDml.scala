@@ -250,7 +250,10 @@ object DeltaLakeDml {
         DeltaLakeRead.physFieldName(st.schema(c)))
       DeltaLakeWrite.stageData(phys, new File(tablePath), physParts)
     }.getOrElse(Nil)
-    val rowsInserted = if (staged.isEmpty) 0L else inserting.get.count()
+    // footer row counts of the just-staged files — the source plan
+    // already ran once inside stageData; re-running it for a count
+    // was a full second scan per DML call
+    val rowsInserted = staged.map(_.rows).sum
 
     if (written.isEmpty && staged.isEmpty)
       return DmlResult(st.version, 0L, 0L, 0)

@@ -45,7 +45,7 @@ object DeltaLakeWrite {
   private val om = new ObjectMapper()
 
   private[ingest] final case class Staged(rel: String,
-      pv: Map[String, String], size: Long)
+      pv: Map[String, String], size: Long, rows: Long)
 
   /** Append `df` (creating the table at version 0 when absent).
     * Returns the committed version. Partition VALUES are restricted
@@ -210,12 +210,23 @@ object DeltaLakeWrite {
           dest.getParentFile.mkdirs()
           Files.move(f.toPath, dest.toPath,
             StandardCopyOption.ATOMIC_MOVE)
-          Seq(Staged(rel, pv, dest.length()))
+          Seq(Staged(rel, pv, dest.length(), footerRows(dest)))
         case _ => Nil
       }
     val staged = walk(stage, "", Map.empty)
     rmTree(stage)
     staged
+  }
+
+  /** Row count from the parquet footer — one metadata read, no scan.
+    * Lets DML report rowsInserted without re-running the source plan
+    * (the footer is authoritative: the file was just written). */
+  private def footerRows(f: File): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.getPath),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   /** Claim the next version slot in `log` for `body`: hard link =

@@ -229,6 +229,45 @@ class DeltaDmlSpec extends AnyFunSuite {
     assert(ids(t) === Seq(1L, 2L, 3L))
   }
 
+  test("DML runs the replacement-row plan ONCE: rowsInserted comes " +
+      "from staged parquet footers, not a second source scan") {
+    val t = newTable()
+    DeltaLakeWrite.append((0L until 100L).map(i => (i, i * 10L))
+      .toDF("id", "amt").repartition(1), t)
+    def countJobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        var prev = -1; var spins = 0
+        while (prev != n.get() && spins < 20) {
+          prev = n.get(); Thread.sleep(100); spins += 1
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    // an UPDATE is exactly three Spark jobs: the matched-position
+    // aggregation collect, the executor-side DV-write collect, and
+    // the staging write of the rewritten rows. The old
+    // `inserting.get.count()` re-ran the rewrite plan (snapshot scan
+    // + filter) as a FOURTH job per DML call — pin it gone.
+    val r = new java.util.concurrent.atomic.AtomicReference[
+      DeltaLakeDml.DmlResult]()
+    val jobs = countJobs {
+      r.set(DeltaLakeDml.update(spark, t, "id >= 90",
+        Map("amt" -> "amt + 1")))
+    }
+    assert(r.get().rowsDeleted === 10L && r.get().rowsInserted === 10L)
+    assert(jobs <= 3, s"UPDATE launched $jobs jobs — the rewrite plan " +
+      "must not run a second time for the insert count")
+  }
+
   test("appendOnly tables refuse DML") {
     val t = newTable()
     DeltaLakeWrite.append(Seq((1L, "a")).toDF("id", "v"), t)
