@@ -2,8 +2,9 @@ package graft.ingest
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, lit, struct, to_json}
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, Metadata, MetadataBuilder, StructField, StructType}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit, row_number, struct, to_json, udf, when}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, MapType, Metadata, MetadataBuilder, StringType, StructField, StructType}
 import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.Files
@@ -175,6 +176,75 @@ object DeltaLakeRead {
   private def dvUid(dv: Option[DeletionVectors.Descriptor]): String =
     dv.map(d => d.storageType + d.pathOrInlineDv +
       d.offset.map(o => s"@$o").getOrElse("")).getOrElse("")
+
+  /** Normalized file-action row for the distributed state path: one
+    * row per add/remove with just the fields [[Snapshot]] carries,
+    * ordered by (ver, idx) for latest-wins reconciliation. */
+  private[ingest] val FileActionSchema = StructType(Seq(
+    StructField("isAdd", BooleanType, nullable = false),
+    StructField("ver", LongType, nullable = false),
+    StructField("idx", LongType, nullable = false),
+    StructField("rawPath", StringType, nullable = false),
+    StructField("pv", MapType(StringType, StringType,
+      valueContainsNull = true), nullable = true),
+    StructField("size", LongType, nullable = true),
+    StructField("modTime", LongType, nullable = true),
+    StructField("delTs", LongType, nullable = true),
+    StructField("dvType", StringType, nullable = true),
+    StructField("dvPath", StringType, nullable = true),
+    StructField("dvOffset", IntegerType, nullable = true),
+    StructField("dvSize", IntegerType, nullable = true),
+    StructField("dvCard", LongType, nullable = true)))
+
+  /** Checkpoint/sidecar parquet rows → [[FileActionSchema]] columns,
+    * tolerant of absent fields (a checkpoint with no removes, a dv-
+    * free table): anything missing becomes a typed NULL so every
+    * source unions by name. Runs entirely on executors — the driver
+    * never sees these rows until after reconciliation. */
+  private def normalizeFileActions(df: DataFrame, ver: Long): DataFrame = {
+    def action(name: String): Option[StructType] =
+      df.schema.fields.find(_.name == name)
+        .map(_.dataType.asInstanceOf[StructType])
+    def fld(parent: String, path: Seq[String], dt: DataType): Column = {
+      def present(st: Option[StructType], p: Seq[String]): Boolean =
+        p match {
+          case Nil => true
+          case h +: t => st.flatMap(_.fields.find(_.name == h)) match {
+            case Some(f) => f.dataType match {
+              case s: StructType => present(Some(s), t)
+              case _ => t.isEmpty
+            }
+            case None => false
+          }
+        }
+      if (present(action(parent), path))
+        path.foldLeft(col(quoted(parent)))(_.getField(_)).cast(dt)
+      else lit(null).cast(dt)
+    }
+    val addNN =
+      if (action("add").isDefined) col("add").isNotNull else lit(false)
+    val remNN =
+      if (action("remove").isDefined) col("remove").isNotNull
+      else lit(false)
+    val pvType = MapType(StringType, StringType, valueContainsNull = true)
+    def both(path: Seq[String], dt: DataType): Column =
+      when(addNN, fld("add", path, dt)).otherwise(fld("remove", path, dt))
+    df.filter(addNN || remNN).select(
+      addNN.as("isAdd"),
+      lit(ver).as("ver"), lit(0L).as("idx"),
+      both(Seq("path"), StringType).as("rawPath"),
+      both(Seq("partitionValues"), pvType).as("pv"),
+      both(Seq("size"), LongType).as("size"),
+      fld("add", Seq("modificationTime"), LongType).as("modTime"),
+      fld("remove", Seq("deletionTimestamp"), LongType).as("delTs"),
+      both(Seq("deletionVector", "storageType"), StringType).as("dvType"),
+      both(Seq("deletionVector", "pathOrInlineDv"), StringType)
+        .as("dvPath"),
+      both(Seq("deletionVector", "offset"), IntegerType).as("dvOffset"),
+      both(Seq("deletionVector", "sizeInBytes"), IntegerType)
+        .as("dvSize"),
+      both(Seq("deletionVector", "cardinality"), LongType).as("dvCard"))
+  }
 
   /** Latest committed version of the table (max commit/checkpoint
     * number in `_delta_log`). */
@@ -560,6 +630,49 @@ object DeltaLakeRead {
     var readerFeatures: Seq[String] = Nil
     var writerFeatures: Seq[String] = Nil
 
+    val cpClassic = checkpoints.keySet.filter(_ <= target).maxOption
+    val cpV2 = v2cps.keySet.filter(_ <= target).maxOption
+    val cp = (cpClassic.toSeq ++ cpV2.toSeq).maxOption
+
+    // ---- distributed file-state mode ---------------------------------
+    // A million-file table's checkpoint must not be Jackson-parsed row
+    // by row on the driver (the classic path's to_json → collect →
+    // re-parse double serialization). Above a checkpoint-size
+    // threshold, FILE actions are normalized + reconciled as a
+    // DataFrame — latest action per (path, dvUid) wins, the same
+    // algebra applyLine implements — and the driver receives exactly
+    // one typed row per final file/tombstone. Non-file actions are a
+    // handful of rows, collected via a pushed-down null filter through
+    // the SAME applyLine parser. `spark.graft.delta.distributedState`:
+    // auto (default, engages at distributedStateMinBytes of checkpoint
+    // bytes), force, off.
+    val distSetting =
+      spark.conf.get("spark.graft.delta.distributedState", "auto")
+    val distMinBytes = spark.conf.get(
+      "spark.graft.delta.distributedStateMinBytes",
+      (8L * 1024 * 1024).toString).toLong
+    val cpBytes: Long = cp.map { v =>
+      if (cpClassic.contains(v)) checkpoints(v).map(_.length).sum
+      else {
+        val scDir =
+          new File(new File(tablePath, "_delta_log"), "_sidecars")
+        v2cps(v).length + Option(scDir.listFiles())
+          .getOrElse(Array.empty[File]).map(_.length).sum
+      }
+    }.getOrElse(0L)
+    val distributed = distSetting match {
+      case "force" => true
+      case "off" => false
+      case _ => cpBytes >= distMinBytes
+    }
+    // commit-line file actions (bounded by appends since the
+    // checkpoint) and checkpoint/sidecar file-action frames, merged in
+    // one reconciliation pass after replay
+    val fileRows = scala.collection.mutable.ArrayBuffer[Row]()
+    val fileFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var curVer = 0L
+    var curIdx = 0L
+
     def parseDv(d: com.fasterxml.jackson.databind.JsonNode)
         : DeletionVectors.Descriptor =
       DeletionVectors.Descriptor(
@@ -581,6 +694,7 @@ object DeltaLakeRead {
       * checkpoints, and (via a to_json re-encode) classic/v2/sidecar
       * checkpoint parquet rows. */
     def applyLine(line: String): Unit = {
+      curIdx += 1
       val n = mapper.readTree(line)
       def node(k: String) = Option(n.get(k)).filterNot(_.isNull)
       node("metaData").foreach { m =>
@@ -608,33 +722,57 @@ object DeltaLakeRead {
         readerFeatures = feats("readerFeatures")
         writerFeatures = feats("writerFeatures")
       }
+      def optL(n: com.fasterxml.jackson.databind.JsonNode,
+          k: String): Option[Long] =
+        Option(n.get(k)).filterNot(_.isNull).map(_.asLong())
+      def dvRowFields(dv: Option[DeletionVectors.Descriptor]) = Seq(
+        dv.map(_.storageType).orNull, dv.map(_.pathOrInlineDv).orNull,
+        dv.flatMap(_.offset).map(Int.box).orNull,
+        dv.map(d => Int.box(d.sizeInBytes)).orNull,
+        dv.map(d => Long.box(d.cardinality)).orNull)
       node("add").foreach { a =>
         val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
           .map(parseDv)
         val raw = a.get("path").asText()
-        val p = decode(raw)
-        val key = (p, dvUid(dv))
-        tombs.remove(key)
-        active.remove(key)
-        active.put(key, AddFile(p, raw, parsePv(a.get("partitionValues")),
-          Option(a.get("size")).filterNot(_.isNull).map(_.asLong())
-            .getOrElse(0L),
-          Option(a.get("modificationTime")).filterNot(_.isNull)
-            .map(_.asLong()).getOrElse(0L), dv))
+        if (distributed) {
+          fileRows += Row.fromSeq(Seq(true, curVer, curIdx, raw,
+            parsePv(a.get("partitionValues"))
+              .map { case (k, v) => k -> v.orNull },
+            optL(a, "size").map(Long.box).orNull,
+            optL(a, "modificationTime").map(Long.box).orNull,
+            null) ++ dvRowFields(dv))
+        } else {
+          val p = decode(raw)
+          val key = (p, dvUid(dv))
+          tombs.remove(key)
+          active.remove(key)
+          active.put(key,
+            AddFile(p, raw, parsePv(a.get("partitionValues")),
+              optL(a, "size").getOrElse(0L),
+              optL(a, "modificationTime").getOrElse(0L), dv))
+        }
         ()
       }
       node("remove").foreach { r =>
         val dv = Option(r.get("deletionVector")).filterNot(_.isNull)
           .map(parseDv)
         val raw = r.get("path").asText()
-        val p = decode(raw)
-        val key = (p, dvUid(dv))
-        active.remove(key)
-        tombs.put(key, RemoveTombstone(raw, p,
-          Option(r.get("deletionTimestamp")).filterNot(_.isNull)
-            .map(_.asLong()),
-          parsePv(r.get("partitionValues")),
-          Option(r.get("size")).filterNot(_.isNull).map(_.asLong()), dv))
+        if (distributed) {
+          fileRows += Row.fromSeq(Seq(false, curVer, curIdx, raw,
+            parsePv(r.get("partitionValues"))
+              .map { case (k, v) => k -> v.orNull },
+            optL(r, "size").map(Long.box).orNull, null,
+            optL(r, "deletionTimestamp").map(Long.box).orNull) ++
+            dvRowFields(dv))
+        } else {
+          val p = decode(raw)
+          val key = (p, dvUid(dv))
+          active.remove(key)
+          tombs.put(key, RemoveTombstone(raw, p,
+            optL(r, "deletionTimestamp"),
+            parsePv(r.get("partitionValues")),
+            optL(r, "size"), dv))
+        }
         ()
       }
       node("txn").foreach { t =>
@@ -660,15 +798,31 @@ object DeltaLakeRead {
       * is bounded by the action count, same as the raw replay. */
     def applyParquet(files: Seq[File]): Unit = {
       val df = spark.read.parquet(files.map(_.getPath): _*)
-      df.select(to_json(struct(df.columns.map(c => col(quoted(c))): _*),
-          Map("ignoreNullFields" -> "false").asJava).as("j"))
-        .collect().foreach(r => applyLine(r.getString(0)))
+      if (distributed) {
+        // the handful of non-file rows come to the driver through a
+        // pushed-down null filter + the SAME applyLine parser; file
+        // actions stay on executors as a normalized frame
+        val metaCols = Seq("metaData", "protocol", "txn",
+          "domainMetadata", "sidecar").filter(df.columns.contains)
+        if (metaCols.nonEmpty) {
+          df.filter(metaCols.map(c => col(quoted(c)).isNotNull)
+              .reduce(_ || _))
+            .select(to_json(
+              struct(metaCols.map(c => col(quoted(c))): _*),
+              Map("ignoreNullFields" -> "false").asJava).as("j"))
+            .collect().foreach(r => applyLine(r.getString(0)))
+        }
+        if (df.columns.contains("add") || df.columns.contains("remove"))
+          fileFrames += normalizeFileActions(df, curVer)
+      } else {
+        df.select(to_json(struct(df.columns.map(c => col(quoted(c))): _*),
+            Map("ignoreNullFields" -> "false").asJava).as("j"))
+          .collect().foreach(r => applyLine(r.getString(0)))
+      }
     }
 
-    val cpClassic = checkpoints.keySet.filter(_ <= target).maxOption
-    val cpV2 = v2cps.keySet.filter(_ <= target).maxOption
-    val cp = (cpClassic.toSeq ++ cpV2.toSeq).maxOption
     cp.foreach { v =>
+      curVer = v
       if (cpClassic.contains(v)) applyParquet(checkpoints(v))
       else {
         val f = v2cps(v)
@@ -695,8 +849,59 @@ object DeltaLakeRead {
       val f = commits.getOrElse(v, throw new IllegalArgumentException(
         s"commit $v missing from $tablePath/_delta_log (gap after " +
         s"checkpoint ${cp.getOrElse(-1L)}) — cannot replay to $target"))
+      curVer = v
       Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
         .filter(_.nonEmpty).foreach(applyLine)
+    }
+
+    if (distributed) {
+      // one reconciliation pass on executors: latest action per
+      // (path, dvUid) wins — adds become files, removes tombstones —
+      // then ONE typed row per surviving key reaches the driver
+      val frames = fileFrames.toSeq ++ (if (fileRows.nonEmpty)
+        Seq(spark.createDataFrame(fileRows.toSeq.asJava,
+          FileActionSchema)) else Nil)
+      if (frames.nonEmpty) {
+        val decodeU = udf((s: String) => decode(s))
+        val keyed = frames.reduce(_ unionByName _)
+          .withColumn("path", decodeU(col("rawPath")))
+          .withColumn("dvUid", when(col("dvType").isNull, lit(""))
+            .otherwise(concat(col("dvType"), col("dvPath"),
+              when(col("dvOffset").isNotNull,
+                concat(lit("@"), col("dvOffset").cast("string")))
+                .otherwise(lit("")))))
+        val w = Window.partitionBy(col("path"), col("dvUid"))
+          .orderBy(col("ver").desc, col("idx").desc)
+        val latest = keyed
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        latest.collect()
+          .sortBy(r => (r.getAs[String]("path"), r.getAs[String]("dvUid")))
+          .foreach { r =>
+            def num[T](n: String): Option[T] =
+              if (r.isNullAt(r.fieldIndex(n))) None
+              else Some(r.getAs[T](n))
+            val dv = Option(r.getAs[String]("dvType")).map(t =>
+              DeletionVectors.Descriptor(t, r.getAs[String]("dvPath"),
+                num[Int]("dvOffset"), r.getAs[Int]("dvSize"),
+                r.getAs[Long]("dvCard")))
+            val raw = r.getAs[String]("rawPath")
+            val p = r.getAs[String]("path")
+            val pv = Option(r.getAs[scala.collection.Map[String, String]](
+                "pv"))
+              .map(_.toMap.map { case (k, v) => k -> Option(v) })
+              .getOrElse(Map.empty[String, Option[String]])
+            val key = (p, r.getAs[String]("dvUid"))
+            if (r.getAs[Boolean]("isAdd"))
+              active.put(key, AddFile(p, raw, pv,
+                num[Long]("size").getOrElse(0L),
+                num[Long]("modTime").getOrElse(0L), dv))
+            else
+              tombs.put(key, RemoveTombstone(raw, p, num[Long]("delTs"),
+                pv, num[Long]("size"), dv))
+            ()
+          }
+      }
     }
 
     require(minReader <= 3,

@@ -93,6 +93,25 @@ class DeltaReadSpec extends AnyFunSuite {
   private val flatSchema = StructType(Seq(
     StructField("id", LongType), StructField("v", StringType)))
 
+  /** Distributed state reconstruction must be indistinguishable from
+    * driver replay on ANY fixture — same files, tombstones, and
+    * metadata (file/tombstone ORDER is insertion- vs sort-based, so
+    * compare order-normalized). */
+  private def assertStateParity(tablePath: String): Unit = {
+    def stateWith(mode: String) = {
+      spark.conf.set("spark.graft.delta.distributedState", mode)
+      try DeltaLakeRead.state(spark, tablePath)
+      finally spark.conf.unset("spark.graft.delta.distributedState")
+    }
+    val a = stateWith("off")
+    val b = stateWith("force")
+    def norm(s: DeltaLakeRead.Snapshot) = s.copy(
+      files = s.files.sortBy(f => (f.path, f.dv.toString)),
+      tombstones = s.tombstones.sortBy(t => (t.path, t.dv.toString)))
+    assert(norm(b) === norm(a),
+      "distributed state diverged from driver replay")
+  }
+
   test("unpartitioned snapshot: add/add/remove replay + versionAsOf " +
       "time travel") {
     val t = newTable()
@@ -223,6 +242,7 @@ class DeltaReadSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq
     assert(ids === Seq(1L, 2L))
     assert(DeltaLakeRead.state(spark, t.getPath).version === 3L)
+    assertStateParity(t.getPath)
   }
 
   test("INCOMPLETE multi-part checkpoint is never replayed: missing " +
@@ -328,6 +348,7 @@ class DeltaReadSpec extends AnyFunSuite {
     val ids = DeltaLakeRead.snapshot(spark, t.getPath)
       .select("id").as[Long].collect().sorted.toSeq
     assert(ids === Seq(2L))
+    assertStateParity(t.getPath)
   }
 
   test("replay carries remove tombstones, txn app versions, and " +
@@ -352,6 +373,7 @@ class DeltaReadSpec extends AnyFunSuite {
     assert(st2.files.map(_.path) === Seq("part-a.parquet"))
     assert(st2.tombstones.isEmpty,
       "re-adding the same (path, dvId) must clear the tombstone")
+    assertStateParity(t.getPath)
   }
 
   // ---- v2 (UUID-named) checkpoints ----------------------------------------
@@ -404,6 +426,7 @@ class DeltaReadSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq
     assert(ids === Seq(1L, 2L, 3L))
     assert(DeltaLakeRead.state(spark, t.getPath).version === 2L)
+    assertStateParity(t.getPath)
   }
 
   test("v2 PARQUET checkpoint carrying file actions inline (no " +
@@ -508,6 +531,7 @@ class DeltaReadSpec extends AnyFunSuite {
         .select("id").as[Long].collect().sorted.toSeq
       assert(ids === Seq(0L, 2L))
     } finally spark.conf.unset("spark.graft.dv.checkCardinality")
+    assertStateParity(t.getPath)
   }
 
   test("empty table (every add removed) yields an empty frame with " +
@@ -530,6 +554,7 @@ class DeltaReadSpec extends AnyFunSuite {
     val ids = DeltaLakeRead.snapshot(spark, t.getPath)
       .select("id").as[Long].collect().toSeq
     assert(ids === Seq(7L))
+    assertStateParity(t.getPath)
   }
 
   test("a literal '+' in an add path stays a '+' (URI percent " +
@@ -632,5 +657,80 @@ class DeltaReadSpec extends AnyFunSuite {
     val got = DeltaLakeRead.snapshot(spark, t.getPath)
       .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
     assert(got === Seq((1L, Some("api")), (2L, None)))
+    assertStateParity(t.getPath)
+  }
+
+  test("DISTRIBUTED state at scale: a 20k-add checkpoint + post-" +
+      "checkpoint DML commits reconstructs identically to driver " +
+      "replay; auto mode engages on the size threshold") {
+    val t = newTable()
+    val n = 20000
+    // checkpoint rows built distributed (range → struct), never a
+    // driver-side Seq — the fixture itself must not cheat the scale
+    import org.apache.spark.sql.functions.{concat, concat_ws, lit, map}
+    val cpAdds = spark.range(n).select(struct(
+      concat_ws("", lit("lang=l"), (col("id") % 4).cast("string"),
+        lit("/f"), col("id").cast("string"), lit(".parquet")).as("path"),
+      map(lit("lang"),
+        concat(lit("l"), (col("id") % 4).cast("string")))
+        .as("partitionValues"),
+      (col("id") + 100).as("size"),
+      col("id").as("modificationTime"),
+      lit(true).as("dataChange")).as("add"))
+    val metaRow = spark.sql(
+      s"""SELECT named_struct(
+        'id', 'bigtable', 'format',
+          named_struct('provider', 'parquet'),
+        'schemaString', '${StructType(flatSchema :+
+          StructField("lang", StringType)).json.replace("'", "\\'")}',
+        'partitionColumns', array('lang'),
+        'configuration', map('k', 'v')) AS metaData,
+        named_struct('minReaderVersion', 1, 'minWriterVersion', 2)
+          AS protocol""")
+    val tmp = Files.createTempDirectory("bigcp").toFile
+    cpAdds.unionByName(metaRow
+        .withColumn("add", org.apache.spark.sql.functions.lit(null)
+          .cast(cpAdds.schema("add").dataType))
+        .select("add", "metaData", "protocol"),
+      allowMissingColumns = true)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val part = tmp.listFiles().find(f => f.getName.startsWith("part-")
+      && f.getName.endsWith(".parquet")).get
+    val log = new File(t, "_delta_log"); log.mkdirs()
+    Files.move(part.toPath, new File(log,
+      "00000000000000000000.checkpoint.parquet").toPath,
+      StandardCopyOption.REPLACE_EXISTING)
+    // post-checkpoint commits: an append and a DML-shaped DV update
+    commit(t, 1, Seq(addJson("lang=l0/fresh.parquet",
+      Map("lang" -> Some("l0")))))
+    commit(t, 2, Seq(
+      removeJson("lang=l1/f1.parquet"),
+      addJson("lang=l1/f1.parquet", Map("lang" -> Some("l1")),
+        dv = true)))
+    def stateWith(mode: String) = {
+      spark.conf.set("spark.graft.delta.distributedState", mode)
+      try DeltaLakeRead.state(spark, t.getPath)
+      finally spark.conf.unset("spark.graft.delta.distributedState")
+    }
+    val dist = stateWith("force")
+    assert(dist.files.size === n + 1,
+      "20k checkpoint adds + 1 fresh - the DV re-add replaces in place")
+    assert(dist.tombstones.size === 1)
+    val dvFile = dist.files.find(_.path == "lang=l1/f1.parquet").get
+    assert(dvFile.dv.isDefined, "the DV re-add must win over the " +
+      "checkpoint's plain add for the same path")
+    assert(dist.files.count(_.path == "lang=l1/f1.parquet") === 1)
+    assert(dist.schema.fieldNames.toSeq === Seq("id", "v", "lang"))
+    assert(dist.partitionColumns === Seq("lang"))
+    assert(dist.config === Map("k" -> "v"))
+    val spot = dist.files.find(_.path == "lang=l3/f7.parquet").get
+    assert(spot.size === 107L && spot.modificationTime === 7L)
+    assert(spot.partitionValues === Map("lang" -> Some("l3")))
+    // full parity against driver replay
+    assertStateParity(t.getPath)
+    // auto mode engages purely on checkpoint bytes
+    spark.conf.set("spark.graft.delta.distributedStateMinBytes", "1")
+    try assert(stateWith("auto").files.size === n + 1)
+    finally spark.conf.unset("spark.graft.delta.distributedStateMinBytes")
   }
 }
