@@ -3,6 +3,8 @@ package graft.ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.io.File
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** Row-level DML on REAL Delta tables — DELETE / UPDATE / MERGE-style
   * upsert emitted as deletion vectors plus add/remove actions, per the
@@ -43,12 +45,18 @@ import java.io.File
   *     `remove(path, oldDv)` + `add(path, newDv)` — the (path, dvId)
   *     pair delta readers reconcile by — and the staged adds.
   *
-  * Concurrency: the slot claim serializes commits physically, but —
-  * like delta-spark under `Serializable` vs `WriteSerializable` —
-  * LOGICAL conflict detection between two racing row-level mutations
-  * is not implemented; run one mutator at a time per table (the
-  * reference's Airflow DAGs serialize exactly this way). Appends
-  * remain freely concurrent.
+  * Concurrency: optimistic, with full re-execution. A mutation may
+  * commit only at readVersion+1 — or past intervening commits proven
+  * benign (pure appends: delta-spark's WriteSerializable allows an
+  * append to land under a concurrent DELETE). Any intervening
+  * remove/DV re-add/metaData/protocol change rolls back this
+  * attempt's staged files and DV bins and RECOMPUTES against the new
+  * head (up to `spark.graft.delta.dml.maxRetries`, default 5), so
+  * racing mutators SERIALIZE — two disjoint DELETEs both land, two
+  * overlapping ones apply one after the other — instead of the loser
+  * silently dropping the winner's deletes. Sustained conflict aborts
+  * loudly. Appends remain freely concurrent ([[DeltaLakeWrite
+  * .commitSlot]] advances blindly; adds are commutative).
   *
   * Scale shape: the matched-position aggregation is one shuffle keyed
   * by data file; DV encoding parallelizes per file across executors;
@@ -66,7 +74,7 @@ object DeltaLakeDml {
   /** DELETE FROM table WHERE `condition` (a SQL boolean over the
     * table's logical columns). */
   def delete(spark: SparkSession, tablePath: String,
-      condition: String): DmlResult = {
+      condition: String): DmlResult = withRetries(spark) {
     val st = gated(spark, tablePath)
     val t = DeltaLakeRead.snapshotMeta(spark, tablePath)
     val cond = expr(condition)
@@ -83,7 +91,7 @@ object DeltaLakeDml {
     * assignments applied (expressions see the OLD row, standard
     * UPDATE semantics). */
   def update(spark: SparkSession, tablePath: String, condition: String,
-      set: Map[String, String]): DmlResult = {
+      set: Map[String, String]): DmlResult = withRetries(spark) {
     val st = gated(spark, tablePath)
     val unknown = set.keySet -- st.schema.fieldNames.toSet
     require(unknown.isEmpty,
@@ -115,7 +123,7 @@ object DeltaLakeDml {
     * matching n target rows DV-deletes n rows and lands n postimage
     * copies — the table's row count is preserved, not shrunk. */
   def upsert(spark: SparkSession, tablePath: String, source: DataFrame,
-      keys: Seq[String]): DmlResult = {
+      keys: Seq[String]): DmlResult = withRetries(spark) {
     val st = gated(spark, tablePath)
     require(keys.nonEmpty, "upsert needs at least one key column")
     val logical = st.schema.fieldNames.toSet
@@ -324,7 +332,89 @@ object DeltaLakeDml {
       addLines ++ cdcLines)
       .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val log = new File(new File(tablePath), "_delta_log")
-    val version = DeltaLakeWrite.commitSlot(log, body)
-    DmlResult(version, rowsDeleted, rowsInserted, written.length)
+
+    // Optimistic concurrency (WriteSerializable-shaped): this
+    // mutation computed against st.version, so it may commit ONLY at
+    // st.version+1 — or past intervening commits proven benign
+    // (adds without DVs, txn/commitInfo/cdc/domainMetadata: a
+    // concurrent append never invalidates computed row positions).
+    // Any intervening remove, DV re-add, metaData or protocol change
+    // means the table moved under us: the staged files and DV bins
+    // are deleted and [[CommitRaceException]] sends the caller back
+    // to recompute against the new head — full re-execution, so two
+    // racing mutations SERIALIZE instead of losing updates (the
+    // loser's DV union would silently drop the winner's deletes).
+    testBeforeCommit()
+    var slot = st.version + 1
+    while (!DeltaLakeWrite.commitSlotAt(log, body, slot)) {
+      val f = new File(log, f"$slot%020d.json")
+      val benign = f.isFile && Files.readAllLines(f.toPath).asScala
+        .filter(_.nonEmpty).forall { line =>
+          val n = mapper.readTree(line)
+          def has(k: String) =
+            Option(n.get(k)).exists(!_.isNull)
+          !has("remove") && !has("metaData") && !has("protocol") &&
+            !Option(n.get("add")).filterNot(_.isNull)
+              .exists(a => Option(a.get("deletionVector"))
+                .exists(!_.isNull))
+        }
+      if (benign) slot += 1
+      else {
+        // roll back everything this attempt physically landed
+        (staged ++ cdcStaged).foreach(s =>
+          Files.deleteIfExists(new File(tablePath, s.rel).toPath))
+        written.foreach { case (_, dvPath, dvOff, dvSize, dvCard, _) =>
+          if (dvPath.nonEmpty)
+            Files.deleteIfExists(DeletionVectors.resolvePath(
+              new File(tablePath), DeletionVectors.Descriptor("u",
+                dvPath, Some(dvOff), dvSize, dvCard)).toPath)
+        }
+        throw new CommitRaceException(tablePath, st.version, slot)
+      }
+    }
+    DmlResult(slot, rowsDeleted, rowsInserted, written.length)
+  }
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Spec seam: runs between a mutation's computation and its commit
+    * claim, so races (an append or a conflicting mutation landing in
+    * the window) are testable deterministically. One-shot semantics
+    * are the caller's responsibility; production leaves it a no-op. */
+  private[graft] var testBeforeCommit: () => Unit = () => ()
+
+  /** The table gained a conflicting commit between this mutation's
+    * snapshot read and its commit attempt — recompute against the new
+    * head ([[withRetries]]) or surface to the caller. */
+  final class CommitRaceException(val tablePath: String,
+      val readVersion: Long, val conflictVersion: Long)
+    extends RuntimeException(
+      s"table $tablePath moved from version $readVersion while a " +
+      s"mutation computed against it (conflicting commit at " +
+      s"$conflictVersion)")
+
+  /** Re-execute `op` from scratch on each commit race, up to
+    * `spark.graft.delta.dml.maxRetries` (default 5) recomputes —
+    * optimistic concurrency by full re-execution, the same pattern
+    * [[VersionedTableIO]]'s concurrent-DV-delete path proves out.
+    * Exhaustion aborts loudly: sustained conflict means the caller is
+    * racing mutators faster than they can serialize. */
+  private def withRetries(spark: SparkSession)
+      (op: => DmlResult): DmlResult = {
+    val max = spark.conf.get("spark.graft.delta.dml.maxRetries", "5")
+      .toInt
+    var tries = 0
+    while (true) {
+      try return op
+      catch {
+        case e: CommitRaceException =>
+          tries += 1
+          if (tries > max) throw new IllegalStateException(
+            s"giving up after $max recomputes: ${e.getMessage} — " +
+            "serialize the racing mutators or raise " +
+            "spark.graft.delta.dml.maxRetries", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

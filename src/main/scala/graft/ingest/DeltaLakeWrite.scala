@@ -256,6 +256,25 @@ object DeltaLakeWrite {
     }
   }
 
+  /** Claim EXACTLY `slot` (hard link = atomic create-if-absent).
+    * False when the slot is already taken — the caller decides
+    * whether the intervening commit conflicts ([[DeltaLakeDml]]'s
+    * optimistic-concurrency loop), unlike [[commitSlot]] which
+    * advances blindly (sound only for commutative appends). */
+  private[ingest] def commitSlotAt(log: File, body: Array[Byte],
+      slot: Long): Boolean = {
+    val tmp = Files.createTempFile(log.toPath, ".commit", ".tmp")
+    Files.write(tmp, body)
+    try {
+      Files.createLink(new File(log, f"$slot%020d.json").toPath, tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      Files.deleteIfExists(tmp); ()
+    }
+  }
+
   // ---- JSON action emitters (shared with DeltaLakeDml) ---------------------
 
   private[ingest] def dvNode(

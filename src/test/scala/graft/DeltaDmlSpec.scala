@@ -268,6 +268,109 @@ class DeltaDmlSpec extends AnyFunSuite {
       "must not run a second time for the insert count")
   }
 
+  test("CONCURRENT DML serializes by recompute: racing disjoint " +
+      "DELETEs on the same file both land, none lost") {
+    val t = newTable()
+    DeltaLakeWrite.append((0L until 100L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartition(1), t)
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    def race(cond: String) = pool.submit(
+      new java.util.concurrent.Callable[DeltaLakeDml.DmlResult] {
+        def call() = { go.await(); DeltaLakeDml.delete(spark, t, cond) }
+      })
+    val a = race("id < 10")
+    val b = race("id >= 90")
+    go.countDown()
+    val (ra, rb) = (a.get(), b.get())
+    pool.shutdown()
+    assert(ra.rowsDeleted === 10L && rb.rowsDeleted === 10L)
+    assert(Set(ra.version, rb.version) === Set(1L, 2L),
+      "the loser must recompute and land at the next version")
+    assert(ids(t) === (10L until 90L).toSeq,
+      "BOTH deletes must be applied — a lost update would resurrect " +
+      "one side's rows")
+    // the surviving DV carries the union of both deletes
+    val st = DeltaLakeRead.state(spark, t)
+    assert(st.files.map(_.dv.get.cardinality).sum === 20L)
+  }
+
+  test("an APPEND landing in the commit window is benign: the DML " +
+      "slides to the next slot without recomputing (WriteSerializable)") {
+    val t = newTable()
+    DeltaLakeWrite.append((0L until 10L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartition(1), t)
+    // one-shot hook: an append lands AFTER the delete computed its
+    // DVs against version 0 but BEFORE it claims a slot
+    DeltaLakeDml.testBeforeCommit = () => {
+      DeltaLakeDml.testBeforeCommit = () => ()
+      DeltaLakeWrite.append(Seq((100L, "x")).toDF("id", "v"), t); ()
+    }
+    try {
+      val r = DeltaLakeDml.delete(spark, t, "id = 0")
+      assert(r.version === 2L,
+        "slot 1 was the append's; the DML must slide to 2, not fail")
+      assert(r.rowsDeleted === 1L)
+    } finally DeltaLakeDml.testBeforeCommit = () => ()
+    assert(ids(t) === ((1L until 10L) :+ 100L))
+  }
+
+  test("a conflicting mutation in the commit window forces recompute " +
+      "(both apply); with maxRetries=0 the loser aborts loudly and " +
+      "leaks nothing") {
+    val t = newTable()
+    DeltaLakeWrite.append((0L until 10L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartition(1), t)
+    // recompute path: a delete of id=2 lands in id=1's commit window
+    DeltaLakeDml.testBeforeCommit = () => {
+      DeltaLakeDml.testBeforeCommit = () => ()
+      DeltaLakeDml.delete(spark, t, "id = 2"); ()
+    }
+    try {
+      val r = DeltaLakeDml.delete(spark, t, "id = 1")
+      assert(r.version === 2L && r.rowsDeleted === 1L)
+    } finally DeltaLakeDml.testBeforeCommit = () => ()
+    assert(ids(t) === Seq(0L, 3L, 4L, 5L, 6L, 7L, 8L, 9L),
+      "both the window mutation and the recomputed one must apply")
+    assert(DeltaLakeRead.state(spark, t).files
+      .map(_.dv.get.cardinality).sum === 2L)
+    // loud abort: same shape, zero retries
+    spark.conf.set("spark.graft.delta.dml.maxRetries", "0")
+    DeltaLakeDml.testBeforeCommit = () => {
+      DeltaLakeDml.testBeforeCommit = () => ()
+      DeltaLakeDml.delete(spark, t, "id = 4"); ()
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        DeltaLakeDml.delete(spark, t, "id = 3")
+      }
+      assert(e.getMessage.contains("giving up after 0 recomputes"))
+    } finally {
+      DeltaLakeDml.testBeforeCommit = () => ()
+      spark.conf.unset("spark.graft.delta.dml.maxRetries")
+    }
+    // the window's delete DID land; the aborted one did not
+    assert(ids(t) === Seq(0L, 3L, 5L, 6L, 7L, 8L, 9L))
+    // the aborted attempt left no stray DV bin: every .bin on disk is
+    // referenced by the current snapshot or a tombstone
+    def walk(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case x if x.isDirectory && x.getName == "_delta_log" => Nil
+        case x if x.isDirectory => walk(x)
+        case f if f.getName.endsWith(".bin") => Seq(f)
+        case _ => Nil
+      }
+    val st = DeltaLakeRead.state(spark, t)
+    val referenced = (st.files.flatMap(_.dv) ++
+      st.tombstones.flatMap(_.dv)).map(d =>
+      graft.ingest.DeletionVectors.resolvePath(new java.io.File(t), d)
+        .getCanonicalPath).toSet
+    val stray = walk(new java.io.File(t))
+      .filterNot(f => referenced.contains(f.getCanonicalPath))
+    assert(stray.isEmpty, s"aborted attempt leaked DV bins: $stray")
+  }
+
   test("appendOnly tables refuse DML") {
     val t = newTable()
     DeltaLakeWrite.append(Seq((1L, "a")).toDF("id", "v"), t)
