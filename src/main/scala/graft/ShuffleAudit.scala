@@ -197,7 +197,12 @@ object ShuffleAudit {
     // CDF: the q205 DML cycle + per-commit change-file staging and the
     // pruned change read — O(rows changed), the q205 band plus the cdc
     // write/read pass
-    "q209_delta_cdf" -> Seq("orders"))
+    "q209_delta_cdf" -> Seq("orders"),
+    // Delta appends STREAM: commit-file micro-batches → pruned reads
+    // of exactly the appended files → idempotent sink appends; bytes
+    // are O(rows appended) per drain — the log itself is metadata and
+    // never shuffles
+    "q210_delta_stream" -> Seq("nation"))
 
   private final class Tally extends SparkListener {
     private val lock = new Object

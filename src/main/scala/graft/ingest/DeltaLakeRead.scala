@@ -369,6 +369,29 @@ object DeltaLakeRead {
       pathFilter = Some(added.toSet))
   }
 
+  /** Read a specific set of appended files (RAW log-encoded relative
+    * paths) against the CURRENT snapshot — the micro-batch primitive
+    * behind [[graft.stream.StreamIngest.ingestDeltaAppends]]: the
+    * streaming source enumerates adds from commit files; this turns
+    * one batch's worth into rows (schema/column-mapping/partition
+    * handling identical to [[snapshot]]). Loud when a requested path
+    * is no longer in the snapshot (compacted or removed before the
+    * stream drained it) — silently reading fewer files would be row
+    * loss. */
+  private[graft] def readAppendedFiles(spark: SparkSession,
+      tablePath: String, rawPaths: Set[String]): DataFrame = {
+    val wanted = rawPaths.map(decode)
+    val st = state(spark, tablePath)
+    val have = st.files.map(_.path).toSet
+    val missing = wanted -- have
+    require(missing.isEmpty,
+      s"appended files ${missing.take(3).mkString(", ")} (${missing.size}" +
+      s" total) were compacted or removed from $tablePath before the " +
+      "stream consumed them — resync from a fresh snapshot()")
+    snapshotImpl(spark, tablePath, None, withMeta = false,
+      pathFilter = Some(wanted))
+  }
+
   /** Snapshot plus row provenance: every row carries `__file` (the
     * normalized absolute path of its data file, comparable to
     * `tableRoot/addFile.path`) and `__pos` (its parquet row index) —

@@ -585,9 +585,41 @@ object IngestQueries {
           .as("commit_version"))
   }
 
+  /** Delta Lake interop (STREAMING source): the nation table lands in
+    * a real Delta table across staggered appends, and
+    * [[graft.stream.StreamIngest.ingestDeltaAppends]] streams the
+    * commit log into a versioned sink in TWO separate drains with an
+    * OPTIMIZE between them — the file-source checkpoint over the
+    * commit files is the version watermark (the reference's
+    * coin_to_delta_w_cp.py contract as Structured Streaming). The
+    * oracle is the plain table: any lost batch, double-applied
+    * replay, or compaction mis-skip changes the hash. */
+  val qDeltaStream: QueryDef = QueryDef(
+    "q210_delta_stream",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation") { (s, dir) =>
+    val t = tmp("graft_delta_strm")
+    val ck = tmp("graft_delta_strm_ck")
+    val io = new graft.ingest.VersionedTableIO(tmp("graft_delta_strm_t"))
+    val nation = Tables.load(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    (0 until 2).foreach { i =>
+      graft.ingest.DeltaLakeWrite.append(
+        nation.filter(col("n_nationkey") % 4 === i), t)
+    }
+    graft.stream.StreamIngest.ingestDeltaAppends(s, t, ck, io, "sink")
+    // second wave: compaction (benign for the stream) + two more slices
+    graft.ingest.DeltaLakeMaintain.compact(s, t)
+    (2 until 4).foreach { i =>
+      graft.ingest.DeltaLakeWrite.append(
+        nation.filter(col("n_nationkey") % 4 === i), t)
+    }
+    graft.stream.StreamIngest.ingestDeltaAppends(s, t, ck, io, "sink")
+    io.read(s, "sink")
+  }
+
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonRoundtrip, qJsonMultiline,
     qBinaryFiles, qIncremental, qScd2, qOrcRoundtrip, qTextSource, qCdcApply,
     qQuarantine, qPartitionOverwrite, qDeltaSnapshot, qDeltaWriteRead,
     qDeltaDv, qDeltaCheckpoint, qDeltaColumnMapping, qDeltaDml,
-    qDeltaCompact, qDeltaAppendsSince, qDeltaCdf)
+    qDeltaCompact, qDeltaAppendsSince, qDeltaCdf, qDeltaStream)
 }

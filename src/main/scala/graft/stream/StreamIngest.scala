@@ -81,6 +81,91 @@ object StreamIngest {
     q.awaitTermination()
   }
 
+  /** Stream a REAL Delta table's APPENDS into a versioned table — the
+    * reference's checkpointed incremental-ingest contract
+    * (coin_to_delta_w_cp.py:55-82: "read what landed since my
+    * watermark") composed as Structured Streaming over the Delta
+    * table itself. The insight: `_delta_log`'s commit files ARE an
+    * append-only stream, so the ordinary FILE SOURCE over the commit
+    * .json files under `_delta_log` + its checkpoint is the version
+    * watermark —
+    * each micro-batch carries the commit lines of exactly the new
+    * versions, exactly once across restarts.
+    *
+    * Per batch: parse the add actions (driver-side — commit files are
+    * metadata, O(files added), the same bound as
+    * [[graft.ingest.DeltaLakeRead.appendsSince]]), read those data
+    * files through the snapshot machinery
+    * ([[graft.ingest.DeltaLakeRead.readAppendedFiles]] — schema,
+    * column mapping, partition columns all honored), and land them via
+    * [[graft.ingest.VersionedTableIO.appendIdempotent]] with the batch
+    * id as sequence — foreachBatch is at-least-once around crashes,
+    * the txn-keyed commit makes the TABLE exactly-once.
+    *
+    * Honest scope (same contract as appendsSince): commits must be
+    * pure appends. dataChange=false commits (OPTIMIZE) are skipped as
+    * logical no-ops — unless they compacted away a file this stream
+    * has not yet consumed, which fails loudly, as does any remove or
+    * DV re-add with dataChange=true (use CDF for row-level diffs).
+    * Blocks until the backlog is drained (AvailableNow). */
+  def ingestDeltaAppends(spark: SparkSession, deltaTablePath: String,
+      checkpointDir: String, io: graft.ingest.VersionedTableIO,
+      table: String): Unit = {
+    val writerId = new java.io.File(checkpointDir).getAbsolutePath
+    val logDir =
+      new java.io.File(deltaTablePath, "_delta_log").getAbsolutePath
+    val commitRx = ".*/([0-9]{20})\\.json$".r
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stream = spark.readStream
+      .option("pathGlobFilter", "*.json")
+      .text(logDir)
+      .select(col("value"), col("_metadata.file_path").as("__src"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val lines = batch.collect().flatMap { r =>
+          r.getString(1) match {
+            // checkpoint manifests (UUID-named .json) are state, not
+            // commits — the stream only consumes the commit sequence
+            case commitRx(v) => Some((v.toLong, r.getString(0)))
+            case _ => None
+          }
+        }.filter(_._2.nonEmpty)
+        val adds = scala.collection.mutable.LinkedHashSet[String]()
+        lines.sortBy(_._1).foreach { case (v, line) =>
+          val n = mapper.readTree(line)
+          def act(k: String) = Option(n.get(k)).filterNot(_.isNull)
+          def dataChange(a: com.fasterxml.jackson.databind.JsonNode) =
+            Option(a.get("dataChange")).filterNot(_.isNull)
+              .forall(_.asBoolean(true))
+          act("remove").foreach { r =>
+            if (dataChange(r)) throw new IllegalArgumentException(
+              s"commit $v of $deltaTablePath is not a pure append " +
+              "(remove with dataChange=true) — the appends stream " +
+              "cannot represent deletes; resync or use CDF")
+          }
+          act("add").foreach { a =>
+            if (dataChange(a)) {
+              require(Option(a.get("deletionVector")).forall(_.isNull),
+                s"commit $v re-adds a file with a deletion vector — " +
+                "not a pure append; resync or use CDF")
+              adds += a.get("path").asText()
+            }
+            ()
+          }
+        }
+        if (adds.nonEmpty) {
+          val rows = graft.ingest.DeltaLakeRead.readAppendedFiles(
+            spark, deltaTablePath, adds.toSet)
+          io.appendIdempotent(rows, table, writerId, batchId)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming CDC apply — the MERGE-with-deletes sink: each
     * micro-batch of I/U/D change rows is reconciled into the target
     * table via [[graft.ingest.Cdc]] (latest change per key wins,

@@ -392,4 +392,58 @@ class StreamingSpec extends AnyFunSuite {
       topK = 16).collect().map(_.toSeq).toSeq
     assert(report === scratch)
   }
+
+  test("Delta appends stream: commit files drive micro-batches, " +
+      "exactly-once across restarts, OPTIMIZE of consumed files is " +
+      "benign, DML in the range fails loudly") {
+    import graft.ingest.{DeltaLakeDml, DeltaLakeMaintain, DeltaLakeRead, DeltaLakeWrite, VersionedTableIO}
+    val delta = tmp("das_delta"); val ck = tmp("das_ck")
+    val io = new VersionedTableIO(tmp("das_root"))
+    def sink(): Seq[Long] =
+      io.read(spark, "t").select("id").as[Long].collect().sorted.toSeq
+    DeltaLakeWrite.append((0L until 5L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartition(1), delta)
+    DeltaLakeWrite.append((5L until 10L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartition(1), delta)
+    graft.stream.StreamIngest.ingestDeltaAppends(
+      spark, delta, ck, io, "t")
+    assert(sink() === (0L until 10L).toSeq,
+      "the first drain must deliver the whole backlog")
+    // restart with nothing new: no duplicate rows
+    graft.stream.StreamIngest.ingestDeltaAppends(
+      spark, delta, ck, io, "t")
+    assert(sink() === (0L until 10L).toSeq)
+    // compaction of ALREADY-consumed commits is a logical no-op for
+    // the stream; the next append still arrives
+    DeltaLakeMaintain.compact(spark, delta)
+    DeltaLakeWrite.append((10L until 12L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartition(1), delta)
+    graft.stream.StreamIngest.ingestDeltaAppends(
+      spark, delta, ck, io, "t")
+    assert(sink() === (0L until 12L).toSeq)
+    // a DML commit in the unconsumed range is NOT representable as
+    // appends — the stream must fail loudly, not deliver partial rows
+    DeltaLakeDml.delete(spark, delta, "id = 3")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.stream.StreamIngest.ingestDeltaAppends(
+        spark, delta, ck, io, "t")
+    }
+    assert(e.getCause.getMessage.contains("not a pure append"))
+    assert(sink() === (0L until 12L).toSeq, "the failed drain must " +
+      "not have half-applied anything")
+    // schema/partition handling rides the snapshot machinery: a
+    // partitioned delta table streams with partition columns restored
+    val delta2 = tmp("das_delta2"); val ck2 = tmp("das_ck2")
+    DeltaLakeWrite.append(
+      Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang")
+        .repartition(1), delta2, partitionBy = Seq("lang"))
+    val io2 = new VersionedTableIO(tmp("das_root2"))
+    graft.stream.StreamIngest.ingestDeltaAppends(
+      spark, delta2, ck2, io2, "t2")
+    assert(io2.read(spark, "t2").select("id", "lang")
+      .as[(Long, String)].collect().sorted.toSeq ===
+      Seq((1L, "en"), (2L, "de"), (3L, "en")).sorted)
+    // sanity: the delta source itself is untouched by all of this
+    assert(DeltaLakeRead.snapshot(spark, delta).count() === 11L)
+  }
 }
