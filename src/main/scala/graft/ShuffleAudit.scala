@@ -202,7 +202,11 @@ object ShuffleAudit {
     // of exactly the appended files → idempotent sink appends; bytes
     // are O(rows appended) per drain — the log itself is metadata and
     // never shuffles
-    "q210_delta_stream" -> Seq("nation"))
+    "q210_delta_stream" -> Seq("nation"),
+    // id-mode cm writes: two appends + one DV update rewrite; bytes
+    // are the staged rows themselves (field-id emission is free
+    // footer metadata) — same band as q205 at the customer table size
+    "q211_delta_cm_id" -> Seq("customer"))
 
   private final class Tally extends SparkListener {
     private val lock = new Object

@@ -131,10 +131,14 @@ object DeltaLakeWrite {
     * checkpoint writer preserves/avoids them) pass. */
   private[ingest] def writeGate(st: DeltaLakeRead.Snapshot): Unit = {
     val cm = st.config.getOrElse("delta.columnMapping.mode", "none")
-    require(cm != "id",
-      "delta.columnMapping.mode=id — this writer stages by physical " +
-      "NAME and does not emit parquet field ids; id-mode files would " +
-      "be unresolvable (name mode is supported)")
+    if (cm == "id")
+      // id-mode files resolve by parquet FIELD ID, so every staged
+      // field must carry one ([[toPhysical]] emits them); a field
+      // without an id in the log schema would land unresolvable
+      st.schema.fields.foreach(f => require(
+        f.metadata.contains(DeltaLakeRead.FieldIdKey),
+        s"column mapping is 'id' but field ${f.name} carries no " +
+        s"${DeltaLakeRead.FieldIdKey} metadata — refusing to guess"))
     require(st.minWriter <= 7,
       s"minWriterVersion ${st.minWriter} > 7 — protocol newer than " +
       "this writer")
@@ -171,18 +175,41 @@ object DeltaLakeWrite {
 
   /** Rename `df`'s logical columns (nested included) to the table's
     * PHYSICAL names when it is column-mapped — what actually lands in
-    * parquet under `name` mode. Identity for unmapped tables. */
+    * parquet under `name` mode. Under `id` mode every field (nested
+    * included) ALSO carries `parquet.field.id` from the log schema's
+    * `delta.columnMapping.id`, which Spark's parquet writer emits
+    * into the file footer (`spark.sql.parquet.fieldId.write.enabled`,
+    * on by default) — the resolution handle id-mode readers match by.
+    * Identity for unmapped tables. */
   private[ingest] def toPhysical(df: DataFrame,
       st: DeltaLakeRead.Snapshot,
       passthrough: Seq[String] = Nil): DataFrame = {
     val cm = st.config.getOrElse("delta.columnMapping.mode", "none")
     if (cm == "none") df
-    else df.select(st.schema.fields.toSeq.map { f =>
-      val physType = DeltaLakeRead.physicalizeType(f.dataType,
-        _ => org.apache.spark.sql.types.Metadata.empty)
-      col(DeltaLakeRead.quoted(f.name)).cast(physType)
-        .as(DeltaLakeRead.physFieldName(f))
-    } ++ passthrough.map(c => col(DeltaLakeRead.quoted(c))): _*)
+    else {
+      // on by default since Spark 3.3; pinned so a session that turned
+      // it off cannot stage unresolvable id-mode files
+      if (cm == "id")
+        df.sparkSession.conf.set(
+          "spark.sql.parquet.fieldId.write.enabled", "true")
+      val fieldMeta: org.apache.spark.sql.types.StructField =>
+          org.apache.spark.sql.types.Metadata =
+        if (cm == "id") { f =>
+          require(f.metadata.contains(DeltaLakeRead.FieldIdKey),
+            s"column mapping is 'id' but field ${f.name} carries no " +
+            s"${DeltaLakeRead.FieldIdKey} metadata — refusing to guess")
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(DeltaLakeRead.ParquetFieldIdKey,
+              f.metadata.getLong(DeltaLakeRead.FieldIdKey)).build()
+        } else _ => org.apache.spark.sql.types.Metadata.empty
+      df.select(st.schema.fields.toSeq.map { f =>
+        val physType = DeltaLakeRead.physicalizeType(f.dataType, fieldMeta)
+        // the cast carries nested field ids in its target type; the
+        // top-level field's own id rides the alias metadata
+        col(DeltaLakeRead.quoted(f.name)).cast(physType)
+          .as(DeltaLakeRead.physFieldName(f), fieldMeta(f))
+      } ++ passthrough.map(c => col(DeltaLakeRead.quoted(c))): _*)
+    }
   }
 
   /** Stage `df` as parquet under a dot-dir inside `root` (Delta

@@ -617,9 +617,50 @@ object IngestQueries {
     io.read(s, "sink")
   }
 
+  /** Delta Lake interop (column mapping ID MODE, write side): a
+    * foreign id-mode table (hand-committed metadata: physical names +
+    * field ids, `delta.columnMapping.mode=id` — what delta-spark 4.0
+    * creates) receives ENGINE appends, whose staged parquet must
+    * carry `parquet.field.id` footers, then a row-level UPDATE whose
+    * rewrite stages id-resolved too. The snapshot reads everything
+    * back by FIELD-ID resolution (names in the files are physical and
+    * never consulted), hash-gated against the update algebra. */
+  val qDeltaCmId: QueryDef = QueryDef(
+    "q211_delta_cm_id",
+    """SELECT c_custkey, c_name,
+      |  round(c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 10 ELSE 0 END,
+      |        2) AS bal
+      |FROM customer""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+    val t = tmp("graft_delta_cmid")
+    val cust = Tables.load(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+    def cm(f: StructField, phys: String, id: Long): StructField =
+      f.copy(metadata = new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      cm(cust.schema("c_custkey"), "col-id1", 1L),
+      cm(cust.schema("c_name"), "col-id2", 2L),
+      cm(cust.schema("c_acctbal"), "col-id3", 3L)))
+    deltaCommit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      deltaMeta(logical,
+        """{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"3"}""")))
+    graft.ingest.DeltaLakeWrite.append(
+      cust.filter(col("c_custkey") % 2 === 0), t)
+    graft.ingest.DeltaLakeWrite.append(
+      cust.filter(col("c_custkey") % 2 =!= 0), t)
+    graft.ingest.DeltaLakeDml.update(s, t, "c_custkey % 5 = 0",
+      Map("c_acctbal" -> "c_acctbal + 10"))
+    graft.ingest.DeltaLakeRead.snapshot(s, t)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("bal"))
+  }
+
   val all: Seq[QueryDef] = Seq(qCsvRoundtrip, qJsonRoundtrip, qJsonMultiline,
     qBinaryFiles, qIncremental, qScd2, qOrcRoundtrip, qTextSource, qCdcApply,
     qQuarantine, qPartitionOverwrite, qDeltaSnapshot, qDeltaWriteRead,
     qDeltaDv, qDeltaCheckpoint, qDeltaColumnMapping, qDeltaDml,
-    qDeltaCompact, qDeltaAppendsSince, qDeltaCdf, qDeltaStream)
+    qDeltaCompact, qDeltaAppendsSince, qDeltaCdf, qDeltaStream, qDeltaCmId)
 }

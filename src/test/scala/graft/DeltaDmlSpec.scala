@@ -153,6 +153,57 @@ class DeltaDmlSpec extends AnyFunSuite {
     assert(st.writerFeatures.contains("columnMapping"))
   }
 
+  test("DML + CDF on a column-mapped ID-MODE table: conditions on " +
+      "logical columns, rewrites and change files stage with parquet " +
+      "field ids, the diff reads back logically") {
+    import org.apache.spark.sql.types._
+    val t = newTable()
+    val log = new java.io.File(t, "_delta_log"); log.mkdirs()
+    def f(logical: String, dt: DataType, phys: String,
+        id: Long): StructField =
+      StructField(logical, dt, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys)
+          .putLong("delta.columnMapping.id", id).build())
+    val schema = StructType(Seq(
+      f("id", LongType, "col-i1", 1L),
+      f("v", StringType, "col-i2", 2L)))
+    val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(schema.json)
+    Files.write(new java.io.File(log, "00000000000000000000.json").toPath,
+      (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"cmid","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.enableChangeDataFeed":"true"}}}""")
+        .mkString("\n")).getBytes("UTF-8"))
+    DeltaLakeWrite.append((0L until 6L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartition(1), t)
+    DeltaLakeDml.delete(spark, t, "id IN (0, 2)")
+    DeltaLakeDml.upsert(spark, t,
+      Seq((4L, "UP"), (9L, "INS")).toDF("id", "v"), Seq("id"))
+    val got = DeltaLakeRead.snapshot(spark, t)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "v1"), (3L, "v3"), (4L, "UP"), (5L, "v5"),
+      (9L, "INS")))
+    // the staged change files carry PHYSICAL names + field ids
+    val cd = new java.io.File(t, "_change_data")
+    assert(cd.isDirectory, "CDF-enabled DML must stage change files")
+    val cdPart = cd.listFiles().find(_.getName.endsWith(".parquet")).get
+    val cdSchema = spark.read.parquet(cdPart.getPath).schema
+    assert(cdSchema.fieldNames.toSet ===
+      Set("col-i1", "col-i2", graft.ingest.DeltaLakeCdf.ChangeTypeCol))
+    assert(cdSchema("col-i1").metadata.contains("parquet.field.id"))
+    // and the CDF reader restores logical names + change typing
+    // (from version 2: the append at v1 is its own 6-row insert set)
+    val changes = graft.ingest.DeltaLakeCdf.changes(spark, t, 2L)
+    val byType = changes.groupBy(graft.ingest.DeltaLakeCdf.ChangeTypeCol)
+      .count().as[(String, Long)].collect().toMap
+    assert(byType === Map("delete" -> 2L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L, "insert" -> 1L))
+    assert(changes.filter(org.apache.spark.sql.functions.col(
+        graft.ingest.DeltaLakeCdf.ChangeTypeCol) === "insert")
+      .select("id", "v").as[(Long, String)]
+      .collect().toSeq === Seq((9L, "INS")))
+  }
+
   test("checkpoint AFTER DML: DV descriptors and tombstones survive " +
       "the checkpoint; snapshot correct after vacuuming all commits") {
     val t = newTable()

@@ -73,7 +73,7 @@ class DeltaWriteSpec extends AnyFunSuite {
   }
 
   test("append to a column-mapped (name mode) table stages parquet " +
-      "under PHYSICAL names; id mode still refuses") {
+      "under PHYSICAL names; id mode stages field ids") {
     import org.apache.spark.sql.types._
     def cmTable(mode: String): String = {
       val t = newTable()
@@ -117,11 +117,39 @@ class DeltaWriteSpec extends AnyFunSuite {
     DeltaLakeWrite.append(Seq((3L, "en")).toDF("id", "lang"), t,
       partitionBy = Seq("lang"))
     assert(DeltaLakeRead.snapshot(spark, t).count() === 3L)
+    // id mode: the staged parquet footer carries parquet field ids,
+    // so the engine's own id-mode reader (field-id resolution, NOT
+    // name matching) round-trips the rows
+    val ti = cmTable("id")
+    DeltaLakeWrite.append(Seq((9L, "fr"), (10L, "en"))
+      .toDF("id", "lang"), ti, partitionBy = Seq("lang"))
+    val partI = new java.io.File(ti, "col-z2=fr").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val footerSchema = spark.read.parquet(partI.getPath).schema
+    assert(footerSchema.fields.map(_.name).toSeq === Seq("col-z1"))
+    assert(footerSchema("col-z1").metadata.contains("parquet.field.id"),
+      "id-mode staging must emit resolvable parquet field ids")
+    val gotI = DeltaLakeRead.snapshot(spark, ti)
+      .select("id", "lang").as[(Long, String)].collect().sorted.toSeq
+    assert(gotI === Seq((9L, "fr"), (10L, "en")).sorted)
+    // a log schema WITHOUT ids still refuses loudly
+    val tBad = newTable()
+    val logBad = new java.io.File(tBad, "_delta_log"); logBad.mkdirs()
+    val noIdSchema = StructType(Seq(StructField("id", LongType,
+      nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", "col-q1")
+        .build())))
+    val noIdStr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(noIdSchema.json)
+    Files.write(
+      new java.io.File(logBad, "00000000000000000000.json").toPath,
+      (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"cmq","format":{"provider":"parquet","options":{}},"schemaString":$noIdStr,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""")
+        .mkString("\n")).getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] {
-      DeltaLakeWrite.append(Seq((9L, "fr")).toDF("id", "lang"),
-        cmTable("id"), partitionBy = Seq("lang"))
+      DeltaLakeWrite.append(Seq(Tuple1(1L)).toDF("id"), tBad)
     }
-    assert(e.getMessage.contains("id"))
+    assert(e.getMessage.contains("refusing to guess"))
   }
 
   test("checkpoint preserves remove tombstones, txn state, and " +
