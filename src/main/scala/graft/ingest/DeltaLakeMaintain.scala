@@ -50,7 +50,9 @@ object DeltaLakeMaintain {
     require(targetFileBytes > 0 && smallFileBytes <= targetFileBytes,
       "need 0 < smallFileBytes <= targetFileBytes")
     val st = DeltaLakeRead.state(spark, tablePath)
-    DeltaLakeWrite.writeGate(st)
+    // compaction re-lands rows VERBATIM, so top-level column
+    // obligations (invariants/generated/identity) hold trivially
+    DeltaLakeWrite.writeGate(st, topLevelObligationsOk = true)
     val byPartition = st.files.groupBy(_.partitionValues)
     val victims = byPartition.toSeq.flatMap { case (_, fs) =>
       val qualifying = fs.filter(f =>

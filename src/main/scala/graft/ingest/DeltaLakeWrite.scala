@@ -74,36 +74,65 @@ object DeltaLakeWrite {
     var physDf = df
     var physPartitionBy = partitionBy
     var skipCheckpoint = false
+    var tableSchema = df.schema
+    var pendingIdentity: Seq[PendingIdentity] = Nil
+    var stOpt: Option[DeltaLakeRead.Snapshot] = None
     if (!creating) {
       val st = DeltaLakeRead.state(df.sparkSession, tablePath)
-      writeGate(st)
+      stOpt = Some(st)
+      tableSchema = st.schema
+      writeGate(st, topLevelObligationsOk = true)
       require(st.partitionColumns == partitionBy,
         s"table is partitioned by ${st.partitionColumns.mkString(",")}, " +
         s"append requested ${partitionBy.mkString(",")}")
+      val (enforced, pending) = enforceColumnObligations(df, st.schema)
+      pendingIdentity = pending
+      // obligations may have ADDED generated/identity columns —
+      // reorder to the table schema before the drift check
+      val dfr = enforced.select(st.schema.fields.toSeq.map(f =>
+        col(DeltaLakeRead.quoted(f.name))): _*)
       val want = st.schema.map(f =>
         (f.name, DeltaLakeRead.stripType(f.dataType)))
-      val got = df.schema.map(f =>
+      val got = dfr.schema.map(f =>
         (f.name, DeltaLakeRead.stripType(f.dataType)))
       require(want == got,
         s"schema mismatch: table has $want, append has $got")
-      physDf = toPhysical(df, st)
+      physDf = toPhysical(dfr, st)
       physPartitionBy = partitionBy.map(c =>
         DeltaLakeRead.physFieldName(st.schema(c)))
       skipCheckpoint = st.writerFeatures.contains("v2Checkpoint")
     } else {
       require(partitionBy.forall(df.columns.contains),
         s"partition columns ${partitionBy.mkString(",")} missing from df")
+      val (enforced, pending) = enforceColumnObligations(df, df.schema)
+      pendingIdentity = pending
+      physDf = enforced.select(df.schema.fields.toSeq.map(f =>
+        col(DeltaLakeRead.quoted(f.name))): _*)
     }
 
     val staged = stageData(physDf, root, physPartitionBy)
     val now = System.currentTimeMillis()
+    // an identity allocation moves the column's high watermark: the
+    // SAME commit carries the updated metaData, so a crashed append
+    // can never leak allocated ids without recording them
+    val stagedRows = staged.map(_.rows).sum
+    val schemaAfter = pendingIdentity.foldLeft(tableSchema) {
+      (sch, p) =>
+        if (stagedRows == 0) sch
+        else withFieldMeta(sch, p.field, IdentityHwmKey,
+          p.nextStart + p.step * (stagedRows - 1))
+    }
     val addLines = staged.map(s =>
       addJson(s.rel, s.pv.map { case (k, v) => k -> Some(v) }, s.size,
         now, dataChange = true, dv = None))
     val headerLines = if (creating) {
       val proto = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       Seq(proto, metaDataJson(java.util.UUID.randomUUID().toString,
-        df.schema.json, partitionBy, tableConfig, Some(now)))
+        schemaAfter.json, partitionBy, tableConfig, Some(now)))
+    } else if (pendingIdentity.nonEmpty && stagedRows > 0) {
+      val st = stOpt.get
+      Seq(metaDataJson(st.metaId, schemaAfter.json, st.partitionColumns,
+        st.config, st.createdTime))
     } else Nil
     val body = (headerLines ++ addLines).mkString("\n")
       .getBytes(StandardCharsets.UTF_8)
@@ -119,17 +148,134 @@ object DeltaLakeWrite {
     version
   }
 
+  private[ingest] val InvariantsKey = "delta.invariants"
+  private[ingest] val GenerationExprKey = "delta.generationExpression"
+  private[ingest] val IdentityStartKey = "delta.identity.start"
+  private[ingest] val IdentityStepKey = "delta.identity.step"
+  private[ingest] val IdentityHwmKey = "delta.identity.highWaterMark"
+  private[ingest] val IdentityAllowExplicitKey =
+    "delta.identity.allowExplicitInsert"
+
+  /** One identity allocation this append performed: the commit must
+    * advance the column's high watermark to
+    * `nextStart + step * (rows - 1)` in the same metaData action. */
+  private[ingest] final case class PendingIdentity(field: String,
+      nextStart: Long, step: Long)
+
+  /** Enforce TOP-LEVEL column obligations on an append — the writer
+    * duties the protocol attaches to field metadata, computed instead
+    * of refused (PROTOCOL.md § Column Invariants / § Default Columns /
+    * § Identity Columns):
+    *  - `delta.invariants`: rows where the expression is FALSE abort
+    *    the append (SQL CHECK semantics — NULL passes);
+    *  - `delta.generationExpression`: an absent column is COMPUTED;
+    *    a provided one is VALIDATED cell-by-cell against the
+    *    expression (delta-spark's rule) and aborts on divergence;
+    *  - `delta.identity.*`: an absent column is allocated
+    *    `hwm+step, hwm+2·step, …` via the same contiguous
+    *    distributed-offset pass as [[SurrogateId.attachDistributed]];
+    *    an explicit column requires `allowExplicitInsert`.
+    * Returns the (possibly augmented) frame plus the identity
+    * allocations whose high watermark the commit must advance.
+    * Validation scans are one pushed-down `LIMIT 1` probe each. */
+  private[ingest] def enforceColumnObligations(df0: DataFrame,
+      schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, Seq[PendingIdentity]) = {
+    import org.apache.spark.sql.functions.{expr, lit, not}
+    var df = df0
+    val pending = scala.collection.mutable.ArrayBuffer[PendingIdentity]()
+    schema.fields.foreach { f =>
+      val m = f.metadata
+      if (m.contains(GenerationExprKey)) {
+        val g = m.getString(GenerationExprKey)
+        val target = expr(g).cast(DeltaLakeRead.stripType(f.dataType))
+        if (!df.columns.contains(f.name))
+          df = df.withColumn(f.name, target)
+        else {
+          val diverged = df
+            .filter(not(col(DeltaLakeRead.quoted(f.name)) <=> target))
+            .limit(1).count()
+          require(diverged == 0L,
+            s"generated column ${f.name} was provided with values that " +
+            s"diverge from its expression `$g` — refusing to record a " +
+            "lie; omit the column to have it computed")
+        }
+      }
+      if (m.contains(IdentityStartKey) || m.contains(IdentityStepKey) ||
+          m.contains(IdentityHwmKey)) {
+        val step =
+          if (m.contains(IdentityStepKey)) m.getLong(IdentityStepKey)
+          else 1L
+        require(step != 0L, s"identity column ${f.name} has step 0")
+        if (df.columns.contains(f.name)) {
+          require(m.contains(IdentityAllowExplicitKey) &&
+            m.getBoolean(IdentityAllowExplicitKey),
+            s"identity column ${f.name} does not allow explicit " +
+            "inserts — omit it to have values allocated")
+        } else {
+          val start =
+            if (m.contains(IdentityStartKey)) m.getLong(IdentityStartKey)
+            else 1L
+          val nextStart =
+            if (m.contains(IdentityHwmKey)) m.getLong(IdentityHwmKey) + step
+            else start
+          val seqd = SurrogateId.attachDistributed(df, "__identity_seq")
+          df = seqd.withColumn(f.name,
+            (lit(nextStart) + (col("__identity_seq") - 1L) * lit(step))
+              .cast(DeltaLakeRead.stripType(f.dataType)))
+            .drop("__identity_seq")
+          pending += PendingIdentity(f.name, nextStart, step)
+        }
+      }
+      if (m.contains(InvariantsKey)) {
+        val sql = invariantSql(m.getString(InvariantsKey))
+        val violating =
+          df.filter(expr(sql) <=> lit(false)).limit(1).count()
+        require(violating == 0L,
+          s"column invariant `$sql` on ${f.name} is violated by this " +
+          "append — rejecting (CHECK semantics: NULL passes, FALSE " +
+          "aborts)")
+      }
+    }
+    (df, pending.toSeq)
+  }
+
+  /** The protocol wraps invariant expressions in JSON
+    * (`{"expression":{"expression":"<sql>"}}`); a bare SQL string is
+    * accepted too. */
+  private def invariantSql(raw: String): String =
+    try {
+      val n = om.readTree(raw)
+      Option(n.get("expression")).filterNot(_.isNull)
+        .flatMap(e => Option(e.get("expression")).filterNot(_.isNull))
+        .map(_.asText()).getOrElse(raw)
+    } catch { case _: Exception => raw }
+
+  /** `schema` with `key -> value` (a long) added to `field`'s
+    * metadata, everything else untouched. */
+  private def withFieldMeta(
+      schema: org.apache.spark.sql.types.StructType, field: String,
+      key: String, value: Long): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      if (f.name != field) f
+      else f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(key, value).build())
+    })
+
   /** Writer-protocol honesty gate, shared by append and DML: a
     * feature this writer does not implement but that CONSTRAINS
-    * writes (CHECK constraints, generated/identity columns,
-    * invariants — including on NESTED fields) would be silently
-    * violated by a blind write — reject when one is actually in
-    * force. Feature flags that do not constrain the write
+    * writes (CHECK constraints; invariants / generated / identity
+    * columns on NESTED fields — top-level ones are ENFORCED by
+    * [[enforceColumnObligations]] on the append path) would be
+    * silently violated by a blind write — reject when one is actually
+    * in force. Feature flags that do not constrain the write
     * (deletionVectors, appendOnly for appends, changeDataFeed — CDC
     * of an append derives from the add actions; columnMapping — the
     * physical-name staging below; domainMetadata/v2Checkpoint — the
     * checkpoint writer preserves/avoids them) pass. */
-  private[ingest] def writeGate(st: DeltaLakeRead.Snapshot): Unit = {
+  private[ingest] def writeGate(st: DeltaLakeRead.Snapshot,
+      topLevelObligationsOk: Boolean = false): Unit = {
     val cm = st.config.getOrElse("delta.columnMapping.mode", "none")
     if (cm == "id")
       // id-mode files resolve by parquet FIELD ID, so every staged
@@ -156,21 +302,24 @@ object DeltaLakeWrite {
       s"table carries CHECK constraints (${constraintKeys.mkString(", ")})" +
       " — this writer does not evaluate them; writing would bypass " +
       "enforcement")
-    def gateFields(dt: DataType, at: String): Unit = dt match {
-      case s: StructType => s.fields.foreach { f =>
-        Seq("delta.invariants", "delta.generationExpression",
-          "delta.identity.start").foreach(k =>
-          require(!f.metadata.contains(k),
-            s"column $at${f.name} carries $k — this writer does not " +
-            "enforce it; writing would bypass it"))
-        gateFields(f.dataType, s"$at${f.name}.")
+    def gateFields(dt: DataType, at: String, top: Boolean): Unit =
+      dt match {
+        case s: StructType => s.fields.foreach { f =>
+          if (!(top && topLevelObligationsOk))
+            Seq(InvariantsKey, GenerationExprKey, IdentityStartKey,
+              IdentityHwmKey).foreach(k =>
+              require(!f.metadata.contains(k),
+                s"column $at${f.name} carries $k — this write path " +
+                "does not enforce it; writing would bypass it"))
+          gateFields(f.dataType, s"$at${f.name}.", top = false)
+        }
+        case a: ArrayType => gateFields(a.elementType, at, top = false)
+        case m: MapType =>
+          gateFields(m.keyType, at, top = false)
+          gateFields(m.valueType, at, top = false)
+        case _ => ()
       }
-      case a: ArrayType => gateFields(a.elementType, at)
-      case m: MapType =>
-        gateFields(m.keyType, at); gateFields(m.valueType, at)
-      case _ => ()
-    }
-    gateFields(st.schema, "")
+    gateFields(st.schema, "", top = true)
   }
 
   /** Rename `df`'s logical columns (nested included) to the table's

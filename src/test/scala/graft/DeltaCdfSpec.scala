@@ -135,4 +135,33 @@ class DeltaCdfSpec extends AnyFunSuite {
     assert(spark.read.parquet(cdcPart.getPath).columns.toSet ===
       Set("col-c1", "col-c2", "_change_type"))
   }
+
+  test("changes() across a CHECKPOINT-SEEDED replay: pre-range " +
+      "commits may be vacuumed (state seeds from the checkpoint); a " +
+      "vacuumed commit INSIDE the range is loud") {
+    val t = newTable()
+    DeltaLakeWrite.append((0L until 6L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartition(1), t,
+      tableConfig = Map("delta.enableChangeDataFeed" -> "true")) // v0
+    DeltaLakeDml.delete(spark, t, "id = 1")                      // v1
+    DeltaLakeWrite.append(Seq((10L, "x")).toDF("id", "v"), t)    // v2
+    DeltaLakeDml.update(spark, t, "id = 10",
+      Map("v" -> "upper(v)"))                                    // v3
+    DeltaLakeWrite.checkpoint(spark, t, 2L)
+    val log = new java.io.File(t, "_delta_log")
+    Seq(0L, 1L, 2L).foreach { v =>
+      Files.delete(new java.io.File(log, f"$v%020d.json").toPath)
+    }
+    // range [3,3]: its commit exists, state comes from the checkpoint
+    val ch = DeltaLakeCdf.changes(spark, t, 3L)
+      .select("id", "v", DeltaLakeCdf.ChangeTypeCol)
+      .as[(Long, String, String)].collect().toSet
+    assert(ch === Set((10L, "x", "update_preimage"),
+      (10L, "X", "update_postimage")))
+    // a range reaching into the vacuumed prefix cannot be served
+    val e = intercept[IllegalArgumentException] {
+      DeltaLakeCdf.changes(spark, t, 1L)
+    }
+    assert(e.getMessage.contains("missing"))
+  }
 }

@@ -298,6 +298,8 @@ class DeltaWriteSpec extends AnyFunSuite {
         """{"delta.constraints.idpos":"id > 0"}""", plain))
     }
     assert(e2.getMessage.contains("CHECK constraints"))
+    // generated columns are now ENFORCED, not refused: a provided
+    // value that diverges from the expression aborts
     val gen = StructType(Seq(StructField("id", LongType, nullable = true,
       new MetadataBuilder()
         .putString("delta.generationExpression", "1 + 1").build())))
@@ -306,12 +308,77 @@ class DeltaWriteSpec extends AnyFunSuite {
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
         "{}", gen))
     }
-    assert(e3.getMessage.contains("generationExpression"))
+    assert(e3.getMessage.contains("diverge"))
+    // NESTED obligations stay refused (no enforcement path for them)
+    val nested = StructType(Seq(StructField("s", StructType(Seq(
+      StructField("x", LongType, nullable = true, new MetadataBuilder()
+        .putString("delta.generationExpression", "1 + 1").build()))))))
+    val e4 = intercept[IllegalArgumentException] {
+      DeltaLakeWrite.append(
+        Seq(Tuple1(Tuple1(1L))).toDF("s"), mkTable(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+          "{}", nested))
+    }
+    assert(e4.getMessage.contains("does not enforce it"))
     // appendOnly + CDF constrain nothing an append violates → pass
     val ok = mkTable(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","changeDataFeed"]}}""",
       """{"delta.appendOnly":"true"}""", plain)
     assert(DeltaLakeWrite.append(Seq(Tuple1(1L)).toDF("id"), ok) === 1L)
+  }
+
+  test("column obligations ENFORCED on append: invariants abort on " +
+      "FALSE (NULL passes), generated columns compute when absent, " +
+      "identity allocates past the high watermark and advances it in " +
+      "the same commit") {
+    import org.apache.spark.sql.types._
+    val t = newTable()
+    val log = new java.io.File(t, "_delta_log"); log.mkdirs()
+    val schema = StructType(Seq(
+      StructField("rid", LongType, nullable = true, new MetadataBuilder()
+        .putLong("delta.identity.start", 100L)
+        .putLong("delta.identity.step", 10L).build()),
+      StructField("amt", LongType, nullable = true, new MetadataBuilder()
+        .putString("delta.invariants",
+          """{"expression":{"expression":"amt >= 0"}}""").build()),
+      StructField("amt2", LongType, nullable = true, new MetadataBuilder()
+        .putString("delta.generationExpression", "amt * 2").build())))
+    val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(schema.json)
+    Files.write(new java.io.File(log, "00000000000000000000.json").toPath,
+      (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
+        s"""{"metaData":{"id":"oblig","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":[],"configuration":{}}}""")
+        .mkString("\n")).getBytes("UTF-8"))
+    // absent rid and amt2: identity allocates 100,110,120; amt2 computes
+    DeltaLakeWrite.append(Seq(5L, 7L, 9L).toDF("amt").repartition(1), t)
+    val got1 = DeltaLakeRead.snapshot(spark, t)
+      .select("rid", "amt", "amt2").as[(Long, Long, Long)]
+      .collect().sortBy(_._2).toSeq
+    assert(got1 === Seq((100L, 5L, 10L), (110L, 7L, 14L),
+      (120L, 9L, 18L)))
+    // the SAME commit advanced the watermark; the next append
+    // continues past it
+    val st1 = DeltaLakeRead.state(spark, t)
+    assert(st1.schema("rid").metadata
+      .getLong("delta.identity.highWaterMark") === 120L)
+    DeltaLakeWrite.append(Seq(11L).toDF("amt").repartition(1), t)
+    val rids = DeltaLakeRead.snapshot(spark, t)
+      .select("rid").as[Long].collect().sorted.toSeq
+    assert(rids === Seq(100L, 110L, 120L, 130L))
+    // NULL passes the invariant (CHECK semantics); FALSE aborts
+    DeltaLakeWrite.append(Seq[Option[Long]](None).toDF("amt"), t)
+    val eInv = intercept[IllegalArgumentException] {
+      DeltaLakeWrite.append(Seq(-1L).toDF("amt"), t)
+    }
+    assert(eInv.getMessage.contains("invariant"))
+    // explicit identity values refuse without allowExplicitInsert
+    val eId = intercept[IllegalArgumentException] {
+      DeltaLakeWrite.append(Seq((999L, 1L)).toDF("rid", "amt"), t)
+    }
+    assert(eId.getMessage.contains("explicit"))
+    // provided generated values that MATCH pass validation
+    DeltaLakeWrite.append(Seq((3L, 6L)).toDF("amt", "amt2"), t)
+    assert(DeltaLakeRead.snapshot(spark, t).count() === 6L)
   }
 
   test("snapshot reads stay plain parquet relations: data filters " +
