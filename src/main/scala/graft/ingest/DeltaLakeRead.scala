@@ -560,6 +560,12 @@ object DeltaLakeRead {
     }
   }
 
+  /** Executor-cached decoded DV positions — [[DvLiveHelper]]'s hook
+    * into [[DvCache]]. */
+  private[ingest] def dvPositionsCached(root: String,
+      d: DeletionVectors.Descriptor): Array[Long] =
+    DvCache.positionsSorted(root, d)
+
   /** Filter out each file's DV positions IN THE SCAN: a per-row
     * filter binary-searches the row's `_metadata.row_index` against
     * its file's decoded bitmap (executor-cached, loaded from shared
@@ -603,15 +609,15 @@ object DeltaLakeRead {
         "to fail open")
     }
     val bcDesc = spark.sparkContext.broadcast(descs.toMap)
-    val live = org.apache.spark.sql.functions.udf {
-      (file: String, pos: Long) =>
-        bcDesc.value.get(file) match {
-          case Some(d) => java.util.Arrays.binarySearch(
-            DvCache.positionsSorted(rootStr, d), pos) < 0
-          case None => true
-        }
-    }
-    val filtered = withN.filter(live(col("__nfile"), col("__pos")))
+    // native codegen'd expression, not a Scala UDF: the DV filter
+    // compiles into the scan's WholeStageCodegen span (one virtual
+    // call per row, no catalyst↔scala marshaling)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val live = ColumnBridge.column(DvLiveExpr(
+      ColumnBridge.expression(col("__nfile")),
+      ColumnBridge.expression(col("__pos")),
+      new DvLiveHelper(bcDesc, rootStr)))
+    val filtered = withN.filter(live)
     if (keepMeta)
       filtered.withColumn("__file", col("__nfile")).drop("__nfile")
     else filtered.drop("__file", "__pos", "__nfile")

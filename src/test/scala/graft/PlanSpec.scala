@@ -86,6 +86,28 @@ class PlanSpec extends AnyFunSuite {
       s"no WholeStageCodegen spans:\n$plan")
   }
 
+  test("whole-stage codegen spans the deletion-vector scan filter " +
+      "(dv_live is a native expression, not a UDF fence)") {
+    val t = java.nio.file.Files.createTempDirectory("plan_dv").toString
+    import spark.implicits._
+    graft.ingest.DeltaLakeWrite.append(
+      (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartition(1), t)
+    graft.ingest.DeltaLakeDml.delete(spark, t, "id % 3 = 0")
+    val df = graft.ingest.DeltaLakeRead.snapshot(spark, t)
+    assert(df.count() === 66L)
+    val wscg = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+        w.toString
+    }
+    assert(wscg.exists(s => s.contains("dv_live")),
+      "the DV filter must live INSIDE a WholeStageCodegen span:\n" +
+        df.queryExecution.executedPlan.toString)
+    val plan = planOf(df)
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"DV subtraction still pays a UDF:\n$plan")
+  }
+
   test("SCD2 build shares one exchange+sort across both window passes") {
     val plan = planOf(SparkEntry.queries("q85_scd2")(
       spark, SparkTestSession.sfDir))
