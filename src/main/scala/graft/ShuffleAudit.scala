@@ -198,11 +198,8 @@ object ShuffleAudit {
     // pruned change read — O(rows changed), the q205 band plus the cdc
     // write/read pass
     "q209_delta_cdf" -> Seq("orders"),
-    // Delta appends STREAM: commit-file micro-batches → pruned reads
-    // of exactly the appended files → idempotent sink appends; bytes
-    // are O(rows appended) per drain — the log itself is metadata and
-    // never shuffles
-    "q210_delta_stream" -> Seq("nation"),
+    // q210_delta_stream is EXCLUDED like every streaming query (see
+    // the class doc); its batch kernel is q208's pruned appends read
     // id-mode cm writes: two appends + one DV update rewrite; bytes
     // are the staged rows themselves (field-id emission is free
     // footer metadata) — same band as q205 at the customer table size
