@@ -159,15 +159,29 @@ object DeltaLakeDml {
     // per-key target multiplicity: a source key matching n target
     // rows must land n postimage copies (all n were DV-deleted) —
     // collapsing to one would shrink the table vs delta-spark MERGE.
-    // One shuffle keyed by `keys`, same as the match join above.
+    // One LIMIT-1 probe of a narrow key aggregate decides the shape:
+    // duplicate-free targets (the overwhelmingly common case) insert
+    // the source batch VERBATIM — zero joins in the staging path —
+    // while duplicated targets pay the explode-join that preserves
+    // row count. Both shuffles are keyed by `keys`, same as the
+    // match join above.
     val tKeyCounts = t.groupBy(keys.map(c =>
         col(DeltaLakeRead.quoted(c))): _*)
       .agg(count(lit(1)).as("__tn"))
-    val matchedRepl = newRows.join(tKeyCounts, keys, "inner")
-      .withColumn("__i", explode(sequence(lit(1L), col("__tn"))))
-      .select(logicalCols(st): _*)
-    val freshIns = newRows.join(tKeyCounts, keys, "left_anti")
-    val replacement = matchedRepl.unionByName(freshIns)
+    val hasDupTargets =
+      tKeyCounts.filter(col("__tn") > 1).limit(1).count() > 0
+    val (replacement, matchedRepl, freshIns) =
+      if (!hasDupTargets) {
+        (newRows,
+          newRows.join(tKeyCounts, keys, "left_semi"),
+          newRows.join(tKeyCounts, keys, "left_anti"))
+      } else {
+        val m = newRows.join(tKeyCounts, keys, "inner")
+          .withColumn("__i", explode(sequence(lit(1L), col("__tn"))))
+          .select(logicalCols(st): _*)
+        val a = newRows.join(tKeyCounts, keys, "left_anti")
+        (m.unionByName(a), m, a)
+      }
     val cdc = t.join(srcKeyOnly, keys, "left_semi")
       .select(logicalCols(st): _*)
       .withColumn(DeltaLakeCdf.ChangeTypeCol, lit("update_preimage"))
