@@ -65,6 +65,34 @@ object DeltaLakeWrite {
   def append(df: DataFrame, tablePath: String,
       partitionBy: Seq[String] = Nil, checkpointInterval: Int = 10,
       tableConfig: Map[String, String] = Map.empty): Long = {
+    var tries = 0
+    while (true) {
+      try {
+        return appendOnce(df, tablePath, partitionBy,
+          checkpointInterval, tableConfig)
+      } catch {
+        case e: IdentityHwmRace =>
+          tries += 1
+          if (tries > 5) throw new IllegalStateException(
+            s"giving up after 5 identity-allocation recomputes: " +
+            s"${e.getMessage} — serialize the racing identity appends",
+            e)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** A commit with a metaData action landed between this append's
+    * snapshot read and its identity-bearing commit attempt — the high
+    * watermark may have moved; re-execute against the new head. */
+  private final class IdentityHwmRace(table: String, slot: Long)
+    extends RuntimeException(
+      s"conflicting metaData commit at version $slot of $table while " +
+      "an identity allocation was in flight")
+
+  private def appendOnce(df: DataFrame, tablePath: String,
+      partitionBy: Seq[String], checkpointInterval: Int,
+      tableConfig: Map[String, String]): Long = {
     val root = new File(tablePath)
     val log = new File(root, "_delta_log")
     log.mkdirs()
@@ -136,7 +164,43 @@ object DeltaLakeWrite {
     } else Nil
     val body = (headerLines ++ addLines).mkString("\n")
       .getBytes(StandardCharsets.UTF_8)
-    val version = commitSlot(log, body)
+    // identity allocations are EXCLUSIVE: two appends reading the
+    // same high watermark would hand out the same ids, so an
+    // identity-bearing commit claims exactly readVersion+1 and slides
+    // only past commits carrying NO metaData action (a plain append
+    // cannot have moved the watermark); a metaData action in the
+    // window rolls this attempt's staged files back and re-executes
+    // the whole append against the new head (the [[DeltaLakeDml]]
+    // optimistic posture). Plain appends keep the blind slide —
+    // adds are commutative.
+    val version =
+      if (pendingIdentity.isEmpty) commitSlot(log, body)
+      else {
+        var slot = stOpt.map(_.version + 1).getOrElse(0L)
+        var out = -1L
+        while (out < 0) {
+          if (commitSlotAt(log, body, slot)) out = slot
+          else {
+            val f = new File(log, f"$slot%020d.json")
+            val hasMeta = f.isFile &&
+              java.nio.file.Files.readAllLines(f.toPath).stream()
+                .anyMatch { l =>
+                  l.nonEmpty && {
+                    val n = om.readTree(l)
+                    val m = n.get("metaData")
+                    m != null && !m.isNull
+                  }
+                }
+            if (!hasMeta) slot += 1
+            else {
+              staged.foreach(s => Files.deleteIfExists(
+                new File(root, s.rel).toPath))
+              throw new IdentityHwmRace(tablePath, slot)
+            }
+          }
+        }
+        out
+      }
     if (!skipCheckpoint && checkpointInterval > 0 && version > 0 &&
         version % checkpointInterval == 0) {
       // best-effort: the commit is already durable, and a table

@@ -381,6 +381,46 @@ class DeltaWriteSpec extends AnyFunSuite {
     assert(DeltaLakeRead.snapshot(spark, t).count() === 6L)
   }
 
+  test("racing identity appends never allocate duplicate ids: the " +
+      "loser recomputes past the moved watermark") {
+    import org.apache.spark.sql.types._
+    val t = newTable()
+    val log = new java.io.File(t, "_delta_log"); log.mkdirs()
+    val schema = StructType(Seq(
+      StructField("rid", LongType, nullable = true, new MetadataBuilder()
+        .putLong("delta.identity.start", 100L)
+        .putLong("delta.identity.step", 10L).build()),
+      StructField("amt", LongType)))
+    val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(schema.json)
+    Files.write(new java.io.File(log, "00000000000000000000.json").toPath,
+      (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""",
+        s"""{"metaData":{"id":"idrace","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":[],"configuration":{}}}""")
+        .mkString("\n")).getBytes("UTF-8"))
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    def race(amts: Seq[Long]) = pool.submit(
+      new java.util.concurrent.Callable[Long] {
+        def call() = {
+          go.await()
+          DeltaLakeWrite.append(
+            amts.toDF("amt").repartition(1), t)
+        }
+      })
+    val a = race(Seq(1L, 2L, 3L)); val b = race(Seq(4L, 5L, 6L))
+    go.countDown()
+    a.get(); b.get()
+    pool.shutdown()
+    val rids = DeltaLakeRead.snapshot(spark, t)
+      .select("rid").as[Long].collect().sorted.toSeq
+    assert(rids === Seq(100L, 110L, 120L, 130L, 140L, 150L),
+      "a lost identity race would duplicate ids or skip the range")
+    assert(DeltaLakeRead.state(spark, t).schema("rid").metadata
+      .getLong("delta.identity.highWaterMark") === 150L)
+  }
+
   test("snapshot reads stay plain parquet relations: data filters " +
       "reach PushedFilters, partition filters prune the listing") {
     val t = newTable()
