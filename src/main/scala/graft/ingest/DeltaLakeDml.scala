@@ -359,8 +359,9 @@ object DeltaLakeDml {
     // racing mutations SERIALIZE instead of losing updates (the
     // loser's DV union would silently drop the winner's deletes).
     testBeforeCommit()
+    val ict = DeltaLakeWrite.ictEnabled(st.config)
     var slot = st.version + 1
-    while (!DeltaLakeWrite.commitSlotAt(log, body, slot)) {
+    while (!DeltaLakeWrite.commitSlotAt(log, body, slot, ict)) {
       val f = new File(log, f"$slot%020d.json")
       val benign = f.isFile && Files.readAllLines(f.toPath).asScala
         .filter(_.nonEmpty).forall { line =>

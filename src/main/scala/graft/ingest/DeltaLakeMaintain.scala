@@ -91,7 +91,8 @@ object DeltaLakeMaintain {
     val body = (removeLines ++ addLines).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val log = new File(new File(tablePath), "_delta_log")
-    val version = DeltaLakeWrite.commitSlot(log, body)
+    val version = DeltaLakeWrite.commitSlot(log, body,
+      DeltaLakeWrite.ictEnabled(st.config))
     CompactResult(version, victims.size, staged.size, dvRowsDropped)
   }
 

@@ -153,8 +153,15 @@ object DeltaLakeWrite {
     val addLines = staged.map(s =>
       addJson(s.rel, s.pv.map { case (k, v) => k -> Some(v) }, s.size,
         now, dataChange = true, dv = None))
+    val ict = ictEnabled(stOpt.map(_.config).getOrElse(tableConfig))
     val headerLines = if (creating) {
-      val proto = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      // enabling in-commit timestamps at creation obliges every
+      // writer to stamp commits — a table-features protocol declares
+      // exactly that obligation
+      val proto =
+        if (ict)
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["inCommitTimestamp"]}}"""
+        else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       Seq(proto, metaDataJson(java.util.UUID.randomUUID().toString,
         schemaAfter.json, partitionBy, tableConfig, Some(now)))
     } else if (pendingIdentity.nonEmpty && stagedRows > 0) {
@@ -174,12 +181,12 @@ object DeltaLakeWrite {
     // optimistic posture). Plain appends keep the blind slide —
     // adds are commutative.
     val version =
-      if (pendingIdentity.isEmpty) commitSlot(log, body)
+      if (pendingIdentity.isEmpty) commitSlot(log, body, ict)
       else {
         var slot = stOpt.map(_.version + 1).getOrElse(0L)
         var out = -1L
         while (out < 0) {
-          if (commitSlotAt(log, body, slot)) out = slot
+          if (commitSlotAt(log, body, slot, ict)) out = slot
           else {
             val f = new File(log, f"$slot%020d.json")
             val hasMeta = f.isFile &&
@@ -357,7 +364,7 @@ object DeltaLakeWrite {
       "timestampNtz", "typeWidening", "typeWidening-preview",
       "changeDataFeed", "invariants", "checkConstraints",
       "generatedColumns", "identityColumns", "columnMapping",
-      "domainMetadata", "v2Checkpoint")
+      "domainMetadata", "v2Checkpoint", "inCommitTimestamp")
     require(unsupportedW.isEmpty,
       s"unsupported Delta writer features: ${unsupportedW.mkString(", ")}")
     val constraintKeys = st.config.keys
@@ -469,31 +476,56 @@ object DeltaLakeWrite {
     try r.getRecordCount finally r.close()
   }
 
-  /** Claim the next version slot in `log` for `body`: hard link =
-    * atomic create-if-absent; racers retry onto the next slot. */
-  private[ingest] def commitSlot(log: File, body: Array[Byte]): Long = {
-    val tmp = Files.createTempFile(log.toPath, ".commit", ".tmp")
-    Files.write(tmp, body)
-    try {
-      var attempts = 0
-      while (attempts < 100) {
-        val next = 1L + Option(log.listFiles()).getOrElse(Array.empty)
-          .flatMap(f => "([0-9]{20})\\.json".r
-            .unapplySeq(f.getName).map(_.head.toLong))
-          .maxOption.getOrElse(-1L)
-        val slot = new File(log, f"$next%020d.json").toPath
-        try {
-          Files.createLink(slot, tmp)
-          return next
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => attempts += 1
-        }
+  /** Does this table oblige writers to stamp commits with a
+    * monotonic in-log clock (PROTOCOL.md § In-Commit Timestamps)? */
+  private[ingest] def ictEnabled(config: Map[String, String]): Boolean =
+    config.get("delta.enableInCommitTimestamps").contains("true")
+
+  /** The previous commit's inCommitTimestamp, if it carries one (the
+    * protocol puts commitInfo FIRST in ICT commits — one line read). */
+  private def prevIct(log: File, v: Long): Option[Long] = {
+    val f = new File(log, f"$v%020d.json")
+    if (!f.isFile) None
+    else scala.util.Using(Files.newBufferedReader(f.toPath)) { r =>
+      Option(r.readLine()).flatMap { line =>
+        val n = om.readTree(line)
+        Option(n.get("commitInfo")).filterNot(_.isNull)
+          .flatMap(ci => Option(ci.get("inCommitTimestamp"))
+            .filterNot(_.isNull).map(_.asLong()))
       }
-      throw new IllegalStateException(
-        s"could not claim a commit slot in $log after 100 attempts")
-    } finally {
-      Files.deleteIfExists(tmp); ()
+    }.toOption.flatten
+  }
+
+  /** Prepend the monotonic commitInfo line for a commit landing at
+    * `slot`: strictly greater than the predecessor's ICT (and never
+    * behind the wall clock). Recomputed PER CLAIM ATTEMPT — a slide
+    * past a racer's commit must stay monotonic against THAT commit,
+    * not against the one read before the race. */
+  private def withIctLine(log: File, slot: Long,
+      body: Array[Byte]): Array[Byte] = {
+    val ts = math.max(System.currentTimeMillis(),
+      prevIct(log, slot - 1).map(_ + 1).getOrElse(Long.MinValue))
+    (s"""{"commitInfo":{"inCommitTimestamp":$ts}}""" + "\n")
+      .getBytes(StandardCharsets.UTF_8) ++ body
+  }
+
+  /** Claim the next version slot in `log` for `body`: hard link =
+    * atomic create-if-absent; racers retry onto the next slot. With
+    * `ict`, each attempt stamps a fresh monotonic commitInfo first
+    * line for the slot it targets. */
+  private[ingest] def commitSlot(log: File, body: Array[Byte],
+      ict: Boolean = false): Long = {
+    var attempts = 0
+    while (attempts < 100) {
+      val next = 1L + Option(log.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => "([0-9]{20})\\.json".r
+          .unapplySeq(f.getName).map(_.head.toLong))
+        .maxOption.getOrElse(-1L)
+      if (commitSlotAt(log, body, next, ict)) return next
+      attempts += 1
     }
+    throw new IllegalStateException(
+      s"could not claim a commit slot in $log after 100 attempts")
   }
 
   /** Claim EXACTLY `slot` (hard link = atomic create-if-absent).
@@ -502,9 +534,9 @@ object DeltaLakeWrite {
     * optimistic-concurrency loop), unlike [[commitSlot]] which
     * advances blindly (sound only for commutative appends). */
   private[ingest] def commitSlotAt(log: File, body: Array[Byte],
-      slot: Long): Boolean = {
+      slot: Long, ict: Boolean = false): Boolean = {
     val tmp = Files.createTempFile(log.toPath, ".commit", ".tmp")
-    Files.write(tmp, body)
+    Files.write(tmp, if (ict) withIctLine(log, slot, body) else body)
     try {
       Files.createLink(new File(log, f"$slot%020d.json").toPath, tmp)
       true

@@ -203,6 +203,46 @@ class DeltaMaintainSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("missing"))
   }
 
+  test("IN-COMMIT TIMESTAMPS writer: every commit verb stamps a " +
+      "monotonic commitInfo first line; time travel resolves by the " +
+      "in-log clock even with scrambled file mtimes") {
+    val t = newTable()
+    DeltaLakeWrite.append((0L until 6L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartition(1), t,
+      tableConfig = Map("delta.enableInCommitTimestamps" -> "true"))
+    DeltaLakeWrite.append(Seq((10L, "x")).toDF("id", "v"), t)
+    DeltaLakeDml.delete(spark, t, "id = 1")
+    val c = DeltaLakeMaintain.compact(spark, t)
+    val st = DeltaLakeRead.state(spark, t)
+    assert(st.minWriter === 7)
+    assert(st.writerFeatures.contains("inCommitTimestamp"))
+    val log = new java.io.File(t, "_delta_log")
+    def ict(v: Long): Long = {
+      val first = Files.readAllLines(
+        new java.io.File(log, f"$v%020d.json").toPath).get(0)
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(first)
+      assert(n.has("commitInfo"),
+        s"commit $v must lead with commitInfo under ICT")
+      n.get("commitInfo").get("inCommitTimestamp").asLong()
+    }
+    val ts = (0L to c.version).map(ict)
+    assert(ts === ts.sorted && ts.distinct === ts,
+      s"in-commit timestamps must be strictly increasing: $ts")
+    // scramble mtimes: resolution must follow the in-log clock
+    (0L to c.version).foreach { v =>
+      assert(new java.io.File(log, f"$v%020d.json")
+        .setLastModified(1000L))
+    }
+    assert(DeltaLakeRead.versionAtTimestamp(t, ts(1)) === 1L)
+    assert(DeltaLakeRead.versionAtTimestamp(t, ts.last + 1) ===
+      c.version)
+    intercept[IllegalArgumentException] {
+      DeltaLakeRead.versionAtTimestamp(t, ts.head - 1)
+    }
+    assert(ids(t) === ((0L until 6L).filterNot(_ == 1L) :+ 10L))
+  }
+
   test("versionAtTimestamp resolves by commit file mtime (newest " +
       "commit at-or-before), rejects pre-history timestamps") {
     val t = newTable()
