@@ -58,10 +58,10 @@ object DeltaLakeWrite {
     * default, 10) additionally lands a classic checkpoint parquet +
     * `_last_checkpoint`, so a table this engine keeps appending to
     * stays cheap for EVERY Delta reader — without it each snapshot
-    * replays one JSON commit per append forever. 0 disables; tables
-    * carrying the `v2Checkpoint` writer feature skip it too (that
-    * feature obliges writers to emit V2 checkpoints, which this
-    * writer does not — the table stays valid, just un-compacted). */
+    * replays one JSON commit per append forever. 0 disables. Tables
+    * carrying the `v2Checkpoint` writer feature get a V2 (UUID-named
+    * manifest + sidecars) checkpoint instead — the form that feature
+    * obliges writers to emit. */
   def append(df: DataFrame, tablePath: String,
       partitionBy: Seq[String] = Nil, checkpointInterval: Int = 10,
       tableConfig: Map[String, String] = Map.empty): Long = {
@@ -97,11 +97,15 @@ object DeltaLakeWrite {
     val log = new File(root, "_delta_log")
     log.mkdirs()
 
+    // a table whose commits were ALL vacuumed past a checkpoint still
+    // exists — any version-prefixed log file (commit OR checkpoint)
+    // means this is an append, not a create; matching commits alone
+    // would stamp a fresh (1,2) protocol + metaData over the real one
     val creating = Option(log.listFiles()).getOrElse(Array.empty)
-      .forall(f => !f.getName.matches("[0-9]{20}\\.json"))
+      .forall(f =>
+        "^([0-9]{20})\\.".r.findPrefixMatchOf(f.getName).isEmpty)
     var physDf = df
     var physPartitionBy = partitionBy
-    var skipCheckpoint = false
     var tableSchema = df.schema
     var pendingIdentity: Seq[PendingIdentity] = Nil
     var stOpt: Option[DeltaLakeRead.Snapshot] = None
@@ -128,7 +132,6 @@ object DeltaLakeWrite {
       physDf = toPhysical(dfr, st)
       physPartitionBy = partitionBy.map(c =>
         DeltaLakeRead.physFieldName(st.schema(c)))
-      skipCheckpoint = st.writerFeatures.contains("v2Checkpoint")
     } else {
       require(partitionBy.forall(df.columns.contains),
         s"partition columns ${partitionBy.mkString(",")} missing from df")
@@ -208,7 +211,7 @@ object DeltaLakeWrite {
         }
         out
       }
-    if (!skipCheckpoint && checkpointInterval > 0 && version > 0 &&
+    if (checkpointInterval > 0 && version > 0 &&
         version % checkpointInterval == 0) {
       // best-effort: the commit is already durable, and a table
       // without this checkpoint is merely slower to snapshot
@@ -517,9 +520,13 @@ object DeltaLakeWrite {
       ict: Boolean = false): Long = {
     var attempts = 0
     while (attempts < 100) {
+      // the head is the max version across commits AND checkpoints:
+      // a table whose pre-checkpoint commits were all vacuumed has no
+      // %020d.json left, and deriving the slot from commits alone
+      // would re-claim version 0 — a silently corrupted history
       val next = 1L + Option(log.listFiles()).getOrElse(Array.empty)
-        .flatMap(f => "([0-9]{20})\\.json".r
-          .unapplySeq(f.getName).map(_.head.toLong))
+        .flatMap(f => "^([0-9]{20})\\.".r
+          .findPrefixMatchOf(f.getName).map(_.group(1).toLong))
         .maxOption.getOrElse(-1L)
       if (commitSlotAt(log, body, next, ict)) return next
       attempts += 1
@@ -689,7 +696,8 @@ object DeltaLakeWrite {
     * (its readers tolerate staleness by design). */
   def checkpoint(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, version: Long,
-      maxActionsPerFile: Int = 1000000, parts: Option[Int] = None): Unit = {
+      maxActionsPerFile: Int = 1000000, parts: Option[Int] = None,
+      v2: Option[Boolean] = None): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val st = DeltaLakeRead.state(spark, tablePath, Some(version))
@@ -763,23 +771,94 @@ object DeltaLakeWrite {
       st.createdTime.map(Long.box).orNull)
     def pad(r: Row, at: Int): Row =
       Row.fromSeq(Seq.tabulate(6)(i => if (i == at) r else null))
+    val addRows = st.files.map { f =>
+      val pv = f.partitionValues.map { case (k, v) => k -> v.orNull }
+      Row(f.rawPath, pv, f.size, f.modificationTime, false, dvRow(f.dv))
+    }
+    val removeRows = liveTombs.map { t =>
+      val pv = t.partitionValues.map { case (k, v) => k -> v.orNull }
+      Row(t.rawPath, t.deletionTimestamp.map(Long.box).orNull,
+        false, true, pv, t.size.map(Long.box).orNull, dvRow(t.dv))
+    }
     val rows: Seq[Row] =
       Seq(pad(protoRow, 0), pad(metaRow, 1)) ++
-      st.files.map { f =>
-        val pv = f.partitionValues.map { case (k, v) => k -> v.orNull }
-        pad(Row(f.rawPath, pv, f.size, f.modificationTime, false,
-          dvRow(f.dv)), 2)
-      } ++
-      liveTombs.map { t =>
-        val pv = t.partitionValues.map { case (k, v) => k -> v.orNull }
-        pad(Row(t.rawPath, t.deletionTimestamp.map(Long.box).orNull,
-          false, true, pv, t.size.map(Long.box).orNull, dvRow(t.dv)), 3)
-      } ++
+      addRows.map(pad(_, 2)) ++
+      removeRows.map(pad(_, 3)) ++
       st.txns.toSeq.map { case (appId, v) => pad(Row(appId, v), 4) } ++
       st.domains.map(d =>
         pad(Row(d.domain, d.configuration, d.removed), 5))
     val root = new File(tablePath)
     val log = new File(root, "_delta_log")
+
+    // V2 (UUID-named) checkpoint: the obligation the `v2Checkpoint`
+    // writer feature imposes (PROTOCOL.md § V2 Checkpoints) — a
+    // manifest carrying checkpointMetadata/protocol/metaData/txn/
+    // domainMetadata plus `sidecar` references; the FILE actions land
+    // in `_delta_log/_sidecars/<uuid>.parquet` parts. Engaged
+    // automatically for tables declaring the feature.
+    if (v2.getOrElse(st.writerFeatures.contains("v2Checkpoint"))) {
+      import scala.jdk.CollectionConverters._
+      val scSchema = StructType(Seq(
+        StructField("add", addType), StructField("remove", removeType)))
+      def pad2(r: Row, at: Int): Row =
+        Row.fromSeq(Seq.tabulate(2)(i => if (i == at) r else null))
+      val fileRows = addRows.map(pad2(_, 0)) ++
+        removeRows.map(pad2(_, 1))
+      val scDir = new File(log, "_sidecars"); scDir.mkdirs()
+      val nSc = math.max(1, math.ceil(fileRows.size.toDouble /
+        math.max(1, maxActionsPerFile)).toInt)
+      val stage = new File(root,
+        s".cp-stage-${java.util.UUID.randomUUID()}")
+      val sidecars = (0 until nSc).map { p =>
+        val ps = new File(stage, s"sc$p")
+        spark.createDataFrame(
+          fileRows.zipWithIndex.filter(_._2 % nSc == p).map(_._1)
+            .asJava, scSchema)
+          .coalesce(1).write.parquet(ps.getPath)
+        val name = s"${java.util.UUID.randomUUID()}.parquet"
+        val dest = new File(scDir, name)
+        Files.move(stagedPart(ps).toPath, dest.toPath,
+          StandardCopyOption.REPLACE_EXISTING)
+        (name, dest.length(), now)
+      }
+      val cpMetaType = StructType(Seq(
+        StructField("version", LongType)))
+      val sidecarType = StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType)))
+      val mSchema = StructType(Seq(
+        StructField("checkpointMetadata", cpMetaType),
+        StructField("protocol", protoType),
+        StructField("metaData", metaType),
+        StructField("txn", txnType),
+        StructField("domainMetadata", domainType),
+        StructField("sidecar", sidecarType)))
+      def pad6(r: Row, at: Int): Row =
+        Row.fromSeq(Seq.tabulate(6)(i => if (i == at) r else null))
+      val mRows: Seq[Row] =
+        Seq(pad6(Row(version), 0), pad6(protoRow, 1),
+          pad6(metaRow, 2)) ++
+        st.txns.toSeq.map { case (a, v) => pad6(Row(a, v), 3) } ++
+        st.domains.map(d =>
+          pad6(Row(d.domain, d.configuration, d.removed), 4)) ++
+        sidecars.map { case (n, sz, mt) => pad6(Row(n, sz, mt), 5) }
+      val ms = new File(stage, "manifest")
+      spark.createDataFrame(mRows.asJava, mSchema)
+        .coalesce(1).write.parquet(ms.getPath)
+      Files.move(stagedPart(ms).toPath, new File(log,
+        f"$version%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet")
+        .toPath, StandardCopyOption.REPLACE_EXISTING)
+      rmTree(stage)
+      val lcTmp = Files.createTempFile(log.toPath, ".lc", ".tmp")
+      Files.write(lcTmp,
+        s"""{"version":$version,"size":${mRows.size + fileRows.size}}"""
+          .getBytes(StandardCharsets.UTF_8))
+      Files.move(lcTmp, new File(log, "_last_checkpoint").toPath,
+        StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      return
+    }
     val nParts = parts.getOrElse(
       math.max(1, math.ceil(rows.size.toDouble /
         math.max(1, maxActionsPerFile)).toInt))

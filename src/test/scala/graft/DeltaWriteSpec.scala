@@ -421,6 +421,58 @@ class DeltaWriteSpec extends AnyFunSuite {
       .getLong("delta.identity.highWaterMark") === 150L)
   }
 
+  test("V2 checkpoint WRITES: a v2Checkpoint-feature table gets a " +
+      "UUID manifest + sidecar file actions that seed replay after " +
+      "the commits are vacuumed, DVs and tombstones included") {
+    import org.apache.spark.sql.types._
+    val t = newTable()
+    val log = new java.io.File(t, "_delta_log"); log.mkdirs()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val schemaStr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(schema.json)
+    Files.write(new java.io.File(log, "00000000000000000000.json").toPath,
+      (Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+        s"""{"metaData":{"id":"v2w","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":[],"configuration":{}}}""")
+        .mkString("\n")).getBytes("UTF-8"))
+    import spark.implicits._
+    DeltaLakeWrite.append((0L until 6L).map(i => (i, s"v$i"))
+      .toDF("id", "v").repartition(1), t)            // v1
+    DeltaLakeWrite.append(Seq((10L, "x")).toDF("id", "v"), t) // v2
+    graft.ingest.DeltaLakeDml.delete(spark, t, "id = 3")      // v3: DV
+    val v = DeltaLakeRead.latestVersion(t)
+    DeltaLakeWrite.checkpoint(spark, t, v)
+    // the feature selects the V2 form: UUID manifest + sidecars, no
+    // classic checkpoint name
+    val names = log.listFiles().map(_.getName).toSeq
+    assert(!names.contains(f"$v%020d.checkpoint.parquet"))
+    assert(names.exists(_.matches(
+      f"$v%020d" + "\\.checkpoint\\.[-a-f0-9]+\\.parquet")))
+    val scDir = new java.io.File(log, "_sidecars")
+    assert(scDir.isDirectory && scDir.listFiles().nonEmpty)
+    // replay survives vacuuming every commit
+    (0L to v).foreach { i =>
+      Files.delete(new java.io.File(log, f"$i%020d.json").toPath)
+    }
+    def ids(): Seq[Long] = DeltaLakeRead.snapshot(spark, t)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids() === Seq(0L, 1L, 2L, 4L, 5L, 10L))
+    val st = DeltaLakeRead.state(spark, t)
+    assert(st.files.exists(_.dv.isDefined),
+      "the DV descriptor must ride the sidecar")
+    assert(st.tombstones.nonEmpty,
+      "fresh tombstones must survive the v2 checkpoint")
+    // appends continue on top of the v2-seeded state, and the
+    // interval knob auto-emits the next v2 checkpoint
+    DeltaLakeWrite.append(Seq((20L, "y")).toDF("id", "v"), t,
+      checkpointInterval = 1)
+    assert(ids() === Seq(0L, 1L, 2L, 4L, 5L, 10L, 20L))
+    val names2 = log.listFiles().map(_.getName).toSeq.sorted
+    assert(names2.count(_.matches(
+      ".*\\.checkpoint\\.[-a-f0-9]+\\.parquet")) >= 2,
+      s"the interval append must auto-emit a V2 checkpoint: $names2")
+  }
+
   test("snapshot reads stay plain parquet relations: data filters " +
       "reach PushedFilters, partition filters prune the listing") {
     val t = newTable()
