@@ -404,9 +404,9 @@ object DeltaLakeRead {
   private def snapshotImpl(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long], withMeta: Boolean,
       pathFilter: Option[Set[String]] = None): DataFrame = {
-    val st0 = state(spark, tablePath, versionAsOf)
-    val st = pathFilter.fold(st0)(keep =>
-      st0.copy(files = st0.files.filter(f => keep.contains(f.path))))
+    // the filter flows into the state read itself: distributed-mode
+    // tables prune BEFORE the collect (batch-size rows to the driver)
+    val st = stateImpl(spark, tablePath, versionAsOf, pathFilter)
     val root = new File(tablePath).getAbsolutePath
     val cmMode = st.config.getOrElse("delta.columnMapping.mode", "none")
     val cm = cmMode != "none"
@@ -628,7 +628,23 @@ object DeltaLakeRead {
     * file list (e.g. incremental ingestion watermarking, checkpoint
     * emission, DML). */
   def state(spark: SparkSession, tablePath: String,
-      versionAsOf: Option[Long] = None): Snapshot = {
+      versionAsOf: Option[Long] = None): Snapshot =
+    stateImpl(spark, tablePath, versionAsOf, None)
+
+  /** [[state]] with an optional path pre-filter (DECODED relative
+    * paths): in distributed mode the filter pushes into the
+    * reconciliation frame BEFORE the collect, so an incremental
+    * consumer of a million-file table ([[appendsSince]], the
+    * streaming source's pruned reads) ships batch-size rows to the
+    * driver, not the whole file list. Tombstones are filtered by the
+    * same set — pruned states serve reads, which never consult them.
+    * Driver mode filters after replay (its cost is the replay
+    * itself). Guarded to modest set sizes; larger sets fall back to
+    * the post-collect filter rather than bloating the plan with a
+    * giant IN list. */
+  private[ingest] def stateImpl(spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long],
+      pathFilter: Option[Set[String]]): Snapshot = {
     val (commits, checkpoints, v2cps) = listLog(tablePath)
     val latest =
       (commits.keySet ++ checkpoints.keySet ++ v2cps.keySet).maxOption
@@ -899,9 +915,16 @@ object DeltaLakeRead {
               when(col("dvOffset").isNotNull,
                 concat(lit("@"), col("dvOffset").cast("string")))
                 .otherwise(lit("")))))
+        // path pre-filter BEFORE the window: the key includes path,
+        // so latest-wins over the filtered subset is identical — and
+        // both the shuffle and the collect shrink to the asked-for
+        // paths
+        val pushable = pathFilter.filter(_.size <= 10000)
+        val scoped = pushable.fold(keyed)(keep =>
+          keyed.filter(col("path").isin(keep.toSeq: _*)))
         val w = Window.partitionBy(col("path"), col("dvUid"))
           .orderBy(col("ver").desc, col("idx").desc)
-        val latest = keyed
+        val latest = scoped
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
         latest.collect()
@@ -958,9 +981,16 @@ object DeltaLakeRead {
         f.metadata.contains(FieldIdKey),
         s"column mapping is 'id' but field ${f.name} carries no " +
         s"$FieldIdKey metadata — refusing to guess"))
-    Snapshot(target, schema, partCols, active.values.toSeq, config,
+    // driver mode (and the big-set distributed fallback) filters
+    // post-replay; the pushed-down distributed case re-applies
+    // harmlessly
+    val files = pathFilter.fold(active.values.toSeq)(keep =>
+      active.values.toSeq.filter(f => keep.contains(f.path)))
+    val tombstones = pathFilter.fold(tombs.values.toSeq)(keep =>
+      tombs.values.toSeq.filter(t => keep.contains(t.path)))
+    Snapshot(target, schema, partCols, files, config,
       metaId, createdTime, minReader, minWriter, readerFeatures,
-      writerFeatures, tombs.values.toSeq, txns.toMap, domains.values.toSeq)
+      writerFeatures, tombstones, txns.toMap, domains.values.toSeq)
   }
 
   private[ingest] def quoted(name: String): String = s"`$name`"
