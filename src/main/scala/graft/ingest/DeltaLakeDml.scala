@@ -159,27 +159,29 @@ object DeltaLakeDml {
     // per-key target multiplicity: a source key matching n target
     // rows must land n postimage copies (all n were DV-deleted) —
     // collapsing to one would shrink the table vs delta-spark MERGE.
-    // One LIMIT-1 probe of a narrow key aggregate decides the shape:
-    // duplicate-free targets (the overwhelmingly common case) insert
-    // the source batch VERBATIM — zero joins in the staging path —
-    // while duplicated targets pay the explode-join that preserves
-    // row count. Both shuffles are keyed by `keys`, same as the
-    // match join above.
-    val tKeyCounts = t.groupBy(keys.map(c =>
-        col(DeltaLakeRead.quoted(c))): _*)
+    // The multiplicity aggregate is scoped to keys PRESENT IN THE
+    // SOURCE (semi-join on the narrow projection before the groupBy),
+    // so its shuffle is O(matched rows), never O(target keys); a
+    // LIMIT-1 probe of it decides the shape: duplicate-free targets
+    // (the overwhelmingly common case) insert the source batch
+    // VERBATIM — zero joins in the staging path — while duplicated
+    // targets pay the explode-join that preserves row count.
+    val matchedCounts = narrow
+      .join(srcKeyOnly, keys, "left_semi")
+      .groupBy(keys.map(c => col(DeltaLakeRead.quoted(c))): _*)
       .agg(count(lit(1)).as("__tn"))
     val hasDupTargets =
-      tKeyCounts.filter(col("__tn") > 1).limit(1).count() > 0
+      matchedCounts.filter(col("__tn") > 1).limit(1).count() > 0
     val (replacement, matchedRepl, freshIns) =
       if (!hasDupTargets) {
         (newRows,
-          newRows.join(tKeyCounts, keys, "left_semi"),
-          newRows.join(tKeyCounts, keys, "left_anti"))
+          newRows.join(matchedCounts, keys, "left_semi"),
+          newRows.join(matchedCounts, keys, "left_anti"))
       } else {
-        val m = newRows.join(tKeyCounts, keys, "inner")
+        val m = newRows.join(matchedCounts, keys, "inner")
           .withColumn("__i", explode(sequence(lit(1L), col("__tn"))))
           .select(logicalCols(st): _*)
-        val a = newRows.join(tKeyCounts, keys, "left_anti")
+        val a = newRows.join(matchedCounts, keys, "left_anti")
         (m.unionByName(a), m, a)
       }
     val cdc = t.join(srcKeyOnly, keys, "left_semi")
@@ -363,17 +365,7 @@ object DeltaLakeDml {
     var slot = st.version + 1
     while (!DeltaLakeWrite.commitSlotAt(log, body, slot, ict)) {
       val f = new File(log, f"$slot%020d.json")
-      val benign = f.isFile && Files.readAllLines(f.toPath).asScala
-        .filter(_.nonEmpty).forall { line =>
-          val n = mapper.readTree(line)
-          def has(k: String) =
-            Option(n.get(k)).exists(!_.isNull)
-          !has("remove") && !has("metaData") && !has("protocol") &&
-            !Option(n.get("add")).filterNot(_.isNull)
-              .exists(a => Option(a.get("deletionVector"))
-                .exists(!_.isNull))
-        }
-      if (benign) slot += 1
+      if (DeltaLakeWrite.benignCommit(f)) slot += 1
       else {
         // roll back everything this attempt physically landed
         (staged ++ cdcStaged).foreach(s =>

@@ -40,13 +40,45 @@ object DeltaLakeMaintain {
     * Scale shape: one pruned read of the qualifying files only — the
     * repartition count is `ceil(bytes / targetFileBytes)` so output
     * files land near target size; untouched files are never read.
-    * The commit is O(files touched). Same single-mutator posture as
-    * [[DeltaLakeDml]] (the slot claim serializes physically; logical
-    * conflict detection between concurrent mutators is not
-    * implemented). */
+    * The commit is O(files touched).
+    *
+    * Concurrency: the same optimistic posture as [[DeltaLakeDml]] —
+    * the commit claims exactly readVersion+1, slides past benign
+    * intervening commits (pure appends: they touch files this
+    * compaction never read), and on any intervening remove/DV
+    * re-add/metaData/protocol change deletes its staged files and
+    * RE-RUNS against the new head. A blind slide here would be silent
+    * corruption: a racing DML's (path, newDv) re-add would survive
+    * reconciliation NEXT TO the compacted copy of the same rows,
+    * resurrecting the deleted ones and double-counting the rest. */
   def compact(spark: SparkSession, tablePath: String,
       targetFileBytes: Long = 128L << 20,
       smallFileBytes: Long = 32L << 20): CompactResult = {
+    var tries = 0
+    while (true) {
+      compactOnce(spark, tablePath, targetFileBytes,
+        smallFileBytes) match {
+        case Some(r) => return r
+        case None =>
+          tries += 1
+          if (tries > 5) throw new IllegalStateException(
+            s"giving up after 5 compaction recomputes on $tablePath — " +
+            "a mutator is racing faster than compaction can serialize")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Spec seam mirroring [[DeltaLakeDml.testBeforeCommit]]: runs
+    * between the rewrite computation and the commit claim. One-shot
+    * semantics are the caller's; production leaves it a no-op. */
+  private[graft] var testBeforeCommit: () => Unit = () => ()
+
+  /** One optimistic attempt; None = conflicting commit landed in the
+    * window (staged files already rolled back) — recompute. */
+  private def compactOnce(spark: SparkSession, tablePath: String,
+      targetFileBytes: Long,
+      smallFileBytes: Long): Option[CompactResult] = {
     require(targetFileBytes > 0 && smallFileBytes <= targetFileBytes,
       "need 0 < smallFileBytes <= targetFileBytes")
     val st = DeltaLakeRead.state(spark, tablePath)
@@ -62,7 +94,7 @@ object DeltaLakeMaintain {
       else qualifying
     }
     if (victims.isEmpty)
-      return CompactResult(st.version, 0, 0, 0L)
+      return Some(CompactResult(st.version, 0, 0, 0L))
 
     val rootAbs = new File(tablePath).getAbsolutePath
     val victimPaths = victims.map(f => s"$rootAbs/${f.path}").toSet
@@ -80,6 +112,7 @@ object DeltaLakeMaintain {
     val staged = DeltaLakeWrite.stageData(phys, new File(tablePath),
       physParts)
 
+    testBeforeCommit()
     val now = System.currentTimeMillis()
     val removeLines = victims.map(f =>
       DeltaLakeWrite.removeJson(f.rawPath, f.partitionValues,
@@ -91,9 +124,21 @@ object DeltaLakeMaintain {
     val body = (removeLines ++ addLines).mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val log = new File(new File(tablePath), "_delta_log")
-    val version = DeltaLakeWrite.commitSlot(log, body,
-      DeltaLakeWrite.ictEnabled(st.config))
-    CompactResult(version, victims.size, staged.size, dvRowsDropped)
+    val ict = DeltaLakeWrite.ictEnabled(st.config)
+    var slot = st.version + 1
+    while (!DeltaLakeWrite.commitSlotAt(log, body, slot, ict)) {
+      val f = new File(log, f"$slot%020d.json")
+      if (DeltaLakeWrite.benignCommit(f)) slot += 1
+      else {
+        // a mutator moved the row state this rewrite was computed
+        // from — committing would resurrect its deletes next to the
+        // compacted copies; roll back and recompute
+        staged.foreach(s => java.nio.file.Files.deleteIfExists(
+          new File(tablePath, s.rel).toPath))
+        return None
+      }
+    }
+    Some(CompactResult(slot, victims.size, staged.size, dvRowsDropped))
   }
 
   /** VACUUM: physically delete files under the table root that the

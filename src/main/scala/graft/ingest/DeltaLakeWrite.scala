@@ -479,24 +479,57 @@ object DeltaLakeWrite {
     try r.getRecordCount finally r.close()
   }
 
+  /** Is the commit at `f` BENIGN for an optimistic mutator that
+    * computed against an earlier version — i.e. a pure append
+    * (adds without deletion vectors; commitInfo/txn/cdc/domain
+    * allowed)? Removes, DV re-adds, metaData and protocol changes all
+    * mean the table's row state or contract moved. */
+  private[ingest] def benignCommit(f: File): Boolean =
+    f.isFile && Files.readAllLines(f.toPath).stream().allMatch { line =>
+      line.isEmpty || {
+        val n = om.readTree(line)
+        def has(k: String) = {
+          val v = n.get(k); v != null && !v.isNull
+        }
+        !has("remove") && !has("metaData") && !has("protocol") && {
+          val a = n.get("add")
+          a == null || a.isNull || {
+            val dv = a.get("deletionVector")
+            dv == null || dv.isNull
+          }
+        }
+      }
+    }
+
   /** Does this table oblige writers to stamp commits with a
     * monotonic in-log clock (PROTOCOL.md § In-Commit Timestamps)? */
   private[ingest] def ictEnabled(config: Map[String, String]): Boolean =
     config.get("delta.enableInCommitTimestamps").contains("true")
 
-  /** The previous commit's inCommitTimestamp, if it carries one (the
-    * protocol puts commitInfo FIRST in ICT commits — one line read). */
-  private def prevIct(log: File, v: Long): Option[Long] = {
-    val f = new File(log, f"$v%020d.json")
-    if (!f.isFile) None
-    else scala.util.Using(Files.newBufferedReader(f.toPath)) { r =>
-      Option(r.readLine()).flatMap { line =>
-        val n = om.readTree(line)
-        Option(n.get("commitInfo")).filterNot(_.isNull)
-          .flatMap(ci => Option(ci.get("inCommitTimestamp"))
-            .filterNot(_.isNull).map(_.asLong()))
-      }
-    }.toOption.flatten
+  /** The newest surviving predecessor's inCommitTimestamp: commit
+    * `upTo`'s when it exists (the protocol puts commitInfo FIRST in
+    * ICT commits — one line read); when the predecessor was vacuumed
+    * past a checkpoint, the newest REMAINING commit's ICT, and with
+    * no commits left at all, the newest log file's mtime — a floor
+    * that keeps the clock from stepping backwards past anything a
+    * reader could still observe. */
+  private def prevIct(log: File, upTo: Long): Option[Long] = {
+    def ictOf(f: File): Option[Long] =
+      scala.util.Using(Files.newBufferedReader(f.toPath)) { r =>
+        Option(r.readLine()).flatMap { line =>
+          val n = om.readTree(line)
+          Option(n.get("commitInfo")).filterNot(_.isNull)
+            .flatMap(ci => Option(ci.get("inCommitTimestamp"))
+              .filterNot(_.isNull).map(_.asLong()))
+        }
+      }.toOption.flatten
+    val files = Option(log.listFiles()).getOrElse(Array.empty[File])
+    val newestCommit = files
+      .flatMap(f => "([0-9]{20})\\.json".r.unapplySeq(f.getName)
+        .map(m => (m.head.toLong, f)))
+      .filter(_._1 <= upTo).sortBy(-_._1).headOption
+    newestCommit.flatMap { case (_, f) => ictOf(f) }
+      .orElse(files.map(_.lastModified()).maxOption.filter(_ > 0L))
   }
 
   /** Prepend the monotonic commitInfo line for a commit landing at
@@ -850,6 +883,18 @@ object DeltaLakeWrite {
         f"$version%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet")
         .toPath, StandardCopyOption.REPLACE_EXISTING)
       rmTree(stage)
+      // retire STALE sidecars (previous checkpoints', crashed
+      // writers') once they age past the tombstone retention — the
+      // same horizon after which their manifests stop being
+      // replayable anyway. Without this the dir grows one generation
+      // per checkpoint forever and inflates the distributed-state
+      // size heuristic. The just-written files are excluded by name.
+      val keepNames = sidecars.map(_._1).toSet
+      val retention = tombstoneRetentionMs(st.config)
+      Option(scDir.listFiles()).getOrElse(Array.empty[File])
+        .filter(f => !keepNames.contains(f.getName) &&
+          now - f.lastModified() > retention)
+        .foreach(f => Files.deleteIfExists(f.toPath))
       val lcTmp = Files.createTempFile(log.toPath, ".lc", ".tmp")
       Files.write(lcTmp,
         s"""{"version":$version,"size":${mRows.size + fileRows.size}}"""

@@ -210,6 +210,32 @@ class DeltaMaintainSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("missing"))
   }
 
+  test("compact racing a DML recomputes instead of resurrecting the " +
+      "deleted rows (the blind slide would double-count the file)") {
+    val t = newTable()
+    (0 until 4).foreach { i =>
+      DeltaLakeWrite.append(
+        (i * 5 until (i + 1) * 5).map(j => (j.toLong, s"v$j"))
+          .toDF("id", "v").repartition(1), t)
+    }
+    // one-shot: a DELETE lands after compact staged its rewrite of
+    // the pre-delete rows but before it claims a slot
+    DeltaLakeMaintain.testBeforeCommit = () => {
+      DeltaLakeMaintain.testBeforeCommit = () => ()
+      DeltaLakeDml.delete(spark, t, "id = 7"); ()
+    }
+    try {
+      val r = DeltaLakeMaintain.compact(spark, t)
+      assert(r.filesWritten > 0)
+    } finally DeltaLakeMaintain.testBeforeCommit = () => ()
+    assert(ids(t) === (0L until 20L).filterNot(_ == 7L),
+      "a blind-slide compaction would resurrect id=7 AND double-" +
+      "count the rewritten file")
+    val st = DeltaLakeRead.state(spark, t)
+    assert(st.files.forall(_.dv.isEmpty),
+      "the recomputed compaction must have materialized the DV away")
+  }
+
   test("IN-COMMIT TIMESTAMPS writer: every commit verb stamps a " +
       "monotonic commitInfo first line; time travel resolves by the " +
       "in-log clock even with scrambled file mtimes") {
