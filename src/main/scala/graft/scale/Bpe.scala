@@ -28,14 +28,31 @@ import org.apache.spark.sql.functions._
   * multi-char symbol like `ab` (`⟂ab⟂`) can never false-match a
   * single-char pattern `⟂a⟂`. The per-iteration argmax pair is a
   * `TakeOrderedAndProject` over the (pair, count) aggregate with a
-  * deterministic (count DESC, l ASC, r ASC) tie-break, kept as a
-  * 1-row DATAFRAME and broadcast into the merge projection — no
-  * driver collect anywhere in the loop.
+  * deterministic (count DESC, l ASC, r ASC) tie-break, collected as
+  * ONE bounded row per round (never vocab-sized) and applied as
+  * literals in the merge projection.
   *
   * Reference scope: the reference pipeline tokenizes with regexes
   * only (see SURVEY §2 F-str rows); BPE training is part of the
   * beyond-reference LLM-pipeline surface. */
 object Bpe {
+
+  /** Conf key: max DISTINCT-WORD rows [[train]] will collect and solve
+    * driver-side before falling back to the distributed per-merge
+    * loop. 0 disables the local path. Rationale (the
+    * [[graft.scale.Clusters.CcLocalMaxEdgesKey]] pattern): the
+    * distributed loop costs ~3 Spark jobs per merge — pure fixed
+    * overhead when the vocab is small — while a bounded collect of
+    * ≤2^20 (word, count) rows (tens of MB) is the same driver budget a
+    * broadcast join already spends. The CORPUS-sized pass (wordFreq)
+    * is distributed either way; tokenizer-realistic web vocabularies
+    * (10^8+) exceed the cap and take the distributed loop unchanged.
+    * The local loop replays the identical greedy algorithm — literal
+    * left-to-right non-overlapping `String.replace` IS Spark's
+    * `replace` semantics — so the learned table is bit-equal
+    * (BpeSpec pins the identity). */
+  val LocalMaxVocabKey = "spark.graft.bpe.localMaxVocab"
+  val LocalMaxVocabDefault: Long = 1L << 20
 
   /** Symbol separator — any char outside the [a-z] token alphabet. */
   val Sep = "\u001f"
@@ -89,21 +106,22 @@ object Bpe {
     * learning order.
     *
     * Per iteration: one (l, r) pair aggregate over the vocab (bytes ≈
-    * Σ|word| over DISTINCT words), a top-1 TakeOrderedAndProject, and
-    * a broadcast-join merge projection. Each new vocab is
-    * local-checkpointed (the q84 label-propagation pattern): plan
-    * size stays constant in the iteration count and the chain of
-    * replaces never re-executes.
+    * Σ|word| over DISTINCT words) ending in a top-1
+    * TakeOrderedAndProject whose single row is collected (bounded by
+    * construction); the merge applies as literals over the previous
+    * round's CACHED vocab (persist-chained, previous layer released
+    * as soon as its successor materializes) — one Spark job per
+    * merge, no re-execution of earlier rounds' replaces.
     *
     * Iteration-count ceiling (honesty): the per-merge WORK is
     * vocab-sized and fully distributed, but the merge COUNT is a
-    * sequential driver loop — ~2 Spark jobs per merge, so with
-    * a 0.2-1 s job-launch floor the loop costs minutes at 10² merges
-    * (BpeSpec runs 120) and HOURS at a tokenizer-realistic 32k
-    * vocabulary, dominated by scheduling, not compute. Past ~10³
-    * merges use [[trainBatched]], which learns up to `batch`
-    * symbol-disjoint merges per round and divides the job count by
-    * ~batch.
+    * sequential driver loop — 1 Spark job per merge, so with
+    * a 0.05-1 s job-launch floor the loop costs tens of seconds at
+    * 10² merges (BpeSpec runs 120) and many minutes at a
+    * tokenizer-realistic 32k vocabulary, dominated by scheduling, not
+    * compute. Past ~10³ merges use [[trainBatched]], which learns up
+    * to `batch` symbol-disjoint merges per round and divides the job
+    * count by ~batch.
     *
     * Fails fast if the corpus runs out of distinct adjacent pairs
     * before `merges` steps (every word fully merged): silently
@@ -111,30 +129,111 @@ object Bpe {
     * emptying it, and [[encode]] would then null-chain every encoding
     * — ask for at most as many merges as the corpus can support, or
     * catch the error and retrain with the step count it reports. */
-  def train(df: DataFrame, textCol: String, merges: Int): DataFrame = {
-    require(merges >= 1, "need at least one merge step")
-    var vocab = wordFreq(df, textCol).localCheckpoint()
-    var learned: DataFrame = null
+  /** Driver-side greedy BPE over a collected (wrapped word, count)
+    * vocab — the identical algorithm the distributed loop runs:
+    * per round, pair counts weighted by word count, argmax with the
+    * (count DESC, l ASC, r ASC) tie-break, literal left-to-right
+    * non-overlapping replace (java.lang.String.replace — the same
+    * semantics as Spark's and DuckDB's `replace`). Returns the learned
+    * rows; throws the same exhaustion error as the distributed loop. */
+  private[graft] def localTrain(vocab0: Array[(String, Long)],
+      merges: Int): Seq[(Int, String, String, String, Long)] = {
+    val words = vocab0.map(_._1).toBuffer
+    val counts = vocab0.map(_._2)
+    val learned =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    val sepSep = Sep + Sep
     for (k <- 1 to merges) {
-      val best = pairCounts(vocab)
-        .orderBy(col("pc").desc, col("l").asc, col("r").asc).limit(1)
-        .select(lit(k).as("step"), col("l"), col("r"),
-          concat(col("l"), col("r")).as("merged"), col("pc").as("pair_count"))
-        .localCheckpoint()
-      if (best.isEmpty)
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < words.length) {
+        val w = words(i)
+        // strip the single outer separator at each end, split on the
+        // double separator — Bpe.symbols on the driver
+        val syms = w.substring(1, w.length - 1).split(sepSep, -1)
+        var j = 0
+        while (j < syms.length - 1) {
+          val key = (syms(j), syms(j + 1))
+          pc.update(key, pc.getOrElse(key, 0L) + counts(i))
+          j += 1
+        }
+        i += 1
+      }
+      if (pc.isEmpty)
         throw new IllegalArgumentException(
           s"BPE training exhausted the corpus at step $k of $merges: no " +
           "adjacent symbol pairs remain (every word is fully merged). " +
           s"Retrain with merges <= ${k - 1}.")
-      vocab = vocab
-        .crossJoin(broadcast(best.select(col("l").as("__bl"),
-          col("r").as("__br"))))
-        .select(applyMerge(col("w"), col("__bl"), col("__br")).as("w"),
-          col("cnt"))
-        .localCheckpoint()
-      learned = if (learned == null) best else learned.unionByName(best)
+      val ((bl, br), bpc) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+      learned += ((k, bl, br, bl + br, bpc))
+      val pat = Sep + bl + Sep + Sep + br + Sep
+      val rep = Sep + bl + br + Sep
+      i = 0
+      while (i < words.length) { words(i) = words(i).replace(pat, rep); i += 1 }
     }
-    learned
+    learned.toSeq
+  }
+
+  def train(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1, "need at least one merge step")
+    val spark = df.sparkSession
+    // size-guarded local path (scaladoc at [[LocalMaxVocabKey]]): ONE
+    // bounded job decides the path AND fetches the vocab (the
+    // Clusters.connectedComponents limit(cap+1) pattern — an overflow
+    // falls through to the distributed loop, never a wrong answer)
+    val maxLocal = spark.conf.get(LocalMaxVocabKey,
+      LocalMaxVocabDefault.toString).toLong
+    if (maxLocal > 0 && maxLocal < Int.MaxValue) {
+      val probe = wordFreq(df, textCol).limit(maxLocal.toInt + 1).collect()
+      if (probe.length <= maxLocal) {
+        val learned = localTrain(
+          probe.map(r => (r.getString(0), r.getLong(1))), merges)
+        return spark.createDataFrame(learned)
+          .toDF("step", "l", "r", "merged", "pair_count")
+      }
+    }
+    // Cache-chained iteration (round-14 optimization): each round's
+    // argmax is ONE bounded job — a top-1 TakeOrderedAndProject
+    // COLLECTED as a single row (the trainBatched precedent; bounded
+    // by construction, never vocab-sized). The merged pair applies as
+    // LITERALS, so no per-round broadcast build job and no per-round
+    // checkpoint job; each new vocab is a one-replace projection over
+    // the PREVIOUS round's cached frame (persist is lazy — the next
+    // round's argmax materializes it), so no plan re-execution either:
+    // lineage depth grows by one cached layer per round, and the
+    // previous layer unpersists once its successor is materialized.
+    // Old shape: localCheckpoint(best) + isEmpty + broadcast-crossJoin
+    // + localCheckpoint(vocab) ≈ 4 jobs/round; this shape: 1 job/round
+    // + 1 trailing cache-fill (measured q188 44 → ~11 jobs).
+    var vocab = wordFreq(df, textCol).persist()
+    var prev: DataFrame = null
+    val learned =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    for (k <- 1 to merges) {
+      val top = pairCounts(vocab)
+        .orderBy(col("pc").desc, col("l").asc, col("r").asc).limit(1)
+        .collect()
+      if (prev != null) { prev.unpersist(); prev = null }
+      if (top.isEmpty)
+        throw new IllegalArgumentException(
+          s"BPE training exhausted the corpus at step $k of $merges: no " +
+          "adjacent symbol pairs remain (every word is fully merged). " +
+          s"Retrain with merges <= ${k - 1}.")
+      val (l, r, pc) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      learned += ((k, l, r, l + r, pc))
+      prev = vocab
+      vocab = vocab
+        .select(applyMerge(col("w"), lit(l), lit(r)).as("w"), col("cnt"))
+        .persist()
+    }
+    // the final vocab layer was never materialized (its pair scan
+    // never ran) — unpersist is metadata-only; drop both caches so
+    // train owns no session state
+    if (prev != null) prev.unpersist()
+    vocab.unpersist()
+    spark.createDataFrame(learned.toSeq)
+      .toDF("step", "l", "r", "merged", "pair_count")
   }
 
   /** Batched BPE training: per round, ONE pair aggregate feeds up to
@@ -166,7 +265,11 @@ object Bpe {
     require(merges >= 1, "need at least one merge step")
     require(batch >= 1, "batch must be positive")
     val spark = df.sparkSession
-    var vocab = wordFreq(df, textCol).localCheckpoint()
+    // persist-chained like [[train]]: one job per round (the candidate
+    // collect), the previous vocab layer released once its successor
+    // is materialized by that collect
+    var vocab = wordFreq(df, textCol).persist()
+    var prev: DataFrame = null
     val learned =
       scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     while (learned.size < merges) {
@@ -175,6 +278,7 @@ object Bpe {
         .orderBy(col("pc").desc, col("l").asc, col("r").asc)
         .limit(math.max(4 * want, 32))
         .collect()
+      if (prev != null) { prev.unpersist(); prev = null }
       if (top.isEmpty)
         throw new IllegalArgumentException(
           s"BPE training exhausted the corpus at step ${learned.size + 1} " +
@@ -195,11 +299,14 @@ object Bpe {
       accepted.foreach { case (l, r, pc) =>
         learned += ((learned.size + 1, l, r, l + r, pc))
       }
+      prev = vocab
       vocab = vocab.select(
         accepted.foldLeft(col("w")) { case (w, (l, r, _)) =>
           applyMerge(w, lit(l), lit(r)) }.as("w"),
-        col("cnt")).localCheckpoint()
+        col("cnt")).persist()
     }
+    if (prev != null) prev.unpersist()
+    vocab.unpersist()
     spark.createDataFrame(learned.toSeq)
       .toDF("step", "l", "r", "merged", "pair_count")
   }

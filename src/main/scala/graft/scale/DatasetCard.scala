@@ -28,17 +28,27 @@ object DatasetCard {
 
   def card(df: DataFrame, idCol: String, textCol: String,
       langCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val base = df.withColumn("__toks", TextStats.tokens(col(textCol)))
-      .withColumn("__ntok", size(col("__toks")).cast("long"))
+    // ONE narrow projection scan shared by the volume aggregate and
+    // the quantile kernel (round-14: the volumes and quantiles
+    // passes each re-ran the tokenize/regex battery over the corpus;
+    // sharing them halves the corpus-scan count). The cached frame is
+    // NARROW by construction — (ntok, keep flag, 64-char fingerprint,
+    // lang), never the corpus text — ~80 B/doc at 100 TB, the same
+    // MEMORY_AND_DISK LRU budget the curation pipelines spend. The
+    // novelty pass keeps its own scan: it explodes the shingle stream
+    // and shares nothing but the tokenizer with the volume battery.
+    val narrow = df.select(
+      size(TextStats.tokens(col(textCol))).cast("long").as("__ntok"),
+      when(TextStats.qualityScore(col(textCol)) >= 0.5, 1L)
+        .otherwise(0L).as("__keepf"),
+      Dedup.fingerprint(col(textCol)).as("__fpv"),
+      col(langCol).as("__langv")).persist()
 
-    val volumes = base.agg(
+    val volumes = narrow.agg(
       count(lit(1)).as("__n"), sum(col("__ntok")).as("__tok"),
-      countDistinct(Dedup.fingerprint(col(textCol))).as("__fp"),
-      countDistinct(col(langCol)).as("__langs"),
-      sum(when(TextStats.qualityScore(col(textCol)) >= 0.5, 1L)
-        .otherwise(0L)).as("__keep"))
+      countDistinct(col("__fpv")).as("__fp"),
+      countDistinct(col("__langv")).as("__langs"),
+      sum(col("__keepf")).as("__keep"))
       .select(explode(array(
         struct(lit("n_docs").as("metric"),
           col("__n").cast("double").as("value")),
@@ -56,7 +66,7 @@ object DatasetCard {
       .select(col("__m.metric"), col("__m.value"))
 
     val quantiles = Quantiles.exactQuantiles(
-      base.select(col("__ntok").cast("double").as("__v")), "__v",
+      narrow.select(col("__ntok").cast("double").as("__v")), "__v",
       Seq(0.5, 0.95))
       .select(concat(lit("p"), round(col("p") * 100).cast("int"),
         lit("_tokens")).as("metric"), col("value"))

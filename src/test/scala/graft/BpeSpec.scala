@@ -249,4 +249,30 @@ class BpeSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("exhausted"))
   }
+
+  test("size-guarded local train path is bit-identical to the " +
+      "distributed merge loop (r14 optimization pin)") {
+    val docs = hexCorpus()
+    // local path (default cap — the hex corpus vocab is tiny)
+    val local = Bpe.train(docs, "text", 12).orderBy("step")
+      .collect().map(_.toSeq)
+    // force the distributed loop by disabling the local path
+    spark.conf.set(Bpe.LocalMaxVocabKey, "0")
+    try {
+      val dist = Bpe.train(docs, "text", 12).orderBy("step")
+        .collect().map(_.toSeq)
+      assert(local.toSeq === dist.toSeq,
+        "driver-side BPE must reproduce the distributed loop exactly")
+      // fail-fast parity on exhaustion through BOTH paths
+      val tiny2 = Seq((1L, "ab ab")).toDF("doc_id", "text")
+      val exD = intercept[IllegalArgumentException] {
+        Bpe.train(tiny2, "text", 3)
+      }
+      assert(exD.getMessage.contains("exhausted"))
+    } finally spark.conf.unset(Bpe.LocalMaxVocabKey)
+    val exL = intercept[IllegalArgumentException] {
+      Bpe.train(Seq((1L, "ab ab")).toDF("doc_id", "text"), "text", 3)
+    }
+    assert(exL.getMessage.contains("exhausted"))
+  }
 }
