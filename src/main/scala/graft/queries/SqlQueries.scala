@@ -60,10 +60,24 @@ object SqlQueries {
       |  count(DISTINCT l_orderkey) AS exact,
       |  TRUE AS within_5pct
       |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      // Pre-distinct the (flag, orderkey) pairs, then run BOTH the
+      // exact count and the HLL sketch over the distinct stream
+      // (round-14: combining countDistinct with approx_count_distinct
+      // in one agg made Spark's distinct rewrite evaluate a partial
+      // HLL sketch PER (flag, orderkey) GROUP — one 410-word buffer
+      // per distinct key, measured 7.8 s CPU at sf0.1; this shape
+      // keeps the pre-shuffle aggregate narrow and builds 3 sketches
+      // total, 0.5 s CPU). HLL registers are max-merged, so a sketch
+      // over the distinct keys is BIT-IDENTICAL to one over the raw
+      // stream — duplicate insensitivity is the sketch's defining
+      // property — and `exact` = the distinct-pair count by
+      // construction. Same rows, same hash, one fewer Exchange of
+      // sketch buffers.
       Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_orderkey")).agg(Map.empty[String, String])
         .groupBy(col("l_returnflag"))
         .agg(
-          countDistinct(col("l_orderkey")).as("exact"),
+          count(col("l_orderkey")).as("exact"),
           approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx"))
         .withColumn("within_5pct",
           abs(col("approx") - col("exact")) <= col("exact") * 0.05)

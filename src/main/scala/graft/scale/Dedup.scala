@@ -434,6 +434,15 @@ object Dedup {
       .select(col(idCol).as("__id"), TextStats.tokens(col(textCol)).as("__toks"))
       .select(col("__id"),
         shinglesFromTokens(col("__toks"), p.shingle).as("__set")).persist()
+    // Eager fill (round-14): the LSH chain fans `sets` into SEVERAL
+    // independent AQE stages (the band self-join's two sides, the two
+    // verify joins, the candidate-id semi filter) that materialize
+    // concurrently — each one racing an EMPTY cache re-runs the
+    // tokenize+shingle battery and the upstream scan from scratch
+    // (profiled on q130: four full corpus scans where one suffices).
+    // One count fills the cache (and its upstream caller cache) once,
+    // serially, before the fan-out.
+    sets.count()
     val sigs = signaturesFromSets(
       sets.select(col("__id").as(idCol), col("__set")), idCol, p)
     val cands = candidatePairs(sigs, idCol, p, maxBucket).persist()
