@@ -151,9 +151,13 @@ object DeltaLakeDml {
     // project the target to (keys, __file, __pos) BEFORE the match
     // join: once srcKeys outgrows broadcast this join shuffles the
     // target on the keys, and the sf10 audit measured the full-width
-    // snapshot paying 15x the bytes the match actually needs
+    // snapshot paying 15x the bytes the match actually needs.
+    // PERSISTED (round-14): the narrow frame feeds the multiplicity
+    // aggregate AND the DV-position scan inside mutate — unpersisted,
+    // each re-ran the snapshot parquet scan (5 full table scans per
+    // upsert profiled at sf0.1; 2 after the two caches below).
     val narrow = t.select((keys.map(c => col(DeltaLakeRead.quoted(c))) ++
-      Seq(col("__file"), col("__pos"))): _*)
+      Seq(col("__file"), col("__pos"))): _*).persist()
     val joined = narrow.join(srcKeys, keys, "left")
     val srcKeyOnly = srcKeys.drop("__matched")
     // per-key target multiplicity: a source key matching n target
@@ -166,33 +170,43 @@ object DeltaLakeDml {
     // (the overwhelmingly common case) insert the source batch
     // VERBATIM — zero joins in the staging path — while duplicated
     // targets pay the explode-join that preserves row count.
+    // PERSISTED: three consumers (the probe, the matched semi, the
+    // fresh-insert anti) — the probe fills the cache, and the frame
+    // is matched-keys-sized (≤ batch), the broadcast-join budget.
     val matchedCounts = narrow
       .join(srcKeyOnly, keys, "left_semi")
       .groupBy(keys.map(c => col(DeltaLakeRead.quoted(c))): _*)
-      .agg(count(lit(1)).as("__tn"))
-    val hasDupTargets =
-      matchedCounts.filter(col("__tn") > 1).limit(1).count() > 0
-    val (replacement, matchedRepl, freshIns) =
-      if (!hasDupTargets) {
-        (newRows,
-          newRows.join(matchedCounts, keys, "left_semi"),
-          newRows.join(matchedCounts, keys, "left_anti"))
-      } else {
-        val m = newRows.join(matchedCounts, keys, "inner")
-          .withColumn("__i", explode(sequence(lit(1L), col("__tn"))))
-          .select(logicalCols(st): _*)
-        val a = newRows.join(matchedCounts, keys, "left_anti")
-        (m.unionByName(a), m, a)
-      }
-    val cdc = t.join(srcKeyOnly, keys, "left_semi")
-      .select(logicalCols(st): _*)
-      .withColumn(DeltaLakeCdf.ChangeTypeCol, lit("update_preimage"))
-      .unionByName(matchedRepl
-        .withColumn(DeltaLakeCdf.ChangeTypeCol, lit("update_postimage")))
-      .unionByName(freshIns
-        .withColumn(DeltaLakeCdf.ChangeTypeCol, lit("insert")))
-    mutate(spark, tablePath, st, joined, col("__matched") === 1,
-      Some(replacement), forceInsert = true, cdcRows = Some(cdc))
+      .agg(count(lit(1)).as("__tn")).persist()
+    try {
+      val hasDupTargets =
+        matchedCounts.filter(col("__tn") > 1).limit(1).count() > 0
+      val (replacement, matchedRepl, freshIns) =
+        if (!hasDupTargets) {
+          (newRows,
+            newRows.join(matchedCounts, keys, "left_semi"),
+            newRows.join(matchedCounts, keys, "left_anti"))
+        } else {
+          val m = newRows.join(matchedCounts, keys, "inner")
+            .withColumn("__i", explode(sequence(lit(1L), col("__tn"))))
+            .select(logicalCols(st): _*)
+          val a = newRows.join(matchedCounts, keys, "left_anti")
+          (m.unionByName(a), m, a)
+        }
+      val cdc = t.join(srcKeyOnly, keys, "left_semi")
+        .select(logicalCols(st): _*)
+        .withColumn(DeltaLakeCdf.ChangeTypeCol, lit("update_preimage"))
+        .unionByName(matchedRepl
+          .withColumn(DeltaLakeCdf.ChangeTypeCol, lit("update_postimage")))
+        .unionByName(freshIns
+          .withColumn(DeltaLakeCdf.ChangeTypeCol, lit("insert")))
+      mutate(spark, tablePath, st, joined, col("__matched") === 1,
+        Some(replacement), forceInsert = true, cdcRows = Some(cdc))
+    } finally {
+      // per-attempt caches: a commit race re-executes the whole body
+      // (withRetries), so nothing may outlive the attempt
+      matchedCounts.unpersist()
+      narrow.unpersist()
+    }
   }
 
   private def gated(spark: SparkSession,
