@@ -47,7 +47,7 @@ object Dedup {
 
   /** Distinct lowercase word tokens. */
   def tokenSet(text: Column): Column =
-    array_distinct(filter(split(lower(text), "[^a-z]+"), t => t =!= ""))
+    array_distinct(TextStats.tokens(text))
 
   /** Distinct word n-gram shingles as 64-bit hashes — `xxhash64`
     * applied structurally to each token slice, so no gram STRING is
@@ -74,12 +74,21 @@ object Dedup {
     shinglesFromTokens(
       filter(split(lower(text), "[^a-z]+"), t => t =!= ""), n)
 
-  /** String shingles over an already-tokenized array column. Prefer
-    * passing an ATTRIBUTE over the raw tokenization expression: HOF
-    * lambdas are interpreted, so an inlined expression re-runs the
-    * regex split once per gram (O(tokens × grams) — measured 4× on the
-    * decontamination pass). */
+  /** String shingles over an already-tokenized array column — the
+    * fused codegen scan (round-14; [[shinglesFromTokensComposed]] is
+    * the built-in form it is bit-equal to, ScaleSpec-pinned: the
+    * composed transform/filter/distinct chain is CodegenFallback and
+    * ran interpreted in the curation hot stages, ExprBench 0.51 s per
+    * 5k docs per core vs ~0.08 s fused). */
   def shinglesFromTokens(toks: Column, n: Int): Column =
+    graft.functions.TextFns.wordShinglesCol(toks, n)
+
+  /** [[shinglesFromTokens]] composed from built-ins — the cross-check
+    * form. Prefer passing an ATTRIBUTE over the raw tokenization
+    * expression: HOF lambdas are interpreted, so an inlined expression
+    * re-runs the regex split once per gram (O(tokens × grams) —
+    * measured 4× on the decontamination pass). */
+  def shinglesFromTokensComposed(toks: Column, n: Int): Column =
     array_distinct(filter(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))),

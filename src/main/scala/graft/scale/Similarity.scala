@@ -23,7 +23,13 @@ object Similarity {
     * (no float-summation-order sensitivity) — 4× smaller vectors and
     * reproducible scores, the standard ANN compression trade. Callers
     * must filter zero vectors (max|x| = 0) first. */
-  def quantizeInt8(v: Column): Column = {
+  def quantizeInt8(v: Column): Column =
+    graft.functions.VectorMath.quantizeInt8Col(v)
+
+  /** [[quantizeInt8]] composed from built-ins — the cross-check form
+    * (bit-equal, ScaleSpec-pinned; the HOF chain is CodegenFallback
+    * and measured 0.58 s per 2k vectors per core interpreted). */
+  def quantizeInt8Composed(v: Column): Column = {
     val mx = array_max(transform(v, x => abs(x)))
     transform(v, x => round(x * lit(127.0) / mx, 0))
   }

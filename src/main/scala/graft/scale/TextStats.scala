@@ -10,24 +10,45 @@ import org.apache.spark.sql.functions._
 object TextStats {
 
   /** The lowercase word-token stream (non-distinct) every text metric
-    * is built on — one definition instead of six inline copies. */
+    * is built on — one definition instead of six inline copies.
+    * Round-14: the fused codegen scan ([[graft.functions.TextFns
+    * .wordTokens]]); [[tokensComposed]] is the built-in form it is
+    * bit-equal to (ScaleSpec pins the identity — the HOF filter is
+    * CodegenFallback and ran interpreted in every corpus hot stage). */
   def tokens(text: Column): Column =
+    graft.functions.TextFns.wordTokensCol(text)
+
+  /** [[tokens]] composed from built-ins — the cross-check form. */
+  def tokensComposed(text: Column): Column =
     filter(split(lower(text), "[^a-z]+"), t => t =!= "")
 
-  /** Whitespace token count. */
+  /** Whitespace token count — count of maximal non-whitespace runs
+    * (`\S+` matches), the same value as the composed
+    * `size(filter(split(text, "\\s+"), _ <> ''))`. */
   def tokenCountWs(text: Column): Column =
+    graft.functions.TextFns.regexCountCol(text, "\\S+")
+
+  /** [[tokenCountWs]] composed from built-ins — the cross-check. */
+  def tokenCountWsComposed(text: Column): Column =
     size(filter(split(text, "\\s+"), t => t =!= ""))
 
   /** BPE-ish token count: letter runs, digit runs, and single
     * punctuation marks each count as one token. */
   val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def tokenCountBpeish(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+    graft.functions.TextFns.regexCountCol(text, BpeishPattern)
 
   def charCount(text: Column): Column = length(text)
 
+  val PunctPattern = "[^A-Za-z0-9\\s]"
+
   def punctRatio(text: Column): Column =
-    round(size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    round(graft.functions.TextFns.regexCountCol(text, PunctPattern)
+      .cast("double") / greatest(length(text), lit(1)).cast("double"), 6)
+
+  /** [[punctRatio]] composed from built-ins — the cross-check. */
+  def punctRatioComposed(text: Column): Column =
+    round(size(regexp_extract_all(text, lit(PunctPattern), lit(0)))
       .cast("double") / greatest(length(text), lit(1)).cast("double"), 6)
 
   val Stopwords: Seq[String] = Seq(
@@ -35,12 +56,27 @@ object TextStats {
 
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)
+    round(graft.functions.TextFns.countInSetCol(toks, Stopwords)
+      .cast("double")
+      / greatest(size(toks), lit(1)).cast("double"), 6)
+  }
+
+  /** [[stopwordRatio]] composed from built-ins — the cross-check. */
+  def stopwordRatioComposed(text: Column): Column = {
+    val toks = tokensComposed(text)
     round(size(filter(toks, t => t.isInCollection(Stopwords))).cast("double")
       / greatest(size(toks), lit(1)).cast("double"), 6)
   }
 
   def meanTokenLen(text: Column): Column = {
     val toks = tokens(text)
+    round(graft.functions.TextFns.stringLenSumCol(toks).cast("double")
+      / greatest(size(toks), lit(1)).cast("double"), 6)
+  }
+
+  /** [[meanTokenLen]] composed from built-ins — the cross-check. */
+  def meanTokenLenComposed(text: Column): Column = {
+    val toks = tokensComposed(text)
     round(aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
       / greatest(size(toks), lit(1)).cast("double"), 6)
   }

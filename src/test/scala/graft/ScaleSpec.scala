@@ -203,6 +203,61 @@ class ScaleSpec extends AnyFunSuite {
     assert(mism === 0L)
   }
 
+  test("fused text/vector expressions are bit-identical to their " +
+      "composed HOF forms (r14 optimization pins)") {
+    // corpus text + adversarial edges: empty, whitespace-only, unicode
+    // letters (must NOT tokenize as [a-z]), punctuation runs, short
+    // docs (shingle slice truncation), repeated tokens (distinct +
+    // stopword duplicate counting)
+    val samples = docs.select(col("text").as("s")).unionByName(Seq(
+      "", "   ", "a", "The the THE the", "ü Ül 雪-∂ foo",
+      "a b", "a b c d a b c", "x!!!y??z", "tab\tand\nnewline",
+      "ONLY UPPER", "1234 5678").toDF("s"))
+    import graft.scale.TextStats
+    def mism(n: org.apache.spark.sql.Column,
+        c: org.apache.spark.sql.Column): Long =
+      samples.select(n.as("n"), c.as("c"))
+        .filter(!(col("n") <=> col("c"))).count()
+    assert(mism(TextStats.tokens(col("s")),
+      TextStats.tokensComposed(col("s"))) === 0L, "tokens")
+    assert(mism(TextStats.tokenCountWs(col("s")),
+      TextStats.tokenCountWsComposed(col("s"))) === 0L, "tokenCountWs")
+    assert(mism(TextStats.punctRatio(col("s")),
+      TextStats.punctRatioComposed(col("s"))) === 0L, "punctRatio")
+    assert(mism(TextStats.stopwordRatio(col("s")),
+      TextStats.stopwordRatioComposed(col("s"))) === 0L, "stopwordRatio")
+    assert(mism(TextStats.meanTokenLen(col("s")),
+      TextStats.meanTokenLenComposed(col("s"))) === 0L, "meanTokenLen")
+    // shingles at several widths, incl. width > token count
+    Seq(1, 3, 5, 50).foreach { n =>
+      assert(mism(
+        Dedup.shinglesFromTokens(TextStats.tokens(col("s")), n),
+        Dedup.shinglesFromTokensComposed(
+          TextStats.tokensComposed(col("s")), n)) === 0L, s"shingles($n)")
+    }
+    // quantize: corpus vectors + negative/tiny/huge/tie edges
+    val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+      .unionByName(Seq(
+        Seq(-1.5, 2.5, -2.5), Seq(1e-300, -1e300),
+        Seq(0.49999999999, -0.5)).toDF("v"))
+    val qm = emb.select(
+      Similarity.quantizeInt8(col("v")).as("n"),
+      Similarity.quantizeInt8Composed(col("v")).as("c"))
+      .filter(!(col("n") <=> col("c"))).count()
+    assert(qm === 0L, "quantizeInt8")
+    // zero-vector parity: BOTH forms fail loudly (ANSI divide-by-zero
+    // in the composed chain; the fused expression mirrors it) — a
+    // contract-violating input must never silently quantize
+    val zero = Seq(Seq(0.0, 0.0)).toDF("v")
+    intercept[Exception] {
+      zero.select(Similarity.quantizeInt8Composed(col("v"))).collect()
+    }
+    intercept[Exception] {
+      zero.select(Similarity.quantizeInt8(col("v"))).collect()
+    }
+  }
+
   test("sentiment builtin === udf on the corpus (occurrence semantics)") {
     val both = docs.select(
       Sentiment.scoreBuiltin(col("text")).as("b"),
