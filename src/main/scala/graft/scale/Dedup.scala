@@ -307,8 +307,23 @@ object Dedup {
 
   /** Signature computation over pre-tokenized shingle sets (column
     * `__set`) — shared by [[signatures]] and [[nearDuplicates]] so the
-    * hash math exists once. */
+    * hash math exists once. Round-14: ONE fused codegen pass per
+    * document ([[graft.functions.MinHashSig]]) — no shingle explode,
+    * no k-column hash aggregate, no exchange; documents whose set has
+    * no non-null element yield a null sig and are filtered, exactly
+    * the rows the aggregate form never produced.
+    * [[signaturesFromSetsComposed]] is the aggregate form it is
+    * bit-equal to (ScaleSpec pins the identity). */
   def signaturesFromSets(sets: DataFrame, idCol: String,
+      p: MinHashParams): DataFrame =
+    sets.select(col(idCol),
+      graft.functions.MinHashSig.sigCol(col("__set"), coeffs(p),
+        p.reproducible, Prime).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** [[signaturesFromSets]] as the original explode + k-column min
+    * aggregate — the cross-check form. */
+  def signaturesFromSetsComposed(sets: DataFrame, idCol: String,
       p: MinHashParams): DataFrame = {
     val exploded = sets
       .select(col(idCol), explode_outer(col("__set")).as("__sh"))

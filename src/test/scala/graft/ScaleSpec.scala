@@ -235,6 +235,25 @@ class ScaleSpec extends AnyFunSuite {
         Dedup.shinglesFromTokensComposed(
           TextStats.tokensComposed(col("s")), n)) === 0L, s"shingles($n)")
     }
+    // minhash signatures: fused per-doc pass == explode + k-min agg,
+    // both hash modes, on the corpus shingle sets (row sets AND values)
+    Seq(true, false).foreach { repro =>
+      val p = Dedup.MinHashParams(k = 16, bands = 4, shingle = 3,
+        reproducible = repro)
+      val sets = docs
+        .select(col("doc_id"), TextStats.tokens(col("text")).as("tk"))
+        .select(col("doc_id").as("__id"),
+          Dedup.shinglesFromTokens(col("tk"), p.shingle).as("__set"))
+      val fused = Dedup.signaturesFromSets(
+        sets.select(col("__id").as("doc_id"), col("__set")), "doc_id", p)
+      val agg = Dedup.signaturesFromSetsComposed(
+        sets.select(col("__id").as("doc_id"), col("__set")), "doc_id", p)
+      assert(fused.count() === agg.count(), s"sig row count repro=$repro")
+      val joinedMism = fused.withColumnRenamed("sig", "f")
+        .join(agg.withColumnRenamed("sig", "a"), Seq("doc_id"))
+        .filter(!(col("f") <=> col("a"))).count()
+      assert(joinedMism === 0L, s"sig values repro=$repro")
+    }
     // quantize: corpus vectors + negative/tiny/huge/tie edges
     val emb = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
       .select(col("embedding").cast("array<double>").as("v"))
