@@ -281,29 +281,21 @@ object DeltaLakeDml {
     }.collect()
 
     val rowsDeleted = written.map(_._6).sum
-    val inserting = newRows.filter(_ => forceInsert || rowsDeleted > 0)
-    val staged = inserting.map { df =>
-      val phys = DeltaLakeWrite.toPhysical(df, st)
-      val physParts = st.partitionColumns.map(c =>
-        DeltaLakeRead.physFieldName(st.schema(c)))
-      DeltaLakeWrite.stageData(phys, new File(tablePath), physParts)
-    }.getOrElse(Nil)
-    // footer row counts of the just-staged files — the source plan
-    // already ran once inside stageData; re-running it for a count
-    // was a full second scan per DML call
-    val rowsInserted = staged.map(_.rows).sum
-
-    if (written.isEmpty && staged.isEmpty)
-      return DmlResult(st.version, 0L, 0L, 0)
-
+    val physParts = st.partitionColumns.map(c =>
+      DeltaLakeRead.physFieldName(st.schema(c)))
+    val cdcEnabled =
+      st.config.get("delta.enableChangeDataFeed").contains("true")
+    def stageReplacement(): Seq[DeltaLakeWrite.Staged] =
+      newRows.filter(_ => forceInsert || rowsDeleted > 0).map { df =>
+        val phys = DeltaLakeWrite.toPhysical(df, st)
+        DeltaLakeWrite.stageData(phys, new File(tablePath), physParts)
+      }.getOrElse(Nil)
     // change data feed: when the table asks for it, the SAME commit
     // must carry the changed rows as _change_data files + cdc actions
     // (authoritative for CDF readers; delta-spark's table_changes and
     // [[DeltaLakeCdf.changes]] both consume them)
-    val physParts = st.partitionColumns.map(c =>
-      DeltaLakeRead.physFieldName(st.schema(c)))
-    val cdcStaged =
-      if (st.config.get("delta.enableChangeDataFeed").contains("true")) {
+    def stageCdc(): Seq[DeltaLakeWrite.Staged] =
+      if (cdcEnabled) {
         val rows = cdcRows.getOrElse(throw new IllegalStateException(
           "CDF is enabled but this mutation built no change rows"))
         DeltaLakeWrite.stageData(
@@ -311,6 +303,41 @@ object DeltaLakeDml {
             passthrough = Seq(DeltaLakeCdf.ChangeTypeCol)),
           new File(tablePath), physParts, destPrefix = "_change_data/")
       } else Nil
+    // round-14: the replacement staging and the CDF staging are
+    // independent Spark jobs — overlap them (guide §2.6: concurrent
+    // driver actions back-fill each other's task tails) instead of
+    // running two sequential write jobs per mutation. Both gate on the
+    // same inputs computed above; the early no-op exit below deletes
+    // whatever an overlapped stage landed.
+    val (staged, cdcStaged) = DeltaLakeWrite.withFieldIdWrite(spark,
+      Some(st)) {
+      if (cdcEnabled && (forceInsert || rowsDeleted > 0)) {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val fCdc = Future(stageCdc())(stagingEc)
+        val s = stageReplacement()
+        (s, Await.result(fCdc, Duration.Inf))
+      } else {
+        // sequential path preserves the original no-op short-circuit:
+        // a mutation that deleted nothing and stages nothing must not
+        // run the cdc write job either
+        val s = stageReplacement()
+        (s, if (written.isEmpty && s.isEmpty) Nil else stageCdc())
+      }
+    }
+    // footer row counts of the just-staged files — the source plan
+    // already ran once inside stageData; re-running it for a count
+    // was a full second scan per DML call
+    val rowsInserted = staged.map(_.rows).sum
+
+    if (written.isEmpty && staged.isEmpty) {
+      // no-op mutation: nothing may be referenced by a commit — drop
+      // any cdc files an overlapped stage landed (an empty change
+      // frame normally stages nothing; defensive regardless)
+      cdcStaged.foreach(s =>
+        Files.deleteIfExists(new File(tablePath, s.rel).toPath))
+      return DmlResult(st.version, 0L, 0L, 0)
+    }
 
     val now = System.currentTimeMillis()
     val anyDv = written.exists(_._2.nonEmpty)
@@ -395,6 +422,18 @@ object DeltaLakeDml {
     }
     DmlResult(slot, rowsDeleted, rowsInserted, written.length)
   }
+
+  /** Two daemon threads for the overlapped staging writes (mutate):
+    * at most one mutation stages at a time per JVM in practice, and
+    * each overlaps exactly two jobs, so a fixed tiny pool suffices. */
+  private lazy val stagingEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(2,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-dml-staging")
+          t.setDaemon(true)
+          t
+        }))
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 

@@ -109,8 +109,9 @@ object DeltaLakeMaintain {
     val phys = DeltaLakeWrite.toPhysical(live.repartition(nOut), st)
     val physParts = st.partitionColumns.map(c =>
       DeltaLakeRead.physFieldName(st.schema(c)))
-    val staged = DeltaLakeWrite.stageData(phys, new File(tablePath),
-      physParts)
+    val staged = DeltaLakeWrite.withFieldIdWrite(spark, Some(st)) {
+      DeltaLakeWrite.stageData(phys, new File(tablePath), physParts)
+    }
 
     testBeforeCommit()
     val now = System.currentTimeMillis()

@@ -141,7 +141,9 @@ object DeltaLakeWrite {
         col(DeltaLakeRead.quoted(f.name))): _*)
     }
 
-    val staged = stageData(physDf, root, physPartitionBy)
+    val staged = withFieldIdWrite(df.sparkSession, stOpt) {
+      stageData(physDf, root, physPartitionBy)
+    }
     val now = System.currentTimeMillis()
     // an identity allocation moves the column's high watermark: the
     // SAME commit carries the updated metaData, so a crashed append
@@ -410,11 +412,11 @@ object DeltaLakeWrite {
     val cm = st.config.getOrElse("delta.columnMapping.mode", "none")
     if (cm == "none") df
     else {
-      // on by default since Spark 3.3; pinned so a session that turned
-      // it off cannot stage unresolvable id-mode files
-      if (cm == "id")
-        df.sparkSession.conf.set(
-          "spark.sql.parquet.fieldId.write.enabled", "true")
+      // parquet.field.id footers need spark.sql.parquet.fieldId.write
+      // .enabled at WRITE time — pinned by [[withFieldIdWrite]] around
+      // the staging write (save/restore, not a permanent session
+      // mutation: a session that disabled it for unrelated writes gets
+      // it back — round-14 ADVICE fix)
       val fieldMeta: org.apache.spark.sql.types.StructField =>
           org.apache.spark.sql.types.Metadata =
         if (cm == "id") { f =>
@@ -434,6 +436,30 @@ object DeltaLakeWrite {
       } ++ passthrough.map(c => col(DeltaLakeRead.quoted(c))): _*)
     }
   }
+
+  /** Pin `spark.sql.parquet.fieldId.write.enabled=true` around a
+    * staging write for an id-mode table, restoring the caller's value
+    * after — the footer ids are what id-mode readers resolve by, but
+    * the pin must not leak into the session (a session that disabled
+    * the flag for unrelated writes keeps its setting). Serialized so
+    * concurrent staging writes on one session cannot interleave
+    * set/restore. No-op for unmapped and name-mode tables (the flag
+    * only engages when the write schema carries parquet.field.id). */
+  private[ingest] def withFieldIdWrite[T](
+      spark: org.apache.spark.sql.SparkSession,
+      st: Option[DeltaLakeRead.Snapshot])(body: => T): T = {
+    val idMode = st.exists(
+      _.config.get("delta.columnMapping.mode").contains("id"))
+    if (!idMode) body
+    else fieldIdLock.synchronized {
+      val key = "spark.sql.parquet.fieldId.write.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try body
+      finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+  }
+  private val fieldIdLock = new Object
 
   /** Stage `df` as parquet under a dot-dir inside `root` (Delta
     * readers only trust the log, and Spark/parquet listings skip

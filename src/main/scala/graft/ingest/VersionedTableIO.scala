@@ -370,9 +370,52 @@ final class VersionedTableIO(root: String,
       }
     withGen.write.parquet(abs)
     validateWrite(df.sparkSession, table, abs)
-    val str = collectStrStats(df.sparkSession, abs)
+    // one stats job, not two (round-14): when string columns exist the
+    // string min/max needs a data scan anyway (parquet aggregate
+    // pushdown covers only numeric), so the numeric min/max rides the
+    // SAME aggregate — identical values, one fewer job per write (the
+    // per-batch streaming sinks pay this on every micro-batch). A
+    // string-less table keeps the footer-only pushdown pass.
+    val (num, str) = collectAllStats(df.sparkSession, abs)
     if (str.nonEmpty) pendingStrStats.put(rel, str)
-    (rel, collectStats(df.sparkSession, abs))
+    (rel, num)
+  }
+
+  /** Numeric + string [min, max] of a written dir in the fewest jobs:
+    * one combined data-scan aggregate when string columns force a scan
+    * anyway, the footer-only pushdown pass ([[collectStats]]) when the
+    * schema is numeric-only. */
+  private def collectAllStats(spark: SparkSession, absDir: String)
+      : (Map[String, Seq[Double]], Map[String, Seq[String]]) = {
+    val df = spark.read.parquet(absDir)
+    val numCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }.toSeq
+    val strCols = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }.toSeq
+    if (strCols.isEmpty) return (collectStats(spark, absDir), Map.empty)
+    val aggs = count(lit(1)) +:
+      (numCols.flatMap(c => Seq(min(col(c)), max(col(c)))) ++
+        strCols.flatMap(c => Seq(min(col(c)), max(col(c)))))
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    val n = row.getLong(0).toDouble
+    val countStat = Map(VersionedTableIO.CountStat -> Seq(n, n))
+    val num = countStat ++ numCols.zipWithIndex.flatMap { case (c, i) =>
+      (row.get(2 * i + 1), row.get(2 * i + 2)) match {
+        case (mn: java.lang.Number, mx: java.lang.Number) =>
+          Some(c -> Seq(mn.doubleValue(), mx.doubleValue()))
+        case _ => None // all-null column: no usable bound
+      }
+    }.toMap
+    val off = 1 + 2 * numCols.length
+    val str = strCols.zipWithIndex.flatMap { case (c, i) =>
+      (row.get(off + 2 * i), row.get(off + 2 * i + 1)) match {
+        case (mn: String, mx: String) => Some(c -> Seq(mn, mx))
+        case _ => None // all-null or empty dir: no usable bound
+      }
+    }.toMap
+    (num, str)
   }
 
   /** Enforce the table's CHECK constraints on a freshly written dir —
@@ -471,22 +514,6 @@ final class VersionedTableIO(root: String,
   private val pendingStrStats =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Seq[String]]]()
 
-  private def collectStrStats(spark: SparkSession,
-      absDir: String): Map[String, Seq[String]] = {
-    val df = spark.read.parquet(absDir)
-    val strCols = df.schema.fields.collect {
-      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
-    }.toSeq
-    if (strCols.isEmpty) return Map.empty
-    val aggs = strCols.flatMap(c => Seq(min(col(c)), max(col(c))))
-    val row = df.agg(aggs.head, aggs.tail: _*).first()
-    strCols.zipWithIndex.flatMap { case (c, i) =>
-      (row.get(2 * i), row.get(2 * i + 1)) match {
-        case (mn: String, mx: String) => Some(c -> Seq(mn, mx))
-        case _ => None // all-null or empty dir: no usable bound
-      }
-    }.toMap
-  }
 
   /** Abort-path cleanup for an uncommitted data dir: the files AND the
     * pending string-stats entry (which would otherwise outlive the
