@@ -127,7 +127,8 @@ object DeltaLakeMaintain {
     val log = new File(new File(tablePath), "_delta_log")
     val ict = DeltaLakeWrite.ictEnabled(st.config)
     var slot = st.version + 1
-    while (!DeltaLakeWrite.commitSlotAt(log, body, slot, ict)) {
+    while (!DeltaLakeWrite.commitSlotAt(log, body, slot, ict,
+        DeltaLakeWrite.ictFloor(st.config))) {
       val f = new File(log, f"$slot%020d.json")
       if (DeltaLakeWrite.benignCommit(f)) slot += 1
       else {

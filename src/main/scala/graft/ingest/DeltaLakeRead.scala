@@ -388,6 +388,18 @@ object DeltaLakeRead {
       s"appended files ${missing.take(3).mkString(", ")} (${missing.size}" +
       s" total) were compacted or removed from $tablePath before the " +
       "stream consumed them — resync from a fresh snapshot()")
+    // a DML that DV-rewrote a not-yet-consumed appended file between
+    // commit enumeration and this snapshot read leaves the path LIVE
+    // but masked — silently ingesting the post-delete subset would
+    // durably commit short rows (r13 ADVICE: mirror appendsSince's DV
+    // re-add rejection so the race fails loudly BEFORE the batch
+    // commits, not on the next batch)
+    val masked = st.files.filter(f => wanted.contains(f.path) &&
+      f.dv.isDefined).map(_.path)
+    require(masked.isEmpty,
+      s"appended files ${masked.take(3).mkString(", ")} (${masked.size}" +
+      s" total) gained deletion vectors in $tablePath before the stream " +
+      "consumed them — not a pure append; resync from a fresh snapshot()")
     snapshotImpl(spark, tablePath, None, withMeta = false,
       pathFilter = Some(wanted))
   }

@@ -159,6 +159,7 @@ object DeltaLakeWrite {
       addJson(s.rel, s.pv.map { case (k, v) => k -> Some(v) }, s.size,
         now, dataChange = true, dv = None))
     val ict = ictEnabled(stOpt.map(_.config).getOrElse(tableConfig))
+    val floor = ictFloor(stOpt.map(_.config).getOrElse(tableConfig))
     val headerLines = if (creating) {
       // enabling in-commit timestamps at creation obliges every
       // writer to stamp commits — a table-features protocol declares
@@ -186,12 +187,12 @@ object DeltaLakeWrite {
     // optimistic posture). Plain appends keep the blind slide —
     // adds are commutative.
     val version =
-      if (pendingIdentity.isEmpty) commitSlot(log, body, ict)
+      if (pendingIdentity.isEmpty) commitSlot(log, body, ict, floor)
       else {
         var slot = stOpt.map(_.version + 1).getOrElse(0L)
         var out = -1L
         while (out < 0) {
-          if (commitSlotAt(log, body, slot, ict)) out = slot
+          if (commitSlotAt(log, body, slot, ict, floor)) out = slot
           else {
             val f = new File(log, f"$slot%020d.json")
             val hasMeta = f.isFile &&
@@ -305,12 +306,16 @@ object DeltaLakeWrite {
       }
       if (m.contains(InvariantsKey)) {
         val sql = invariantSql(m.getString(InvariantsKey))
+        // the protocol's Column Invariants section requires writers to
+        // reject rows where the expression is false OR NULL (stricter
+        // than CHECK constraints' null-passes; delta-spark aborts on
+        // null too) — probe for anything not provably true
         val violating =
-          df.filter(expr(sql) <=> lit(false)).limit(1).count()
+          df.filter(!(expr(sql) <=> lit(true))).limit(1).count()
         require(violating == 0L,
           s"column invariant `$sql` on ${f.name} is violated by this " +
-          "append — rejecting (CHECK semantics: NULL passes, FALSE " +
-          "aborts)")
+          "append — rejecting (invariant semantics: only TRUE passes; " +
+          "FALSE and NULL abort, matching delta-spark)")
       }
     }
     (df, pending.toSeq)
@@ -532,13 +537,19 @@ object DeltaLakeWrite {
   private[ingest] def ictEnabled(config: Map[String, String]): Boolean =
     config.get("delta.enableInCommitTimestamps").contains("true")
 
-  /** The newest surviving predecessor's inCommitTimestamp: commit
-    * `upTo`'s when it exists (the protocol puts commitInfo FIRST in
-    * ICT commits — one line read); when the predecessor was vacuumed
-    * past a checkpoint, the newest REMAINING commit's ICT, and with
-    * no commits left at all, the newest log file's mtime — a floor
-    * that keeps the clock from stepping backwards past anything a
-    * reader could still observe. */
+  /** The newest surviving predecessor's inCommitTimestamp: scan
+    * BACKWARDS from commit `upTo` across the remaining commits for
+    * the newest one that actually carries an ICT (the protocol puts
+    * commitInfo FIRST in ICT commits — one line read per candidate;
+    * the common case reads exactly the direct predecessor). Only a
+    * foreign commit written before ICT enablement lacks the line, so
+    * the scan normally stops immediately. With no ICT-bearing commit
+    * left at all (enabled mid-history, ICT commits vacuumed), the
+    * newest log file's mtime — a floor that keeps the clock from
+    * stepping backwards past anything a reader could still observe
+    * (r13 ADVICE: mtimes alone could sit below the true previous ICT
+    * under clock skew; callers additionally floor against
+    * delta.inCommitTimestampEnablementTimestamp via [[ictFloor]]). */
   private def prevIct(log: File, upTo: Long): Option[Long] = {
     def ictOf(f: File): Option[Long] =
       scala.util.Using(Files.newBufferedReader(f.toPath)) { r =>
@@ -550,23 +561,34 @@ object DeltaLakeWrite {
         }
       }.toOption.flatten
     val files = Option(log.listFiles()).getOrElse(Array.empty[File])
-    val newestCommit = files
+    val commitsDesc = files
       .flatMap(f => "([0-9]{20})\\.json".r.unapplySeq(f.getName)
         .map(m => (m.head.toLong, f)))
-      .filter(_._1 <= upTo).sortBy(-_._1).headOption
-    newestCommit.flatMap { case (_, f) => ictOf(f) }
+      .filter(_._1 <= upTo).sortBy(-_._1)
+    commitsDesc.iterator.map { case (_, f) => ictOf(f) }
+      .collectFirst { case Some(t) => t }
       .orElse(files.map(_.lastModified()).maxOption.filter(_ > 0L))
   }
 
+  /** The ICT lower bound a table's configuration declares:
+    * delta.inCommitTimestampEnablementTimestamp when present — no
+    * commit may carry an ICT below it even when every ICT-bearing
+    * commit was vacuumed and mtimes lag under clock skew. */
+  private[ingest] def ictFloor(config: Map[String, String]): Option[Long] =
+    config.get("delta.inCommitTimestampEnablementTimestamp")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+
   /** Prepend the monotonic commitInfo line for a commit landing at
-    * `slot`: strictly greater than the predecessor's ICT (and never
-    * behind the wall clock). Recomputed PER CLAIM ATTEMPT — a slide
-    * past a racer's commit must stay monotonic against THAT commit,
-    * not against the one read before the race. */
-  private def withIctLine(log: File, slot: Long,
-      body: Array[Byte]): Array[Byte] = {
-    val ts = math.max(System.currentTimeMillis(),
-      prevIct(log, slot - 1).map(_ + 1).getOrElse(Long.MinValue))
+    * `slot`: strictly greater than the predecessor's ICT, never behind
+    * the wall clock, and never below the table's declared enablement
+    * floor. Recomputed PER CLAIM ATTEMPT — a slide past a racer's
+    * commit must stay monotonic against THAT commit, not against the
+    * one read before the race. */
+  private def withIctLine(log: File, slot: Long, body: Array[Byte],
+      floor: Option[Long]): Array[Byte] = {
+    val ts = math.max(math.max(System.currentTimeMillis(),
+      prevIct(log, slot - 1).map(_ + 1).getOrElse(Long.MinValue)),
+      floor.getOrElse(Long.MinValue))
     (s"""{"commitInfo":{"inCommitTimestamp":$ts}}""" + "\n")
       .getBytes(StandardCharsets.UTF_8) ++ body
   }
@@ -576,7 +598,7 @@ object DeltaLakeWrite {
     * `ict`, each attempt stamps a fresh monotonic commitInfo first
     * line for the slot it targets. */
   private[ingest] def commitSlot(log: File, body: Array[Byte],
-      ict: Boolean = false): Long = {
+      ict: Boolean = false, ictFloor: Option[Long] = None): Long = {
     var attempts = 0
     while (attempts < 100) {
       // the head is the max version across commits AND checkpoints:
@@ -587,7 +609,7 @@ object DeltaLakeWrite {
         .flatMap(f => "^([0-9]{20})\\.".r
           .findPrefixMatchOf(f.getName).map(_.group(1).toLong))
         .maxOption.getOrElse(-1L)
-      if (commitSlotAt(log, body, next, ict)) return next
+      if (commitSlotAt(log, body, next, ict, ictFloor)) return next
       attempts += 1
     }
     throw new IllegalStateException(
@@ -600,9 +622,11 @@ object DeltaLakeWrite {
     * optimistic-concurrency loop), unlike [[commitSlot]] which
     * advances blindly (sound only for commutative appends). */
   private[ingest] def commitSlotAt(log: File, body: Array[Byte],
-      slot: Long, ict: Boolean = false): Boolean = {
+      slot: Long, ict: Boolean = false,
+      ictFloor: Option[Long] = None): Boolean = {
     val tmp = Files.createTempFile(log.toPath, ".commit", ".tmp")
-    Files.write(tmp, if (ict) withIctLine(log, slot, body) else body)
+    Files.write(tmp,
+      if (ict) withIctLine(log, slot, body, ictFloor) else body)
     try {
       Files.createLink(new File(log, f"$slot%020d.json").toPath, tmp)
       true
@@ -914,13 +938,41 @@ object DeltaLakeWrite {
       // same horizon after which their manifests stop being
       // replayable anyway. Without this the dir grows one generation
       // per checkpoint forever and inflates the distributed-state
-      // size heuristic. The just-written files are excluded by name.
-      val keepNames = sidecars.map(_._1).toSet
+      // size heuristic. The just-written files are excluded by name,
+      // and so are the files the MOST RECENT PRIOR manifest still
+      // references (r13 ADVICE): a reader that listed the log before
+      // this checkpoint landed resolves that manifest, and deleting
+      // its sidecars from under it would hard-fail the read — they
+      // retire one checkpoint later instead.
+      val keepNames = scala.collection.mutable.Set(
+        sidecars.map(_._1): _*)
+      val manifestRe =
+        "^([0-9]{20})\\.checkpoint\\.[0-9a-fA-F-]{36}\\.parquet$".r
+      val priorManifest = Option(log.listFiles())
+        .getOrElse(Array.empty[File])
+        .flatMap(f => manifestRe.findFirstMatchIn(f.getName)
+          .map(m => (m.group(1).toLong, f)))
+        .filter(_._1 < version)
+        .sortBy(-_._1).headOption.map(_._2)
+      var retireSafe = true
+      priorManifest.foreach { mf =>
+        try {
+          spark.read.parquet(mf.getPath)
+            .select(col("sidecar.path"))
+            .filter(col("path").isNotNull)
+            .collect().foreach(r => keepNames += r.getString(0))
+        } catch { case scala.util.control.NonFatal(_) =>
+          // unreadable prior manifest: cannot know what it holds —
+          // retire nothing this round (checkpoint itself proceeds)
+          retireSafe = false
+        }
+      }
       val retention = tombstoneRetentionMs(st.config)
-      Option(scDir.listFiles()).getOrElse(Array.empty[File])
-        .filter(f => !keepNames.contains(f.getName) &&
-          now - f.lastModified() > retention)
-        .foreach(f => Files.deleteIfExists(f.toPath))
+      if (retireSafe)
+        Option(scDir.listFiles()).getOrElse(Array.empty[File])
+          .filter(f => !keepNames.contains(f.getName) &&
+            now - f.lastModified() > retention)
+          .foreach(f => Files.deleteIfExists(f.toPath))
       val lcTmp = Files.createTempFile(log.toPath, ".lc", ".tmp")
       Files.write(lcTmp,
         s"""{"version":$version,"size":${mRows.size + fileRows.size}}"""

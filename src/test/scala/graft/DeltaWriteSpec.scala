@@ -328,9 +328,9 @@ class DeltaWriteSpec extends AnyFunSuite {
   }
 
   test("column obligations ENFORCED on append: invariants abort on " +
-      "FALSE (NULL passes), generated columns compute when absent, " +
-      "identity allocates past the high watermark and advances it in " +
-      "the same commit") {
+      "FALSE and on NULL (protocol invariant semantics), generated " +
+      "columns compute when absent, identity allocates past the high " +
+      "watermark and advances it in the same commit") {
     import org.apache.spark.sql.types._
     val t = newTable()
     val log = new java.io.File(t, "_delta_log"); log.mkdirs()
@@ -365,8 +365,14 @@ class DeltaWriteSpec extends AnyFunSuite {
     val rids = DeltaLakeRead.snapshot(spark, t)
       .select("rid").as[Long].collect().sorted.toSeq
     assert(rids === Seq(100L, 110L, 120L, 130L))
-    // NULL passes the invariant (CHECK semantics); FALSE aborts
-    DeltaLakeWrite.append(Seq[Option[Long]](None).toDF("amt"), t)
+    // NULL violates the invariant too (the protocol's Column
+    // Invariants section: writers reject rows where the expression is
+    // false OR null — delta-spark aborts on null; r13 ADVICE fix);
+    // FALSE aborts as before
+    val eNull = intercept[IllegalArgumentException] {
+      DeltaLakeWrite.append(Seq[Option[Long]](None).toDF("amt"), t)
+    }
+    assert(eNull.getMessage.contains("invariant"))
     val eInv = intercept[IllegalArgumentException] {
       DeltaLakeWrite.append(Seq(-1L).toDF("amt"), t)
     }
@@ -378,7 +384,9 @@ class DeltaWriteSpec extends AnyFunSuite {
     assert(eId.getMessage.contains("explicit"))
     // provided generated values that MATCH pass validation
     DeltaLakeWrite.append(Seq((3L, 6L)).toDF("amt", "amt2"), t)
-    assert(DeltaLakeRead.snapshot(spark, t).count() === 6L)
+    // 3 + 1 + 1 rows landed; the NULL and explicit-identity appends
+    // aborted without committing
+    assert(DeltaLakeRead.snapshot(spark, t).count() === 5L)
   }
 
   test("racing identity appends never allocate duplicate ids: the " +
