@@ -89,23 +89,27 @@ object DomainQueries {
       |  date_part('hour', ts) AS trade_hour,
       |  round((high_p + low_p) / 2, 5) AS avg_price
       |FROM dedup""".stripMargin) { (s, dir) =>
-    // The per-row format+parse battery below is this query's dominant
-    // CPU, and a single-row-group bronze file caps scan parallelism at
-    // the file count (guide §2.5 unsplittable-input remedy): spread
-    // the rows across the session's cores BEFORE the projection when
-    // the scan underfills them — projected to exactly the consumed
-    // columns so the round-robin exchange carries no dead bytes
-    // (guide §2.3). At production file counts the guard is false and
-    // no extra exchange is paid; the dedup downstream is a min-struct
-    // aggregate, insensitive to row placement.
-    val li = Tables.load(s, dir, "lineitem").select(
+    // Round-14 shape (guide §2.5 unsplittable-input remedy): the
+    // pattern format+parse battery is this query's dominant CPU, and a
+    // single-row-group bronze file caps scan parallelism at the file
+    // count. When the scan underfills the session's cores,
+    // HASH-repartition the RAW columns by the (unique, skew-free)
+    // line key BEFORE any expensive projection: the scan stage then
+    // only reads and re-keys narrow raw bytes (hash repartitioning
+    // pays no sort-before-repartition, unlike round-robin), and the
+    // format/parse/validity/aggregate work all runs on every core. At
+    // production file counts the guard is false and no extra exchange
+    // is paid; the dedup is a min-struct aggregate, insensitive to
+    // row placement.
+    val liRaw = Tables.load(s, dir, "lineitem").select(
       "l_suppkey", "l_shipdate", "l_extendedprice", "l_tax",
       "l_discount", "l_quantity", "l_orderkey", "l_linenumber")
-    val liPar =
-      if (li.inputFiles.length < s.sparkContext.defaultParallelism)
-        li.repartition(s.sparkContext.defaultParallelism)
-      else li
-    val bronze = liPar.select(
+    val li =
+      if (liRaw.inputFiles.length < s.sparkContext.defaultParallelism)
+        liRaw.repartition(s.sparkContext.defaultParallelism,
+          col("l_orderkey"), col("l_linenumber"))
+      else liRaw
+    val bronze = li.select(
       concat(lit("SYM"), (col("l_suppkey") % 7).cast("string")).as("symbol"),
       date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss.SSS").as("ts_raw"),
       col("l_extendedprice").as("open_p"),
