@@ -15,7 +15,37 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-session memo of resolved source frames (round-14): every
+    * `spark.read.parquet` call re-resolves the datasource — footer
+    * schema read + file listing, measured ~60 ms per call — and a
+    * bench pass calls load() hundreds of times for the same ten
+    * immutable tables. The memo returns the SAME lazy plan object
+    * (no data is cached — every action still scans the parquet), so
+    * this is deduplicated plan RESOLUTION, not result caching.
+    * Contract (unchanged from the engine's general posture): the
+    * star-schema sources are immutable for a session's lifetime.
+    * Keyed weakly by session so a retired session's plans are
+    * collectable; per-session maps are tiny (≤ tables × dirs). */
+  private val resolved =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = resolved.synchronized {
+      var m = resolved.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String),
+          DataFrame]()
+        resolved.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name),
+      _ => loadUncached(spark, dir, name))
+  }
+
+  private def loadUncached(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
     // events.parquet's `ts` column has shipped as TIMESTAMP(NANOS) —
     // which Spark's vectorized reader rejects outright — and as plain
     // TIMESTAMP(MICROS). Handle both by inspecting the read schema:
